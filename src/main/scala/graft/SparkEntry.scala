@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+import graft.search.TfIdf
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here as a
+  * named query over the sf-dir parquet tables, with matching DuckDB oracle
+  * SQL in [[oracleSql]]. Column names are aliased identically on both
+  * sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  /** Flagship: multi-term TF-IDF cosine search over `documents`
+    * (ref MovieSearchEngine.scala end-to-end). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = TfIdf.postings(docs)
+    TfIdf.searchMulti(p, TfIdf.docNorms(p), Seq("spark", "table", "query"))
+  }
+
+  private val searchTerms = Seq("spark", "table", "query")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> Relational.q1Agg _,
+    "q6_filter" -> Relational.q6Filter _,
+    "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
+      val p = TfIdf.postings(Tables.documents(s, dir))
+      TfIdf.searchSingle(p, "spark")
+    }),
+    "t2_tfidf_multi" -> ((s: SparkSession, dir: String) => {
+      val p = TfIdf.postings(Tables.documents(s, dir))
+      TfIdf.searchMulti(p, TfIdf.docNorms(p), searchTerms)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Relational.q1AggSql,
+    "q6_filter" -> Relational.q6FilterSql,
+    "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
+    "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
+  )
 }

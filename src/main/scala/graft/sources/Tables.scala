@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the graft test tables (TESTDATA.md / FIXTURES.md §A).
+  *
+  * Mirrors the reference's source surface (SURVEY.md §2.1 S1-S9) but
+  * parquet-first: schemas come from parquet footers (self-describing),
+  * filters/projections push down into the scan. CSV/text readers below
+  * reproduce the reference's CSV ingestion semantics
+  * (ref: StandaloneScala/PageRank.scala:27, EpinionsGraphFrameAnalysis.scala:49-53,
+  * ScalaNotebooks/MovieSearchEngine.scala:25-29).
+  */
+object Tables {
+  /** Normalize a scale-factor dir (tolerate trailing slash). */
+  def norm(dir: String): String = if (dir.endsWith("/")) dir.dropRight(1) else dir
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"${norm(dir)}/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Text scan, one row per line, single `value` column
+    * (ref: MovieSearchEngine.scala:25). */
+  def text(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
+
+  /** CSV scan with header-named columns (ref: PageRank.scala:27,
+    * AirlineSentimentAnalysis.scala:36). */
+  def csvHeader(spark: SparkSession, path: String, sep: String = ","): DataFrame =
+    spark.read.option("header", "true").option("sep", sep).csv(path)
+
+  /** CSV scan with `#`-comment filtering and tab delimiter
+    * (ref: EpinionsGraphFrameAnalysis.scala:49-53). */
+  def tsvComments(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("comment", "#").option("delimiter", "\t").csv(path)
+}
