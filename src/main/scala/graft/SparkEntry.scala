@@ -24,23 +24,21 @@ object SparkEntry {
 
   private val searchTerms = Seq("spark", "table", "query")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> Relational.q1Agg _,
-    "q6_filter" -> Relational.q6Filter _,
-    "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
-      val p = TfIdf.postings(Tables.documents(s, dir))
-      TfIdf.searchSingle(p, "spark")
-    }),
-    "t2_tfidf_multi" -> ((s: SparkSession, dir: String) => {
-      val p = TfIdf.postings(Tables.documents(s, dir))
-      TfIdf.searchMulti(p, TfIdf.docNorms(p), searchTerms)
-    }),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
+        val p = TfIdf.postings(Tables.documents(s, dir))
+        TfIdf.searchSingle(p, "spark")
+      }),
+      "t2_tfidf_multi" -> ((s: SparkSession, dir: String) => {
+        val p = TfIdf.postings(Tables.documents(s, dir))
+        TfIdf.searchMulti(p, TfIdf.docNorms(p), searchTerms)
+      }),
+    )
 
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql,
-    "q6_filter" -> Relational.q6FilterSql,
-    "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
-    "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Map(
+      "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
+      "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
+    )
 }

@@ -1,29 +1,39 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
 /** Core relational operators over the TPC-H-ish tables, exercising the
-  * reference's scan/project/filter/agg/join/sort surface (SURVEY.md §2.1-2.5)
-  * at scale.
+  * reference's scan/project/filter/agg/join/sort surface (SURVEY.md §2.1-2.7)
+  * at scale, plus the idiomatic Spark extensions (windows, date, json) noted
+  * in SURVEY §2.7.
   *
   * Determinism convention for oracle parity (shared by the whole engine):
   * big floating-point sums are quantized per-row to DECIMAL before the
   * aggregate (order-independent exact sum), then the final value is cast
   * back to double. Per-row double arithmetic (products, divisions) is
-  * IEEE-deterministic and needs no special handling.
+  * IEEE-deterministic and needs no special handling. `round(x, 6)` guards
+  * libm last-ulp differences (log/sqrt) between JVM and DuckDB.
+  *
+  * Scale notes are inline per query; the global ones: every dimension join
+  * below broadcasts the small side explicitly, every top-k is
+  * orderBy+limit (Catalyst → TakeOrderedAndProject, no global sort), and
+  * filters/projections sit directly on the scan so parquet pushdown fires.
   */
 object Relational {
   private val D204 = DecimalType(20, 4)
   private val D308 = DecimalType(30, 8)
 
+  // ------------------------------------------------------------ aggregates
+
   /** Pricing-summary aggregate (TPC-H Q1 shape): grouped sums/avgs/counts.
-    * Exercises SURVEY §2.4 A1/A5/A6 (grouped count/sum) as partial+final
-    * hash aggregates — the Catalyst equivalent of the reference's
-    * reduceByKey map-side combine (ref MovieSearchEngine.scala:128-151). */
+    * Exercises SURVEY §2.4 A1/A5/A6 as partial+final hash aggregates — the
+    * Catalyst equivalent of the reference's reduceByKey map-side combine
+    * (ref MovieSearchEngine.scala:128-151). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
@@ -46,9 +56,92 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Global top-k by sort (SURVEY §2.5 O1/O2; ref EpinionsGraphFrameAnalysis
+    * orderBy(desc).limit(5)). Full tie-break keys keep it deterministic. */
+  def q2Topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(10)
+
+  def q2TopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 10""".stripMargin
+
+  /** Two-join grouped aggregate: customer ⋈ orders with broadcast nation dim
+    * (SURVEY §2.3 J2/J5; ref MovieSearchEngine.scala:220,297). The big-big
+    * join shuffles on custkey; nation (25 rows) is broadcast explicitly. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("o_totalprice").cast(D204)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  def q3JoinAggSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Broadcast fact⋈dim join with a dim-side filter (SURVEY §2.3 J5). The
+    * filter on part reduces the broadcast build side before shipping. */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 10)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  def q4BroadcastJoinSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 10
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Multi-key FULL OUTER join (SURVEY §2.3 J3; ref PageRank.scala:36 —
+    * airports with only out-links or only in-links both kept). Here: per
+    * (user, event_type) total activity vs high-value activity; rows that
+    * exist on only one side survive with nulls. */
+  def q5FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val all = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n_all"))
+    val hi = ev.filter(col("value") > 50)
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("value").cast(D204)).cast("double").as("hi_value"))
+    all.join(hi, Seq("user_id", "event_type"), "full_outer")
+      .orderBy("user_id", "event_type")
+  }
+
+  def q5FullOuterSql: String =
+    """SELECT COALESCE(a.user_id, h.user_id) AS user_id,
+      |       COALESCE(a.event_type, h.event_type) AS event_type,
+      |       a.n_all, h.hi_value
+      |FROM (SELECT user_id, event_type, COUNT(*) AS n_all
+      |      FROM events GROUP BY user_id, event_type) a
+      |FULL OUTER JOIN
+      |     (SELECT user_id, event_type,
+      |             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS hi_value
+      |      FROM events WHERE value > 50 GROUP BY user_id, event_type) h
+      |ON a.user_id = h.user_id AND a.event_type = h.event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Filtered scalar aggregate (TPC-H Q6 shape): the filter + projection
-    * must push into the parquet scan (SURVEY §2.2 P5/P9; verified via
-    * explain in the bench pass). */
+    * must push into the parquet scan (SURVEY §2.2 P5/P9). */
   def q6Filter(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
@@ -61,4 +154,236 @@ object Relational {
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Distinct aggregates (SURVEY §2.4 A2 — the reference composes
+    * countDistinct from two reduceByKeys; we surface it directly). */
+  def q7CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("n_orders"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  def q7CountDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Collect-to-array aggregate (SURVEY §2.4 A8; ref PageRank.scala:33
+    * collect_set of in-links). Canonicalized to a sorted joined string so
+    * the oracle compare is order-insensitive. */
+  def q8CollectSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  def q8CollectSetSql: String =
+    """SELECT o_custkey,
+      |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Generator / explode (SURVEY §2.7 F9; ref PageRank.scala:48 explode of
+    * in-link array): explode split part names into a word count. */
+  def q9Explode(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+
+  def q9ExplodeSql: String =
+    """SELECT w.word AS word, COUNT(*) AS n
+      |FROM part, UNNEST(string_split(p_name, ' ')) AS w(word)
+      |GROUP BY w.word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ windows / sets / scalar
+
+  /** Window functions (engine extension per SURVEY §2.4 note: the reference
+    * has none; a modern engine needs them). Running sum is decimal-quantized
+    * so frame-evaluation strategy differences can't change the result. */
+  def q10Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast(D204)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def q10WindowSql: String =
+    """SELECT user_id, event_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events WHERE user_id < 50
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Left-anti join (SURVEY §2.2 P8 — the reference's not-in-set stopword
+    * filter, done as the scalable anti-join): customers with no orders. */
+  def q11Anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def q11AntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-semi join: suppliers that ship at least one large-quantity item. */
+  def q12Semi(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 45)
+    s.join(li, s("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  def q12SemiSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Set ops (SURVEY §2.6 — absent in the reference, free in the engine):
+    * nations having customers UNION nations having suppliers, deduped. */
+  def q13Union(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.union(s).distinct().orderBy("nationkey")
+  }
+
+  def q13UnionSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** when/otherwise bucketing (ref TwitterStreaming.scala:71-75 — the 0-4 →
+    * NEG/NEUTRAL/POS sentiment class mapping, as a relational op). */
+  def q14CaseWhen(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(col("value") < 5, "low")
+          .when(col("value") < 15, "mid")
+          .otherwise("high").as("bucket"),
+        col("value"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D204)).cast("double").as("total"))
+      .orderBy("event_type", "bucket")
+
+  def q14CaseWhenSql: String =
+    """SELECT event_type,
+      |  CASE WHEN value < 5 THEN 'low' WHEN value < 15 THEN 'mid' ELSE 'high' END AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY event_type, CASE WHEN value < 5 THEN 'low' WHEN value < 15 THEN 'mid' ELSE 'high' END
+      |ORDER BY event_type, bucket""".stripMargin
+
+  /** String + math scalar functions (SURVEY §2.7 F2-F7: regexp_replace,
+    * lower, trim, length, split-count, ln, arithmetic). */
+  def q15Scalar(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        regexp_replace(lower(col("p_name")), "[aeiou]", "").as("consonants"),
+        length(col("p_name")).as("name_len"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        round(log(col("p_retailprice") + lit(1.0)), 6).as("log_price"),
+        round(col("p_retailprice") * (lit(1.0) - lit(0.1)) + col("p_size"), 6).as("adj_price"))
+      .orderBy("p_partkey")
+      .limit(200)
+
+  def q15ScalarSql: String =
+    """SELECT p_partkey,
+      |  regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS consonants,
+      |  length(p_name) AS name_len,
+      |  len(string_split(p_name, ' ')) AS n_words,
+      |  round(ln(p_retailprice + 1.0), 6) AS log_price,
+      |  round(p_retailprice * (1.0 - 0.1) + p_size, 6) AS adj_price
+      |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin
+
+  /** Date/time functions (engine extension per SURVEY §2.7 note). */
+  def q16DateTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D204)).cast("double").as("revenue"))
+      .orderBy("yr", "mo")
+
+  def q16DateTimeSql: String =
+    """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+      |ORDER BY yr, mo""".stripMargin
+
+  /** JSON extraction (engine extension; `props` column per FIXTURES.md). */
+  def q17Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  def q17JsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(json_extract_string(props, '$.k')::INT) AS sum_k,
+      |  MIN(json_extract_string(props, '$.k')::INT) AS min_k,
+      |  MAX(json_extract_string(props, '$.k')::INT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** All relational queries + oracles, for SparkEntry registration. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q2_topk" -> q2Topk _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q4_broadcast_join" -> q4BroadcastJoin _,
+    "q5_full_outer" -> q5FullOuter _,
+    "q6_filter" -> q6Filter _,
+    "q7_count_distinct" -> q7CountDistinct _,
+    "q8_collect_set" -> q8CollectSet _,
+    "q9_explode" -> q9Explode _,
+    "q10_window" -> q10Window _,
+    "q11_anti_join" -> q11Anti _,
+    "q12_semi_join" -> q12Semi _,
+    "q13_union" -> q13Union _,
+    "q14_case_when" -> q14CaseWhen _,
+    "q15_scalar_funcs" -> q15Scalar _,
+    "q16_datetime" -> q16DateTime _,
+    "q17_json" -> q17Json _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q2_topk" -> q2TopkSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q4_broadcast_join" -> q4BroadcastJoinSql,
+    "q5_full_outer" -> q5FullOuterSql,
+    "q6_filter" -> q6FilterSql,
+    "q7_count_distinct" -> q7CountDistinctSql,
+    "q8_collect_set" -> q8CollectSetSql,
+    "q9_explode" -> q9ExplodeSql,
+    "q10_window" -> q10WindowSql,
+    "q11_anti_join" -> q11AntiSql,
+    "q12_semi_join" -> q12SemiSql,
+    "q13_union" -> q13UnionSql,
+    "q14_case_when" -> q14CaseWhenSql,
+    "q15_scalar_funcs" -> q15ScalarSql,
+    "q16_datetime" -> q16DateTimeSql,
+    "q17_json" -> q17JsonSql,
+  )
 }

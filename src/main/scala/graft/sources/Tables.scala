@@ -25,7 +25,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** Events table with a normalized micro-precision `ts` timestamp.
+    *
+    * Some SF dirs store `ts` as parquet TIMESTAMP(NANOS), which Spark can
+    * only read with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * Verify/Bench/test sessions) — the column then arrives as LongType
+    * nanos and is converted here (lossless: the generator emits
+    * micro-precision values). Other SF dirs store micros directly. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Structural checks of the relational queries on sf0.001 (the DuckDB
+  * oracle at sf0.01 is the exact gate; these are fast invariants). */
+class RelationalSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("q1 groups by (returnflag, linestatus) with positive sums") {
+    val rows = Relational.q1Agg(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+  }
+
+  test("q2 topk is sorted desc and ≤10 rows") {
+    val prices = Relational.q2Topk(spark, dir).collect().map(_.getAs[Double]("l_extendedprice"))
+    assert(prices.length == 10 && prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q5 full outer keeps one-sided rows") {
+    val df = Relational.q5FullOuter(spark, dir)
+    assert(df.filter("hi_value IS NULL").count() > 0) // groups with no high-value events survive
+  }
+
+  test("q7 distinct counts bounded by row counts") {
+    Relational.q7CountDistinct(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_orders") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("q10 window running sum is monotone per partition for positive values") {
+    val rows = Relational.q10Window(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("running_value"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("q13 union-distinct is within nation key domain") {
+    val keys = Relational.q13Union(spark, dir).collect().map(_.getInt(0))
+    assert(keys.distinct.length == keys.length && keys.forall(k => k >= 0 && k < 25))
+  }
+
+  test("semi and anti partition the customer set") {
+    val c = graft.sources.Tables.customer(spark, dir).count()
+    val anti = Relational.q11Anti(spark, dir).count()
+    val semi = c - anti // customers with ≥1 order
+    assert(semi >= 0 && anti >= 0 && semi + anti == c)
+  }
+}
