@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.graph.Graph
 import graft.operators.Relational
 import graft.search.TfIdf
 import graft.sources.Tables
@@ -25,7 +26,7 @@ object SparkEntry {
   private val searchTerms = Seq("spark", "table", "query")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Map[String, (SparkSession, String) => DataFrame](
+    Relational.queries ++ Graph.queries ++ Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
         TfIdf.searchSingle(p, "spark")
@@ -37,7 +38,7 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Map(
+    Relational.oracles ++ Graph.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
     )

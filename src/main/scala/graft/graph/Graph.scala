@@ -1,0 +1,240 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Native DataFrame graph analytics (SURVEY.md §2.10 G1-G6).
+  *
+  * The reference delegates to GraphFrames
+  * (ref: StandaloneScala/EpinionsGraphFrameAnalysis.scala:57-121) and a
+  * hand-rolled DataFrame PageRank (ref: StandaloneScala/PageRank.scala:45-67).
+  * GraphFrames is not on our classpath, and the hand-rolled loop has a
+  * known lineage hazard (no checkpoint inside the loop — SURVEY §4): every
+  * iteration's plan replays all prior iterations. Here every iterative
+  * algorithm calls `localCheckpoint(eager=true)` per step, so the plan (and
+  * the Catalyst analysis cost) stays O(1) per iteration — the difference
+  * between 20 iterations and an exponential-plan blowup at 100 TB.
+  *
+  * Graph model: `edges(src: Long, dst: Long)` — same shape GraphFrames
+  * uses (ref EpinionsGraphFrameAnalysis.scala:58). Vertices are implied
+  * (distinct endpoint set) unless given.
+  *
+  * Scale notes: degree counts are single hash aggregates (shuffle on the
+  * vertex id); PageRank shuffles once per iteration on dst; connected
+  * components is min-label propagation (O(diameter) rounds, each one
+  * shuffle); triangle count canonicalizes `src<dst` first, which both
+  * halves the join input and makes each triangle counted exactly once —
+  * the standard trick that keeps the 3-way self-join from exploding on
+  * power-law graphs (AQE handles residual skew).
+  */
+object Graph {
+  private val Dec = DecimalType(32, 16)
+
+  /** Deterministic test graph derived from `orders`: directed edges
+    * (o_custkey % m, o_orderkey % m), self-loops dropped, deduped.
+    * Mirrors the reference's integer-id edge list ingestion
+    * (ref EpinionsGraphFrameAnalysis.scala:49-58). */
+  def edgesFromOrders(spark: SparkSession, dir: String, m: Int = 2000): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % m).cast("long").as("src"),
+        (col("o_orderkey") % m).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  def edgesSql(m: Int = 2000): String =
+    s"""SELECT DISTINCT o_custkey % $m AS src, o_orderkey % $m AS dst
+       |FROM orders WHERE o_custkey % $m != o_orderkey % $m""".stripMargin
+
+  /** Distinct endpoint set — the implied vertex table. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** Out-degrees ⋈ in-degrees, full outer so one-sided vertices survive
+    * (ref G1/G2 EpinionsGraphFrameAnalysis.scala:66,79 `graph.outDegrees`/
+    * `inDegrees`; full-outer per ref PageRank.scala:36). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Fixed-iteration PageRank (ref G3/G6; update formula per ref
+    * PageRank.scala:66 — the `α/N + (1-α)·Σ` "teleport-divided-by-N"
+    * variant; dangling mass is dropped, matching the reference).
+    *
+    * Clean-initialization variant: rank₀ = 1/N over the full implied
+    * vertex set (the reference starts at 10.0 and silently drops vertices
+    * with no in-links after iteration 1 — SURVEY §2.10 quirks; set
+    * `refQuirks=true` to reproduce that exactly).
+    *
+    * Determinism: per-edge contributions are computed in double then
+    * quantized to DECIMAL for the shuffle-sum (order-independent); all
+    * remaining arithmetic is scalar double (IEEE-deterministic).
+    *
+    * Each iteration ends in `localCheckpoint(eager=true)` so lineage stays
+    * flat (fixes the reference's unbounded-plan hazard, SURVEY §4).
+    */
+  def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
+               refQuirks: Boolean = false): DataFrame = {
+    val v = vertices(edges)
+    val n = v.count()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val init = if (refQuirks) 10.0 else 1.0 / n
+    var ranks = v.select(col("id"), lit(init).as("rank")).localCheckpoint(true)
+    val contribs = edges.join(outDeg, "src") // pre-joined once, reused per iter
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").cast("double").as("mass"))
+      val updated = spread.select(col("dst").as("id"),
+        (lit(alpha / n) + lit(1.0 - alpha) * col("mass")).as("rank"))
+      ranks =
+        (if (refQuirks) updated // ref drops vertices with no in-links
+         else v.join(updated, Seq("id"), "left_outer")
+           .select(col("id"), coalesce(col("rank"), lit(alpha / n)).as("rank")))
+          .localCheckpoint(true)
+    }
+    ranks.select(col("id"), round(col("rank"), 12).as("rank"))
+  }
+
+  /** DuckDB oracle for [[pageRank]] (clean variant), iterations unrolled as
+    * CTEs — must mirror the double/DECIMAL dance exactly. */
+  def pageRankSql(iterations: Int, alpha: Double = 0.15, m: Int = 2000): String = {
+    val base =
+      s"""WITH edges_g AS (${edgesSql(m)}),
+         |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges_g GROUP BY src),
+         |contribs AS (SELECT e.src, e.dst, o.out_deg FROM edges_g e JOIN outdeg o USING (src)),
+         |r0 AS (SELECT id, 1.0 / n.n AS rank FROM v, n)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""m$i AS (
+         |  SELECT c.dst, CAST(SUM(CAST(r.rank / c.out_deg AS DECIMAL(32,16))) AS DOUBLE) AS mass
+         |  FROM contribs c JOIN r${i - 1} r ON c.src = r.id GROUP BY c.dst),
+         |r$i AS (
+         |  SELECT v.id, COALESCE($alpha / n.n + ${1.0 - alpha} * m$i.mass, $alpha / n.n) AS rank
+         |  FROM v CROSS JOIN n LEFT JOIN m$i ON v.id = m$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
+  }
+
+  /** Connected components by min-label propagation over the undirected
+    * graph (ref G4 EpinionsGraphFrameAnalysis.scala:107
+    * `graph.connectedComponents.run()`). Converges in O(diameter) rounds;
+    * each round is one shuffle + an O(1)-plan checkpoint. The convergence
+    * check is a count of changed labels — one cheap action per round.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices(edges)
+      .select(col("id"), col("id").as("component")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** DuckDB oracle for [[connectedComponents]]: transitive closure via
+    * recursive CTE, then min reachable label per vertex. */
+  def connectedComponentsSql(m: Int = 2000): String =
+    s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
+       |und AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
+       |v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id)
+       |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Per-vertex and total triangle counts (ref G5
+    * EpinionsGraphFrameAnalysis.scala:121 `graph.triangleCount.run()`).
+    *
+    * Canonicalize to `a<b` first: halves the self-join input and counts
+    * each triangle exactly once as (a<b<c). Per-vertex counts come from
+    * exploding each triangle to its 3 corners — same semantics GraphFrames
+    * returns. The first join shuffles on the shared vertex; the closing
+    * edge check is a second join — both equi-joins, AQE-skew-splittable.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // reused 3× below; flat plan
+    val e1 = canon.select(col("a"), col("b"))
+    val e2 = canon.select(col("a").as("b"), col("b").as("c"))
+    val e3 = canon.select(col("a").as("ta"), col("b").as("tc"))
+    val tris = e1.join(e2, "b")
+      .join(e3, col("a") === col("ta") && col("c") === col("tc"))
+      .select("a", "b", "c")
+    val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+    vertices(edges)
+      .join(corners.groupBy("id").agg(count(lit(1)).as("n_tri")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  def triangleCountsSql(m: Int = 2000): String =
+    s"""WITH edges_g AS (${edgesSql(m)}),
+       |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_g),
+       |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+       |tris AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+       |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (
+       |  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris),
+       |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id)
+       |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri
+       |FROM v LEFT JOIN cnt USING (id) ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_degrees" -> ((s: SparkSession, dir: String) =>
+      degrees(edgesFromOrders(s, dir)).orderBy("id")),
+    "g2_pagerank" -> ((s: SparkSession, dir: String) =>
+      pageRank(edgesFromOrders(s, dir), iterations = 3).orderBy("id")),
+    "g3_connected_components" -> ((s: SparkSession, dir: String) =>
+      connectedComponents(edgesFromOrders(s, dir)).orderBy("id")),
+    "g4_triangle_counts" -> ((s: SparkSession, dir: String) =>
+      triangleCounts(edgesFromOrders(s, dir)).orderBy("id")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g1_degrees" ->
+      s"""WITH edges_g AS (${edgesSql()}),
+         |outd AS (SELECT src AS id, count(*) AS out_deg FROM edges_g GROUP BY src),
+         |ind AS (SELECT dst AS id, count(*) AS in_deg FROM edges_g GROUP BY dst)
+         |SELECT id, COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+         |FROM outd FULL OUTER JOIN ind USING (id) ORDER BY id""".stripMargin,
+    "g2_pagerank" -> pageRankSql(iterations = 3),
+    "g3_connected_components" -> connectedComponentsSql(),
+    "g4_triangle_counts" -> triangleCountsSql(),
+  )
+}

@@ -1,0 +1,51 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Golden graph tests (SURVEY.md §5.3): K4 triangles, 4-node PageRank,
+  * two-component CC — hand-checkable results. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("degrees: out/in with one-sided vertices kept") {
+    val d = Graph.degrees(edges(1L -> 2L, 1L -> 3L, 2L -> 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(d.toSeq == Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per vertex") {
+    // K4 edges in arbitrary direction/order
+    val e = edges(1L -> 2L, 3L -> 1L, 1L -> 4L, 2L -> 3L, 4L -> 2L, 3L -> 4L)
+    val t = Graph.triangleCounts(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(t.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("connectedComponents: two components get min-id labels") {
+    val e = edges(5L -> 2L, 2L -> 9L, 7L -> 8L)
+    val c = Graph.connectedComponents(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(c.toSeq == Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L)))
+  }
+
+  test("pageRank: ranks sum to ~1 on a cycle (no dangling loss)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val r = Graph.pageRank(e, iterations = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r.length == 3)
+    // symmetric cycle → uniform ranks = 1/3 each
+    r.foreach { case (_, rank) => assert(math.abs(rank - 1.0 / 3) < 1e-9) }
+  }
+
+  test("pageRank refQuirks: dangling-sink variant drops no-in-link vertices") {
+    val e = edges(1L -> 2L, 2L -> 3L)
+    // drop cascades per iteration (ref PageRank.scala:63 inner join):
+    // iter 1 keeps {2,3} (have in-links); iter 2 keeps {3} (only live src)
+    val r1 = Graph.pageRank(e, iterations = 1, refQuirks = true).collect()
+    assert(r1.map(_.getLong(0)).toSet == Set(2L, 3L))
+    val r2 = Graph.pageRank(e, iterations = 2, refQuirks = true).collect()
+    assert(r2.map(_.getLong(0)).toSet == Set(3L))
+  }
+}
