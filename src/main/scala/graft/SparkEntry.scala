@@ -6,6 +6,7 @@ import graft.graph.Graph
 import graft.operators.Relational
 import graft.search.TfIdf
 import graft.sources.Tables
+import graft.text.TextStats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +27,8 @@ object SparkEntry {
   private val searchTerms = Seq("spark", "table", "query")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Graph.queries ++ Map[String, (SparkSession, String) => DataFrame](
+    Relational.queries ++ Graph.queries ++ TextStats.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
         TfIdf.searchSingle(p, "spark")
@@ -38,7 +40,7 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Graph.oracles ++ Map(
+    Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
     )

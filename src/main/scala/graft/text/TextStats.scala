@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale corpus curation: heuristic
+  * entity extraction, language identification, quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * Entity extraction reproduces the reference's NER word-count semantics
+  * (ref: ScalaNotebooks/NamedEntitiesWordCount.scala — extract entities
+  * :35-43, normalize :51-58, count :63-74, sort :77) with a
+  * capitalized-run heuristic instead of the pretrained DL model (SURVEY
+  * §2.8 M2: no pretrained models offline). The rest is the curation
+  * surface a 100 TB training-data pipeline needs (builder brief).
+  *
+  * All operators are single-pass scan expressions (regexp/array
+  * built-ins) feeding at most one hash aggregate — no UDFs, no RDD hops,
+  * fully whole-stage-codegen'd. Ratios are double divisions of integer
+  * counts (IEEE-deterministic); every query has an exact DuckDB oracle.
+  */
+object TextStats {
+  /** Capitalized-run entity pattern: one capitalized word or a run of
+    * them ("New York"). Mirrors what recognize_entities_dl returns for
+    * the reference's Sherlock corpus at the heuristic level. */
+  private val EntityRx = "[A-Z][a-z]+(?: [A-Z][a-z]+)*"
+
+  /** Entities from a text column: extract runs, lowercase-normalize
+    * (ref NamedEntitiesWordCount.scala:52 `_.toLowerCase`). */
+  def entities(text: Column): Column =
+    transform(regexp_extract_all(text, lit(EntityRx), lit(0)), lower _)
+
+  /** Entity word count over a corpus column: extract → explode →
+    * groupBy.count → desc (ref NamedEntitiesWordCount.scala:63-77). */
+  def entityCount(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(entities(text)).as("entity"))
+      .groupBy("entity").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("entity"))
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language heuristic. Fixed so oracle SQL inlines identical lists. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"),
+  )
+
+  /** Per-language stopword-hit counts + argmax language ("und" =
+    * undetermined when no list hits). Pure array expressions — the hit
+    * count is `size(filter(tokens, in list))`, evaluated per language in
+    * one projection (no shuffle at all until the caller aggregates). */
+  def langId(tokens: Column): Column = {
+    val hits = langStopwords.map { case (lang, words) =>
+      struct(size(filter(tokens, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by fieldwise-descending struct sort: highest hits wins, ties
+    // break to the lexicographically-largest lang (same rule as the
+    // DuckDB oracle's list_reverse_sort — deterministic on both sides)
+    val best = sort_array(array(hits: _*), asc = false).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  private def langIdSqlExpr(toks: String): String = {
+    val structs = langStopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"{'hits': len(list_filter($toks, t -> t IN ($lst))), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"CASE WHEN list_reverse_sort([$structs])[1].hits > 0 THEN list_reverse_sort([$structs])[1].lang ELSE 'und' END"
+  }
+
+  // ------------------------------------------------------- quality score
+
+  /** Document quality heuristics: lengths, ratios, mean token length.
+    * The composite score is a fixed linear blend — arbitrary but stable,
+    * the shape a quality-filter stage needs at scale. */
+  def qualityCols(text: Column): Seq[Column] = {
+    val raw = Tokenize.rawTokens(text)
+    val nTok = size(raw)
+    val nStop = size(filter(raw, t => t.isin(Tokenize.stopwords: _*)))
+    val nChars = length(text)
+    val nPunct = nChars - length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    Seq(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"),
+      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      round((length(regexp_replace(text, "[^a-z0-9 ]", "")) - nTok + 1).cast("double") / nTok, 6)
+        .as("mean_tok_len"),
+    )
+  }
+
+  // ------------------------------------------------------------ registry
+
+  /** q: entity counts over customer "descriptions" (the only capitalized
+    * text in the testdata; documents.text is all-lowercase). */
+  def xEntityCount(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val txt = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(concat(col("c_name"), lit(" of "), initcap(lower(col("n_name")))).as("t"))
+    entityCount(txt, col("t"))
+  }
+
+  def xEntityCountSql: String =
+    s"""WITH txt AS (
+       |  SELECT c_name || ' of ' ||
+       |         upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS t
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |), e AS (
+       |  SELECT lower(u.ent) AS entity
+       |  FROM txt, UNNEST(regexp_extract_all(t, '$EntityRx')) AS u(ent)
+       |)
+       |SELECT entity, count(*) AS n FROM e GROUP BY entity
+       |ORDER BY n DESC, entity ASC""".stripMargin
+
+  def xLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), langId(Tokenize.rawTokens(col("text"))).as("pred_lang"))
+      .orderBy("doc_id")
+
+  def xLangIdSql: String =
+    s"""SELECT doc_id, ${langIdSqlExpr(Tokenize.rawTokensSql("text"))} AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def xQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: qualityCols(col("text")): _*)
+      .orderBy("doc_id")
+
+  def xQualitySql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    val stops = Tokenize.stopwordsSql
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len($toks) AS n_tokens,
+       |  round(CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / len($toks), 6) AS stopword_ratio,
+       |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       |  round(CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) - len($toks) + 1 AS DOUBLE) / len($toks), 6) AS mean_tok_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
+    * runs / digit runs / single punctuation, the GPT-2-style pre-tokenize
+    * shape), distinct tokens. */
+  def xTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Tokenize.rawTokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_pieces"),
+        size(array_distinct(Tokenize.rawTokens(col("text")))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  def xTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(${Tokenize.rawTokensSql("text")}) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_pieces,
+       |  len(list_distinct(${Tokenize.rawTokensSql("text")})) AS n_distinct
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: exact md5 of raw text, md5 of the sorted
+    * distinct token set (word-order/dup-insensitive), and a polynomial
+    * rolling hash over the token stream (order-sensitive, integer-exact:
+    * acc = (acc*31 + tokhash) mod 2^31, tokhash = 31*len + ascii(first)). */
+  def xFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tokenize.rawTokens(col("text"))
+    val tokHashes = transform(toks, t => lit(31L) * length(t) + ascii(substring(t, 1, 1)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_text"),
+        md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary")).as("md5_tokenset"),
+        aggregate(tokHashes, lit(0L), (acc, x) => (acc * 31L + x) % 2147483647L).as("rolling"))
+      .orderBy("doc_id")
+  }
+
+  def xFingerprintSql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""SELECT doc_id,
+       |  md5(text) AS md5_text,
+       |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS md5_tokenset,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($toks, t -> CAST(31 * length(t) + ascii(substr(t, 1, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_entity_count" -> xEntityCount _,
+    "x2_lang_id" -> xLangId _,
+    "x3_quality" -> xQuality _,
+    "x4_token_count" -> xTokenCount _,
+    "x5_fingerprint" -> xFingerprint _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x1_entity_count" -> xEntityCountSql,
+    "x2_lang_id" -> xLangIdSql,
+    "x3_quality" -> xQualitySql,
+    "x4_token_count" -> xTokenCountSql,
+    "x5_fingerprint" -> xFingerprintSql,
+  )
+}

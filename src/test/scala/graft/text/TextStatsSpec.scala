@@ -1,0 +1,44 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entities: capitalized runs, lowercased, duplicates kept") {
+    val df = Seq("Sherlock Holmes met Dr Watson in London. Holmes smiled.").toDF("t")
+    val e = df.select(TextStats.entities(col("t")).as("e")).as[Seq[String]].head()
+    assert(e == Seq("sherlock holmes", "dr watson", "london", "holmes"))
+  }
+
+  test("langId: picks list with most hits; und when none") {
+    val df = Seq(
+      "the cat sat on the mat and it was good",   // en
+      "der hund und die katze ist nicht hier",    // de
+      "xyzzy qwerty").toDF("t")                   // none
+    val got = df.select(TextStats.langId(Tokenize.rawTokens(col("t")))).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("rolling fingerprint is order-sensitive, tokenset md5 is not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val toks = Tokenize.rawTokens(col("text"))
+    val th = transform(toks, t => lit(31L) * length(t) + ascii(substring(t, 1, 1)))
+    val r = df.select(
+      md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary")).as("ts"),
+      aggregate(th, lit(0L), (a, x) => (a * 31L + x) % 2147483647L).as("roll"))
+      .collect()
+    assert(r(0).getString(0) == r(1).getString(0))   // same token set
+    assert(r(0).getLong(1) != r(1).getLong(1))       // different order
+  }
+
+  test("quality cols: exact counts on a known doc") {
+    val df = Seq("ab cd, ee!").toDF("text")
+    val r = df.select(TextStats.qualityCols(col("text")): _*).collect()(0)
+    assert(r.getAs[Int]("n_chars") == 10)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("punct_ratio") == 0.2) // ',' and '!'
+  }
+}
