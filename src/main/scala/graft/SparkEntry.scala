@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.operators.Relational
 import graft.search.TfIdf
@@ -27,7 +28,7 @@ object SparkEntry {
   private val searchTerms = Seq("spark", "table", "query")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Graph.queries ++ TextStats.queries ++
+    Relational.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
@@ -40,7 +41,7 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Map(
+    Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
     )

@@ -1,0 +1,270 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.Tokenize
+
+/** Deduplication operators for training-data curation: exact (hash),
+  * MinHash+LSH near-dup, n-gram Jaccard, SimHash (builder brief — these
+  * are first-class engine components beyond the reference's surface).
+  *
+  * Scale design (the point of each operator):
+  *  - exact: one hash aggregate on md5(text) — shuffles the 16-byte hash,
+  *    never the text.
+  *  - MinHash signatures: computed per-row with array expressions (NO
+  *    shuffle, no UDF); only the k×16-byte signature leaves the scan.
+  *  - LSH: candidate pairs come from an equi-join on band keys — the
+  *    classic band-bucket trick that replaces the O(n²) cross join; the
+  *    exact Jaccard verify runs only on candidates.
+  *  - SimHash: 32-bit signature via explode + 32 partial-aggregated sums;
+  *    near-pairs blocked on 4×8-bit sub-keys (pigeonhole: any pair with
+  *    hamming ≤ 3 shares at least one exact block), again an equi-join.
+  *
+  * Hash function note: cross-engine determinism requires a hash both
+  * Spark and DuckDB implement identically — md5 (hex string) is the only
+  * such primitive, so min-hashes are lexicographic minima of md5 hex
+  * strings and SimHash bits come from md5 hex digits. A production port
+  * could swap in xxhash64 Catalyst-side for speed; semantics identical.
+  */
+object Dedup {
+  // --------------------------------------------------------- exact dedup
+
+  /** Exact dedup: representative (min doc_id) per distinct text hash.
+    * The returned frame is the deduplicated corpus id set. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Dup-group histogram: how many groups of each multiplicity. */
+  def dupHistogram(docs: DataFrame): DataFrame =
+    exactDedup(docs).groupBy("n_copies").agg(count(lit(1)).as("n_groups"))
+
+  // ------------------------------------------------------------- minhash
+
+  /** Word w-shingles (duplicates removed — shingle *sets* for Jaccard). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = Tokenize.rawTokens(text)
+    val sh = when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(sh)
+  }
+
+  def shinglesSql(textCol: String, w: Int = 3): String = {
+    val toks = Tokenize.rawTokensSql(textCol)
+    // range(1, len-w+2) yields [] when the doc is shorter than w
+    val joined = (0 until w).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len($toks) - ${w - 2}), i -> $joined))"
+      .replace("t[i", s"($toks)[i") // inline token list at each position
+  }
+
+  /** k MinHashes per row: mh_i = min over shingles of md5('i|'||shingle).
+    * Pure array expressions — signature computed inside the scan. */
+  def minhashSig(sh: Column, k: Int = 8): Column =
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s).cast("binary"))))): _*)
+
+  def minhashSigSql(shSql: String, k: Int = 8): String =
+    "[" + (0 until k).map(i => s"list_min(list_transform($shSql, s -> md5('$i|' || s)))")
+      .mkString(", ") + "]"
+
+  /** Candidate near-dup pairs via LSH banding (rowsPerBand hashes
+    * concatenated per band key), verified with exact shingle-set Jaccard.
+    * Returns pairs with jaccard ≥ minJaccard, deterministic order. */
+  def lshNearDups(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 1,
+                  minJaccard: Double = 0.1): DataFrame = {
+    val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
+    val nBands = k / rowsPerBand
+    val bands = base.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until nBands).map(b =>
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)): _*)): _*)).as(Seq("band", "key")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs.select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def lshNearDupsSql(k: Int = 8, rowsPerBand: Int = 1, minJaccard: Double = 0.1): String = {
+    val sh = shinglesSql("text")
+    val sig = minhashSigSql("sh", k)
+    val nBands = k / rowsPerBand
+    val bandKeys = (0 until nBands).map(b =>
+      (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r + 1}]")
+        .mkString(" || '|' || ")).mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $sh AS sh FROM documents
+       |), sigs AS (
+       |  SELECT doc_id, sh, $sig AS sig FROM base
+       |), bands AS (
+       |  SELECT doc_id, sh, u.band, [$bandKeys][u.band + 1] AS key
+       |  FROM sigs, UNNEST(range($nBands)) AS u(band)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+       |  FROM pairs p JOIN base sa ON p.doc_a = sa.doc_id
+       |               JOIN base sb ON p.doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact top-k most-similar pairs by shingle Jaccard, via the inverted
+    * shared-shingle join (index join, not cross join — the n-gram Jaccard
+    * path when full exactness is wanted). */
+  def ngramJaccardTop(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val inv = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    shared.select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+      .limit(topK)
+  }
+
+  def ngramJaccardTopSql(topK: Int = 20): String = {
+    val sh = shinglesSql("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, $sh AS sh FROM documents
+       |), inv AS (
+       |  SELECT doc_id, len(sh) AS n, u.s FROM base, UNNEST(sh) AS u(s)
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |         count(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+       |FROM shared ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $topK""".stripMargin
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash per document as a BIGINT: bit j is the sign of
+    * Σ_terms tf·(hexdigit_j(md5(term)) ≥ 8 ? +1 : −1). Explode + 32
+    * partially-aggregated sums — one shuffle on doc_id, integer-exact. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("term").cast("binary")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+        col("tf")).otherwise(-col("tf"))).as(s"s$j")
+    }
+    val sums = terms.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 32).map(j =>
+        when(col(s"s$j") >= 0, lit(1L) * lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), value.as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s$j")
+      .mkString(",\n    ")
+    val value = (0 until 32).map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH terms AS (
+       |  SELECT doc_id, u.term, count(*) AS tf
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(term)
+       |  GROUP BY doc_id, u.term
+       |), hashed AS (
+       |  SELECT doc_id, tf, md5(term) AS h FROM terms
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist, blocked on 4×8-bit
+    * sub-keys (any pair with hamming ≤ 3 shares ≥1 exact block —
+    * pigeonhole), so candidates come from an equi-join, never a cross
+    * join. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "key")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashPairsSql(maxDist: Int = 3): String =
+    s"""WITH sh AS (${simhashSql.replace("ORDER BY doc_id", "")}),
+       |blocks AS (
+       |  SELECT doc_id, simhash, u.blk,
+       |         (simhash // (1 << (u.blk * 8))) % 256 AS key
+       |  FROM sh, UNNEST(range(4)) AS u(blk)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
+      dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
+    "d2_minhash_sig" -> ((s: SparkSession, dir: String) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), minhashSig(shingles(col("text"))).as("sig"))
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
+        .orderBy("doc_id")),
+    "d3_lsh_near_dups" -> ((s: SparkSession, dir: String) =>
+      lshNearDups(Tables.documents(s, dir))),
+    "d4_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      ngramJaccardTop(Tables.documents(s, dir))),
+    "d5_simhash" -> ((s: SparkSession, dir: String) =>
+      simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "d6_simhash_pairs" -> ((s: SparkSession, dir: String) =>
+      simhashPairs(Tables.documents(s, dir))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """WITH g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |           FROM documents GROUP BY md5(text))
+        |SELECT n_copies, count(*) AS n_groups FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    "d2_minhash_sig" ->
+      s"""SELECT doc_id,
+         |  array_to_string(${minhashSigSql(shinglesSql("text"))}, ',') AS sig
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d3_lsh_near_dups" -> lshNearDupsSql(),
+    "d4_ngram_jaccard" -> ngramJaccardTopSql(),
+    "d5_simhash" -> simhashSql,
+    "d6_simhash_pairs" -> simhashPairsSql(),
+  )
+}

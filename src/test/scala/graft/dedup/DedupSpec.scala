@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different text about spark engines here"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per text hash") {
+    val groups = Dedup.exactDedup(corpus).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(groups.toSeq == Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: distinct word trigrams") {
+    val sh = corpus.filter($"doc_id" === 4)
+      .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
+    assert(sh.contains("completely different text"))
+    assert(sh.length == 5) // 7 tokens → 5 trigrams, all distinct
+    val tiny = Seq("one two").toDF("text")
+      .select(Dedup.shingles(col("text"))).as[Seq[String]].head()
+    assert(tiny.isEmpty) // below shingle width
+  }
+
+  test("lshNearDups finds near and exact pairs with correct jaccard") {
+    val pairs = Dedup.lshNearDups(corpus, minJaccard = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.contains((1L, 3L, 1.0))) // exact dup → jaccard 1
+    val near = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(near.isDefined && near.get._3 > 0.5 && near.get._3 < 1.0)
+    assert(!pairs.exists(p => p._2 == 4L)) // unrelated doc never pairs
+  }
+
+  test("ngramJaccardTop ranks exact dup first") {
+    val top = Dedup.ngramJaccardTop(corpus, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.head == (1L, 3L, 1.0))
+  }
+
+  test("simhash: identical texts get identical hashes, near-dups close") {
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(3L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(hamming <= 6, s"near-dup hamming was $hamming")
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > hamming)
+  }
+
+  test("simhashPairs: exact dup pair found at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
+  }
+}
