@@ -6,6 +6,7 @@ import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.operators.Relational
 import graft.search.TfIdf
+import graft.similarity.Similarity
 import graft.sources.Tables
 import graft.text.TextStats
 
@@ -29,6 +30,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
+      Similarity.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
@@ -41,7 +43,8 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++ Map(
+    Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
     )

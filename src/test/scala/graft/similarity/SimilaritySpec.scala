@@ -1,0 +1,55 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Similarity-search tests on the real sf0.001 embeddings, checked
+  * against a driver-side brute-force reference computation. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+
+  /** Driver-side reference: cosine of every vector vs the query. */
+  private lazy val reference: Map[Long, Double] = {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.collect { case (id, v) if id != 0L => id -> cos(q, v) }
+  }
+
+  test("knnBrute matches a driver-side brute-force reference") {
+    val expected = reference.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = Similarity.knnBrute(emb, queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-6, s"cosine mismatch: $g vs $e") }
+  }
+
+  test("annLsh recall: ANN top-5 overlaps brute-force top-5") {
+    val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annLsh(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
+    assert((brute & ann).size >= 2, s"recall too low: brute=$brute ann=$ann")
+  }
+
+  test("nearDupPairs: sorted desc, cosines match reference, pairs canonical") {
+    val pairs = Similarity.nearDupPairs(emb, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 5)
+    val cos = pairs.map(_._3)
+    assert(cos.sameElements(cos.sorted.reverse))
+    pairs.foreach { case (a, b, _) => assert(a < b) }
+    // spot-check the top pair's cosine against driver math
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val (a, b, c) = pairs.head
+    val (va, vb) = (vecs(a), vecs(b))
+    val expect = va.zip(vb).map { case (x, y) => x * y }.sum /
+      (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    assert(math.abs(c - expect) < 1e-6)
+  }
+}
