@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.graph.Graph
+import graft.ml.Classify
+import graft.multimodal.Multimodal
 import graft.operators.Relational
 import graft.search.TfIdf
 import graft.similarity.Similarity
@@ -31,7 +33,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
-      Similarity.queries ++ EventStream.queries ++
+      Similarity.queries ++ EventStream.queries ++ Classify.queries ++
+      Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
@@ -45,7 +48,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ EventStream.oracles ++ Map(
+      Similarity.oracles ++ EventStream.oracles ++ Multimodal.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
     )

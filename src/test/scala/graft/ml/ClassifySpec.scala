@@ -1,0 +1,54 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeline fit+transform on a separable toy corpus is near-perfect") {
+    val docs = (0 until 80).map { i =>
+      if (i % 2 == 0) (i.toLong, "apple banana cherry fruit salad sweet", "en")
+      else (i.toLong, "der hund die katze und das haus", "de")
+    }.toDF("doc_id", "text", "lang")
+    val model = Classify.pipeline().fit(docs)
+    val scored = model.transform(docs)
+    val acc = scored.filter(col("label") === col("prediction")).count().toDouble /
+      scored.count()
+    assert(acc > 0.99, s"separable corpus accuracy was $acc")
+  }
+
+  test("confusion matrix + metrics shapes and accuracy math") {
+    val scored = Seq(
+      (0.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+      .toDF("label", "prediction")
+    val cm = Classify.confusionMatrix(scored).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(cm.toSeq == Seq((0.0, 0.0, 2L), (0.0, 1.0, 1L), (1.0, 0.0, 1L), (1.0, 1.0, 2L)))
+    val m = Classify.metrics(scored).collect()
+    val row0 = m.find(_.getDouble(0) == 0.0).get
+    assert(row0.getAs[Double]("precision") == 0.666667) // round(2/3, 6)
+    assert(row0.getAs[Double]("recall") == 0.666667)
+  }
+
+  test("trainAndConfusion on real sf0.001 docs beats nothing-learned floor") {
+    val cm = Classify.trainAndConfusion(spark, sf("sf0.001"))
+    val total = cm.agg(sum("n")).head().getLong(0)
+    assert(total > 0)
+    // diagonal mass ≥ majority-class share − slack (model can't be worse
+    // than badly-tuned majority voting on this near-signal-free corpus)
+    val diag = cm.filter(col("label") === col("prediction"))
+      .agg(sum("n")).head().getLong(0)
+    assert(diag.toDouble / total > 0.2, s"diag=$diag total=$total")
+  }
+
+  test("crossValidate picks a model and scores the test half") {
+    val (train, test) = Classify.split(Tables.documents(spark, sf("sf0.001")))
+    val cv = Classify.crossValidate(train)
+    assert(cv.avgMetrics.length == 4) // 2 regParam × 2 numFeatures
+    val scored = cv.transform(test)
+    assert(scored.select("prediction").distinct().count() >= 1)
+  }
+}
