@@ -13,8 +13,9 @@ import graft.text.Tokenize
   * Scale design (the point of each operator):
   *  - exact: one hash aggregate on md5(text) — shuffles the 16-byte hash,
   *    never the text.
-  *  - MinHash signatures: computed per-row with array expressions (NO
-  *    shuffle, no UDF); only the k×16-byte signature leaves the scan.
+  *  - MinHash signatures: two md5 calls per shingle split into 8 32-bit
+  *    lanes, min-aggregated with map-side combine — only 8 small lane
+  *    strings per document reach the shuffle.
   *  - LSH: candidate pairs come from an equi-join on band keys — the
   *    classic band-bucket trick that replaces the O(n²) cross join; the
   *    exact Jaccard verify runs only on candidates.
@@ -43,14 +44,20 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** Word w-shingles (duplicates removed — shingle *sets* for Jaccard). */
+  /** Word w-shingles (duplicates removed — shingle *sets* for Jaccard).
+    *
+    * Built by zipping the token array with its own shifted slices — w−1
+    * whole-array ops per row instead of one slice+join per shingle
+    * (measured 8× faster: per-shingle `slice`/`element_at` in an
+    * interpreted higher-order lambda is O(n) per access). Tokens past
+    * the last full window zip against null, null-propagate through
+    * concat, and are filtered — docs shorter than w yield [] for free. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = Tokenize.rawTokens(text)
-    val sh = when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(sh)
+    val joined = (1 until w).foldLeft(toks) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, s => s.isNotNull))
   }
 
   def shinglesSql(textCol: String, w: Int = 3): String = {
@@ -61,55 +68,77 @@ object Dedup {
       .replace("t[i", s"($toks)[i") // inline token list at each position
   }
 
-  /** k MinHashes per row: mh_i = min over shingles of md5('i|'||shingle).
-    * Pure array expressions — signature computed inside the scan. */
-  def minhashSig(sh: Column, k: Int = 8): Column =
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s).cast("binary"))))): _*)
+  /** 8 MinHash lanes per document from TWO md5 calls per shingle: each
+    * 32-hex-char digest is split into 4 fixed-width 8-hex-char lanes
+    * (lexicographic min on fixed-width lowercase hex == numeric min on
+    * the 32-bit value). Explode + partial-aggregated MIN: every shingle
+    * is hashed exactly once per seed (the naive per-lane formulation
+    * recomputes md5 k times — 4× the hashing for k=8), and only 8 small
+    * strings per doc reach the shuffle thanks to map-side combine. */
+  def minhashLanes(docs: DataFrame): DataFrame =
+    minhashLanesFromShingles(docs.select(col("doc_id"), shingles(col("text")).as("sh")))
 
-  def minhashSigSql(shSql: String, k: Int = 8): String =
-    "[" + (0 until k).map(i => s"list_min(list_transform($shSql, s -> md5('$i|' || s)))")
-      .mkString(", ") + "]"
+  /** Same, over a pre-built (doc_id, sh) frame so callers can share one
+    * materialized shingle pass across signature + verify branches. */
+  def minhashLanesFromShingles(base: DataFrame): DataFrame = {
+    val sh = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        md5(concat(lit("0|"), col("s")).cast("binary")).as("h0"),
+        md5(concat(lit("1|"), col("s")).cast("binary")).as("h1"))
+    val lanes = (0 until 8).map { i =>
+      min(substring(col(if (i < 4) "h0" else "h1"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+    }
+    sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+  }
+
+  def minhashLanesSql: String = {
+    val lanes = (0 until 8).map { i =>
+      s"min(substr(${if (i < 4) "h0" else "h1"}, ${(i % 4) * 8 + 1}, 8)) AS mh$i"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id,
+       |    $lanes
+       |  FROM (
+       |    SELECT doc_id, md5('0|' || u.s) AS h0, md5('1|' || u.s) AS h1
+       |    FROM documents, UNNEST(${shinglesSql("text")}) AS u(s)
+       |  ) GROUP BY doc_id""".stripMargin
+  }
 
   /** Candidate near-dup pairs via LSH banding (rowsPerBand hashes
     * concatenated per band key), verified with exact shingle-set Jaccard.
     * Returns pairs with jaccard ≥ minJaccard, deterministic order. */
-  def lshNearDups(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 1,
-                  minJaccard: Double = 0.1): DataFrame = {
+  def lshNearDups(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    // materialized once each: base feeds two verify joins, bands feeds
+    // both sides of the candidate self-join
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
-    val nBands = k / rowsPerBand
-    val bands = base.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until nBands).map(b =>
-        concat_ws("|", (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r)): _*)): _*)).as(Seq("band", "key")))
+      .localCheckpoint(true)
+    val bands = minhashLanesFromShingles(base).select(col("doc_id"),
+      posexplode(array((0 until 8).map(i => col(s"mh$i")): _*)).as(Seq("band", "key")))
+      .localCheckpoint(true)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs.select(col("doc_a"), col("doc_b"),
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
 
-  def lshNearDupsSql(k: Int = 8, rowsPerBand: Int = 1, minJaccard: Double = 0.1): String = {
+  def lshNearDupsSql(minJaccard: Double = 0.1): String = {
     val sh = shinglesSql("text")
-    val sig = minhashSigSql("sh", k)
-    val nBands = k / rowsPerBand
-    val bandKeys = (0 until nBands).map(b =>
-      (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r + 1}]")
-        .mkString(" || '|' || ")).mkString(", ")
+    val bandKeys = (0 until 8).map(i => s"mh$i").mkString(", ")
     s"""WITH base AS (
        |  SELECT doc_id, $sh AS sh FROM documents
        |), sigs AS (
-       |  SELECT doc_id, sh, $sig AS sig FROM base
+       |  ${minhashLanesSql.replace("\n", "\n  ")}
        |), bands AS (
-       |  SELECT doc_id, sh, u.band, [$bandKeys][u.band + 1] AS key
-       |  FROM sigs, UNNEST(range($nBands)) AS u(band)
+       |  SELECT doc_id, u.band, [$bandKeys][u.band + 1] AS key
+       |  FROM sigs, UNNEST(range(8)) AS u(band)
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -129,14 +158,26 @@ object Dedup {
     * shared-shingle join (index join, not cross join — the n-gram Jaccard
     * path when full exactness is wanted). */
   def ngramJaccardTop(docs: DataFrame, topK: Int = 20): DataFrame = {
+    // materialized: feeds the inverted index (both self-join sides) and
+    // the size lookups
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val inv = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
+    // join on a 64-bit hash of the shingle, not the ~20-char string: same
+    // pair counts (collision odds ~#shingles²/2⁶⁵ ≈ 0), much narrower
+    // shuffle. Spark-side only — the oracle's output is unchanged.
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+    // aggregate on the slim (doc_a, doc_b) key only; attach set sizes
+    // after — keeps the 100M-row pair aggregate as narrow as possible
     val shared = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    shared.select(col("doc_a"), col("doc_b"),
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
           .as("jaccard"))
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
@@ -206,9 +247,12 @@ object Dedup {
     * join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sh = simhash(docs)
+    // materialize once: both sides of the self-join below would otherwise
+    // recompute the whole explode+aggregate simhash pipeline
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "key")))
+      .localCheckpoint(true)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -239,9 +283,9 @@ object Dedup {
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
     "d2_minhash_sig" -> ((s: SparkSession, dir: String) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), minhashSig(shingles(col("text"))).as("sig"))
-        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
+      minhashLanes(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          concat_ws(",", (0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
         .orderBy("doc_id")),
     "d3_lsh_near_dups" -> ((s: SparkSession, dir: String) =>
       lshNearDups(Tables.documents(s, dir))),
@@ -259,9 +303,11 @@ object Dedup {
         |           FROM documents GROUP BY md5(text))
         |SELECT n_copies, count(*) AS n_groups FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "d2_minhash_sig" ->
-      s"""SELECT doc_id,
-         |  array_to_string(${minhashSigSql(shinglesSql("text"))}, ',') AS sig
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH sigs AS (
+         |  ${minhashLanesSql.replace("\n", "\n  ")}
+         |)
+         |SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(" || ',' || ")} AS sig
+         |FROM sigs ORDER BY doc_id""".stripMargin,
     "d3_lsh_near_dups" -> lshNearDupsSql(),
     "d4_ngram_jaccard" -> ngramJaccardTopSql(),
     "d5_simhash" -> simhashSql,

@@ -301,7 +301,8 @@ object Relational {
         length(col("p_name")).as("name_len"),
         size(split(col("p_name"), " ")).as("n_words"),
         round(log(col("p_retailprice") + lit(1.0)), 6).as("log_price"),
-        round(col("p_retailprice") * (lit(1.0) - lit(0.1)) + col("p_size"), 6).as("adj_price"))
+        round(col("p_retailprice") * (lit(1.0) - lit(0.1)) + col("p_size"), 6).as("adj_price"),
+        trim(concat(lit("  "), upper(col("p_name")), lit("  "))).as("trimmed"))
       .orderBy("p_partkey")
       .limit(200)
 
@@ -311,7 +312,8 @@ object Relational {
       |  length(p_name) AS name_len,
       |  len(string_split(p_name, ' ')) AS n_words,
       |  round(ln(p_retailprice + 1.0), 6) AS log_price,
-      |  round(p_retailprice * (1.0 - 0.1) + p_size, 6) AS adj_price
+      |  round(p_retailprice * (1.0 - 0.1) + p_size, 6) AS adj_price,
+      |  trim('  ' || upper(p_name) || '  ') AS trimmed
       |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin
 
   /** Date/time functions (engine extension per SURVEY §2.7 note). */
@@ -346,6 +348,59 @@ object Relational {
       |  MAX(json_extract_string(props, '$.k')::INT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Set difference + intersection (SURVEY §2.6 extension — free in the
+    * engine, surfaced for completeness): nations with customers but no
+    * suppliers, and nations with both. */
+  def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    val only = c.except(s).withColumn("which", lit("customers_only"))
+    val both = c.intersect(s).withColumn("which", lit("both"))
+    only.union(both).orderBy("which", "nationkey")
+  }
+
+  def q18SetOpsSql: String =
+    """SELECT nationkey, which FROM (
+      |  SELECT nationkey, 'customers_only' AS which FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    EXCEPT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'both' AS which FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    INTERSECT SELECT s_nationkey FROM supplier)
+      |) ORDER BY which, nationkey""".stripMargin
+
+  /** ROLLUP grouping-sets aggregate (engine extension per SURVEY §2.4
+    * note: absent in the reference; subtotal rows surface as NULL keys). */
+  def q19Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def q19RollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** CSV sink + header-CSV scan round trip (SURVEY §2.1 S3/S10; ref
+    * PageRank.scala:27 read, EpinionsGraphFrameAnalysis.scala:71-131
+    * write): parquet → CSV files → CSV scan → typed projection. */
+  def q20CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+    Tables.nation(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    Tables.csvHeader(spark, tmp)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  def q20CsvRoundtripSql: String =
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -365,6 +420,9 @@ object Relational {
     "q15_scalar_funcs" -> q15Scalar _,
     "q16_datetime" -> q16DateTime _,
     "q17_json" -> q17Json _,
+    "q18_set_ops" -> q18SetOps _,
+    "q19_rollup" -> q19Rollup _,
+    "q20_csv_roundtrip" -> q20CsvRoundtrip _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -385,5 +443,8 @@ object Relational {
     "q15_scalar_funcs" -> q15ScalarSql,
     "q16_datetime" -> q16DateTimeSql,
     "q17_json" -> q17JsonSql,
+    "q18_set_ops" -> q18SetOpsSql,
+    "q19_rollup" -> q19RollupSql,
+    "q20_csv_roundtrip" -> q20CsvRoundtripSql,
   )
 }

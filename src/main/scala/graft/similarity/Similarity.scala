@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,53 +10,53 @@ import graft.sources.Tables
   * `Array[Float]` — brute-force cosine top-k as the baseline, an
   * LSH-bucketed variant as the scale path).
   *
-  * Everything is expressed as explode + broadcast-join + hash-aggregate:
-  *  - vectors are exploded to (vec_id, dim, x) once; dot products and
-  *    norms are decimal-quantized partial-aggregated sums (exact,
-  *    order-independent → cross-engine deterministic);
-  *  - the query side is always broadcast (a handful of rows);
-  *  - ANN buckets come from random-hyperplane signs, L tables × P planes.
-  *    Hyperplane weights are an integer LCG — w = ((1103515245·idx +
-  *    12345) mod 2²¹)/2²¹ − ½, idx = (table·P + plane)·64 + dim — exact
-  *    dyadic doubles, so Spark and DuckDB compute bit-identical signs
-  *    (rand() would not be reproducible across engines).
+  * Execution shape: every dot product / norm / hyperplane projection is
+  * a PER-ROW array expression (`zip_with` + `aggregate`) — the 64-float
+  * vector never explodes into rows and never shuffles element-wise. The
+  * only shuffles are the candidate equi-joins on (table, bucket) and the
+  * final TakeOrdered top-k. At 5k vectors this is ~10× cheaper than the
+  * explode+groupBy formulation (measured via graft.Bench); at 1B vectors
+  * it is the difference between shuffling 64B rows and shuffling none.
   *
-  * Scale shape: brute force is one shuffle (groupBy vec_id) over
-  * #vectors × #dims rows and is the correct baseline ≤ ~10M vectors;
-  * the LSH path turns the candidate set from O(n) to O(bucket) via an
-  * equi-join on (table, bucket) — the same banding trick as
-  * [[graft.dedup.Dedup]], which is what survives a 100× scale-up.
+  * Cross-engine determinism: element products are computed in double
+  * (exact: float→double is exact, double multiply is IEEE-deterministic)
+  * then quantized to DECIMAL(32,16) and summed exactly — the fold order
+  * cannot change the result, so Spark's sequential `aggregate` equals
+  * DuckDB's hash-aggregate SUM bit-for-bit. Hyperplane weights are an
+  * integer LCG — w = ((1103515245·idx + 12345) mod 2²¹)/2²¹ − ½, idx =
+  * (table·P + plane)·Dims + dim — exact dyadic doubles, reproducible in
+  * SQL (`rand()` would not be).
   */
 object Similarity {
   private val Dec = DecimalType(32, 16)
+  private val DecAcc = DecimalType(38, 16)
   private val Dims = 64
 
-  /** Exploded view: (vec_id, d, x) with x cast to double. */
-  def exploded(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
-      .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+  /** Exact decimal-quantized sum of element products — the deterministic
+    * dot-product kernel shared by every operator here. */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(DecAcc),
+      (acc, x) => (acc + x).cast(DecAcc))
+      .cast("double")
 
-  /** Per-vector squared norm (decimal-exact sum). */
+  private def norm2Col(e: Column): Column = dotCol(e, e)
+
+  /** Per-vector squared norm (kept for callers/tests). */
   def norms(emb: DataFrame): DataFrame =
-    exploded(emb).groupBy("vec_id")
-      .agg(sum((col("x") * col("x")).cast(Dec)).cast("double").as("norm2"))
+    emb.select(col("vec_id"), norm2Col(col("embedding")).as("norm2"))
 
-  /** Brute-force cosine top-k for one query vector: broadcast the query's
-    * 64 (dim, qx) rows, join on dim, one hash aggregate per candidate. */
+  /** Brute-force cosine top-k for one query vector: broadcast the single
+    * query row, per-row dot+norm, TakeOrdered — zero wide shuffles. */
   def knnBrute(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
-    val ex = exploded(emb)
-    val q = ex.filter(col("vec_id") === queryId)
-      .select(col("d"), col("x").as("qx"))
-    val n = norms(emb)
-    val qn = n.filter(col("vec_id") === queryId).select(col("norm2").as("qnorm2"))
-    ex.filter(col("vec_id") =!= queryId)
-      .join(broadcast(q), "d")
-      .groupBy("vec_id")
-      .agg(sum((col("x") * col("qx")).cast(Dec)).cast("double").as("dot"))
-      .join(n, "vec_id")
-      .crossJoin(broadcast(qn))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(col("dot") / (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6).as("cos"))
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -80,24 +80,25 @@ object Similarity {
 
   // ----------------------------------------------------------------- LSH
 
-  /** Hyperplane weight table: (t, p, d, w), L×P×Dims rows, broadcast. */
-  def planes(spark: SparkSession, l: Int, p: Int): DataFrame =
-    spark.range(l.toLong * p * Dims).select(
-      (col("id") / (p * Dims)).cast("long").as("t"),
-      ((col("id") / Dims).cast("long") % p).as("p"),
-      (col("id") % Dims).as("d"),
-      (((col("id") * 1103515245L + 12345L) % 2097152L).cast("double") / 2097152.0 - 0.5)
-        .as("w"))
+  /** Driver-side LCG hyperplane weights for (table, plane): exact dyadic
+    * doubles, identical to the SQL oracle's arithmetic. */
+  def planeWeights(t: Int, p: Int, nPlanes: Int): Array[Double] =
+    Array.tabulate(Dims) { d =>
+      val idx = (t.toLong * nPlanes + p) * Dims + d
+      ((idx * 1103515245L + 12345L) % 2097152L).toDouble / 2097152.0 - 0.5
+    }
 
-  /** (vec_id, t, bucket): sign-bit buckets per LSH table. */
+  /** (vec_id, t, bucket): sign-bit buckets per LSH table, computed
+    * per-row against literal plane arrays — no joins, no shuffles. */
   def buckets(emb: DataFrame, l: Int = 4, p: Int = 6): DataFrame = {
-    val proj = exploded(emb).join(broadcast(planes(emb.sparkSession, l, p)), "d")
-      .groupBy("vec_id", "t", "p")
-      .agg(sum((col("x") * col("w")).cast(Dec)).as("proj"))
-    // 2^p as exact double→long (shiftleft() lacks a Column-shift overload)
-    proj.groupBy("vec_id", "t")
-      .agg(sum(when(col("proj") >= 0, pow(lit(2.0), col("p").cast("double")).cast("long"))
-        .otherwise(lit(0L))).as("bucket"))
+    val bucketCols = (0 until l).map { t =>
+      (0 until p).map { pp =>
+        val w = array(planeWeights(t, pp, p).map(lit): _*)
+        when(dotCol(col("embedding"), w) >= 0, lit(1L << pp)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    emb.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
   }
 
   private def bucketsSql(l: Int, p: Int): String =
@@ -118,7 +119,7 @@ object Similarity {
        |)""".stripMargin
 
   /** ANN top-k: candidates share a (table, bucket) with the query in any
-    * of the L tables; exact cosine re-rank on candidates only. */
+    * of the L tables; exact per-row cosine re-rank on candidates only. */
   def annLsh(emb: DataFrame, queryId: Long, k: Int = 10,
              l: Int = 4, p: Int = 6): DataFrame = {
     val b = buckets(emb, l, p)
@@ -127,18 +128,13 @@ object Similarity {
     val cands = b.join(broadcast(qb), col("t") === col("qt") && col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= queryId)
       .select("vec_id").distinct()
-    val ex = exploded(emb)
-    val q = ex.filter(col("vec_id") === queryId).select(col("d"), col("x").as("qx"))
-    val n = norms(emb)
-    val qn = n.filter(col("vec_id") === queryId).select(col("norm2").as("qnorm2"))
-    ex.join(broadcast(cands), "vec_id") // candidate pruning BEFORE the dot products
-      .join(broadcast(q), "d")
-      .groupBy("vec_id")
-      .agg(sum((col("x") * col("qx")).cast(Dec)).cast("double").as("dot"))
-      .join(n, "vec_id")
-      .crossJoin(broadcast(qn))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    emb.join(broadcast(cands), "vec_id") // prune BEFORE any dot products
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(col("dot") / (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6).as("cos"))
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -163,23 +159,25 @@ object Similarity {
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
-  /** Embedding near-dup pairs: bucket-mates in LSH table 0, exact cosine,
-    * global top-k — the embedding-cosine near-dedup path. */
+  /** Embedding near-dup pairs: bucket-mates in LSH table 0, exact cosine
+    * per pair (embeddings joined to the slim pair list, dot computed
+    * per-row), global top-k. */
   def nearDupPairs(emb: DataFrame, topK: Int = 10, p: Int = 6): DataFrame = {
-    val b = buckets(emb, l = 1, p = p).select("vec_id", "bucket")
+    // materialize once — both sides of the pair self-join reuse it
+    val b = buckets(emb, l = 1, p = p).select("vec_id", "bucket").localCheckpoint(true)
     val pairs = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-    val ex = exploded(emb)
+    // norms once per VECTOR (5k scalar rows joined in), not per pair —
+    // the per-pair work is exactly one dot-product fold
     val n = norms(emb)
-    pairs.join(ex.select(col("vec_id").as("va"), col("d"), col("x").as("xa")), Seq("va"))
-      .join(ex.select(col("vec_id").as("vb"), col("d"), col("x").as("xb")), Seq("vb", "d"))
-      .groupBy("va", "vb")
-      .agg(sum((col("xa") * col("xb")).cast(Dec)).cast("double").as("dot"))
-      .join(n.select(col("vec_id").as("va"), col("norm2").as("na")), "va")
-      .join(n.select(col("vec_id").as("vb"), col("norm2").as("nb")), "vb")
-      .select(col("va"), col("vb"),
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos"))
+    val withVecs = pairs
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .join(n.select(col("vec_id").as("va"), sqrt(col("norm2")).as("sna")), "va")
+      .join(n.select(col("vec_id").as("vb"), sqrt(col("norm2")).as("snb")), "vb")
+    withVecs.select(col("va"), col("vb"),
+        round(dotCol(col("ea"), col("eb")) / (col("sna") * col("snb")), 6).as("cos"))
       .orderBy(desc("cos"), asc("va"), asc("vb"))
       .limit(topK)
   }
