@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.VectorDotExact
 import graft.sources.Tables
 
 /** Similarity search over embedding columns (builder brief: ANN over
@@ -33,8 +34,13 @@ object Similarity {
   private val Dims = 64
 
   /** Exact decimal-quantized sum of element products — the deterministic
-    * dot-product kernel shared by every operator here. */
-  private def dotCol(a: Column, b: Column): Column =
+    * dot-product kernel shared by every operator here. Backed by the
+    * codegen'd [[VectorDotExact]] expression; `dotColBuiltin` is the
+    * pure-built-in formulation with identical semantics (kept as the
+    * equivalence oracle in SimilaritySpec). */
+  private def dotCol(a: Column, b: Column): Column = VectorDotExact(a, b)
+
+  private[similarity] def dotColBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
       lit(0).cast(DecAcc),
@@ -44,12 +50,15 @@ object Similarity {
   private def norm2Col(e: Column): Column = dotCol(e, e)
 
   /** Per-vector squared norm (kept for callers/tests). */
-  def norms(emb: DataFrame): DataFrame =
+  def norms(emb: DataFrame): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
     emb.select(col("vec_id"), norm2Col(col("embedding")).as("norm2"))
+  }
 
   /** Brute-force cosine top-k for one query vector: broadcast the single
     * query row, per-row dot+norm, TakeOrdered — zero wide shuffles. */
   def knnBrute(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
     emb.filter(col("vec_id") =!= queryId)
@@ -91,6 +100,7 @@ object Similarity {
   /** (vec_id, t, bucket): sign-bit buckets per LSH table, computed
     * per-row against literal plane arrays — no joins, no shuffles. */
   def buckets(emb: DataFrame, l: Int = 4, p: Int = 6): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
     val bucketCols = (0 until l).map { t =>
       (0 until p).map { pp =>
         val w = array(planeWeights(t, pp, p).map(lit): _*)
@@ -122,6 +132,7 @@ object Similarity {
     * of the L tables; exact per-row cosine re-rank on candidates only. */
   def annLsh(emb: DataFrame, queryId: Long, k: Int = 10,
              l: Int = 4, p: Int = 6): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
     val b = buckets(emb, l, p)
     val qb = b.filter(col("vec_id") === queryId)
       .select(col("t").as("qt"), col("bucket").as("qbucket"))
@@ -163,6 +174,7 @@ object Similarity {
     * per pair (embeddings joined to the slim pair list, dot computed
     * per-row), global top-k. */
   def nearDupPairs(emb: DataFrame, topK: Int = 10, p: Int = 6): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
     // materialize once — both sides of the pair self-join reuse it
     val b = buckets(emb, l = 1, p = p).select("vec_id", "bucket").localCheckpoint(true)
     val pairs = b.as("a").join(b.as("b"),

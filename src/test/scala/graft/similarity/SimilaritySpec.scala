@@ -52,4 +52,27 @@ class SimilaritySpec extends SparkSpec {
       (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
     assert(math.abs(c - expect) < 1e-6)
   }
+
+  test("VectorDotExact equals the oracle's exact decimal SUM bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.VectorDotExact.register(spark)
+    // reference: explode + decimal SUM aggregate — Spark's sum over
+    // DECIMAL(32,16) keeps scale 16 exactly, matching the DuckDB oracles
+    // (unlike a per-row fold, whose Add chain drops to scale 15)
+    val pairs = emb.as("a").crossJoin(emb.limit(3).select(
+      col("vec_id").as("bid"), col("embedding").as("be")))
+    val fast = pairs.select(col("a.vec_id"), col("bid"),
+        graft.functions.VectorDotExact(col("a.embedding"), col("be")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ref = pairs
+      .select(col("a.vec_id"), col("bid"),
+        posexplode(zip_with(col("a.embedding"), col("be"),
+          (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(32, 16)))))
+      .groupBy("vec_id", "bid")
+      .agg(sum(col("col")).cast("double").as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast.nonEmpty && fast.keySet == ref.keySet)
+    fast.foreach { case (k, v) => assert(v == ref(k), s"$k: $v != ${ref(k)}") }
+  }
 }
