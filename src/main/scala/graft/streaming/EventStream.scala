@@ -68,6 +68,25 @@ object EventStream {
       }
       .start()
 
+  /** Model-backed sentiment scoring for streams (SURVEY §2.8 M10: the
+    * reference builds a CoreNLP pipeline PER RECORD inside the stream —
+    * TwitterStreaming.scala:79; here the fitted spark.ml model is applied
+    * per micro-batch via `model.transform` in foreachBatch — loaded once,
+    * broadcast by spark.ml internally, zero driver collects). */
+  def scoredSink(df: DataFrame, model: org.apache.spark.ml.PipelineModel,
+                 outPath: String,
+                 trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        model.transform(batch)
+          .select(batch.columns.map(col) :+ col("prediction"): _*)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   // ------------------------------------- windowed aggregates (batch twin)
 
   /** Tumbling event-time sentiment counts; works on batch AND streaming

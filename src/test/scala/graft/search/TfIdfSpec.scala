@@ -52,4 +52,16 @@ class TfIdfSpec extends SparkSpec {
   test("no-hit term returns empty, not error") {
     assert(TfIdf.searchSingle(p, "zebra").count() == 0)
   }
+
+  test("index persists to parquet and round-trips searches exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/idx"
+    TfIdf.writeIndex(p, path, partitions = 2)
+    val back = TfIdf.readIndex(spark, path)
+    val a = TfIdf.searchSingle(p, "cat").collect().map(_.toSeq).toSeq
+    val b = TfIdf.searchSingle(back, "cat").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the term predicate reaches the parquet scan of the persisted index
+    val plan = TfIdf.searchSingle(back, "cat").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(term,cat)"), plan)
+  }
 }

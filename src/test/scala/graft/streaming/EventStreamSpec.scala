@@ -78,4 +78,23 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(batch.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
   }
+
+  test("scoredSink: fitted model applied per micro-batch, no driver collect") {
+    implicit val sqlCtx = spark.sqlContext
+    // tiny separable model: lang from text
+    val train = Seq((0L, "aaa bbb ccc", "en"), (1L, "xxx yyy zzz", "de"),
+      (2L, "aaa bbb", "en"), (3L, "yyy zzz", "de")).toDF("doc_id", "text", "lang")
+    val model = graft.ml.Classify.pipeline(numFeatures = 64, maxIter = 10).fit(train)
+    val out = java.nio.file.Files.createTempDirectory("graft_scored").toString
+    val in = MemoryStream[(Long, String, String)]
+    in.addData((10L, "aaa ccc", "en"), (11L, "xxx zzz", "de"))
+    val q = EventStream.scoredSink(
+      in.toDF().toDF("doc_id", "text", "lang"), model, out,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try q.processAllAvailable() finally q.stop()
+    val scored = spark.read.parquet(out).select("doc_id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.keySet == Set(10L, 11L))
+    assert(scored(10L) != scored(11L)) // separable vocab -> distinct classes
+  }
 }
