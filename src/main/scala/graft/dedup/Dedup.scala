@@ -253,13 +253,16 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "key")))
       .localCheckpoint(true)
+    // hamming filter INSIDE the join condition: candidates above maxDist
+    // die before the pair-dedup aggregate ever sees them (hamming is
+    // pair-determined, so filtering pre-dedup cannot change survivors)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
 
