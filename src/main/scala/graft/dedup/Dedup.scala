@@ -107,9 +107,14 @@ object Dedup {
     * concatenated per band key), verified with exact shingle-set Jaccard.
     * Returns pairs with jaccard ≥ minJaccard, deterministic order. */
   def lshNearDups(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
-    // materialized once each: base feeds two verify joins, bands feeds
-    // both sides of the candidate self-join
+    // materialized once each: base feeds lanes + two verify joins, bands
+    // feeds both sides of the candidate self-join. The verify carries
+    // 64-bit hashed shingle arrays, not the strings — cheaper to
+    // checkpoint, shuffle, and intersect; identical counts (collision
+    // odds ~#shingles²/2⁶⁵) so the string-based oracle is unchanged.
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"), size(col("sh")).as("n"))
       .localCheckpoint(true)
     val bands = minhashLanesFromShingles(base).select(col("doc_id"),
       posexplode(array((0 until 8).map(i => col(s"mh$i")): _*)).as(Seq("band", "key")))
@@ -120,11 +125,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     pairs
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
