@@ -118,10 +118,27 @@ object TextStats {
        |SELECT entity, count(*) AS n FROM e GROUP BY entity
        |ORDER BY n DESC, entity ASC""".stripMargin
 
-  def xLangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), langId(Tokenize.rawTokens(col("text"))).as("pred_lang"))
+  /** Corpus-scale language ID: tokenize ONCE, explode, broadcast-join the
+    * (lang, word) dictionary, count hits per (doc, lang), argmax via a
+    * fieldwise struct MAX with the same (hits desc, lang desc) tie rule
+    * as the per-row [[langId]] — docs with zero hits in every language
+    * fall out of the join and come back as 'und' through the left join.
+    * Same output as mapping [[langId]] over the corpus, but the text is
+    * tokenized once instead of once per language. */
+  def xLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("tok"))
+    val dict = langStopwords.flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("lang", "word")
+    val best = toks.join(broadcast(dict), col("tok") === col("word"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("hits"), col("lang"))).as("best"))
+      .select(col("doc_id"), col("best.lang").as("hit_lang"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("hit_lang"), lit("und")).as("pred_lang"))
       .orderBy("doc_id")
+  }
 
   def xLangIdSql: String =
     s"""SELECT doc_id, ${langIdSqlExpr(Tokenize.rawTokensSql("text"))} AS pred_lang
