@@ -252,24 +252,36 @@ object Dedup {
     * pigeonhole), so candidates come from an equi-join, never a cross
     * join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs)
-    // materialize once: both sides of the self-join below would otherwise
-    // recompute the whole explode+aggregate simhash pipeline
-    val blocks = sh.select(col("doc_id"), col("simhash"),
+    // collapse to DISTINCT simhash values first (similar corpora share
+    // values): the blocked self-join runs over values, the hamming filter
+    // sits in the join condition, and doc pairs are expanded only for
+    // surviving value pairs. Each doc pair maps to exactly one value pair
+    // (or one same-value group), so no pair-level dedup is needed at all.
+    val groups = simhash(docs)
+      .groupBy("simhash").agg(collect_list("doc_id").as("ids"))
+      .localCheckpoint(true)
+    val vblocks = groups.select(col("simhash"), col("ids"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "key")))
-      .localCheckpoint(true)
-    // hamming filter INSIDE the join condition: candidates above maxDist
-    // die before the pair-dedup aggregate ever sees them (hamming is
-    // pair-determined, so filtering pre-dedup cannot change survivors)
-    blocks.as("a").join(blocks.as("b"),
+    val vpairs = vblocks.as("a").join(vblocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          col("a.simhash") < col("b.simhash") &&
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDist)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.simhash").as("v1"), col("b.simhash").as("v2"),
+        col("a.ids").as("ids1"), col("b.ids").as("ids2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+      .dropDuplicates("v1", "v2")
+    val cross = vpairs
+      .select(explode(col("ids1")).as("ida"), col("ids2"), col("hamming"))
+      .select(col("ida"), explode(col("ids2")).as("idb"), col("hamming"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val within = groups.filter(size(col("ids")) > 1) // identical simhash → hamming 0
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), lit(0).as("hamming"))
+    cross.union(within).orderBy("doc_a", "doc_b")
   }
 
   def simhashPairsSql(maxDist: Int = 3): String =
