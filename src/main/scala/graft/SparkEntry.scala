@@ -44,6 +44,14 @@ object SparkEntry {
         val p = TfIdf.postings(Tables.documents(s, dir))
         TfIdf.searchMulti(p, TfIdf.docNorms(p), searchTerms)
       }),
+      // same oracle as t1, but served from the engine-written parquet
+      // index (term-range-partitioned; the point lookup prunes row
+      // groups) — covers the persisted-index read path end to end
+      "t3_tfidf_persisted" -> ((s: SparkSession, dir: String) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_tfidf_idx"
+        TfIdf.writeIndex(TfIdf.postings(Tables.documents(s, dir)), path)
+        TfIdf.searchSingle(TfIdf.readIndex(s, path), "spark")
+      }),
     )
 
   def oracleSql: Map[String, String] =
@@ -51,5 +59,6 @@ object SparkEntry {
       Similarity.oracles ++ EventStream.oracles ++ Multimodal.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
+      "t3_tfidf_persisted" -> TfIdf.searchSingleSql("spark"),
     )
 }

@@ -121,6 +121,17 @@ object EventStream {
         min("ts").as("s_start"), max("ts").as("s_end"))
   }
 
+  /** Gap-based sessions via Spark's native session_window (merging
+    * event-time windows) — same session boundaries as [[sessionize]]
+    * when no inter-event gap equals gapSec exactly (session_window
+    * breaks at `>= gap`, the gaps-and-islands twin at `> gap`; the
+    * registered oracle uses `>=` to match this variant). Streaming-ready:
+    * add a watermark and this same expression runs incrementally. */
+  def sessionWindows(df: DataFrame, gapSec: Long): DataFrame =
+    df.groupBy(session_window(col("ts"), s"$gapSec seconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("s_start"), max("ts").as("s_end"))
+      .select(col("user_id"), col("n_events"), col("s_start"), col("s_end"))
+
   /** Per-user session state for the streaming path: O(1) per group. */
   case class SessState(start: Long, last: Long, n: Long, idx: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
@@ -162,6 +173,9 @@ object EventStream {
     "st3_sessions" -> ((s: SparkSession, dir: String) =>
       sessionize(Tables.events(s, dir), gapSec = 8 * 3600)
         .orderBy("user_id", "session_id")),
+    "st4_session_window" -> ((s: SparkSession, dir: String) =>
+      sessionWindows(Tables.events(s, dir), gapSec = 8 * 3600)
+        .orderBy("user_id", "s_start")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -195,5 +209,22 @@ object EventStream {
         |)
         |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "st4_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 28800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, s_start""".stripMargin,
   )
 }
