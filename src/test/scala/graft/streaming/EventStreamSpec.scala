@@ -97,4 +97,22 @@ class EventStreamSpec extends SparkSpec {
     assert(scored.keySet == Set(10L, 11L))
     assert(scored(10L) != scored(11L)) // separable vocab -> distinct classes
   }
+
+  test("streaming exact dedup within watermark drops late duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(0), 1L), (ts(1), 2L)) // dup in-batch
+      q.processAllAvailable()
+      in.addData((ts(1), 2L), (ts(2), 3L))              // dup across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").collect().map(_.getLong(1)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
 }
