@@ -427,6 +427,46 @@ object Relational {
       .agg(approx_count_distinct("l_orderkey").as("approx_orders"),
         countDistinct("l_orderkey").as("exact_orders"))
 
+  /** Exact interpolated percentiles per group (summary-statistics
+    * operator; Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition). */
+  def q22Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  def q22PercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Column profiling (data-curation staple): per-column null count,
+    * distinct count, min/max — one pass over the table. */
+  def q23Profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_returnflag"),
+        countDistinct("l_returnflag").as("distinct_returnflag"),
+        countDistinct("l_partkey").as("distinct_partkey"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        min("l_shipdate").as("min_shipdate"), max("l_shipdate").as("max_shipdate"))
+
+  def q23ProfileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+      |  COUNT(DISTINCT l_returnflag) AS distinct_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_partkey,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+      |FROM lineitem""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -450,6 +490,8 @@ object Relational {
     "q19_rollup" -> q19Rollup _,
     "q20_csv_roundtrip" -> q20CsvRoundtrip _,
     "q21_pivot" -> q21Pivot _,
+    "q22_percentiles" -> q22Percentiles _,
+    "q23_profile" -> q23Profile _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -474,5 +516,7 @@ object Relational {
     "q19_rollup" -> q19RollupSql,
     "q20_csv_roundtrip" -> q20CsvRoundtripSql,
     "q21_pivot" -> q21PivotSql,
+    "q22_percentiles" -> q22PercentilesSql,
+    "q23_profile" -> q23ProfileSql,
   )
 }

@@ -215,6 +215,57 @@ object Similarity {
        |FROM dots d JOIN norms na ON d.va = na.vec_id JOIN norms nb ON d.vb = nb.vec_id
        |ORDER BY cos DESC, va ASC, vb ASC LIMIT $topK""".stripMargin
 
+  // ----------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN: a spark.ml KMeans coarse quantizer assigns
+    * every vector to a centroid list; a query probes only its `nprobe`
+    * nearest centroids and re-ranks exactly within them. The alternative
+    * scale path to [[annLsh]] — at 1B vectors the probe list turns an
+    * O(n) scan into O(n·nprobe/k), and the partition-by-centroid layout
+    * is exactly how the vectors would be laid out on disk.
+    *
+    * Deterministic given fixed seed/data, but KMeans is not
+    * SQL-expressible — registered as a rows-only query; recall vs brute
+    * force is test-enforced instead (SimilaritySpec).
+    */
+  def annIvf(emb: DataFrame, queryId: Long, k: Int = 10,
+             nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("centroid"))
+      .localCheckpoint(true) // reused for probe selection + candidate scan
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    // nprobe centroids closest to the query vector (tiny: k centroid
+    // rows). KMeans assigns by EUCLIDEAN distance, so probe by the same
+    // metric: argmin ‖c−q‖² == argmax (c·q − ‖c‖²/2) for fixed q —
+    // ranking by raw dot product would disagree for non-unit centroids.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val spark2 = emb.sparkSession
+    import spark2.implicits._
+    val centDf = centroids.toDF("centroid", "cvec")
+    val probes = centDf.crossJoin(broadcast(q.select(col("qe"))))
+      .select(col("centroid"),
+        (dotCol(col("cvec"), col("qe")) - norm2Col(col("cvec")) / 2).as("sim"))
+      .orderBy(desc("sim")).limit(nprobe)
+      .select("centroid")
+    assigned.join(broadcast(probes), "centroid") // probe pruning
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -224,6 +275,10 @@ object Similarity {
       annLsh(Tables.embeddings(s, dir), queryId = 0L)),
     "s3_near_dup_pairs" -> ((s: SparkSession, dir: String) =>
       nearDupPairs(Tables.embeddings(s, dir))),
+    // rows-only (KMeans quantizer is not SQL-expressible; recall is
+    // test-enforced against brute force in SimilaritySpec)
+    "s4_ann_ivf" -> ((s: SparkSession, dir: String) =>
+      annIvf(Tables.embeddings(s, dir), queryId = 0L)),
   )
 
   def oracles: Map[String, String] = Map(

@@ -75,4 +75,15 @@ class SimilaritySpec extends SparkSpec {
     assert(fast.nonEmpty && fast.keySet == ref.keySet)
     fast.foreach { case (k, v) => assert(v == ref(k), s"$k: $v != ${ref(k)}") }
   }
+
+  test("annIvf recall: probes the right clusters, overlaps brute-force top-5") {
+    val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
+    // these synthetic "clusters" are loose, so probe half the cells; the
+    // point is the probe/re-rank mechanism, not the corpus clusterability
+    val ivf = Similarity.annIvf(emb, 0L, k = 5, nprobe = 8).collect().map(_.getLong(0)).toSet
+    assert((brute & ivf).size >= 3, s"IVF recall too low: brute=$brute ivf=$ivf")
+    // full probe == brute force exactly (mechanism sanity)
+    val full = Similarity.annIvf(emb, 0L, k = 5, nprobe = 16).collect().map(_.getLong(0)).toSet
+    assert(full == brute, s"full-probe IVF must equal brute: brute=$brute full=$full")
+  }
 }
