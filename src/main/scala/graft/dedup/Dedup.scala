@@ -91,7 +91,9 @@ object Dedup {
     sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
   }
 
-  def minhashLanesSql: String = {
+  def minhashLanesSql: String = minhashLanesSql("documents")
+
+  def minhashLanesSql(source: String): String = {
     val lanes = (0 until 8).map { i =>
       s"min(substr(${if (i < 4) "h0" else "h1"}, ${(i % 4) * 8 + 1}, 8)) AS mh$i"
     }.mkString(",\n    ")
@@ -99,7 +101,7 @@ object Dedup {
        |    $lanes
        |  FROM (
        |    SELECT doc_id, md5('0|' || u.s) AS h0, md5('1|' || u.s) AS h1
-       |    FROM documents, UNNEST(${shinglesSql("text")}) AS u(s)
+       |    FROM $source, UNNEST(${shinglesSql("text")}) AS u(s)
        |  ) GROUP BY doc_id""".stripMargin
   }
 
@@ -135,13 +137,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def lshNearDupsSql(minJaccard: Double = 0.1): String = {
+  def lshNearDupsSql(minJaccard: Double = 0.1, source: String = "documents"): String = {
     val sh = shinglesSql("text")
     val bandKeys = (0 until 8).map(i => s"mh$i").mkString(", ")
     s"""WITH base AS (
-       |  SELECT doc_id, $sh AS sh FROM documents
+       |  SELECT doc_id, $sh AS sh FROM $source
        |), sigs AS (
-       |  ${minhashLanesSql.replace("\n", "\n  ")}
+       |  ${minhashLanesSql(source).replace("\n", "\n  ")}
        |), bands AS (
        |  SELECT doc_id, u.band, [$bandKeys][u.band + 1] AS key
        |  FROM sigs, UNNEST(range(8)) AS u(band)
@@ -298,6 +300,46 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------- curation pipeline
+
+  /** End-to-end corpus curation (the flagship training-data shape):
+    * quality gate → exact dedup (keep min doc_id per text hash) →
+    * near-dup removal (drop the higher id of every LSH-verified pair;
+    * the simple deterministic rule — a union-find keep-one-per-cluster
+    * variant is a straightforward extension). Returns surviving doc ids.
+    *
+    * Each stage runs on the previous stage's survivors, so the expensive
+    * near-dup candidate join only sees quality-passing, exact-deduped
+    * docs — the order a 100 TB pipeline must use. */
+  def curationPipeline(docs: DataFrame, minChars: Int = 150,
+                       minJaccard: Double = 0.1): DataFrame = {
+    val quality = docs.filter(length(col("text")) >= minChars)
+    val keepers = quality
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = quality.join(keepers, "doc_id")
+    val nearDupLosers = lshNearDups(deduped, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    deduped.select("doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  def curationPipelineSql(minChars: Int = 150, minJaccard: Double = 0.1): String =
+    s"""WITH quality AS (
+       |  SELECT * FROM documents WHERE length(text) >= $minChars
+       |), keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+       |), deduped AS (
+       |  SELECT q.* FROM quality q JOIN keepers USING (doc_id)
+       |), pairs AS (
+       |  ${lshNearDupsSql(minJaccard, "deduped").replace("\n", "\n  ")}
+       |)
+       |SELECT doc_id FROM deduped
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,6 +358,8 @@ object Dedup {
       simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "d6_simhash_pairs" -> ((s: SparkSession, dir: String) =>
       simhashPairs(Tables.documents(s, dir))),
+    "d7_curation_pipeline" -> ((s: SparkSession, dir: String) =>
+      curationPipeline(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -333,5 +377,6 @@ object Dedup {
     "d4_ngram_jaccard" -> ngramJaccardTopSql(),
     "d5_simhash" -> simhashSql,
     "d6_simhash_pairs" -> simhashPairsSql(),
+    "d7_curation_pipeline" -> curationPipelineSql(),
   )
 }

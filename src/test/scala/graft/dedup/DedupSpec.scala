@@ -59,4 +59,18 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
   }
+
+  test("curationPipeline: quality gate, exact dedup, near-dup removal compose") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home today"), // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"), // exact dup of 1
+      (4L, "short"),                                                                      // fails quality
+      (5L, "a completely different long document about spark engines and data processing pipelines")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.curationPipeline(docs, minChars = 20, minJaccard = 0.3)
+      .collect().map(_.getLong(0)).toSeq
+    // 4 fails quality; 3 is exact-dup of 1 (min id kept); 2 is near-dup doc_b of 1
+    assert(kept == Seq(1L, 5L), s"got $kept")
+  }
 }
