@@ -300,6 +300,34 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup CLUSTERS: LSH-verified pairs form an undirected graph;
+    * [[graft.graph.Graph.connectedComponents]] labels each doc with the
+    * min doc_id of its duplicate cluster (transitively: a~b and b~c put
+    * a,b,c in one cluster even if a~c was never a candidate pair). The
+    * keep-one-per-cluster rule is then `doc_id == cluster`. Composes two
+    * engine modules — the pair join feeds the iterative graph fixpoint. */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    val edges = lshNearDups(docs, minJaccard)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.graph.Graph.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  def nearDupClustersSql(minJaccard: Double = 0.1): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${lshNearDupsSql(minJaccard).replace("\n", "\n  ")}
+       |), und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id)
+       |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- curation pipeline
 
   /** End-to-end corpus curation (the flagship training-data shape):
@@ -360,6 +388,8 @@ object Dedup {
       simhashPairs(Tables.documents(s, dir))),
     "d7_curation_pipeline" -> ((s: SparkSession, dir: String) =>
       curationPipeline(Tables.documents(s, dir))),
+    "d8_dup_clusters" -> ((s: SparkSession, dir: String) =>
+      nearDupClusters(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -378,5 +408,6 @@ object Dedup {
     "d5_simhash" -> simhashSql,
     "d6_simhash_pairs" -> simhashPairsSql(),
     "d7_curation_pipeline" -> curationPipelineSql(),
+    "d8_dup_clusters" -> nearDupClustersSql(),
   )
 }

@@ -73,4 +73,17 @@ class DedupSpec extends SparkSpec {
     // 4 fails quality; 3 is exact-dup of 1 (min id kept); 2 is near-dup doc_b of 1
     assert(kept == Seq(1L, 5L), s"got $kept")
   }
+
+  test("nearDupClusters: transitivity via connected components") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa one"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa two"),   // ~1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa three"), // ~1, ~2
+      (4L, "unrelated text about completely different things entirely here now")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, minJaccard = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2,3 form one cluster labeled by min id; 4 pairs with nobody
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $clusters")
+  }
 }
