@@ -206,12 +206,51 @@ object TextStats {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- hash splitting
+
+  /** Deterministic uniform bucket in [0, 256) from a key column: the
+    * first two hex digits of md5(key). Cross-engine reproducible (md5 is
+    * the shared hash; hex digits decode via strpos arithmetic — Spark's
+    * xxhash64/hash have no DuckDB twin) and stable across runs,
+    * partitionings, and engines — the property a train/val/test split
+    * must have so no example ever migrates between splits. */
+  def hashBucket(key: Column): Column = {
+    val hex = md5(key.cast("string").cast("binary"))
+    def digit(pos: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(hex, pos, 1)) - 1).cast("int")
+    digit(1) * 16 + digit(2)
+  }
+
+  /** Split assignment: train/val/test at 80/10/10 by hash bucket. */
+  def assignSplit(key: Column): Column = {
+    val b = hashBucket(key)
+    when(b < 204, "train").when(b < 230, "val").otherwise("test") // 204/26/26 of 256
+  }
+
+  def xHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(assignSplit(col("doc_id")).as("split"), col("lang"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
+  def xHashSplitSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+      |       lang, count(*) AS n
+      |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
     "x3_quality" -> xQuality _,
     "x4_token_count" -> xTokenCount _,
     "x5_fingerprint" -> xFingerprint _,
+    "x6_hash_split" -> xHashSplit _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -220,5 +259,6 @@ object TextStats {
     "x3_quality" -> xQualitySql,
     "x4_token_count" -> xTokenCountSql,
     "x5_fingerprint" -> xFingerprintSql,
+    "x6_hash_split" -> xHashSplitSql,
   )
 }

@@ -41,4 +41,18 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") == 3)
     assert(r.getAs[Double]("punct_ratio") == 0.2) // ',' and '!'
   }
+
+  test("hash split: deterministic, complete, roughly 80/10/10") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val got = ids.select(TextStats.assignSplit(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 2000)
+    assert(got("train") > 1500 && got("train") < 1700) // ~79.7% of 256ths
+    assert(got("val") > 120 && got("test") > 120)
+    // determinism: same assignment on recompute
+    val a = ids.select(col("doc_id"), TextStats.assignSplit(col("doc_id")).as("s")).collect()
+    val b = ids.select(col("doc_id"), TextStats.assignSplit(col("doc_id")).as("s")).collect()
+    assert(a.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
 }
