@@ -6,7 +6,7 @@ import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.ml.Classify
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, Relational, SkewJoin}
+import graft.operators.{AsofJoin, Relational, SkewJoin, Upsert}
 import graft.search.TfIdf
 import graft.similarity.Similarity
 import graft.sources.Tables
@@ -32,7 +32,7 @@ object SparkEntry {
   private val searchTerms = Seq("spark", "table", "query")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
+    Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
       Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
@@ -55,7 +55,7 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
+    Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Multimodal.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),

@@ -63,3 +63,45 @@ object SkewJoin {
     "q26_salted_join" -> qSaltedSql,
   )
 }
+
+/** Upsert (MERGE) without a table format: new rows win by key, untouched
+  * target rows survive — `updates ∪ (target ⟕anti updates)`. The
+  * building block for snapshot maintenance when Delta/Iceberg aren't in
+  * play; at scale the anti join shuffles on the key once (or not at all
+  * if both sides are bucketed on it — see BucketingSpec).
+  */
+object Upsert {
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      target.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** Orders snapshot upserted with re-priced high-value orders: updated
+    * rows replace originals, everything else unchanged. */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val updates = orders.filter(col("o_totalprice") > 400000)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 4))
+    upsert(orders, updates, "o_orderkey")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  def qUpsertSql: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice
+      |  FROM orders WHERE o_totalprice > 400000
+      |)
+      |SELECT o_orderkey, o_totalprice FROM updates
+      |UNION ALL
+      |SELECT o_orderkey, round(o_totalprice, 4) FROM orders
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_upsert" -> qUpsert _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q27_upsert" -> qUpsertSql,
+  )
+}

@@ -37,4 +37,12 @@ class AsofJoinSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq == Seq((0.0, "a"), (9.99, "a"), (10.0, "b"), (19.99, "b")))
   }
+
+  test("upsert: updates win by key, untouched rows survive") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val got = Upsert.upsert(target, updates, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
 }
