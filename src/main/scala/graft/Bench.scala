@@ -21,14 +21,21 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a bare count() would
       // let Catalyst prune unreferenced expressions and undercount work)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // failed queries report negative elapsed so they can never be
+      // mistaken for a fast pass in bench totals
+      name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.values.map(math.abs).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

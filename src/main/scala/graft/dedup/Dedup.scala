@@ -162,10 +162,19 @@ object Dedup {
        |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Exact top-k most-similar pairs by shingle Jaccard, via the inverted
+  /** Top-k most-similar pairs by shingle Jaccard, via the inverted
     * shared-shingle join (index join, not cross join — the n-gram Jaccard
-    * path when full exactness is wanted). */
-  def ngramJaccardTop(docs: DataFrame, topK: Int = 20): DataFrame = {
+    * path when full exactness over the retained shingles is wanted).
+    *
+    * Shingles with document frequency > maxShingleDf are dropped from the
+    * index AND from the set sizes before pairing: a stop-phrase shingle
+    * contributes ~df²/2 rows to the pair aggregate (the one quadratic term
+    * in this plan — at corpus scale a single ubiquitous 3-gram would emit
+    * 10¹²+ pairs) and carries no similarity signal. Jaccard is therefore
+    * the exact Jaccard of the CAPPED shingle sets — numerator and
+    * denominator use the same filtered universe, and the oracle applies
+    * the identical cap. */
+  def ngramJaccardTop(docs: DataFrame, topK: Int = 20, maxShingleDf: Int = 100): DataFrame = {
     // materialized: feeds the inverted index (both self-join sides) and
     // the size lookups
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
@@ -173,9 +182,15 @@ object Dedup {
     // join on a 64-bit hash of the shingle, not the ~20-char string: same
     // pair counts (collision odds ~#shingles²/2⁶⁵ ≈ 0), much narrower
     // shuffle. Spark-side only — the oracle's output is unchanged.
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inv0 = base.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+    // the hot (df > cap) set is tiny by construction → broadcast anti-join
+    val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("s")
+    val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
+      .localCheckpoint(true)
+    // per-doc size over the capped universe (shingles are distinct per doc)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // aggregate on the slim (doc_a, doc_b) key only; attach set sizes
     // after — keeps the 100M-row pair aggregate as narrow as possible
     val shared = inv.as("a").join(inv.as("b"),
@@ -192,21 +207,28 @@ object Dedup {
       .limit(topK)
   }
 
-  def ngramJaccardTopSql(topK: Int = 20): String = {
+  def ngramJaccardTopSql(topK: Int = 20, maxShingleDf: Int = 100): String = {
     val sh = shinglesSql("text")
     s"""WITH base AS (
        |  SELECT doc_id, $sh AS sh FROM documents
+       |), inv0 AS (
+       |  SELECT doc_id, u.s FROM base, UNNEST(sh) AS u(s)
+       |), hot AS (
+       |  SELECT s FROM inv0 GROUP BY s HAVING count(*) > $maxShingleDf
        |), inv AS (
-       |  SELECT doc_id, len(sh) AS n, u.s FROM base, UNNEST(sh) AS u(s)
+       |  SELECT doc_id, s FROM inv0 WHERE s NOT IN (SELECT s FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id
        |), shared AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-       |         count(*) AS shared
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4
+       |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
-       |       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-       |FROM shared ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $topK""".stripMargin
+       |       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+       |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+       |            JOIN sizes sb ON doc_b = sb.doc_id
+       |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $topK""".stripMargin
   }
 
   // ------------------------------------------------------------- simhash

@@ -337,15 +337,18 @@ object Relational {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-        min("k").as("min_k"), max("k").as("max_k"))
+      .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
+        min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"))
       .orderBy("event_type")
 
+  // Integer aggregates are cast to BIGINT on both sides: DuckDB types an
+  // uncast integer SUM as HUGEINT (decimal128 over Arrow), which hash-differs
+  // from Spark's int64 even when the values are equal.
   def q17JsonSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(json_extract_string(props, '$.k')::INT) AS sum_k,
-      |  MIN(json_extract_string(props, '$.k')::INT) AS min_k,
-      |  MAX(json_extract_string(props, '$.k')::INT) AS max_k
+      |  CAST(SUM(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+      |  CAST(MIN(json_extract_string(props, '$.k')::INT) AS BIGINT) AS min_k,
+      |  CAST(MAX(json_extract_string(props, '$.k')::INT) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Set difference + intersection (SURVEY §2.6 extension — free in the
@@ -460,7 +463,7 @@ object Relational {
 
   def q23ProfileSql: String =
     """SELECT count(*) AS n_rows,
-      |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+      |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
       |  COUNT(DISTINCT l_returnflag) AS distinct_returnflag,
       |  COUNT(DISTINCT l_partkey) AS distinct_partkey,
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,

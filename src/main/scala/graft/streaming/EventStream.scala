@@ -138,8 +138,11 @@ object EventStream {
                         s_start: Timestamp, s_end: Timestamp)
 
   /** Streaming sessionization via flatMapGroupsWithState: emits a session
-    * when a new event arrives more than gapSec after the previous one
-    * (and the final open session on group timeout). Exact same session
+    * when a new event arrives more than gapSec after the previous one.
+    * The trailing open session per user stays in state (NoTimeout) and is
+    * emitted only once a later event closes it — callers that need
+    * open-session flushing should watermark the input and switch to
+    * EventTimeTimeout with a hasTimedOut branch. Exact same closed-session
     * boundaries as [[sessionize]] when events arrive in order. */
   def sessionizeStream(events: Dataset[(Long, Long)], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -207,7 +210,8 @@ object EventStream {
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged
         |)
-        |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "st4_session_window" ->
       """WITH o AS (
