@@ -56,7 +56,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ EventStream.oracles ++ Multimodal.oracles ++ Map(
+      Similarity.oracles ++ EventStream.oracles ++ Classify.oracles ++
+      Multimodal.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
       "t3_tfidf_persisted" -> TfIdf.searchSingleSql("spark"),

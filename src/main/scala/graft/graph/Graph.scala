@@ -132,6 +132,114 @@ object Graph {
        |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
   }
 
+  /** Tolerance-converged PageRank (ref G3
+    * EpinionsGraphFrameAnalysis.scala:93 —
+    * `graph.pageRank.resetProbability(0.15).tol(0.01).run()`).
+    *
+    * GraphX/GraphFrames convention: rank₀ = 1.0 per vertex, update
+    * `rank' = α + (1−α)·Σ contrib` (teleport NOT divided by N), iterate
+    * until max |Δrank| < tol, then scale the final ranks so they sum to N
+    * — GraphX normalizes exactly so since SPARK-18847, and the
+    * reference's GraphFrames call inherits it. Vertices receiving no mass
+    * settle at α (pre-scale). Same checkpointed loop as [[pageRank]] with
+    * one extra cheap action per round (the max-delta aggregate — the same
+    * price [[connectedComponents]] already pays per round).
+    *
+    * The converged iteration count is recorded in [[lastTolIterations]]
+    * so the oracle ([[pageRankTolSql]], built AFTER the queries run —
+    * `SparkEntry.oracleSql` is a def) can unroll exactly that many
+    * iterations: DuckDB then recomputes every rank value independently
+    * through the same per-iteration math; only the stopping rule itself
+    * is Spark-derived.
+    */
+  @volatile var lastTolIterations: Int = -1
+
+  def pageRankTol(edges: DataFrame, tol: Double = 0.01,
+                  alpha: Double = 0.15): DataFrame = {
+    val v = vertices(edges).localCheckpoint(true) // reused every round
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    var ranks = v.select(col("id"), lit(1.0).as("rank")).localCheckpoint(true)
+    val contribs = edges.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
+    var iters = 0
+    var maxDelta = Double.MaxValue
+    while (maxDelta >= tol) {
+      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").cast("double").as("mass"))
+      val next = v.join(spread, v("id") === spread("dst"), "left_outer")
+        .select(col("id"),
+          (lit(alpha) + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      maxDelta = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
+        .agg(max(abs(col("rank") - col("prev"))).as("d"))
+        .head().getDouble(0)
+      ranks = next
+      iters += 1
+    }
+    lastTolIterations = iters
+    // normalize rank sum to N (GraphX SPARK-18847); the sum is
+    // decimal-quantized so the scale factor is fold-order-independent
+    val n = v.count()
+    val scale = ranks.agg(
+      (lit(n.toDouble) / sum(col("rank").cast(Dec)).cast("double")).as("scale"))
+    ranks.crossJoin(broadcast(scale))
+      .select(col("id"), round(col("rank") * col("scale"), 10).as("rank"))
+  }
+
+  /** Oracle for [[pageRankTol]]: the converged iteration count unrolled
+    * as CTEs; every rank recomputed independently by DuckDB. */
+  def pageRankTolSql(alpha: Double = 0.15, m: Int = 2000): String = {
+    val k = math.max(lastTolIterations, 1)
+    val base =
+      s"""WITH edges_g AS (${edgesSql(m)}),
+         |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges_g GROUP BY src),
+         |contribs AS (SELECT e.src, e.dst, o.out_deg FROM edges_g e JOIN outdeg o USING (src)),
+         |r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM v)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""m$i AS (
+         |  SELECT c.dst, CAST(SUM(CAST(r.rank / c.out_deg AS DECIMAL(32,16))) AS DOUBLE) AS mass
+         |  FROM contribs c JOIN r${i - 1} r ON c.src = r.id GROUP BY c.dst),
+         |r$i AS (
+         |  SELECT v.id, $alpha + ${1.0 - alpha} * COALESCE(m$i.mass, 0.0) AS rank
+         |  FROM v LEFT JOIN m$i ON v.id = m$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters,
+       |scale AS (
+       |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM v) /
+       |         CAST(SUM(CAST(rank AS DECIMAL(32,16))) AS DOUBLE) AS scale
+       |  FROM r$k)
+       |SELECT id, round(rank * scale, 10) AS rank
+       |FROM r$k CROSS JOIN scale ORDER BY id""".stripMargin
+  }
+
+  /** Top-5 communities by size (ref EpinionsGraphFrameAnalysis.scala:107-110
+    * — `connectedComponents` → `groupBy("component").count()` →
+    * `orderBy(desc("count")).limit(5)`), with full tie-break keys so the
+    * top-k is deterministic. */
+  def communitySizes(edges: DataFrame, k: Int = 5): DataFrame =
+    connectedComponents(edges)
+      .groupBy("component").agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("component"))
+      .limit(k)
+
+  def communitySizesSql(k: Int = 5, m: Int = 2000): String =
+    s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
+       |und AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
+       |v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+       |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+       |SELECT component, count(*) AS n_members FROM cc GROUP BY component
+       |ORDER BY n_members DESC, component ASC LIMIT $k""".stripMargin
+
   /** Connected components by min-label propagation over the undirected
     * graph (ref G4 EpinionsGraphFrameAnalysis.scala:107
     * `graph.connectedComponents.run()`). Converges in O(diameter) rounds;
@@ -224,6 +332,10 @@ object Graph {
       connectedComponents(edgesFromOrders(s, dir)).orderBy("id")),
     "g4_triangle_counts" -> ((s: SparkSession, dir: String) =>
       triangleCounts(edgesFromOrders(s, dir)).orderBy("id")),
+    "g5_pagerank_tol" -> ((s: SparkSession, dir: String) =>
+      pageRankTol(edgesFromOrders(s, dir)).orderBy("id")),
+    "g6_community_sizes" -> ((s: SparkSession, dir: String) =>
+      communitySizes(edgesFromOrders(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -236,5 +348,9 @@ object Graph {
     "g2_pagerank" -> pageRankSql(iterations = 3),
     "g3_connected_components" -> connectedComponentsSql(),
     "g4_triangle_counts" -> triangleCountsSql(),
+    // built after the queries run (oracles is a def): unrolls the
+    // converged iteration count recorded by pageRankTol
+    "g5_pagerank_tol" -> pageRankTolSql(),
+    "g6_community_sizes" -> communitySizesSql(),
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.{HashingTF, StopWordsRemover, StringIndexer, Tokenizer}
 import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -73,37 +73,155 @@ object Classify {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "prediction")
 
-  /** Per-label precision/recall/F1 + overall accuracy, all relational
-    * (ref :113-136 semantics without the RDD hop). */
-  def metrics(scored: DataFrame): DataFrame = {
+  /** Per-label tp / n_true / n_pred / total counts, unrounded — the shared
+    * core of [[metrics]] and [[weightedMetrics]]. Labels are the distinct
+    * TRUE labels (MulticlassMetrics convention: a prediction value never
+    * occurring as a true label gets no row). */
+  private def labelStats(scored: DataFrame): DataFrame = {
     val cm = scored.groupBy("label", "prediction").agg(count(lit(1)).as("n"))
     val byLabel = cm.groupBy("label").agg(sum("n").as("n_true"))
     val byPred = cm.groupBy("prediction").agg(sum("n").as("n_pred"))
     val tp = cm.filter(col("label") === col("prediction"))
       .select(col("label"), col("n").as("tp"))
+    val total = cm.agg(sum("n").as("total"))
     byLabel.join(tp, Seq("label"), "left_outer")
       .join(byPred, byLabel("label") === byPred("prediction"), "left_outer")
+      .crossJoin(broadcast(total))
       .select(col("label"),
         coalesce(col("tp"), lit(0L)).as("tp"), col("n_true"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
-      .withColumn("precision", round(col("tp") / col("n_pred"), 6))
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("total"))
+  }
+
+  /** Per-label precision/recall/FPR/F1, all relational (ref :113-136
+    * semantics without the RDD hop; FPR(l) = fp / (total − n_true(l)),
+    * the MulticlassMetrics.falsePositiveRate definition). Zero-denominator
+    * precision is 0.0 (not NaN) so the frame stays oracle-comparable. */
+  def metrics(scored: DataFrame): DataFrame =
+    labelStats(scored)
+      .withColumn("precision",
+        round(when(col("n_pred") === 0, lit(0.0))
+          .otherwise(col("tp") / col("n_pred")), 6))
       .withColumn("recall", round(col("tp") / col("n_true"), 6))
+      .withColumn("fpr",
+        round((col("n_pred") - col("tp")) / (col("total") - col("n_true")), 6))
       .withColumn("f1", round(lit(2) * col("precision") * col("recall") /
         (col("precision") + col("recall")), 6))
+      .select("label", "tp", "n_true", "n_pred", "precision", "recall", "fpr", "f1")
       .orderBy("label")
+
+  /** Overall accuracy + label-frequency-weighted precision/recall/F1/FPR
+    * (ref :109,131-136: `metrics.accuracy`, `weightedPrecision`,
+    * `weightedRecall`, `weightedFMeasure`, `weightedFalsePositiveRate`).
+    * One output row. Per-label terms are quantized to DECIMAL before the
+    * final sum so the result is fold-order-independent (cross-engine
+    * determinism, same trick as the similarity kernels). */
+  def weightedMetrics(scored: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(32, 16)
+    val s = labelStats(scored)
+      .withColumn("p", when(col("n_pred") === 0, lit(0.0))
+        .otherwise(col("tp") / col("n_pred")))
+      .withColumn("r", col("tp") / col("n_true"))
+      .withColumn("fp_rate", (col("n_pred") - col("tp")) / (col("total") - col("n_true")))
+      .withColumn("f1", when(col("p") + col("r") === 0, lit(0.0))
+        .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))))
+    def wsum(c: Column): Column =
+      sum((col("n_true") * c / col("total")).cast(Dec)).cast("double")
+    s.agg(
+      round(sum(col("tp")).cast("double") / first("total"), 6).as("accuracy"),
+      round(wsum(col("p")), 6).as("weighted_precision"),
+      round(wsum(col("r")), 6).as("weighted_recall"),
+      round(wsum(col("f1")), 6).as("weighted_f1"),
+      round(wsum(col("fp_rate")), 6).as("weighted_fpr"))
   }
 
   /** Train on even ids, score odd ids, return the confusion matrix.
-    * Registered without an oracle (model fitting is not SQL-expressible;
-    * driver rows-only check), but fully deterministic: fixed seed, fixed
-    * split, alphabetic label indexing. */
+    * Deterministic: fixed seed, fixed split, alphabetic label indexing. */
   def trainAndConfusion(spark: SparkSession, dir: String): DataFrame = {
     val (train, test) = split(Tables.documents(spark, dir))
     val model: PipelineModel = pipeline().fit(train)
     confusionMatrix(model.transform(test))
   }
 
+  private def scoredPath(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_scored"
+
+  /** Fit on the train split, score the test split, persist (doc_id,
+    * label, prediction) to parquet, and return the read-back frame — so
+    * everything DOWNSTREAM of the fit (confusion matrix, per-label and
+    * weighted metrics) is computed from a file DuckDB can also read: the
+    * metrics math gets a real hash-check even though the model fit itself
+    * is not SQL-expressible (pattern: t3_tfidf_persisted). Each query tag
+    * writes its own path so queries stay order-independent. */
+  def scoreAndPersist(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    val (train, test) = split(Tables.documents(spark, dir))
+    val model: PipelineModel = pipeline().fit(train)
+    model.transform(test)
+      .select(col("doc_id"), col("label"), col("prediction"))
+      .write.mode("overwrite").parquet(scoredPath(tag))
+    spark.read.parquet(scoredPath(tag))
+  }
+
+  def confusionSql(tag: String): String =
+    s"""SELECT label, prediction, count(*) AS n
+       |FROM '${scoredPath(tag)}/*.parquet'
+       |GROUP BY label, prediction ORDER BY label, prediction""".stripMargin
+
+  private def labelStatsSql(tag: String): String =
+    s"""s AS (SELECT * FROM '${scoredPath(tag)}/*.parquet'),
+       |cm AS (SELECT label, prediction, count(*) AS n FROM s GROUP BY 1, 2),
+       |bylabel AS (SELECT label, SUM(n) AS n_true FROM cm GROUP BY 1),
+       |bypred AS (SELECT prediction, SUM(n) AS n_pred FROM cm GROUP BY 1),
+       |tp AS (SELECT label, n AS tp FROM cm WHERE label = prediction),
+       |tot AS (SELECT SUM(n) AS total FROM cm),
+       |stats AS (
+       |  SELECT l.label, COALESCE(tp.tp, 0) AS tp, l.n_true,
+       |         COALESCE(p.n_pred, 0) AS n_pred, t.total
+       |  FROM bylabel l LEFT JOIN tp USING (label)
+       |  LEFT JOIN bypred p ON l.label = p.prediction CROSS JOIN tot t)""".stripMargin
+
+  def labelMetricsSql(tag: String): String =
+    s"""WITH ${labelStatsSql(tag)},
+       |d AS (
+       |  SELECT label, tp, n_true, n_pred,
+       |    CASE WHEN n_pred = 0 THEN 0.0 ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+       |    round(CAST(tp AS DOUBLE) / n_true, 6) AS recall,
+       |    round(CAST(n_pred - tp AS DOUBLE) / (total - n_true), 6) AS fpr
+       |  FROM stats)
+       |SELECT label, tp, n_true, n_pred, precision, recall, fpr,
+       |       round(2 * precision * recall / (precision + recall), 6) AS f1
+       |FROM d ORDER BY label""".stripMargin
+
+  def weightedMetricsSql(tag: String): String =
+    s"""WITH ${labelStatsSql(tag)},
+       |d AS (
+       |  SELECT *,
+       |    CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END AS p,
+       |    CAST(tp AS DOUBLE) / n_true AS r,
+       |    CAST(n_pred - tp AS DOUBLE) / (total - n_true) AS fp_rate
+       |  FROM stats),
+       |d2 AS (
+       |  SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1
+       |  FROM d)
+       |SELECT
+       |  round(CAST(SUM(tp) AS DOUBLE) / ANY_VALUE(total), 6) AS accuracy,
+       |  round(CAST(SUM(CAST(n_true * p / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_precision,
+       |  round(CAST(SUM(CAST(n_true * r / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_recall,
+       |  round(CAST(SUM(CAST(n_true * f1 / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_f1,
+       |  round(CAST(SUM(CAST(n_true * fp_rate / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_fpr
+       |FROM d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_confusion" -> trainAndConfusion _,
+    "m1_confusion" -> ((s: SparkSession, dir: String) =>
+      confusionMatrix(scoreAndPersist(s, dir, "m1"))),
+    "m3_label_metrics" -> ((s: SparkSession, dir: String) =>
+      metrics(scoreAndPersist(s, dir, "m3"))),
+    "m4_weighted_metrics" -> ((s: SparkSession, dir: String) =>
+      weightedMetrics(scoreAndPersist(s, dir, "m4"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m1_confusion" -> confusionSql("m1"),
+    "m3_label_metrics" -> labelMetricsSql("m3"),
+    "m4_weighted_metrics" -> weightedMetricsSql("m4"),
   )
 }

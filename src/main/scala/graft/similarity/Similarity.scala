@@ -224,18 +224,41 @@ object Similarity {
     * O(n) scan into O(n·nprobe/k), and the partition-by-centroid layout
     * is exactly how the vectors would be laid out on disk.
     *
-    * Deterministic given fixed seed/data, but KMeans is not
-    * SQL-expressible — registered as a rows-only query; recall vs brute
-    * force is test-enforced instead (SimilaritySpec).
+    * Deterministic given fixed seed/data. The KMeans fit itself is not
+    * SQL-expressible, but the assignments and probe list are FACTS once
+    * computed — [[annIvfPersisted]] writes them to parquet and re-ranks
+    * from the files, so the probe-prune + exact-re-rank math is a real
+    * DuckDB hash-check ([[annIvfSql]]).
+    *
+    * `fitSampleMod` trains the quantizer on the deterministic hash-bucket
+    * sample `xxhash64(vec_id) % fitSampleMod == 0` — at 1B vectors the
+    * coarse quantizer needs only O(centroids × oversampling) training
+    * points, not the full corpus; ASSIGNMENT still covers every vector.
+    * Default 1 (no sampling) keeps tiny-fixture tests meaningful.
     */
   def annIvf(emb: DataFrame, queryId: Long, k: Int = 10,
-             nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+             nCentroids: Int = 16, nprobe: Int = 4,
+             fitSampleMod: Int = 1): DataFrame = {
+    val (assigned, probes, q) = ivfFit(emb, queryId, nCentroids, nprobe, fitSampleMod)
+    rerank(assigned.join(broadcast(probes), "centroid") // probe pruning
+      .select(col("vec_id"), col("embedding")), q, queryId, k)
+  }
+
+  /** Fit quantizer → (assignments incl. embedding, probe list, 1-row query
+    * frame). Shared by the direct and persisted IVF paths. */
+  private def ivfFit(emb: DataFrame, queryId: Long, nCentroids: Int,
+                     nprobe: Int, fitSampleMod: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     VectorDotExact.register(emb.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = emb.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(vecs)
+    val trainVecs =
+      if (fitSampleMod <= 1) vecs
+      else vecs.filter(pmod(xxhash64(col("vec_id")), lit(fitSampleMod)) === 0)
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(trainVecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("prediction").as("centroid"))
       .localCheckpoint(true) // reused for probe selection + candidate scan
@@ -256,15 +279,65 @@ object Similarity {
         (dotCol(col("cvec"), col("qe")) - norm2Col(col("cvec")) / 2).as("sim"))
       .orderBy(desc("sim")).limit(nprobe)
       .select("centroid")
-    assigned.join(broadcast(probes), "centroid") // probe pruning
-      .filter(col("vec_id") =!= queryId)
+    (assigned, probes, q)
+  }
+
+  /** Exact cosine top-k of `cands(vec_id, embedding)` against the 1-row
+    * query frame `q(qe, qnorm2)`. */
+  private def rerank(cands: DataFrame, q: DataFrame, queryId: Long, k: Int): DataFrame =
+    cands.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotCol(col("embedding"), col("qe")) /
           (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
+
+  private def ivfBase: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf"
+
+  /** IVF with persisted assignments + probes: the quantizer output lands
+    * in parquet and the candidate selection + exact re-rank read it back,
+    * so DuckDB can verify everything downstream of the fit over the same
+    * files (pattern: t3_tfidf_persisted). Quantizer trained on a 1-in-4
+    * deterministic sample — the 1B-vector posture. */
+  def annIvfPersisted(emb: DataFrame, queryId: Long, k: Int = 10,
+                      nCentroids: Int = 16, nprobe: Int = 4,
+                      fitSampleMod: Int = 4): DataFrame = {
+    val (assigned, probes, q) = ivfFit(emb, queryId, nCentroids, nprobe, fitSampleMod)
+    assigned.select("vec_id", "centroid")
+      .write.mode("overwrite").parquet(s"$ivfBase/assign")
+    probes.write.mode("overwrite").parquet(s"$ivfBase/probes")
+    val spark2 = emb.sparkSession
+    val a = spark2.read.parquet(s"$ivfBase/assign")
+    val p = spark2.read.parquet(s"$ivfBase/probes")
+    rerank(emb.join(a, "vec_id").join(broadcast(p), "centroid")
+      .select(col("vec_id"), col("embedding")), q, queryId, k)
   }
+
+  /** Oracle for [[annIvfPersisted]]: candidates from the persisted
+    * assignment/probe parquet, exact decimal-quantized cosine re-rank. */
+  def annIvfSql(queryId: Long, k: Int = 10): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), assigned AS (SELECT * FROM '$ivfBase/assign/*.parquet'),
+       |probes AS (SELECT * FROM '$ivfBase/probes/*.parquet'),
+       |cands AS (
+       |  SELECT vec_id FROM assigned JOIN probes USING (centroid)
+       |  WHERE vec_id != $queryId
+       |), q AS (SELECT d, x AS qx FROM ex WHERE vec_id = $queryId),
+       |qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = $queryId),
+       |dots AS (
+       |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN cands USING (vec_id) JOIN q USING (d) GROUP BY ex.vec_id
+       |)
+       |SELECT d.vec_id, round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS cos
+       |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
+       |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
   // ------------------------------------------------------------ registry
 
@@ -275,15 +348,18 @@ object Similarity {
       annLsh(Tables.embeddings(s, dir), queryId = 0L)),
     "s3_near_dup_pairs" -> ((s: SparkSession, dir: String) =>
       nearDupPairs(Tables.embeddings(s, dir))),
-    // rows-only (KMeans quantizer is not SQL-expressible; recall is
-    // test-enforced against brute force in SimilaritySpec)
+    // the quantizer fit stays in Spark (not SQL-expressible); the
+    // assignments are persisted so everything downstream of the fit —
+    // probe pruning + exact re-rank — is DuckDB hash-checked. Recall is
+    // additionally test-enforced against brute force in SimilaritySpec.
     "s4_ann_ivf" -> ((s: SparkSession, dir: String) =>
-      annIvf(Tables.embeddings(s, dir), queryId = 0L)),
+      annIvfPersisted(Tables.embeddings(s, dir), queryId = 0L)),
   )
 
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> knnBruteSql(0L),
     "s2_ann_lsh" -> annLshSql(0L),
     "s3_near_dup_pairs" -> nearDupPairsSql(),
+    "s4_ann_ivf" -> annIvfSql(0L),
   )
 }

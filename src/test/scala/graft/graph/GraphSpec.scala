@@ -39,6 +39,33 @@ class GraphSpec extends SparkSpec {
     r.foreach { case (_, rank) => assert(math.abs(rank - 1.0 / 3) < 1e-9) }
   }
 
+  test("pageRankTol: cycle converges to uniform rank 1.0 (GraphX convention)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val r = Graph.pageRankTol(e, tol = 1e-6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r.length == 3)
+    // the cycle STARTS at the fixpoint (every contrib = 1.0), so the loop
+    // detects convergence on its first delta check
+    assert(Graph.lastTolIterations >= 1)
+    // symmetric cycle, sum-to-N convention → fixpoint rank = 1.0 each
+    r.foreach { case (_, rank) => assert(math.abs(rank - 1.0) < 1e-4) }
+  }
+
+  test("pageRankTol: vertex with no in-links settles at alpha") {
+    val e = edges(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L, 4L -> 1L)
+    val r = Graph.pageRankTol(e, tol = 1e-8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(r(4L) - 0.15) < 1e-6)
+  }
+
+  test("communitySizes: top components by size with tie-break on id") {
+    // components {1,2,3} (size 3), {10,11} (size 2), {20,21} (size 2)
+    val e = edges(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L)
+    val c = Graph.communitySizes(e, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.toSeq == Seq((1L, 3L), (10L, 2L)))
+  }
+
   test("pageRank refQuirks: dangling-sink variant drops no-in-link vertices") {
     val e = edges(1L -> 2L, 2L -> 3L)
     // drop cascades per iteration (ref PageRank.scala:63 inner join):

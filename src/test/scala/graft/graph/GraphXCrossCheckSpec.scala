@@ -37,6 +37,21 @@ class GraphXCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("pageRankTol approximates GraphX runUntilConvergence (same fixpoint)") {
+    // Both iterate r' = α + (1−α)·Σ contrib toward the same fixpoint;
+    // stopping rules differ (per-vertex delta propagation vs global max
+    // delta), so compare with a tolerance-scaled epsilon, not equality.
+    val ours = Graph.pageRankTol(edgesDf, tol = 0.001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val theirs = xgraph.pageRank(0.001, resetProb = 0.15).vertices.collect().toMap
+    assert(Graph.lastTolIterations > 1)
+    theirs.foreach { case (v, rank) =>
+      val o = ours(v)
+      assert(math.abs(o - rank) / math.max(rank, 0.15) < 0.05,
+        s"vertex $v: ours=$o graphx=$rank")
+    }
+  }
+
   test("degrees match GraphX") {
     val ours = Graph.degrees(edgesDf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap

@@ -33,6 +33,33 @@ class ClassifySpec extends SparkSpec {
     assert(row0.getAs[Double]("recall") == 0.666667)
   }
 
+  test("metrics + weightedMetrics match MulticlassMetrics on every ref-printed stat") {
+    // every statistic AirlineSentimentAnalysis.scala:109-136 prints:
+    // accuracy, per-label precision/recall/FPR/F1, weighted P/R/F1/FPR
+    val scored = Seq(
+      (0.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+      (1.0, 0.0), (1.0, 1.0), (2.0, 2.0), (2.0, 0.0))
+      .toDF("label", "prediction")
+    val rdd = scored.rdd.map(r => (r.getDouble(1), r.getDouble(0)))
+    val mm = new org.apache.spark.mllib.evaluation.MulticlassMetrics(rdd)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-5
+    val perLabel = Classify.metrics(scored).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    mm.labels.foreach { l =>
+      val row = perLabel(l)
+      assert(close(row.getAs[Double]("precision"), mm.precision(l)), s"precision($l)")
+      assert(close(row.getAs[Double]("recall"), mm.recall(l)), s"recall($l)")
+      assert(close(row.getAs[Double]("fpr"), mm.falsePositiveRate(l)), s"fpr($l)")
+      assert(close(row.getAs[Double]("f1"), mm.fMeasure(l)), s"f1($l)")
+    }
+    val w = Classify.weightedMetrics(scored).head()
+    assert(close(w.getAs[Double]("accuracy"), mm.accuracy), "accuracy")
+    assert(close(w.getAs[Double]("weighted_precision"), mm.weightedPrecision), "wP")
+    assert(close(w.getAs[Double]("weighted_recall"), mm.weightedRecall), "wR")
+    assert(close(w.getAs[Double]("weighted_f1"), mm.weightedFMeasure), "wF1")
+    assert(close(w.getAs[Double]("weighted_fpr"), mm.weightedFalsePositiveRate), "wFPR")
+  }
+
   test("trainAndConfusion on real sf0.001 docs beats nothing-learned floor") {
     val cm = Classify.trainAndConfusion(spark, sf("sf0.001"))
     val total = cm.agg(sum("n")).head().getLong(0)
