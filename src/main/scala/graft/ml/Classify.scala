@@ -102,10 +102,15 @@ object Classify {
         round(when(col("n_pred") === 0, lit(0.0))
           .otherwise(col("tp") / col("n_pred")), 6))
       .withColumn("recall", round(col("tp") / col("n_true"), 6))
+      // zero-denominator guards (ANSI mode): single-label data → fpr 0,
+      // tp = 0 → precision = recall = 0 → f1 defined as 0 (MLlib: NaN)
       .withColumn("fpr",
-        round((col("n_pred") - col("tp")) / (col("total") - col("n_true")), 6))
-      .withColumn("f1", round(lit(2) * col("precision") * col("recall") /
-        (col("precision") + col("recall")), 6))
+        round(when(col("total") === col("n_true"), lit(0.0))
+          .otherwise((col("n_pred") - col("tp")) / (col("total") - col("n_true"))), 6))
+      .withColumn("f1",
+        round(when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))), 6))
       .select("label", "tp", "n_true", "n_pred", "precision", "recall", "fpr", "f1")
       .orderBy("label")
 
@@ -121,7 +126,8 @@ object Classify {
       .withColumn("p", when(col("n_pred") === 0, lit(0.0))
         .otherwise(col("tp") / col("n_pred")))
       .withColumn("r", col("tp") / col("n_true"))
-      .withColumn("fp_rate", (col("n_pred") - col("tp")) / (col("total") - col("n_true")))
+      .withColumn("fp_rate", when(col("total") === col("n_true"), lit(0.0))
+        .otherwise((col("n_pred") - col("tp")) / (col("total") - col("n_true"))))
       .withColumn("f1", when(col("p") + col("r") === 0, lit(0.0))
         .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))))
     def wsum(c: Column): Column =
@@ -185,10 +191,12 @@ object Classify {
        |  SELECT label, tp, n_true, n_pred,
        |    CASE WHEN n_pred = 0 THEN 0.0 ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
        |    round(CAST(tp AS DOUBLE) / n_true, 6) AS recall,
-       |    round(CAST(n_pred - tp AS DOUBLE) / (total - n_true), 6) AS fpr
+       |    CASE WHEN total = n_true THEN 0.0
+       |      ELSE round(CAST(n_pred - tp AS DOUBLE) / (total - n_true), 6) END AS fpr
        |  FROM stats)
        |SELECT label, tp, n_true, n_pred, precision, recall, fpr,
-       |       round(2 * precision * recall / (precision + recall), 6) AS f1
+       |       CASE WHEN precision + recall = 0 THEN 0.0
+       |         ELSE round(2 * precision * recall / (precision + recall), 6) END AS f1
        |FROM d ORDER BY label""".stripMargin
 
   def weightedMetricsSql(tag: String): String =
@@ -197,7 +205,8 @@ object Classify {
        |  SELECT *,
        |    CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END AS p,
        |    CAST(tp AS DOUBLE) / n_true AS r,
-       |    CAST(n_pred - tp AS DOUBLE) / (total - n_true) AS fp_rate
+       |    CASE WHEN total = n_true THEN 0.0
+       |      ELSE CAST(n_pred - tp AS DOUBLE) / (total - n_true) END AS fp_rate
        |  FROM stats),
        |d2 AS (
        |  SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1

@@ -100,16 +100,28 @@ object Multimodal {
   def mFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assetsFromDocuments(spark, dir)).toDF().orderBy("asset_id")
 
+  // Byte-exact oracle: the fold runs over the UTF-8 BYTES of the payload
+  // (hex(encode(text)) parsed two nibbles per byte), matching the Spark
+  // side for any content — per-character ascii() would diverge from the
+  // byte fold on the first multibyte character.
   def mFeaturesSql: String =
-    """SELECT doc_id AS asset_id,
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      |  FROM documents
+      |)
+      |SELECT doc_id AS asset_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-      |  ascii(substr(text, 1, 1)) AS head_byte,
+      |  nb AS n_bytes,
+      |  CAST(CASE WHEN nb = 0 THEN -1
+      |    ELSE 16 * (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
+      |       + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) END AS INT) AS head_byte,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |      list_transform(range(1, nb + 1), i ->
+      |        CAST(16 * (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1)
+      |           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 2147483647) AS byte_hash,
-      |  CAST((octet_length(CAST(text AS BLOB)) + 63) // 64 AS INT) AS n_frames
-      |FROM documents ORDER BY asset_id""".stripMargin
+      |  CAST((nb + 63) // 64 AS INT) AS n_frames
+      |FROM b ORDER BY asset_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_multimodal_features" -> mFeatures _,
