@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape audits: lock in the physical-plan properties the engine's
+  * 100 TB posture depends on (SCALE.md), so a regression that silently
+  * drops a pushdown, a broadcast, or a TakeOrdered rewrite fails CI —
+  * not just a bench run someone has to eyeball.
+  *
+  * Checks run against the Spark-planned (pre-AQE-execution) physical
+  * plan; AQE can only improve on what's asserted here (it never
+  * un-broadcasts a planned broadcast or un-pushes a scan filter).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("q6_filter: predicates and projection push into the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no filters pushed to scan")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), "discount lower bound not pushed")
+    // the PushedFilters list truncates in toString — assert the quantity
+    // bound on the scan's DataFilters instead
+    assert("""\(l_quantity#\d+ < 24""".r.findFirstIn(p).isDefined,
+      "quantity bound not in scan data filters")
+    // column pruning: the scan must read only the 3 referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q1_agg: scan pruned to the 5 referenced columns, partial+final agg") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"scan reads unreferenced columns: $readSchema")
+    // map-side combine: partial and final HashAggregate stages
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("q2_topk: orderBy+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q4_broadcast_join: dimension side is broadcast, filtered before exchange") {
+    val p = plan("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(p.contains("BroadcastExchange"))
+    // the p_size filter must sit below the broadcast exchange (build side
+    // shrinks before shipping) — i.e. pushed into the part scan
+    assert(p.contains("LessThanOrEqual(p_size,10)"), "dim filter not pushed to scan")
+  }
+
+  test("q3_join_agg: explicit broadcast hint on the nation dim is honored") {
+    val p = plan("q3_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(500))
+  }
+
+  test("s1_knn_brute: single-row query side broadcast; no cartesian shuffle") {
+    val p = plan("s1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), "query row not broadcast — cartesian shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+  }
+
+  test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
+    // codegen stages exist only in the AQE FINAL plan — execute first
+    val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain marks codegen'd operators with `[codegen id : N]`
+    assert(p.contains("codegen id"), p.take(800))
+    // both the scan-side partial and the final aggregate must be codegen'd
+    assert("""\* HashAggregate""".r.findAllIn(p).size >= 2, p.take(800))
+  }
+}
