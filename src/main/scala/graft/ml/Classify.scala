@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
-import org.apache.spark.ml.feature.{HashingTF, StopWordsRemover, StringIndexer, Tokenizer}
+import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, StopWordsRemover, StringIndexer, Tokenizer}
 import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,23 @@ object Classify {
       .setStringOrderType("alphabetAsc") // deterministic label ids
     val lr = new LogisticRegression().setMaxIter(maxIter)
     new Pipeline().setStages(Array(tok, stop, tf, idx, lr))
+  }
+
+  /** HashingTF-free variant: CountVectorizer builds an explicit vocabulary
+    * (top `vocabSize` terms by corpus frequency) instead of hashing — no
+    * feature collisions, inspectable vocab, at the cost of one extra
+    * aggregation pass over the corpus during fit. The engine surfaces both
+    * because at 100 TB the hashing trick needs no vocab broadcast while
+    * CountVectorizer gives exact term→index mapping for model debugging. */
+  def pipelineCountVectorizer(vocabSize: Int = 1024, maxIter: Int = 20): Pipeline = {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
+    val stop = new StopWordsRemover().setInputCol("tokens").setOutputCol("filtered")
+    val cv = new CountVectorizer().setInputCol("filtered").setOutputCol("features")
+      .setVocabSize(vocabSize).setMinDF(2)
+    val idx = new StringIndexer().setInputCol("lang").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val lr = new LogisticRegression().setMaxIter(maxIter)
+    new Pipeline().setStages(Array(tok, stop, cv, idx, lr))
   }
 
   /** 2-fold cross-validation over a small grid (ref :72-85 shape:
@@ -158,9 +175,10 @@ object Classify {
     * metrics math gets a real hash-check even though the model fit itself
     * is not SQL-expressible (pattern: t3_tfidf_persisted). Each query tag
     * writes its own path so queries stay order-independent. */
-  def scoreAndPersist(spark: SparkSession, dir: String, tag: String): DataFrame = {
+  def scoreAndPersist(spark: SparkSession, dir: String, tag: String,
+                      pipe: Pipeline = pipeline()): DataFrame = {
     val (train, test) = split(Tables.documents(spark, dir))
-    val model: PipelineModel = pipeline().fit(train)
+    val model: PipelineModel = pipe.fit(train)
     model.transform(test)
       .select(col("doc_id"), col("label"), col("prediction"))
       .write.mode("overwrite").parquet(scoredPath(tag))
@@ -226,11 +244,17 @@ object Classify {
       metrics(scoreAndPersist(s, dir, "m3"))),
     "m4_weighted_metrics" -> ((s: SparkSession, dir: String) =>
       weightedMetrics(scoreAndPersist(s, dir, "m4"))),
+    // the persisted pattern makes the metrics math oracle-checkable even
+    // for models with nondeterministic internals: DuckDB re-aggregates the
+    // persisted predictions, it never needs to reproduce the fit
+    "m5_cv_confusion" -> ((s: SparkSession, dir: String) =>
+      confusionMatrix(scoreAndPersist(s, dir, "m5", pipelineCountVectorizer()))),
   )
 
   def oracles: Map[String, String] = Map(
     "m1_confusion" -> confusionSql("m1"),
     "m3_label_metrics" -> labelMetricsSql("m3"),
     "m4_weighted_metrics" -> weightedMetricsSql("m4"),
+    "m5_cv_confusion" -> confusionSql("m5"),
   )
 }

@@ -80,6 +80,24 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: a real deployment would decode + resample pixels; the
+    * deterministic stand-in keeps every `stride`-th payload byte and
+    * halves the metadata dimensions. Returns assets (smaller payload,
+    * updated meta) so it COMPOSES with [[extractFeatures]] /
+    * [[sampleFrames]] — the pipeline shape (binary in → binary out →
+    * features scan-side, nothing wide ever shuffles) is the real part. */
+  def resize(assets: Dataset[Asset], stride: Int = 4): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val out = Array.tabulate((a.bytes.length + stride - 1) / stride)(i => a.bytes(i * stride))
+        a.copy(
+          meta = a.meta.copy(width = (a.meta.width + 1) / 2, height = (a.meta.height + 1) / 2),
+          bytes = out)
+      }
+    }
+  }
+
   /** Frame sampling for video assets: every `stride`-th byte window
     * becomes a "frame" row (id, frame_no, frame_bytes) — the explode
     * shape a real video pipeline produces. */
@@ -123,11 +141,58 @@ object Multimodal {
       |  CAST((nb + 63) // 64 AS INT) AS n_frames
       |FROM b ORDER BY asset_id""".stripMargin
 
+  /** Registered query: resize → feature-extract composition; DuckDB
+    * recomputes the every-4th-byte payload from hex(encode(text)). */
+  def mResizeFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(resize(assetsFromDocuments(spark, dir))).toDF().orderBy("asset_id")
+
+  def mResizeFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      |  FROM documents
+      |), r AS (SELECT doc_id, h, nb, (nb + 3) // 4 AS nout FROM b)
+      |SELECT doc_id AS asset_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(nout AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN nout = 0 THEN -1
+      |    ELSE 16 * (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
+      |       + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) END AS INT) AS head_byte,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(nout), j ->
+      |        CAST(16 * (strpos('0123456789ABCDEF', substr(h, 8*j + 1, 1)) - 1)
+      |           + (strpos('0123456789ABCDEF', substr(h, 8*j + 2, 1)) - 1) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647) AS byte_hash,
+      |  CAST((nout + 63) // 64 AS INT) AS n_frames
+      |FROM r ORDER BY asset_id""".stripMargin
+
+  /** Registered query: per-frame rows for video assets (explode shape);
+    * the oracle rebuilds frame boundaries arithmetically. */
+  def mFrames(spark: SparkSession, dir: String): DataFrame = {
+    val frames = sampleFrames(assetsFromDocuments(spark, dir))
+    frames.select(col("asset_id"), col("frame_no"),
+        length(col("frame_bytes")).as("n_bytes"))
+      .orderBy("asset_id", "frame_no")
+  }
+
+  def mFramesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+      |  WHERE doc_id % 3 = 2
+      |)
+      |SELECT doc_id AS asset_id, CAST(u.i AS INT) AS frame_no,
+      |  CAST(LEAST(64, nb - u.i * 64) AS INT) AS n_bytes
+      |FROM b, UNNEST(range((nb + 63) // 64)) AS u(i)
+      |ORDER BY asset_id, frame_no""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_multimodal_features" -> mFeatures _,
+    "m6_resize_features" -> mResizeFeatures _,
+    "m7_frame_sample" -> mFrames _,
   )
 
   def oracles: Map[String, String] = Map(
     "m2_multimodal_features" -> mFeaturesSql,
+    "m6_resize_features" -> mResizeFeaturesSql,
+    "m7_frame_sample" -> mFramesSql,
   )
 }

@@ -15,8 +15,10 @@ import graft.text.Tokenize
   * index build is 3 hash-aggregate stages + 1 join, fully whole-stage
   * codegen'd, and the corpus size N is a broadcast 1-row cross join instead
   * of a driver-side `count()` action (ref :158) — at 100 TB that matters:
-  * no driver round-trip, one DAG, and Catalyst can reuse the shuffle of
-  * tf across the df aggregation.
+  * no driver round-trip, one DAG. The tf frame is materialized once so
+  * the df aggregation consumes it instead of re-tokenizing the corpus
+  * (ReuseExchange cannot fire there: column pruning gives the two
+  * branches structurally different aggregates).
   *
   * Determinism note (oracle parity): per-document float sums (norms, dot
   * products) are quantized to DECIMAL before the shuffle-sum so the result
@@ -34,7 +36,13 @@ object TfIdf {
   def postings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(Tokenize.tokens(col(textCol))).as("term"))
+    // materialize tf once: without this, Catalyst column-prunes the df
+    // branch into a structurally different aggregate (no count column),
+    // which defeats ReuseExchange — the corpus would be scanned and
+    // tokenized TWICE, once per branch (verified via the final AQE plan).
+    // tf is the small distinct-(doc,term) frame, cheap to hold.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "term")
