@@ -170,14 +170,17 @@ object Graph {
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").cast("double").as("mass"))
-      val next = v.join(spread, v("id") === spread("dst"), "left_outer")
-        .select(col("id"),
-          (lit(alpha) + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank"))
+      // ranks always carries the full vertex set, so the update joins it
+      // directly and computes the per-vertex delta in the same pass — one
+      // join per round, and the convergence check is a bare aggregate
+      // over the checkpointed frame
+      val newRank = lit(alpha) + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))
+      val next = ranks.join(spread, ranks("id") === spread("dst"), "left_outer")
+        .select(col("id"), newRank.as("rank"),
+          abs(newRank - col("rank")).as("delta"))
         .localCheckpoint(true)
-      maxDelta = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
-        .agg(max(abs(col("rank") - col("prev"))).as("d"))
-        .head().getDouble(0)
-      ranks = next
+      maxDelta = next.agg(max("delta")).head().getDouble(0)
+      ranks = next.select("id", "rank")
       iters += 1
     }
     lastTolIterations = iters
@@ -258,13 +261,16 @@ object Graph {
       val nbrMin = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr_min"))
+      // the changed flag is computed inside the update join, so the
+      // convergence check is a bare count over the checkpointed frame —
+      // one join per round, not two
       val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component")).as("changed"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("changed")).count()
+      labels = next.select("id", "component")
     }
     labels
   }
