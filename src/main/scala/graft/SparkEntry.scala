@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.graph.Graph
-import graft.ml.Classify
+import graft.ml.{Classify, Embed}
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, Relational, SkewJoin, Upsert}
 import graft.search.TfIdf
@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
-      Multimodal.queries ++
+      Embed.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
         val p = TfIdf.postings(Tables.documents(s, dir))
@@ -57,7 +57,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Classify.oracles ++
-      Multimodal.oracles ++ Map(
+      Embed.oracles ++ Multimodal.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
       "t3_tfidf_persisted" -> TfIdf.searchSingleSql("spark"),

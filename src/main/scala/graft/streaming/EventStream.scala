@@ -140,10 +140,10 @@ object EventStream {
   /** Streaming sessionization via flatMapGroupsWithState: emits a session
     * when a new event arrives more than gapSec after the previous one.
     * The trailing open session per user stays in state (NoTimeout) and is
-    * emitted only once a later event closes it — callers that need
-    * open-session flushing should watermark the input and switch to
-    * EventTimeTimeout with a hasTimedOut branch. Exact same closed-session
-    * boundaries as [[sessionize]] when events arrive in order. */
+    * emitted only once a later event closes it — [[sessionizeStreamFlush]]
+    * is the watermark-driven variant that also flushes open sessions.
+    * Exact same closed-session boundaries as [[sessionize]] when events
+    * arrive in order. */
   def sessionizeStream(events: Dataset[(Long, Long)], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
@@ -163,6 +163,56 @@ object EventStream {
           }
           state.update(List(cur))
           closed.iterator
+      }
+  }
+
+  /** [[sessionizeStream]] plus open-session flushing: when the watermark
+    * passes `last event + gapSec`, no in-order event can extend the open
+    * session anymore, so it is emitted and its state dropped — trailing
+    * sessions leave state instead of parking there forever.
+    *
+    * The input must carry a watermark on `ts` (EventTimeTimeout requires
+    * one; the timeout fires on the first micro-batch after the watermark
+    * crosses the deadline). After a flush the group keeps a sentinel
+    * state (`n == 0`) holding the next session index, so a straggler
+    * event later than the flush starts a NEW session rather than reusing
+    * an already-emitted session_id. State stays O(1) per user either way.
+    */
+  def sessionizeStreamFlush(events: Dataset[(Long, Timestamp)],
+                            gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    def emit(user: Long, s: SessState): SessionOut =
+      SessionOut(user, s.idx, s.n,
+        new Timestamp(s.start / 1000), new Timestamp(s.last / 1000))
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[List[SessState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.flatMap(_.headOption).filter(_.n > 0)
+            out.foreach(s => state.update(List(SessState(0, 0, 0, s.idx + 1))))
+            out.map(emit(user, _)).iterator
+          } else {
+            // sentinel (n == 0) carries the next index past a flush; a
+            // live open session resumes as-is
+            var cur = state.getOption.flatMap(_.headOption).filter(_.n > 0).orNull
+            val firstIdx = state.getOption.flatMap(_.headOption)
+              .map(_.idx).getOrElse(1L)
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            rows.toSeq.map(r => r._2.getTime * 1000L).sorted.foreach { us =>
+              if (cur == null) cur = SessState(us, us, 1, firstIdx)
+              else if (us - cur.last > gapUs) {
+                closed += emit(user, cur)
+                cur = SessState(us, us, 1, cur.idx + 1)
+              } else cur = cur.copy(last = math.max(cur.last, us), n = cur.n + 1)
+            }
+            state.update(List(cur))
+            // flush deadline: the open session dies when the watermark
+            // proves no in-order event can still extend it
+            state.setTimeoutTimestamp(cur.last / 1000 + gapSec * 1000)
+            closed.iterator
+          }
       }
   }
 

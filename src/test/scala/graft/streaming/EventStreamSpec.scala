@@ -79,6 +79,35 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
   }
 
+  test("sessionizeStreamFlush emits open sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)] // (user_id, ts); _2 is event time
+    val q = EventStream.sessionizeStreamFlush(
+      in.toDS().withWatermark("_2", "0 seconds"), gapSec = 8 * 3600)
+      .writeStream.format("memory").queryName("flush_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(1)))
+      q.processAllAvailable()                 // watermark → h1; deadline h9
+      assert(spark.table("flush_test").count() == 0)
+      in.addData((2L, ts(20)))
+      q.processAllAvailable()                 // watermark → h20 (> h9)
+      in.addData((2L, ts(21)))
+      q.processAllAvailable()                 // next batch fires user 1 timeout
+      val flushed = spark.table("flush_test").as[EventStream.SessionOut].collect()
+      assert(flushed.toSeq == Seq(EventStream.SessionOut(1L, 1L, 2L, ts(0), ts(1))))
+      // post-flush straggler: new session, does NOT reuse emitted session_id 1
+      in.addData((1L, ts(22)))
+      q.processAllAvailable()
+      in.addData((1L, ts(40)))                // > 8h after h22 → closes idx 2
+      q.processAllAvailable()
+      val sess = spark.table("flush_test").as[EventStream.SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_id)
+      assert(sess.map(_.session_id).toSeq == Seq(1L, 2L))
+      assert(sess(1) == EventStream.SessionOut(1L, 2L, 1L, ts(22), ts(22)))
+    } finally q.stop()
+  }
+
   test("scoredSink: fitted model applied per micro-batch, no driver collect") {
     implicit val sqlCtx = spark.sqlContext
     // tiny separable model: lang from text
