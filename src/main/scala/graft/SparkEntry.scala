@@ -31,17 +31,22 @@ object SparkEntry {
 
   private val searchTerms = Seq("spark", "table", "query")
 
+  /** Postings memoized per (session, sf-dir): t1/t2/t3 all search the
+    * same inverted index, so it is built once per session
+    * ([[graft.plans.Materialized]]). */
+  private def cachedPostings(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"tfidf_postings:${Tables.norm(dir)}")(
+      TfIdf.postings(Tables.documents(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
       Embed.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
-      "t1_tfidf_single" -> ((s: SparkSession, dir: String) => {
-        val p = TfIdf.postings(Tables.documents(s, dir))
-        TfIdf.searchSingle(p, "spark")
-      }),
+      "t1_tfidf_single" -> ((s: SparkSession, dir: String) =>
+        TfIdf.searchSingle(cachedPostings(s, dir), "spark")),
       "t2_tfidf_multi" -> ((s: SparkSession, dir: String) => {
-        val p = TfIdf.postings(Tables.documents(s, dir))
+        val p = cachedPostings(s, dir)
         TfIdf.searchMulti(p, TfIdf.docNorms(p), searchTerms)
       }),
       // same oracle as t1, but served from the engine-written parquet
@@ -49,7 +54,7 @@ object SparkEntry {
       // groups) — covers the persisted-index read path end to end
       "t3_tfidf_persisted" -> ((s: SparkSession, dir: String) => {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_tfidf_idx"
-        TfIdf.writeIndex(TfIdf.postings(Tables.documents(s, dir)), path)
+        TfIdf.writeIndex(cachedPostings(s, dir), path)
         TfIdf.searchSingle(TfIdf.readIndex(s, path), "spark")
       }),
     )

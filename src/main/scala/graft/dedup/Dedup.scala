@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialized
 import graft.sources.Tables
 import graft.text.Tokenize
 
@@ -105,19 +106,44 @@ object Dedup {
        |  ) GROUP BY doc_id""".stripMargin
   }
 
+  /** The shared per-corpus shingle frame (doc_id, sh, shh, n): string
+    * shingle sets, their 64-bit hashes, and set sizes — the common prefix
+    * of the signature (d2), LSH (d3/d7/d8), and Jaccard (d4) queries.
+    * Memoized per (session, sf-dir): one tokenize+shingle pass serves
+    * them all. */
+  def shingleBase(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"dedup_shingles:${Tables.norm(dir)}") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("n"))
+    }
+
+  /** LSH-verified pair set memoized per (session, sf-dir) — shared by
+    * d3 (its output), d7 (loser removal), and d8 (cluster edges). */
+  def cachedLshPairs(s: SparkSession, dir: String, minJaccard: Double = 0.1): DataFrame =
+    Materialized(s, s"dedup_lsh_pairs:$minJaccard:${Tables.norm(dir)}") {
+      lshNearDupsFromBase(shingleBase(s, dir), minJaccard)
+    }
+
   /** Candidate near-dup pairs via LSH banding (rowsPerBand hashes
     * concatenated per band key), verified with exact shingle-set Jaccard.
     * Returns pairs with jaccard ≥ minJaccard, deterministic order. */
-  def lshNearDups(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
-    // materialized once each: base feeds lanes + two verify joins, bands
-    // feeds both sides of the candidate self-join. The verify carries
-    // 64-bit hashed shingle arrays, not the strings — cheaper to
-    // checkpoint, shuffle, and intersect; identical counts (collision
-    // odds ~#shingles²/2⁶⁵) so the string-based oracle is unchanged.
-    val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => xxhash64(s)).as("shh"), size(col("sh")).as("n"))
-      .localCheckpoint(true)
+  def lshNearDups(docs: DataFrame, minJaccard: Double = 0.1): DataFrame =
+    lshNearDupsFromBase(
+      docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          transform(col("sh"), s => xxhash64(s)).as("shh"), size(col("sh")).as("n"))
+        .localCheckpoint(true),
+      minJaccard)
+
+  /** Same over a pre-materialized [[shingleBase]]-shaped frame.
+    * The verify carries the 64-bit hashed shingle arrays, not the
+    * strings — cheaper to checkpoint, shuffle, and intersect; identical
+    * counts (collision odds ~#shingles²/2⁶⁵) so the string-based oracle
+    * is unchanged. */
+  def lshNearDupsFromBase(base: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    // bands feeds both sides of the candidate self-join
     val bands = minhashLanesFromShingles(base).select(col("doc_id"),
       posexplode(array((0 until 8).map(i => col(s"mh$i")): _*)).as(Seq("band", "key")))
       .localCheckpoint(true)
@@ -174,16 +200,21 @@ object Dedup {
     * the exact Jaccard of the CAPPED shingle sets — numerator and
     * denominator use the same filtered universe, and the oracle applies
     * the identical cap. */
-  def ngramJaccardTop(docs: DataFrame, topK: Int = 20, maxShingleDf: Int = 100): DataFrame = {
-    // materialized: feeds the inverted index (both self-join sides) and
-    // the size lookups
-    val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .localCheckpoint(true)
-    // join on a 64-bit hash of the shingle, not the ~20-char string: same
-    // pair counts (collision odds ~#shingles²/2⁶⁵ ≈ 0), much narrower
-    // shuffle. Spark-side only — the oracle's output is unchanged.
-    val inv0 = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+  def ngramJaccardTop(docs: DataFrame, topK: Int = 20, maxShingleDf: Int = 100): DataFrame =
+    ngramJaccardTopFromBase(
+      docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("shh"))
+        .localCheckpoint(true),
+      topK, maxShingleDf)
+
+  /** Same over a pre-materialized [[shingleBase]]-shaped frame (only
+    * `shh` is read). The inverted index joins on the 64-bit shingle
+    * hash, not the ~20-char string: same pair counts (collision odds
+    * ~#shingles²/2⁶⁵ ≈ 0), much narrower shuffle. Spark-side only — the
+    * oracle's output is unchanged. */
+  def ngramJaccardTopFromBase(base: DataFrame, topK: Int = 20,
+                              maxShingleDf: Int = 100): DataFrame = {
+    val inv0 = base.select(col("doc_id"), explode(col("shh")).as("s"))
     // the hot (df > cap) set is tiny by construction → broadcast anti-join
     val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("s")
@@ -275,13 +306,17 @@ object Dedup {
     * sub-keys (any pair with hamming ≤ 3 shares ≥1 exact block —
     * pigeonhole), so candidates come from an equi-join, never a cross
     * join. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsFromSig(simhash(docs), maxDist)
+
+  /** Same over a pre-computed [[simhash]] frame (doc_id, simhash). */
+  def simhashPairsFromSig(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     // collapse to DISTINCT simhash values first (similar corpora share
     // values): the blocked self-join runs over values, the hamming filter
     // sits in the join condition, and doc pairs are expanded only for
     // surviving value pairs. Each doc pair maps to exactly one value pair
     // (or one same-value group), so no pair-level dedup is needed at all.
-    val groups = simhash(docs)
+    val groups = sig
       .groupBy("simhash").agg(collect_list("doc_id").as("ids"))
       .localCheckpoint(true)
     val vblocks = groups.select(col("simhash"), col("ids"),
@@ -328,13 +363,15 @@ object Dedup {
     * a,b,c in one cluster even if a~c was never a candidate pair). The
     * keep-one-per-cluster rule is then `doc_id == cluster`. Composes two
     * engine modules — the pair join feeds the iterative graph fixpoint. */
-  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
-    val edges = lshNearDups(docs, minJaccard)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    graft.graph.Graph.connectedComponents(edges)
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.1): DataFrame =
+    nearDupClustersFromPairs(lshNearDups(docs, minJaccard))
+
+  /** Same over a pre-computed LSH pair frame (doc_a, doc_b, jaccard). */
+  def nearDupClustersFromPairs(pairs: DataFrame): DataFrame =
+    graft.graph.Graph.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("component").as("cluster"))
       .orderBy("doc_id")
-  }
 
   def nearDupClustersSql(minJaccard: Double = 0.1): String =
     s"""WITH RECURSIVE pairs AS (
@@ -363,15 +400,43 @@ object Dedup {
     * docs — the order a 100 TB pipeline must use. */
   def curationPipeline(docs: DataFrame, minChars: Int = 150,
                        minJaccard: Double = 0.1): DataFrame = {
+    val deduped = qualityDedupStage(docs, minChars)
+    val nearDupLosers = lshNearDups(deduped, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    deduped.select("doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Quality gate + exact dedup — the shared first two stages. */
+  private def qualityDedupStage(docs: DataFrame, minChars: Int): DataFrame = {
     val quality = docs.filter(length(col("text")) >= minChars)
     val keepers = quality
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val deduped = quality.join(keepers, "doc_id")
-    val nearDupLosers = lshNearDups(deduped, minJaccard)
+    quality.join(keepers, "doc_id")
+  }
+
+  /** [[curationPipeline]] served from the memoized FULL-corpus pair set:
+    * per-doc MinHash signatures (and so band keys) do not depend on which
+    * other docs are in the corpus, so the LSH candidates of the deduped
+    * survivor set are exactly the full-corpus candidates with both
+    * endpoints surviving, and per-pair Jaccard verification is pairwise —
+    * `lshNearDups(survivors) ≡ lshNearDups(corpus) ∩ survivors²`. The
+    * restriction is two broadcast-size semi-joins instead of a second
+    * shingle+band+verify pass. The oracle still recomputes the survivor
+    * pass from scratch in SQL, so the equivalence is hash-checked, not
+    * assumed. */
+  def curationPipelineFromPairs(docs: DataFrame, pairs: DataFrame,
+                                minChars: Int = 150): DataFrame = {
+    val survivors = qualityDedupStage(docs, minChars)
+      .select("doc_id").localCheckpoint(true)
+    val nearDupLosers = pairs
+      .join(survivors.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(survivors.select(col("doc_id").as("doc_b")), "doc_b")
       .select(col("doc_b").as("doc_id")).distinct()
-    deduped.select("doc_id")
+    survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
@@ -392,26 +457,33 @@ object Dedup {
 
   // ------------------------------------------------------------ registry
 
+  /** Simhash signatures memoized per (session, sf-dir) — d5's output and
+    * d6's pair input. */
+  def cachedSimhash(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"dedup_simhash:${Tables.norm(dir)}") {
+      simhash(Tables.documents(s, dir))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
     "d2_minhash_sig" -> ((s: SparkSession, dir: String) =>
-      minhashLanes(Tables.documents(s, dir))
+      minhashLanesFromShingles(shingleBase(s, dir))
         .select(col("doc_id"),
           concat_ws(",", (0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
         .orderBy("doc_id")),
     "d3_lsh_near_dups" -> ((s: SparkSession, dir: String) =>
-      lshNearDups(Tables.documents(s, dir))),
+      cachedLshPairs(s, dir)),
     "d4_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
-      ngramJaccardTop(Tables.documents(s, dir))),
+      ngramJaccardTopFromBase(shingleBase(s, dir))),
     "d5_simhash" -> ((s: SparkSession, dir: String) =>
-      simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+      cachedSimhash(s, dir).orderBy("doc_id")),
     "d6_simhash_pairs" -> ((s: SparkSession, dir: String) =>
-      simhashPairs(Tables.documents(s, dir))),
+      simhashPairsFromSig(cachedSimhash(s, dir))),
     "d7_curation_pipeline" -> ((s: SparkSession, dir: String) =>
-      curationPipeline(Tables.documents(s, dir))),
+      curationPipelineFromPairs(Tables.documents(s, dir), cachedLshPairs(s, dir))),
     "d8_dup_clusters" -> ((s: SparkSession, dir: String) =>
-      nearDupClusters(Tables.documents(s, dir))),
+      nearDupClustersFromPairs(cachedLshPairs(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(

@@ -174,14 +174,24 @@ object Classify {
     * weighted metrics) is computed from a file DuckDB can also read: the
     * metrics math gets a real hash-check even though the model fit itself
     * is not SQL-expressible (pattern: t3_tfidf_persisted). Each query tag
-    * writes its own path so queries stay order-independent. */
+    * writes its own path so queries stay order-independent.
+    *
+    * The scored frame is memoized per (session, sf-dir, pipeline kind):
+    * the confusion/per-label/weighted metric queries all consume the SAME
+    * model's predictions, so the engine fits it once per session and each
+    * query only re-persists its own copy (cheap — the frame is test-split
+    * sized). `fitKey` distinguishes pipelines that must NOT share a fit. */
   def scoreAndPersist(spark: SparkSession, dir: String, tag: String,
-                      pipe: Pipeline = pipeline()): DataFrame = {
-    val (train, test) = split(Tables.documents(spark, dir))
-    val model: PipelineModel = pipe.fit(train)
-    model.transform(test)
-      .select(col("doc_id"), col("label"), col("prediction"))
-      .write.mode("overwrite").parquet(scoredPath(tag))
+                      pipe: => Pipeline = pipeline(),
+                      fitKey: String = "hashing_tf"): DataFrame = {
+    val scored = graft.plans.Materialized(
+      spark, s"ml_scored:$fitKey:${Tables.norm(dir)}") {
+      val (train, test) = split(Tables.documents(spark, dir))
+      val model: PipelineModel = pipe.fit(train)
+      model.transform(test)
+        .select(col("doc_id"), col("label"), col("prediction"))
+    }
+    scored.write.mode("overwrite").parquet(scoredPath(tag))
     spark.read.parquet(scoredPath(tag))
   }
 
@@ -248,7 +258,8 @@ object Classify {
     // for models with nondeterministic internals: DuckDB re-aggregates the
     // persisted predictions, it never needs to reproduce the fit
     "m5_cv_confusion" -> ((s: SparkSession, dir: String) =>
-      confusionMatrix(scoreAndPersist(s, dir, "m5", pipelineCountVectorizer()))),
+      confusionMatrix(scoreAndPersist(s, dir, "m5", pipelineCountVectorizer(),
+        fitKey = "count_vectorizer"))),
   )
 
   def oracles: Map[String, String] = Map(
