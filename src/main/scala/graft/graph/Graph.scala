@@ -226,7 +226,11 @@ object Graph {
     * `orderBy(desc("count")).limit(5)`), with full tie-break keys so the
     * top-k is deterministic. */
   def communitySizes(edges: DataFrame, k: Int = 5): DataFrame =
-    connectedComponents(edges)
+    communitySizesFromLabels(connectedComponents(edges), k)
+
+  /** Same over a pre-computed [[connectedComponents]] labeling. */
+  def communitySizesFromLabels(labels: DataFrame, k: Int = 5): DataFrame =
+    labels
       .groupBy("component").agg(count(lit(1)).as("n_members"))
       .orderBy(desc("n_members"), asc("component"))
       .limit(k)
@@ -329,19 +333,32 @@ object Graph {
 
   // -------------------------------------------------------------- registry
 
+  /** Edge list memoized per (session, sf-dir): every graph query walks
+    * the same graph, so the orders scan + distinct runs once
+    * ([[graft.plans.Materialized]]). */
+  def cachedEdges(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"graph_edges:${Tables.norm(dir)}")(
+      edgesFromOrders(s, dir))
+
+  /** Component labels memoized per (session, sf-dir) — g3's output and
+    * g6's input. */
+  def cachedComponents(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"graph_cc:${Tables.norm(dir)}")(
+      connectedComponents(cachedEdges(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
-      degrees(edgesFromOrders(s, dir)).orderBy("id")),
+      degrees(cachedEdges(s, dir)).orderBy("id")),
     "g2_pagerank" -> ((s: SparkSession, dir: String) =>
-      pageRank(edgesFromOrders(s, dir), iterations = 3).orderBy("id")),
+      pageRank(cachedEdges(s, dir), iterations = 3).orderBy("id")),
     "g3_connected_components" -> ((s: SparkSession, dir: String) =>
-      connectedComponents(edgesFromOrders(s, dir)).orderBy("id")),
+      cachedComponents(s, dir).orderBy("id")),
     "g4_triangle_counts" -> ((s: SparkSession, dir: String) =>
-      triangleCounts(edgesFromOrders(s, dir)).orderBy("id")),
+      triangleCounts(cachedEdges(s, dir)).orderBy("id")),
     "g5_pagerank_tol" -> ((s: SparkSession, dir: String) =>
-      pageRankTol(edgesFromOrders(s, dir)).orderBy("id")),
+      pageRankTol(cachedEdges(s, dir)).orderBy("id")),
     "g6_community_sizes" -> ((s: SparkSession, dir: String) =>
-      communitySizes(edgesFromOrders(s, dir))),
+      communitySizesFromLabels(cachedComponents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
