@@ -206,6 +206,112 @@ object TextStats {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition-based quality signals (the Gopher/C4-style filters a
+    * pretraining corpus is scrubbed with): duplicate-token fraction and
+    * the fraction of all bigram occurrences taken by the single most
+    * repeated bigram. Boilerplate and templated spam score high on both;
+    * the downstream filter is a plain threshold predicate.
+    *
+    * Shape: one tokenize pass; bigram counts are explode → two hash
+    * aggregates keyed by doc (map-side partial combine, one shuffle on
+    * doc_id); docs with <2 tokens have no bigrams and surface 0.0 through
+    * the left join. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toksCol = Tokenize.rawTokens(col("text"))
+    val base = docs.select(col("doc_id"), toksCol.as("toks"))
+    val stats = base.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val bigrams = filter(
+      zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val bgAgg = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("n_bg"))
+    stats.join(bgAgg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        coalesce(round(col("top_bg").cast("double") / col("n_bg"), 6), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def xRepetitionSql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM t
+       |), bg AS (
+       |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i + 1] AS bg
+       |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+       |), bgc AS (
+       |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+       |), agg AS (
+       |  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, s.n_tokens,
+       |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+       |  COALESCE(round(CAST(top_bg AS DOUBLE) / n_bg, 6), 0.0) AS top_bigram_frac
+       |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- PII scrub
+
+  private val EmailRx = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val LongDigitsRx = "[0-9]{7,}"
+
+  /** PII redaction: replace emails and long digit runs (phone/account
+    * numbers) with placeholder tags, and count what was redacted. Both
+    * patterns stay in the RE2-compatible subset so the Spark (Java regex)
+    * and DuckDB (RE2) engines agree character-for-character.
+    *
+    * The testdata corpus is synthetic with no embedded PII, so the query
+    * plants a deterministic email + digit run per document first — the
+    * redaction math is then exercised on every row, and the md5 of the
+    * cleaned text proves byte-exact replacement cross-engine. Single-pass
+    * scan expressions, no shuffle until the final orderBy. */
+  def piiScrub(docs: DataFrame, textCol: Column): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(textCol, EmailRx, "<EMAIL>"), LongDigitsRx, "<NUM>")
+    docs
+      .select(col("doc_id"),
+        regexp_count(textCol, lit(EmailRx)).as("n_emails"),
+        regexp_count(textCol, lit(LongDigitsRx)).as("n_digit_runs"),
+        length(cleaned).as("clean_len"),
+        md5(cleaned.cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The deterministic per-doc PII planted into the synthetic corpus so
+    * every row exercises the redaction (see [[piiScrub]] scaladoc). */
+  private def plantedText: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id"), lit("@example.com or call "),
+    lpad(col("doc_id").cast("string"), 8, "0"))
+
+  def xPiiScrubSql: String = {
+    val email = EmailRx // interpolates as the same pattern text both engines parse
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or call ' ||
+       |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS planted
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, planted,
+       |    regexp_replace(regexp_replace(planted, '$email', '<EMAIL>', 'g'),
+       |                   '$LongDigitsRx', '<NUM>', 'g') AS cleaned
+       |  FROM p
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(planted, '$email')) AS n_emails,
+       |  len(regexp_extract_all(planted, '$LongDigitsRx')) AS n_digit_runs,
+       |  length(cleaned) AS clean_len,
+       |  md5(cleaned) AS clean_md5
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------- hash splitting
 
   /** Deterministic uniform bucket in [0, 256) from a key column: the
@@ -251,6 +357,10 @@ object TextStats {
     "x4_token_count" -> xTokenCount _,
     "x5_fingerprint" -> xFingerprint _,
     "x6_hash_split" -> xHashSplit _,
+    "x7_repetition" -> ((s: SparkSession, dir: String) =>
+      repetition(Tables.documents(s, dir))),
+    "x8_pii_scrub" -> ((s: SparkSession, dir: String) =>
+      piiScrub(Tables.documents(s, dir), plantedText)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -260,5 +370,7 @@ object TextStats {
     "x4_token_count" -> xTokenCountSql,
     "x5_fingerprint" -> xFingerprintSql,
     "x6_hash_split" -> xHashSplitSql,
+    "x7_repetition" -> xRepetitionSql,
+    "x8_pii_scrub" -> xPiiScrubSql,
   )
 }

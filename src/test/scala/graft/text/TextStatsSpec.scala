@@ -42,6 +42,30 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("punct_ratio") == 0.2) // ',' and '!'
   }
 
+  test("repetition: dup-token and top-bigram fractions on known docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 4 tokens, 1 distinct, bigram "spam spam" ×3/3
+      (2L, "alpha beta gamma delta"),     // all distinct, each bigram once (1/3)
+      (3L, "solo")).toDF("doc_id", "text") // no bigrams -> 0.0
+    val r = TextStats.repetition(df).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 4, 0.75, 1.0)))
+    assert(r(1) == ((2L, 4, 0.0, 0.333333)))
+    assert(r(2) == ((3L, 1, 0.0, 0.0)))
+  }
+
+  test("pii scrub: emails and long digit runs redacted, counts exact") {
+    val df = Seq(
+      (1L, "mail bob.smith@corp.example.org now or dial 12345678 ok"),
+      (2L, "digits 123456 stay short no at-sign here")) // 6 digits: below threshold
+      .toDF("doc_id", "text")
+    val r = TextStats.piiScrub(df, col("text")).collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 1)
+    assert(r(0).getInt(3) == "mail <EMAIL> now or dial <NUM> ok".length)
+    assert(r(1).getInt(1) == 0 && r(1).getInt(2) == 0)
+    assert(r(1).getInt(3) == "digits 123456 stay short no at-sign here".length)
+  }
+
   test("hash split: deterministic, complete, roughly 80/10/10") {
     val ids = (0L until 2000L).toDF("doc_id")
     val got = ids.select(TextStats.assignSplit(col("doc_id")).as("s"))
