@@ -119,11 +119,19 @@ object Dedup {
           transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("n"))
     }
 
+  /** MinHash lane frame memoized per (session, sf-dir) — d2's output and
+    * the band-key source inside [[cachedLshPairs]]: the per-shingle
+    * double-md5 pass runs once, not once per consumer. */
+  def cachedLanes(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"dedup_lanes:${Tables.norm(dir)}") {
+      minhashLanesFromShingles(shingleBase(s, dir))
+    }
+
   /** LSH-verified pair set memoized per (session, sf-dir) — shared by
     * d3 (its output), d7 (loser removal), and d8 (cluster edges). */
   def cachedLshPairs(s: SparkSession, dir: String, minJaccard: Double = 0.1): DataFrame =
     Materialized(s, s"dedup_lsh_pairs:$minJaccard:${Tables.norm(dir)}") {
-      lshNearDupsFromBase(shingleBase(s, dir), minJaccard)
+      lshNearDupsFromBase(shingleBase(s, dir), minJaccard, Some(cachedLanes(s, dir)))
     }
 
   /** Candidate near-dup pairs via LSH banding (rowsPerBand hashes
@@ -137,14 +145,16 @@ object Dedup {
         .localCheckpoint(true),
       minJaccard)
 
-  /** Same over a pre-materialized [[shingleBase]]-shaped frame.
-    * The verify carries the 64-bit hashed shingle arrays, not the
-    * strings — cheaper to checkpoint, shuffle, and intersect; identical
-    * counts (collision odds ~#shingles²/2⁶⁵) so the string-based oracle
-    * is unchanged. */
-  def lshNearDupsFromBase(base: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+  /** Same over a pre-materialized [[shingleBase]]-shaped frame, with an
+    * optional pre-computed [[minhashLanesFromShingles]] frame so the
+    * signature pass can be shared. The verify carries the 64-bit hashed
+    * shingle arrays, not the strings — cheaper to checkpoint, shuffle,
+    * and intersect; identical counts (collision odds ~#shingles²/2⁶⁵) so
+    * the string-based oracle is unchanged. */
+  def lshNearDupsFromBase(base: DataFrame, minJaccard: Double = 0.1,
+                          lanes: Option[DataFrame] = None): DataFrame = {
     // bands feeds both sides of the candidate self-join
-    val bands = minhashLanesFromShingles(base).select(col("doc_id"),
+    val bands = lanes.getOrElse(minhashLanesFromShingles(base)).select(col("doc_id"),
       posexplode(array((0 until 8).map(i => col(s"mh$i")): _*)).as(Seq("band", "key")))
       .localCheckpoint(true)
     val pairs = bands.as("a").join(bands.as("b"),
@@ -468,7 +478,7 @@ object Dedup {
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
     "d2_minhash_sig" -> ((s: SparkSession, dir: String) =>
-      minhashLanesFromShingles(shingleBase(s, dir))
+      cachedLanes(s, dir)
         .select(col("doc_id"),
           concat_ws(",", (0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
         .orderBy("doc_id")),
