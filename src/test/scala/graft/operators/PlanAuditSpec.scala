@@ -66,6 +66,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
   }
 
+  test("x8_pii_scrub: pure scan expressions — no shuffle except the final sort") {
+    val p = plan("x8_pii_scrub")
+    // the redaction itself must not aggregate or join; the only exchange
+    // allowed is the rangepartitioning for the deterministic orderBy
+    assert(!p.contains("HashAggregate"), "pii scrub introduced an aggregate")
+    assert(!p.contains("Join"), "pii scrub introduced a join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the sort exchange, got $exchanges:\n${p.take(500)}")
+  }
+
+  test("x7_repetition: doc-keyed aggregates carry map-side partial combine") {
+    val p = plan("x7_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m8_w2v_knn: query row broadcast, top-k as TakeOrdered") {
+    val df = graft.ml.Embed.w2vKnn(
+      graft.ml.Embed.word2vecPersist(spark, sf("sf0.001"), tag = "m8audit"), 0L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), "query row not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
