@@ -103,6 +103,27 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("sentiment"), col("n"))
 
+  /** Hourly distinct active users (the "DAU" shape). Batch twin of the
+    * streaming dedup-then-count pipeline: the distinct runs as a
+    * (window, user) dedup BEFORE the count so the exact same plan shape
+    * runs incrementally under a watermark ([[hourlyUsersStream]]) —
+    * count_distinct would be correct in batch but has no append-mode
+    * streaming twin. */
+  def hourlyUsers(df: DataFrame): DataFrame =
+    df.select(window(col("ts"), "1 hour").getField("start").as("wstart"), col("user_id"))
+      .dropDuplicates("wstart", "user_id")
+      .groupBy("wstart").agg(count(lit(1)).as("n_users"))
+
+  /** Streaming variant: watermark → dedup on (window, user) → windowed
+    * count, append mode. State per window is the distinct user set,
+    * dropped once the watermark passes the window (bounded). */
+  def hourlyUsersStream(df: DataFrame, delay: String = "1 second"): DataFrame =
+    df.withWatermark("ts", delay)
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("wstart"), col("n_users"))
+
   // -------------------------------------------------------- sessionization
 
   /** Batch sessionization: gaps-and-islands with window functions.
@@ -229,6 +250,8 @@ object EventStream {
     "st4_session_window" -> ((s: SparkSession, dir: String) =>
       sessionWindows(Tables.events(s, dir), gapSec = 8 * 3600)
         .orderBy("user_id", "s_start")),
+    "st5_hourly_users" -> ((s: SparkSession, dir: String) =>
+      hourlyUsers(Tables.events(s, dir)).orderBy("wstart")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -280,5 +303,9 @@ object EventStream {
         |)
         |SELECT user_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, s_start""".stripMargin,
+    "st5_hourly_users" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

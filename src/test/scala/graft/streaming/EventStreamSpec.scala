@@ -127,6 +127,32 @@ class EventStreamSpec extends SparkSpec {
     assert(scored(10L) != scored(11L)) // separable vocab -> distinct classes
   }
 
+  test("hourlyUsersStream: closed windows match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)] // (ts, user_id)
+    val q = EventStream.hourlyUsersStream(in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("dau_test")
+      .outputMode("append").start()
+    try {
+      // h0: users 1,1,2 (dup within window); h1: user 1
+      in.addData((ts(0), 1L), (ts(0), 1L), (ts(0), 2L), (ts(1), 1L))
+      q.processAllAvailable()
+      in.addData((ts(5), 9L)) // advances watermark past h0/h1 windows
+      q.processAllAvailable()
+      in.addData((ts(6), 9L)) // one more batch so closed windows emit
+      q.processAllAvailable()
+      val streamed = spark.table("dau_test")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(streamed.get(ts(0)).contains(2L), s"h0 window: $streamed")
+      assert(streamed.get(ts(1)).contains(1L), s"h1 window: $streamed")
+      // batch twin agrees on the same closed windows
+      val batch = EventStream.hourlyUsers(
+        Seq((ts(0), 1L), (ts(0), 1L), (ts(0), 2L), (ts(1), 1L)).toDF("ts", "user_id"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(batch == Map(ts(0) -> 2L, ts(1) -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup within watermark drops late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
