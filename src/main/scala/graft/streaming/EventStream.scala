@@ -124,6 +124,35 @@ object EventStream {
       .groupBy(col("w")).agg(count(lit(1)).as("n_users"))
       .select(col("w.start").as("wstart"), col("n_users"))
 
+  /** View→click attribution: clicks joined to the same user's views
+    * within an attribution horizon. Batch twin of the stream-stream
+    * interval join — equi-join on user_id with the time bound as a join
+    * predicate (ONE shuffle on user_id; the interval check never becomes
+    * a cross join), then a per-user count. */
+  def attribution(df: DataFrame, horizonSec: Long = 3600): DataFrame = {
+    val views = df.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("view_us"))
+    val clicks = df.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+    views.join(clicks, Seq("user_id"))
+      .filter(col("click_us") >= col("view_us") &&
+        col("click_us") <= col("view_us") + lit(horizonSec * 1000000L))
+      .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))
+  }
+
+  /** Streaming variant: watermarked stream-stream inner join. Both sides
+    * carry watermarks and the join condition bounds click_ts relative to
+    * view_ts, so each side's state is dropped once the other side's
+    * watermark passes the horizon — bounded state, the requirement for an
+    * unbounded 100 TB/day stream. Emits raw attributed pairs (append). */
+  def attributionStream(views: DataFrame, clicks: DataFrame,
+                        horizonSec: Long = 3600): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(clicks.withWatermark("click_ts", "2 hours"),
+        expr(s"""view_user = click_user AND
+                 click_ts >= view_ts AND
+                 click_ts <= view_ts + interval $horizonSec seconds"""))
+
   // -------------------------------------------------------- sessionization
 
   /** Batch sessionization: gaps-and-islands with window functions.
@@ -252,6 +281,8 @@ object EventStream {
         .orderBy("user_id", "s_start")),
     "st5_hourly_users" -> ((s: SparkSession, dir: String) =>
       hourlyUsers(Tables.events(s, dir)).orderBy("wstart")),
+    "st6_attribution" -> ((s: SparkSession, dir: String) =>
+      attribution(Tables.events(s, dir)).orderBy("user_id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -307,5 +338,12 @@ object EventStream {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st6_attribution" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, count(*) AS n_attributed
+        |FROM v JOIN c ON v.user_id = c.user_id
+        | AND c.click_us >= v.view_us AND c.click_us <= v.view_us + 3600000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
   )
 }

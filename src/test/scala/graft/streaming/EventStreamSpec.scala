@@ -153,6 +153,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: stream-stream interval join matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp)] // (user, view_ts)
+    val cIn = MemoryStream[(Long, Timestamp)] // (user, click_ts)
+    val q = EventStream.attributionStream(
+      vIn.toDF().toDF("view_user", "view_ts"),
+      cIn.toDF().toDF("click_user", "click_ts"))
+      .select(col("view_user"), col("view_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      val m = (h: Int, min: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+      // user 1: view 00:00 -> clicks 00:30 (in horizon) and 02:00 (out);
+      // user 2: click 00:10 with no view
+      vIn.addData((1L, m(0, 0)))
+      cIn.addData((1L, m(0, 30)), (1L, m(2, 0)), (2L, m(0, 10)))
+      q.processAllAvailable()
+      val got = spark.table("attr_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(got.toSeq == Seq((1L, m(0, 0), m(0, 30))), got.mkString(","))
+      // batch twin on the equivalent events frame agrees
+      val events = Seq(
+        (1L, m(0, 0), "view"), (1L, m(0, 30), "click"),
+        (1L, m(2, 0), "click"), (2L, m(0, 10), "click"))
+        .toDF("user_id", "ts", "event_type")
+      val batch = EventStream.attribution(events).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(batch.toSeq == Seq((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup within watermark drops late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
