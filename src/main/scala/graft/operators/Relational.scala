@@ -389,6 +389,28 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE with grouping_id (engine extension completing the grouping
+    * family next to q19's ROLLUP): all 4 grouping sets of the two keys in
+    * one pass — Catalyst expands the cube BEFORE the single shuffle, so
+    * the cost is one hash aggregate over 4× the rows, not 4 scans.
+    * grouping_id disambiguates a real NULL key from a rolled-up one. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .orderBy(asc("gid"),
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def q28CubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** CSV sink + header-CSV scan round trip (SURVEY §2.1 S3/S10; ref
     * PageRank.scala:27 read, EpinionsGraphFrameAnalysis.scala:71-131
     * write): parquet → CSV files → CSV scan → typed projection. */
@@ -495,6 +517,7 @@ object Relational {
     "q21_pivot" -> q21Pivot _,
     "q22_percentiles" -> q22Percentiles _,
     "q23_profile" -> q23Profile _,
+    "q28_cube" -> q28Cube _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -521,5 +544,6 @@ object Relational {
     "q21_pivot" -> q21PivotSql,
     "q22_percentiles" -> q22PercentilesSql,
     "q23_profile" -> q23ProfileSql,
+    "q28_cube" -> q28CubeSql,
   )
 }
