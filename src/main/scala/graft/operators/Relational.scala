@@ -411,6 +411,28 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Hive-style partitioned write + partition-pruned read (engine
+    * extension; the layout feature a 100 TB corpus lives on): documents
+    * land partitioned by lang, the read filters one partition, and the
+    * scan's PartitionFilters prune every other directory before a single
+    * row is read (assert-checked in PlanAuditSpec). Sum is cast to
+    * BIGINT on both engines (DuckDB HUGEINT rule). */
+  def q29PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_bylang"
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("lang") === "en")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
+  def q29PartitionPruneSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin
+
   /** CSV sink + header-CSV scan round trip (SURVEY §2.1 S3/S10; ref
     * PageRank.scala:27 read, EpinionsGraphFrameAnalysis.scala:71-131
     * write): parquet → CSV files → CSV scan → typed projection. */
@@ -518,6 +540,7 @@ object Relational {
     "q22_percentiles" -> q22Percentiles _,
     "q23_profile" -> q23Profile _,
     "q28_cube" -> q28Cube _,
+    "q29_partition_prune" -> q29PartitionPrune _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -545,5 +568,6 @@ object Relational {
     "q22_percentiles" -> q22PercentilesSql,
     "q23_profile" -> q23ProfileSql,
     "q28_cube" -> q28CubeSql,
+    "q29_partition_prune" -> q29PartitionPruneSql,
   )
 }

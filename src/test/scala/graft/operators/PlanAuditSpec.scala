@@ -91,6 +91,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
   }
 
+  test("q29_partition_prune: lang filter prunes partitions, not rows") {
+    val p = plan("q29_partition_prune")
+    assert(p.contains("PartitionFilters"), "no partition filters on the scan")
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(p).isDefined,
+      "lang filter not applied at partition level:\n" + p.take(800))
+    // the partition column must NOT appear as a row-level data filter
+    assert(!"""PushedFilters: \[[^\]]*lang""".r.findFirstIn(p).isDefined,
+      "lang leaked into row-level pushed filters")
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
