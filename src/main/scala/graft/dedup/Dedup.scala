@@ -106,25 +106,30 @@ object Dedup {
        |  ) GROUP BY doc_id""".stripMargin
   }
 
-  /** The shared per-corpus shingle frame (doc_id, sh, shh, n): string
-    * shingle sets, their 64-bit hashes, and set sizes — the common prefix
-    * of the signature (d2), LSH (d3/d7/d8), and Jaccard (d4) queries.
-    * Memoized per (session, sf-dir): one tokenize+shingle pass serves
-    * them all. */
+  /** The shared per-corpus shingle frame (doc_id, shh, n): 64-bit
+    * shingle-set hashes and set sizes — the common prefix of the LSH
+    * verify (d3/d7/d8) and Jaccard (d4) queries. Memoized SLIM: the
+    * ~20-char shingle STRINGS would be larger than the raw corpus and
+    * are only needed by the one-time md5 lane build ([[cachedLanes]]),
+    * so they are never pinned — the memo's own contract (bounded small
+    * frames, not corpora). */
   def shingleBase(s: SparkSession, dir: String): DataFrame =
     Materialized(s, s"dedup_shingles:${Tables.norm(dir)}") {
       Tables.documents(s, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .select(col("doc_id"), col("sh"),
+        .select(col("doc_id"),
           transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("n"))
     }
 
   /** MinHash lane frame memoized per (session, sf-dir) — d2's output and
     * the band-key source inside [[cachedLshPairs]]: the per-shingle
-    * double-md5 pass runs once, not once per consumer. */
+    * double-md5 pass runs once, not once per consumer, over a streaming
+    * (non-memoized) string-shingle scan. */
   def cachedLanes(s: SparkSession, dir: String): DataFrame =
     Materialized(s, s"dedup_lanes:${Tables.norm(dir)}") {
-      minhashLanesFromShingles(shingleBase(s, dir))
+      minhashLanesFromShingles(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), shingles(col("text")).as("sh")))
     }
 
   /** LSH-verified pair set memoized per (session, sf-dir) — shared by
@@ -145,12 +150,14 @@ object Dedup {
         .localCheckpoint(true),
       minJaccard)
 
-  /** Same over a pre-materialized [[shingleBase]]-shaped frame, with an
-    * optional pre-computed [[minhashLanesFromShingles]] frame so the
-    * signature pass can be shared. The verify carries the 64-bit hashed
-    * shingle arrays, not the strings — cheaper to checkpoint, shuffle,
-    * and intersect; identical counts (collision odds ~#shingles²/2⁶⁵) so
-    * the string-based oracle is unchanged. */
+  /** Same over a pre-materialized base frame, with an optional
+    * pre-computed [[minhashLanesFromShingles]] frame so the signature
+    * pass can be shared. With `lanes` given, base needs only
+    * (doc_id, shh, n) — the slim [[shingleBase]]; without, it must also
+    * carry the string `sh` column for the md5 lane build. The verify
+    * carries the 64-bit hashed shingle arrays, not the strings — cheaper
+    * to checkpoint, shuffle, and intersect; identical counts (collision
+    * odds ~#shingles²/2⁶⁵) so the string-based oracle is unchanged. */
   def lshNearDupsFromBase(base: DataFrame, minJaccard: Double = 0.1,
                           lanes: Option[DataFrame] = None): DataFrame = {
     // bands feeds both sides of the candidate self-join

@@ -176,16 +176,18 @@ object Classify {
     * is not SQL-expressible (pattern: t3_tfidf_persisted). Each query tag
     * writes its own path so queries stay order-independent.
     *
-    * The scored frame is memoized per (session, sf-dir, pipeline kind):
-    * the confusion/per-label/weighted metric queries all consume the SAME
-    * model's predictions, so the engine fits it once per session and each
-    * query only re-persists its own copy (cheap — the frame is test-split
-    * sized). `fitKey` distinguishes pipelines that must NOT share a fit. */
+    * The scored frame is memoized per (session, sf-dir, pipeline
+    * signature): the confusion/per-label/weighted metric queries all
+    * consume the SAME model's predictions, so the engine fits it once per
+    * session and each query only re-persists its own copy (cheap — the
+    * frame is test-split sized). The memo key is DERIVED from the
+    * pipeline's stage classes + params ([[fitKey]]) — two structurally
+    * different pipelines can never alias one fit, with no manual key to
+    * forget. */
   def scoreAndPersist(spark: SparkSession, dir: String, tag: String,
-                      pipe: => Pipeline = pipeline(),
-                      fitKey: String = "hashing_tf"): DataFrame = {
+                      pipe: Pipeline = pipeline()): DataFrame = {
     val scored = graft.plans.Materialized(
-      spark, s"ml_scored:$fitKey:${Tables.norm(dir)}") {
+      spark, s"ml_scored:${fitKey(pipe)}:${Tables.norm(dir)}") {
       val (train, test) = split(Tables.documents(spark, dir))
       val model: PipelineModel = pipe.fit(train)
       model.transform(test)
@@ -194,6 +196,16 @@ object Classify {
     scored.write.mode("overwrite").parquet(scoredPath(tag))
     spark.read.parquet(scoredPath(tag))
   }
+
+  /** Structural pipeline signature: stage classes + their explicit param
+    * values, uid-free (uids are random per construction and would defeat
+    * memoization; param VALUES are what distinguish two fits). */
+  private[ml] def fitKey(pipe: Pipeline): String =
+    pipe.getStages.map { s =>
+      val params = s.extractParamMap().toSeq
+        .map(p => s"${p.param.name}=${p.value}").sorted.mkString(",")
+      s"${s.getClass.getSimpleName}($params)"
+    }.mkString("|")
 
   def confusionSql(tag: String): String =
     s"""SELECT label, prediction, count(*) AS n
@@ -258,8 +270,7 @@ object Classify {
     // for models with nondeterministic internals: DuckDB re-aggregates the
     // persisted predictions, it never needs to reproduce the fit
     "m5_cv_confusion" -> ((s: SparkSession, dir: String) =>
-      confusionMatrix(scoreAndPersist(s, dir, "m5", pipelineCountVectorizer(),
-        fitKey = "count_vectorizer"))),
+      confusionMatrix(scoreAndPersist(s, dir, "m5", pipelineCountVectorizer()))),
   )
 
   def oracles: Map[String, String] = Map(

@@ -1,5 +1,7 @@
 package graft.plans
 
+import java.util.WeakHashMap
+
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,24 +19,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * intermediate dataset, here `localCheckpoint` pins the computed
   * partitions).
   *
-  * Keyed by (session identity, logical key): a new SparkSession never
-  * sees another session's pinned RDDs, and the per-SF-dir key keeps
-  * different scale factors apart. Entries live for the session — callers
-  * memoize bounded, small frames (pair lists, signatures, postings), not
-  * raw corpora.
+  * Scoping: the outer map holds each SparkSession WEAKLY, so one
+  * session's entries can never be served to another (the key is the
+  * session object itself, not a reusable hash) and everything a session
+  * pinned becomes collectable when the session is — no cross-session
+  * leaks, no "SparkContext has been shutdown" served from a stale memo.
+  * The per-SF-dir logical key keeps scale factors apart. Callers memoize
+  * bounded, small frames (pair lists, signatures, postings), not raw
+  * corpora.
   *
   * Every query remains independently DuckDB-oracled: memoization changes
   * WHEN the shared plan runs, never what any query returns.
   */
 object Materialized {
-  private val cache = TrieMap[(Int, String), DataFrame]()
+  private val sessions = new WeakHashMap[SparkSession, TrieMap[String, DataFrame]]()
+
+  private def forSession(spark: SparkSession): TrieMap[String, DataFrame] =
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) { m = TrieMap.empty; sessions.put(spark, m) }
+      m
+    }
 
   /** Return the memoized frame for `key`, building + eagerly
     * checkpointing it on first use in this session. */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), key),
-      build.localCheckpoint(true))
+    forSession(spark).getOrElseUpdate(key, build.localCheckpoint(true))
 
-  /** Drop entries (tests; a production engine would evict by LRU). */
-  def clear(): Unit = cache.clear()
+  /** Drop all entries across sessions (tests; a production engine would
+    * evict by LRU). */
+  def clear(): Unit = sessions.synchronized(sessions.clear())
 }

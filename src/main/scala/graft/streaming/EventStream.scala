@@ -218,31 +218,60 @@ object EventStream {
 
   /** [[sessionizeStream]] plus open-session flushing: when the watermark
     * passes `last event + gapSec`, no in-order event can extend the open
-    * session anymore, so it is emitted and its state dropped — trailing
+    * session anymore (later-than-watermark rows are filtered by the
+    * state operator), so it is emitted and its state dropped — trailing
     * sessions leave state instead of parking there forever.
     *
     * The input must carry a watermark on `ts` (EventTimeTimeout requires
     * one; the timeout fires on the first micro-batch after the watermark
     * crosses the deadline). After a flush the group keeps a sentinel
     * state (`n == 0`) holding the next session index, so a straggler
-    * event later than the flush starts a NEW session rather than reusing
-    * an already-emitted session_id. State stays O(1) per user either way.
-    */
+    * event arriving soon after the flush starts a NEW session rather
+    * than reusing an already-emitted session_id. The sentinel itself
+    * carries a second timeout one gap later and is then REMOVED — state
+    * is O(1) per ACTIVE user and zero for users idle past two gaps, so
+    * the store cannot grow with the all-time user population. (A user
+    * returning after full eviction restarts numbering at 1; deployments
+    * needing globally unique ids should key sessions by (user, s_start),
+    * which IS unique.) */
   def sessionizeStreamFlush(events: Dataset[(Long, Timestamp)],
                             gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
+    // micro-precision Timestamp↔micros (LOCAL defs: the state closure
+    // must not capture the enclosing object): `getTime` alone truncates
+    // to ms — the sub-ms micros live in `getNanos`, and dropping them
+    // would move session boundaries relative to the micro-exact batch
+    // twin ([[sessionize]])
+    def tsToUs(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
     def emit(user: Long, s: SessState): SessionOut =
-      SessionOut(user, s.idx, s.n,
-        new Timestamp(s.start / 1000), new Timestamp(s.last / 1000))
+      SessionOut(user, s.idx, s.n, usToTs(s.start), usToTs(s.last))
     events.groupByKey(_._1)
       .flatMapGroupsWithState[List[SessState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[List[SessState]]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.flatMap(_.headOption).filter(_.n > 0)
-            out.foreach(s => state.update(List(SessState(0, 0, 0, s.idx + 1))))
-            out.map(emit(user, _)).iterator
+            val open = state.getOption.flatMap(_.headOption).filter(_.n > 0)
+            open match {
+              case Some(s) =>
+                // flush the open session; keep the sentinel one more gap
+                // (floored above the current watermark — a deadline at or
+                // below it is rejected by GroupState)
+                state.update(List(SessState(s.last, s.last, 0, s.idx + 1)))
+                state.setTimeoutTimestamp(math.max(
+                  s.last / 1000 + 2 * gapSec * 1000,
+                  state.getCurrentWatermarkMs() + gapSec * 1000))
+                Iterator(emit(user, s))
+              case None =>
+                state.remove() // sentinel expired — evict entirely
+                Iterator.empty
+            }
           } else {
             // sentinel (n == 0) carries the next index past a flush; a
             // live open session resumes as-is
@@ -250,7 +279,7 @@ object EventStream {
             val firstIdx = state.getOption.flatMap(_.headOption)
               .map(_.idx).getOrElse(1L)
             val closed = scala.collection.mutable.ListBuffer[SessionOut]()
-            rows.toSeq.map(r => r._2.getTime * 1000L).sorted.foreach { us =>
+            rows.toSeq.map(r => tsToUs(r._2)).sorted.foreach { us =>
               if (cur == null) cur = SessState(us, us, 1, firstIdx)
               else if (us - cur.last > gapUs) {
                 closed += emit(user, cur)

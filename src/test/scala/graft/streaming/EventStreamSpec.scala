@@ -108,6 +108,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStreamFlush keeps micro precision at the gap boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    def us(base: Int, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(f"2024-01-01 $base%02d:00:00")
+      t.setNanos(micros * 1000); t
+    }
+    val in = MemoryStream[(Long, Timestamp)]
+    // second event exactly gap + 1µs after the first: must START A NEW
+    // session (ms truncation would see exactly gap and merge them)
+    val q = EventStream.sessionizeStreamFlush(
+      in.toDS().withWatermark("_2", "0 seconds"), gapSec = 8 * 3600)
+      .writeStream.format("memory").queryName("flush_us_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, us(0, 0)), (1L, us(8, 1)))
+      q.processAllAvailable()
+      val sess = spark.table("flush_us_test").as[EventStream.SessionOut].collect()
+      assert(sess.length == 1, s"gap+1us did not close the first session: ${sess.toSeq}")
+      assert(sess.head.n_events == 1L && sess.head.s_start == us(0, 0))
+    } finally q.stop()
+  }
+
   test("scoredSink: fitted model applied per micro-batch, no driver collect") {
     implicit val sqlCtx = spark.sqlContext
     // tiny separable model: lang from text
