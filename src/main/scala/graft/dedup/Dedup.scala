@@ -106,31 +106,44 @@ object Dedup {
        |  ) GROUP BY doc_id""".stripMargin
   }
 
-  /** The shared per-corpus shingle frame (doc_id, shh, n): 64-bit
-    * shingle-set hashes and set sizes — the common prefix of the LSH
-    * verify (d3/d7/d8) and Jaccard (d4) queries. Memoized SLIM: the
-    * ~20-char shingle STRINGS would be larger than the raw corpus and
-    * are only needed by the one-time md5 lane build ([[cachedLanes]]),
-    * so they are never pinned — the memo's own contract (bounded small
-    * frames, not corpora). */
-  def shingleBase(s: SparkSession, dir: String): DataFrame =
-    Materialized(s, s"dedup_shingles:${Tables.norm(dir)}") {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** One-pass shared dedup frame (doc_id, mh0..mh7, shh, n): the 8
+    * MinHash lanes, the 64-bit hashed shingle set, and its size, all
+    * from a SINGLE tokenize+shingle+explode scan with one doc-keyed
+    * aggregate. Memoized per (session, sf-dir) — the common prefix of
+    * d2 (lanes), d3/d7/d8 (bands + verify), and d4 (inverted index).
+    *
+    * The ~20-char shingle STRINGS exist only inside this one build
+    * (never pinned — the memo holds lanes + long-hashes, smaller than
+    * the corpus). `collect_list` order is nondeterministic, which is
+    * safe: every consumer of `shh` is order-insensitive
+    * (array_intersect, explode→aggregate). Docs shorter than the
+    * shingle width drop out at the explode — no consumer references a
+    * doc without shingles (it has no bands and no index entries). */
+  private def dedupShared(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"dedup_shared:${Tables.norm(dir)}") {
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sg"))
         .select(col("doc_id"),
-          transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("n"))
+          md5(concat(lit("0|"), col("sg")).cast("binary")).as("h0"),
+          md5(concat(lit("1|"), col("sg")).cast("binary")).as("h1"),
+          xxhash64(col("sg")).as("sh64"))
+      val lanes = (0 until 8).map { i =>
+        min(substring(col(if (i < 4) "h0" else "h1"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+      }
+      val aggs = lanes.tail ++ Seq(
+        collect_list(col("sh64")).as("shh"), count(lit(1)).as("n"))
+      ex.groupBy("doc_id").agg(lanes.head, aggs: _*)
     }
 
-  /** MinHash lane frame memoized per (session, sf-dir) — d2's output and
-    * the band-key source inside [[cachedLshPairs]]: the per-shingle
-    * double-md5 pass runs once, not once per consumer, over a streaming
-    * (non-memoized) string-shingle scan. */
+  /** (doc_id, shh, n) view of [[dedupShared]] — the LSH-verify/Jaccard
+    * input shape. */
+  def shingleBase(s: SparkSession, dir: String): DataFrame =
+    dedupShared(s, dir).select("doc_id", "shh", "n")
+
+  /** (doc_id, mh0..mh7) view of [[dedupShared]] — d2's output and the
+    * band-key source inside [[cachedLshPairs]]. */
   def cachedLanes(s: SparkSession, dir: String): DataFrame =
-    Materialized(s, s"dedup_lanes:${Tables.norm(dir)}") {
-      minhashLanesFromShingles(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), shingles(col("text")).as("sh")))
-    }
+    dedupShared(s, dir).select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
 
   /** LSH-verified pair set memoized per (session, sf-dir) — shared by
     * d3 (its output), d7 (loser removal), and d8 (cluster edges). */
