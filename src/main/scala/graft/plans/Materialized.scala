@@ -1,9 +1,8 @@
 package graft.plans
 
-import java.util.WeakHashMap
-
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo of materialized shared subplans.
@@ -19,12 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * intermediate dataset, here `localCheckpoint` pins the computed
   * partitions).
   *
-  * Scoping: the outer map holds each SparkSession WEAKLY, so one
-  * session's entries can never be served to another (the key is the
-  * session object itself, not a reusable hash) and everything a session
-  * pinned becomes collectable when the session is — no cross-session
-  * leaks, no "SparkContext has been shutdown" served from a stale memo.
-  * The per-SF-dir logical key keeps scale factors apart. Callers memoize
+  * Scoping: entries key on the session's `sessionUUID` — globally unique,
+  * so one session's entries can never be served to another (no reusable
+  * identity hash). Eviction: a listener drops every entry when the
+  * SparkContext ends, so nothing outlives `spark.stop()` in the
+  * one-context-per-JVM pattern Verify/Bench/tests use. (Sessions stopped
+  * while their context lives keep their entries until context end — a
+  * bounded, documented residual, not unbounded growth.) Callers memoize
   * bounded, small frames (pair lists, signatures, postings), not raw
   * corpora.
   *
@@ -32,21 +32,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * WHEN the shared plan runs, never what any query returns.
   */
 object Materialized {
-  private val sessions = new WeakHashMap[SparkSession, TrieMap[String, DataFrame]]()
+  private val cache = TrieMap[(String, String), DataFrame]()
+  private val hookedApps = TrieMap[String, Boolean]()
 
-  private def forSession(spark: SparkSession): TrieMap[String, DataFrame] =
-    sessions.synchronized {
-      var m = sessions.get(spark)
-      if (m == null) { m = TrieMap.empty; sessions.put(spark, m) }
-      m
-    }
+  private def sessionKey(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => "id:" + System.identityHashCode(other) // non-classic fallback
+  }
 
   /** Return the memoized frame for `key`, building + eagerly
     * checkpointing it on first use in this session. */
-  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    forSession(spark).getOrElseUpdate(key, build.localCheckpoint(true))
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    hookedApps.getOrElseUpdate(spark.sparkContext.applicationId, {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = clear()
+      })
+      true
+    })
+    cache.getOrElseUpdate((sessionKey(spark), key), build.localCheckpoint(true))
+  }
 
-  /** Drop all entries across sessions (tests; a production engine would
-    * evict by LRU). */
-  def clear(): Unit = sessions.synchronized(sessions.clear())
+  /** Drop all entries (context-end listener, tests; a production engine
+    * would evict by LRU). */
+  def clear(): Unit = {
+    cache.clear()
+    hookedApps.clear()
+  }
 }
