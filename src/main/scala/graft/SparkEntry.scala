@@ -53,7 +53,7 @@ object SparkEntry {
       // index (term-range-partitioned; the point lookup prunes row
       // groups) — covers the persisted-index read path end to end
       "t3_tfidf_persisted" -> ((s: SparkSession, dir: String) => {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_tfidf_idx"
+        val path = graft.sources.Artifacts.path(s"tfidf_idx_${Tables.norm(dir)}")
         TfIdf.writeIndex(cachedPostings(s, dir), path)
         TfIdf.searchSingle(TfIdf.readIndex(s, path), "spark")
       }),

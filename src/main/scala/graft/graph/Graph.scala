@@ -145,17 +145,23 @@ object Graph {
     * one extra cheap action per round (the max-delta aggregate — the same
     * price [[connectedComponents]] already pays per round).
     *
-    * The converged iteration count is recorded in [[lastTolIterations]]
+    * The converged iteration count is recorded per sf-dir in
+    * [[tolIterations]] (and mirrored in [[lastTolIterations]] for specs)
     * so the oracle ([[pageRankTolSql]], built AFTER the queries run —
     * `SparkEntry.oracleSql` is a def) can unroll exactly that many
     * iterations: DuckDB then recomputes every rank value independently
     * through the same per-iteration math; only the stopping rule itself
-    * is Spark-derived.
+    * is Spark-derived. If g5 never ran (threw, or Verify dumped oracles
+    * without it), the oracle is an intentionally-invalid marker query —
+    * a loud per-query DuckDB failure instead of a plausible-but-wrong
+    * 1-iteration oracle (ADVICE r2).
     */
+  private[graph] val tolIterations =
+    scala.collection.concurrent.TrieMap[String, Int]()
   @volatile var lastTolIterations: Int = -1
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
-                  alpha: Double = 0.15): DataFrame = {
+                  alpha: Double = 0.15, recordKey: Option[String] = None): DataFrame = {
     val v = vertices(edges).localCheckpoint(true) // reused every round
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     var ranks = v.select(col("id"), lit(1.0).as("rank")).localCheckpoint(true)
@@ -184,6 +190,7 @@ object Graph {
       iters += 1
     }
     lastTolIterations = iters
+    recordKey.foreach(k => tolIterations(k) = iters)
     // normalize rank sum to N (GraphX SPARK-18847); the sum is
     // decimal-quantized so the scale factor is fold-order-independent
     val n = v.count()
@@ -194,9 +201,14 @@ object Graph {
   }
 
   /** Oracle for [[pageRankTol]]: the converged iteration count unrolled
-    * as CTEs; every rank recomputed independently by DuckDB. */
+    * as CTEs; every rank recomputed independently by DuckDB. Fails loudly
+    * (invalid marker SQL) if the query never recorded a count — Verify
+    * runs one sf-dir per JVM, so exactly one entry is the healthy state. */
   def pageRankTolSql(alpha: Double = 0.15, m: Int = 2000): String = {
-    val k = math.max(lastTolIterations, 1)
+    val recorded = tolIterations.readOnlySnapshot().toMap
+    if (recorded.size != 1)
+      return s"SELECT graft_error_g5_oracle_without_exactly_one_recorded_run /* ${recorded.size} entries */"
+    val k = recorded.values.head
     val base =
       s"""WITH edges_g AS (${edgesSql(m)}),
          |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
@@ -356,7 +368,8 @@ object Graph {
     "g4_triangle_counts" -> ((s: SparkSession, dir: String) =>
       triangleCounts(cachedEdges(s, dir)).orderBy("id")),
     "g5_pagerank_tol" -> ((s: SparkSession, dir: String) =>
-      pageRankTol(cachedEdges(s, dir)).orderBy("id")),
+      pageRankTol(cachedEdges(s, dir),
+        recordKey = Some(Tables.norm(dir))).orderBy("id")),
     "g6_community_sizes" -> ((s: SparkSession, dir: String) =>
       communitySizesFromLabels(cachedComponents(s, dir))),
   )

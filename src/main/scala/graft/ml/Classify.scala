@@ -166,7 +166,7 @@ object Classify {
   }
 
   private def scoredPath(tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_scored"
+    graft.sources.Artifacts.path(s"${tag}_scored")
 
   /** Fit on the train split, score the test split, persist (doc_id,
     * label, prediction) to parquet, and return the read-back frame — so
@@ -199,11 +199,24 @@ object Classify {
 
   /** Structural pipeline signature: stage classes + their explicit param
     * values, uid-free (uids are random per construction and would defeat
-    * memoization; param VALUES are what distinguish two fits). */
+    * memoization; param VALUES are what distinguish two fits).
+    *
+    * Collection-valued params (e.g. StopWordsRemover.stopWords) are
+    * rendered element-wise: Array.toString is an identity-hash string
+    * unique per instance, which would silently give every fresh Pipeline
+    * a distinct key and defeat the fit-once-per-session memo (ADVICE r2).
+    */
+  private[ml] def renderParamValue(v: Any): String = v match {
+    case a: Array[_] => a.map(renderParamValue).mkString("[", ";", "]")
+    case s: Iterable[_] => s.map(renderParamValue).mkString("[", ";", "]")
+    case other => String.valueOf(other)
+  }
+
   private[ml] def fitKey(pipe: Pipeline): String =
     pipe.getStages.map { s =>
       val params = s.extractParamMap().toSeq
-        .map(p => s"${p.param.name}=${p.value}").sorted.mkString(",")
+        .map(p => s"${p.param.name}=${renderParamValue(p.value)}")
+        .sorted.mkString(",")
       s"${s.getClass.getSimpleName}($params)"
     }.mkString("|")
 

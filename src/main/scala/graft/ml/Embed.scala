@@ -36,7 +36,7 @@ object Embed {
   private val Dims = 16
 
   private def embPath(tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_emb"
+    graft.sources.Artifacts.path(s"${tag}_emb")
 
   /** Tokenizer → Word2Vec document vectors, persisted to parquet and read
     * back (doc_id, emb: array<double>). */

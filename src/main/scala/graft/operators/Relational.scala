@@ -418,7 +418,7 @@ object Relational {
     * row is read (assert-checked in PlanAuditSpec). Sum is cast to
     * BIGINT on both engines (DuckDB HUGEINT rule). */
   def q29PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_bylang"
+    val path = graft.sources.Artifacts.path(s"docs_bylang_${Tables.norm(dir)}")
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").parquet(path)
     spark.read.parquet(path)
@@ -437,7 +437,7 @@ object Relational {
     * PageRank.scala:27 read, EpinionsGraphFrameAnalysis.scala:71-131
     * write): parquet → CSV files → CSV scan → typed projection. */
   def q20CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+    val tmp = graft.sources.Artifacts.path(s"csv_nation_${Tables.norm(dir)}")
     Tables.nation(spark, dir)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     Tables.csvHeader(spark, tmp)

@@ -18,9 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * intermediate dataset, here `localCheckpoint` pins the computed
   * partitions).
   *
-  * Scoping: entries key on the session's `sessionUUID` — globally unique,
-  * so one session's entries can never be served to another (no reusable
-  * identity hash). Eviction: a listener drops every entry when the
+  * Scoping: entries key on (applicationId, identityHashCode(session)) —
+  * public API only. The identity hash cannot be recycled while an entry
+  * exists, because every cached DataFrame strongly references its
+  * session, pinning the object; distinct live sessions always get
+  * distinct keys. Eviction: a listener drops every entry when the
   * SparkContext ends, so nothing outlives `spark.stop()` in the
   * one-context-per-JVM pattern Verify/Bench/tests use. (Sessions stopped
   * while their context lives keep their entries until context end — a
@@ -35,10 +37,8 @@ object Materialized {
   private val cache = TrieMap[(String, String), DataFrame]()
   private val hookedApps = TrieMap[String, Boolean]()
 
-  private def sessionKey(spark: SparkSession): String = spark match {
-    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
-    case other => "id:" + System.identityHashCode(other) // non-classic fallback
-  }
+  private def sessionKey(spark: SparkSession): String =
+    spark.sparkContext.applicationId + ":" + System.identityHashCode(spark)
 
   /** Return the memoized frame for `key`, building + eagerly
     * checkpointing it on first use in this session. */

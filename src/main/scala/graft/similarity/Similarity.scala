@@ -293,8 +293,7 @@ object Similarity {
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
 
-  private def ivfBase: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf"
+  private def ivfBase: String = graft.sources.Artifacts.path("ivf")
 
   /** IVF with persisted assignments + probes: the quantizer output lands
     * in parquet and the candidate selection + exact re-rank read it back,

@@ -78,4 +78,18 @@ class ClassifySpec extends SparkSpec {
     val scored = cv.transform(test)
     assert(scored.select("prediction").distinct().count() >= 1)
   }
+
+  test("fitKey is stable across fresh pipeline instances (memo hit)") {
+    // array-valued params (StopWordsRemover.stopWords) must render
+    // element-wise, not as per-instance identity-hash strings
+    assert(Classify.fitKey(Classify.pipeline()) ==
+      Classify.fitKey(Classify.pipeline()))
+    assert(Classify.fitKey(Classify.pipelineCountVectorizer()) ==
+      Classify.fitKey(Classify.pipelineCountVectorizer()))
+    // and structurally different pipelines must NOT alias
+    assert(Classify.fitKey(Classify.pipeline()) !=
+      Classify.fitKey(Classify.pipelineCountVectorizer()))
+    assert(Classify.fitKey(Classify.pipeline(numFeatures = 512)) !=
+      Classify.fitKey(Classify.pipeline(numFeatures = 1024)))
+  }
 }
