@@ -485,6 +485,72 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- decontamination
+
+  /** Train→eval n-gram contamination check (the decontamination pass a
+    * pretraining pipeline must run before trusting its eval numbers): an
+    * eval document is contaminated if it shares any word w-shingle with
+    * any training document. The splits come from the engine's own
+    * deterministic md5 hash-split ([[graft.text.TextStats.assignSplit]];
+    * 'train' vs 'test' buckets), so the check composes two engine
+    * operators.
+    *
+    * Shape: one shingle pass over the corpus; the train side collapses
+    * to a DISTINCT 64-bit shingle-hash vocabulary (the shuffle carries
+    * 8-byte hashes, never text); the eval side is an exploded semi-join
+    * against that vocabulary plus one doc-keyed count — no quadratic
+    * term anywhere, and the semi-join is exactly the shape a
+    * bloom-filter pre-pass accelerates at corpus scale. Eval docs
+    * shorter than the shingle width surface n_shingles = 0 and are never
+    * "contaminated". The oracle recomputes overlap on the shingle
+    * STRINGS; Spark joins xxhash64 values (collision odds
+    * ~#shingles²/2⁶⁵ — the d3/d4 argument). */
+  def decontaminate(docs: DataFrame, w: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+        graft.text.TextStats.assignSplit(col("doc_id")).as("split"),
+        transform(shingles(col("text"), w), s => xxhash64(s)).as("shh"))
+      .localCheckpoint(true) // feeds the vocab branch AND the eval branch
+    val trainVocab = hashed.filter(col("split") === "train")
+      .select(explode(col("shh")).as("sh")).distinct()
+    val evalDocs = hashed.filter(col("split") === "test")
+      .select(col("doc_id"), col("shh"))
+    val overlap = evalDocs.select(col("doc_id"), explode(col("shh")).as("sh"))
+      .join(trainVocab, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    evalDocs.select(col("doc_id"), size(col("shh")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_overlap").cast("double") / col("n_shingles"), 6)))
+      .withColumn("contaminated", (col("n_overlap") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSql(w: Int = 3): String = {
+    val sh = shinglesSql("text", w)
+    val split = graft.text.TextStats.assignSplitSqlExpr("doc_id")
+    s"""WITH b AS (
+       |  SELECT doc_id, $split AS split, $sh AS sh FROM documents
+       |), vocab AS (
+       |  SELECT DISTINCT u.s FROM b, UNNEST(sh) AS u(s) WHERE split = 'train'
+       |), ev AS (
+       |  SELECT doc_id, sh FROM b WHERE split = 'test'
+       |), ov AS (
+       |  SELECT e.doc_id, count(*) AS n_overlap
+       |  FROM (SELECT doc_id, u.s FROM ev, UNNEST(sh) AS u(s)) e
+       |  JOIN vocab v ON e.s = v.s
+       |  GROUP BY e.doc_id
+       |)
+       |SELECT ev.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+       |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  CASE WHEN len(sh) = 0 THEN 0.0
+       |    ELSE round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh), 6) END AS overlap_frac,
+       |  CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM ev LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** Simhash signatures memoized per (session, sf-dir) — d5's output and
@@ -514,6 +580,8 @@ object Dedup {
       curationPipelineFromPairs(Tables.documents(s, dir), cachedLshPairs(s, dir))),
     "d8_dup_clusters" -> ((s: SparkSession, dir: String) =>
       nearDupClustersFromPairs(cachedLshPairs(s, dir))),
+    "d9_decontaminate" -> ((s: SparkSession, dir: String) =>
+      decontaminate(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -533,5 +601,6 @@ object Dedup {
     "d6_simhash_pairs" -> simhashPairsSql(),
     "d7_curation_pipeline" -> curationPipelineSql(),
     "d8_dup_clusters" -> nearDupClustersSql(),
+    "d9_decontaminate" -> decontaminateSql(),
   )
 }

@@ -170,10 +170,12 @@ object Similarity {
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
-  /** Embedding near-dup pairs: bucket-mates in LSH table 0, exact cosine
-    * per pair (embeddings joined to the slim pair list, dot computed
-    * per-row), global top-k. */
-  def nearDupPairs(emb: DataFrame, topK: Int = 10, p: Int = 6): DataFrame = {
+  /** ALL LSH table-0 bucket-mate pairs with exact cosine — the shared
+    * candidate-pair frame behind [[nearDupPairs]] (top-k) and
+    * [[embeddingClusters]] (threshold + connected components). Bounded:
+    * bucket-mates only, never the n² cross join; the per-pair work is
+    * exactly one codegen'd dot-product fold. */
+  def scoredPairs(emb: DataFrame, p: Int = 6): DataFrame = {
     VectorDotExact.register(emb.sparkSession)
     // materialize once — both sides of the pair self-join reuse it
     val b = buckets(emb, l = 1, p = p).select("vec_id", "bucket").localCheckpoint(true)
@@ -189,13 +191,45 @@ object Similarity {
       .join(n.select(col("vec_id").as("va"), sqrt(col("norm2")).as("sna")), "va")
       .join(n.select(col("vec_id").as("vb"), sqrt(col("norm2")).as("snb")), "vb")
     withVecs.select(col("va"), col("vb"),
-        round(dotCol(col("ea"), col("eb")) / (col("sna") * col("snb")), 6).as("cos"))
-      .orderBy(desc("cos"), asc("va"), asc("vb"))
-      .limit(topK)
+      round(dotCol(col("ea"), col("eb")) / (col("sna") * col("snb")), 6).as("cos"))
   }
 
-  def nearDupPairsSql(topK: Int = 10, p: Int = 6): String =
-    s"""WITH ${bucketsSql(1, p)},
+  /** Scored pair frame memoized per (session, sf-dir) — s3's input and
+    * s5's edge source. Small by construction (candidate pairs ≪ n²). */
+  def cachedScoredPairs(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"sim_scored_pairs:${Tables.norm(dir)}")(
+      scoredPairs(Tables.embeddings(s, dir)))
+
+  /** Embedding near-dup pairs: bucket-mates in LSH table 0, exact cosine
+    * per pair (embeddings joined to the slim pair list, dot computed
+    * per-row), global top-k. */
+  def nearDupPairs(emb: DataFrame, topK: Int = 10, p: Int = 6): DataFrame =
+    nearDupPairsFromScored(scoredPairs(emb, p), topK)
+
+  /** Same over a pre-computed [[scoredPairs]] frame. */
+  def nearDupPairsFromScored(scored: DataFrame, topK: Int = 10): DataFrame =
+    scored.orderBy(desc("cos"), asc("va"), asc("vb")).limit(topK)
+
+  /** Embedding-cosine near-dup CLUSTERS: candidate pairs with cos ≥
+    * minCos form an undirected graph; connected components label every
+    * clustered vector with the min vec_id of its cluster (transitive:
+    * a~b, b~c cluster a,b,c even if a,c never shared a bucket's
+    * candidate pair). The same compose-two-modules shape as d8 — the
+    * threshold join feeds the iterative graph fixpoint; the pair graph
+    * ≪ corpus, so the CC rounds are cheap at any scale. Only vectors
+    * appearing in a qualifying pair are emitted (singletons are not
+    * clusters). */
+  def embeddingClusters(scored: DataFrame, minCos: Double = 0.30): DataFrame =
+    graft.graph.Graph.connectedComponents(
+        scored.filter(col("cos") >= minCos)
+          .select(col("va").as("src"), col("vb").as("dst")))
+      .select(col("id").as("vec_id"), col("component").as("cluster"))
+      .orderBy("vec_id")
+
+  /** Shared CTE block ending in `scored(va, vb, cos)` — the SQL twin of
+    * [[scoredPairs]]. */
+  private def scoredPairsSqlCtes(p: Int): String =
+    s"""${bucketsSql(1, p)},
        |pairs AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb
        |  FROM buckets a JOIN buckets b
@@ -210,10 +244,30 @@ object Similarity {
        |  JOIN ex ea ON ea.vec_id = p.va
        |  JOIN ex eb ON eb.vec_id = p.vb AND eb.d = ea.d
        |  GROUP BY p.va, p.vb
-       |)
-       |SELECT d.va, d.vb, round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cos
-       |FROM dots d JOIN norms na ON d.va = na.vec_id JOIN norms nb ON d.vb = nb.vec_id
+       |), scored AS (
+       |  SELECT d.va, d.vb, round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cos
+       |  FROM dots d JOIN norms na ON d.va = na.vec_id JOIN norms nb ON d.vb = nb.vec_id
+       |)""".stripMargin
+
+  def nearDupPairsSql(topK: Int = 10, p: Int = 6): String =
+    s"""WITH ${scoredPairsSqlCtes(p)}
+       |SELECT va, vb, cos FROM scored
        |ORDER BY cos DESC, va ASC, vb ASC LIMIT $topK""".stripMargin
+
+  /** Oracle for [[embeddingClusters]]: threshold pairs → transitive
+    * closure via recursive CTE → min reachable label per vector. */
+  def embeddingClustersSql(minCos: Double = 0.30, p: Int = 6): String =
+    s"""WITH RECURSIVE ${scoredPairsSqlCtes(p)},
+       |und AS (
+       |  SELECT va AS src, vb AS dst FROM scored WHERE cos >= $minCos
+       |  UNION SELECT vb, va FROM scored WHERE cos >= $minCos
+       |), v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id)
+       |SELECT id AS vec_id, min(lbl) AS cluster FROM reach GROUP BY id
+       |ORDER BY vec_id""".stripMargin
 
   // ----------------------------------------------------------------- IVF
 
@@ -346,7 +400,9 @@ object Similarity {
     "s2_ann_lsh" -> ((s: SparkSession, dir: String) =>
       annLsh(Tables.embeddings(s, dir), queryId = 0L)),
     "s3_near_dup_pairs" -> ((s: SparkSession, dir: String) =>
-      nearDupPairs(Tables.embeddings(s, dir))),
+      nearDupPairsFromScored(cachedScoredPairs(s, dir))),
+    "s5_embedding_clusters" -> ((s: SparkSession, dir: String) =>
+      embeddingClusters(cachedScoredPairs(s, dir))),
     // the quantizer fit stays in Spark (not SQL-expressible); the
     // assignments are persisted so everything downstream of the fit —
     // probe pruning + exact re-rank — is DuckDB hash-checked. Recall is
@@ -359,6 +415,7 @@ object Similarity {
     "s1_knn_brute" -> knnBruteSql(0L),
     "s2_ann_lsh" -> annLshSql(0L),
     "s3_near_dup_pairs" -> nearDupPairsSql(),
+    "s5_embedding_clusters" -> embeddingClustersSql(),
     "s4_ann_ivf" -> annIvfSql(0L),
   )
 }

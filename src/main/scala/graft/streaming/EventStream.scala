@@ -153,6 +153,37 @@ object EventStream {
                  click_ts >= view_ts AND
                  click_ts <= view_ts + interval $horizonSec seconds"""))
 
+  /** Exactly-once ingestion dedup, batch twin: an at-least-once delivery
+    * layer re-delivers some events (simulated deterministically — every
+    * event_id % 10 == 0 arrives twice); dedup on event_id restores
+    * exactly-once counts. `dropDuplicates` keeps an arbitrary row per
+    * key, which is deterministic HERE because re-deliveries are
+    * byte-identical rows (the at-least-once contract); the oracle's
+    * `SELECT DISTINCT *` is equivalent for the same reason, given
+    * event_id is unique in the base table. One shuffle on event_id with
+    * map-side partial dedup, then the small per-type aggregate. */
+  def dedupDelivery(df: DataFrame): DataFrame = {
+    val redelivered = df.filter(col("event_id") % 10 === 0)
+    df.union(redelivered)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming variant: `dropDuplicatesWithinWatermark` keeps the seen
+    * event_id set only until the watermark passes — bounded state, the
+    * requirement for an unbounded at-least-once stream (a plain
+    * streaming dropDuplicates would hold every id ever seen). Emits the
+    * deduped event stream; downstream windowed aggregates compose.
+    * Exactness contract: a re-delivery is only suppressed if it arrives
+    * within the watermark delay of the first copy — the delay is the
+    * dedup horizon. */
+  def dedupStream(df: DataFrame, delay: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // -------------------------------------------------------- sessionization
 
   /** Batch sessionization: gaps-and-islands with window functions.
@@ -312,6 +343,8 @@ object EventStream {
       hourlyUsers(Tables.events(s, dir)).orderBy("wstart")),
     "st6_attribution" -> ((s: SparkSession, dir: String) =>
       attribution(Tables.events(s, dir)).orderBy("user_id")),
+    "st7_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      dedupDelivery(Tables.events(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -374,5 +407,13 @@ object EventStream {
         |FROM v JOIN c ON v.user_id = c.user_id
         | AND c.click_us >= v.view_us AND c.click_us <= v.view_us + 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "st7_stream_dedup" ->
+      """WITH delivered AS (
+        |  SELECT * FROM events
+        |  UNION ALL SELECT * FROM events WHERE event_id % 10 = 0
+        |), dd AS (SELECT DISTINCT * FROM delivered)
+        |SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -339,16 +339,67 @@ object TextStats {
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
+  /** DuckDB twin of [[hashBucket]] over a key expression. */
+  def hashBucketSqlExpr(key: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), 2, 1)) - 1)"
+
+  /** DuckDB twin of [[assignSplit]] over a key expression. */
+  def assignSplitSqlExpr(key: String): String =
+    s"CASE WHEN ${hashBucketSqlExpr(key)} < 204 THEN 'train' " +
+      s"WHEN ${hashBucketSqlExpr(key)} < 230 THEN 'val' ELSE 'test' END"
+
   def xHashSplitSql: String =
-    """WITH b AS (
-      |  SELECT lang,
-      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
-      |  FROM documents
-      |)
-      |SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
-      |       lang, count(*) AS n
-      |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    s"""WITH b AS (
+       |  SELECT lang, ${hashBucketSqlExpr("doc_id")} AS bucket
+       |  FROM documents
+       |)
+       |SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+       |       lang, count(*) AS n
+       |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ----------------------------------------------- stratified sampling
+
+  /** Deterministic capped stratified sampling: each stratum (lang) keeps
+    * at most ~`cap` documents via a per-stratum md5-bucket threshold —
+    * the domain-rebalancing primitive a corpus mixer runs before
+    * training (downweight the over-represented language/source without
+    * an RNG, reproducibly across engines, runs, and partitionings).
+    *
+    * Shape: one small per-stratum aggregate → broadcast threshold join →
+    * scan-filter. No per-stratum window sort (a row_number over a 100 TB
+    * stratum would shuffle the full stratum to rank it); the price is
+    * approximation — the kept count concentrates near cap·(1 ± √(1/cap))
+    * rather than exactly cap, the right trade at scale. The sampled-id
+    * SUM is part of the output so the oracle checks the exact membership
+    * of the sample, not just its size. */
+  def stratifiedSample(docs: DataFrame, cap: Long = 120): DataFrame = {
+    val thresholds = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .withColumn("threshold",
+        least(lit(256L), ceil(lit(256.0) * cap / col("n_total")).cast("long")))
+    docs.join(broadcast(thresholds), "lang")
+      .filter(hashBucket(col("doc_id")) < col("threshold"))
+      .groupBy("lang", "n_total", "threshold")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("doc_id").cast("long").as("sampled_id_sum"))
+      .orderBy("lang")
+  }
+
+  def stratifiedSampleSql(cap: Long = 120): String =
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+       |), t AS (
+       |  SELECT lang, n_total,
+       |    LEAST(256, CAST(CEIL(256.0 * $cap / n_total) AS BIGINT)) AS threshold
+       |  FROM c
+       |), s AS (
+       |  SELECT d.lang, t.n_total, t.threshold, d.doc_id
+       |  FROM documents d JOIN t USING (lang)
+       |  WHERE ${hashBucketSqlExpr("d.doc_id")} < t.threshold
+       |)
+       |SELECT lang, n_total, threshold, count(*) AS n_sampled,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum
+       |FROM s GROUP BY lang, n_total, threshold ORDER BY lang""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
@@ -361,6 +412,8 @@ object TextStats {
       repetition(Tables.documents(s, dir))),
     "x8_pii_scrub" -> ((s: SparkSession, dir: String) =>
       piiScrub(Tables.documents(s, dir), plantedText)),
+    "x9_stratified_sample" -> ((s: SparkSession, dir: String) =>
+      stratifiedSample(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -372,5 +425,6 @@ object TextStats {
     "x6_hash_split" -> xHashSplitSql,
     "x7_repetition" -> xRepetitionSql,
     "x8_pii_scrub" -> xPiiScrubSql,
+    "x9_stratified_sample" -> stratifiedSampleSql(),
   )
 }

@@ -86,4 +86,32 @@ class DedupSpec extends SparkSpec {
     // 1,2,3 form one cluster labeled by min id; 4 pairs with nobody
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $clusters")
   }
+
+  test("decontaminate flags eval docs sharing shingles with train docs") {
+    // engine-derived splits: find ids of each kind first, then plant text
+    val ids = (0L until 200L).toDF("doc_id")
+      .select(col("doc_id"), graft.text.TextStats.assignSplit(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val testIds = ids.collect { case (id, "test") => id }
+    assert(testIds.length >= 3, s"need ≥3 test ids in 0..199, got ${testIds.length}")
+    val (cleanId, shortId) = (testIds(0), testIds(1))
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ids.toSeq.toDF("doc_id", "split").select(col("doc_id"),
+      when(col("doc_id") === cleanId, "unique gibberish xylophone quasar nebula wombat fjord")
+        .when(col("doc_id") === shortId, "too short") // < shingle width w=3
+        .otherwise(shared).as("text"))
+    val got = Dedup.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // exactly the test-split docs are assessed
+    assert(got.keySet == testIds.toSet)
+    // shared-text eval docs: full overlap with train copies of the same text
+    testIds.filter(id => id != cleanId && id != shortId).foreach { id =>
+      val (n, ov, flag) = got(id)
+      assert(n > 0 && ov == n && flag == 1L, s"doc $id: $n/$ov/$flag")
+    }
+    // unique text: shingles exist, none overlap
+    assert(got(cleanId)._2 == 0L && got(cleanId)._3 == 0L)
+    // sub-shingle-width text: zero shingles, never contaminated
+    assert(got(shortId) == ((0L, 0L, 0L)))
+  }
 }

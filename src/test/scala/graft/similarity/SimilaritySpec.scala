@@ -86,4 +86,31 @@ class SimilaritySpec extends SparkSpec {
     val full = Similarity.annIvf(emb, 0L, k = 5, nprobe = 16).collect().map(_.getLong(0)).toSet
     assert(full == brute, s"full-probe IVF must equal brute: brute=$brute full=$full")
   }
+
+  test("embeddingClusters: threshold pairs form transitive clusters") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), // chain 1-2-3 (1,3 never paired)
+      (4L, 5L, 0.5),                // separate cluster
+      (6L, 7L, 0.1),                // below threshold — not clustered
+    ).toDF("va", "vb", "cos")
+    val got = Similarity.embeddingClusters(scored, minCos = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L), s"got $got")
+  }
+
+  test("s5 over real embeddings: clusters only vectors from qualifying pairs") {
+    import org.apache.spark.sql.functions._
+    val scored = Similarity.scoredPairs(emb)
+    val qualifying = scored.filter(col("cos") >= 0.3)
+      .select(explode(array(col("va"), col("vb"))).as("v"))
+      .collect().map(_.getLong(0)).toSet
+    val clusters = Similarity.embeddingClusters(scored, minCos = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == qualifying)
+    // every cluster label is the min member id
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
 }

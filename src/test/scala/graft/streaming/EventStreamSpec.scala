@@ -209,9 +209,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming exact dedup within watermark drops late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
-    val q = in.toDF().toDF("ts", "event_id")
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
+    val q = EventStream.dedupStream(in.toDF().toDF("ts", "event_id"), "2 hours")
       .writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").start()
     try {
@@ -222,5 +220,17 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
     val ids = spark.table("dedup_test").collect().map(_.getLong(1)).sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("dedupDelivery restores exactly-once counts from at-least-once feed") {
+    val events = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val got = EventStream.dedupDelivery(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // dedup on event_id must cancel the deterministic re-delivery exactly
+    val want = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 }

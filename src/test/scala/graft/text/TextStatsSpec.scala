@@ -79,4 +79,30 @@ class TextStatsSpec extends SparkSpec {
     assert(a.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       b.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
+
+  test("stratifiedSample caps strata deterministically") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+    val got = TextStats.stratifiedSample(docs, cap = 40).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == totals.keySet) // every stratum sampled (cap ≥ 1 ⇒ threshold ≥ 1)
+    got.foreach { case (lang, (nTotal, threshold, nSampled, _)) =>
+      assert(nTotal == totals(lang))
+      assert(nSampled <= nTotal && nSampled > 0, s"$lang: $nSampled of $nTotal")
+      // binomial concentration around cap·(threshold exactness is ±1 bucket)
+      assert(nSampled < 3 * 40, s"$lang kept $nSampled, cap 40")
+      assert(threshold <= 256L)
+    }
+    // deterministic: identical on recompute
+    val again = TextStats.stratifiedSample(docs, cap = 40).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(again == got)
+    // cap ≥ stratum size ⇒ threshold 256 ⇒ whole stratum kept
+    val all = TextStats.stratifiedSample(docs, cap = 100000).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(all == totals)
+  }
 }
