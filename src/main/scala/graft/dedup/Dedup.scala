@@ -505,10 +505,23 @@ object Dedup {
     * "contaminated". The oracle recomputes overlap on the shingle
     * STRINGS; Spark joins xxhash64 values (collision odds
     * ~#shingles²/2⁶⁵ — the d3/d4 argument). */
-  def decontaminate(docs: DataFrame, w: Int = 3): DataFrame = {
+  def decontaminate(docs: DataFrame, w: Int = 3): DataFrame =
+    decontaminateFromBase(docs,
+      docs.select(col("doc_id"),
+        transform(shingles(col("text"), w), s => xxhash64(s)).as("shh")))
+
+  /** Same over a pre-built (doc_id, shh) hashed-shingle frame — the
+    * registry serves it from the memoized [[dedupShared]] pass, so d9
+    * shares one tokenize+shingle scan with d2/d3/d4/d7/d8. Docs absent
+    * from `base` (shorter than the shingle width — they drop out of the
+    * explode-built memo) re-enter with an empty shingle set via the
+    * outer join, keeping the zero-shingle eval rows the oracle emits. */
+  def decontaminateFromBase(docs: DataFrame, base: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
-        graft.text.TextStats.assignSplit(col("doc_id")).as("split"),
-        transform(shingles(col("text"), w), s => xxhash64(s)).as("shh"))
+        graft.text.TextStats.assignSplit(col("doc_id")).as("split"))
+      .join(base.select(col("doc_id"), col("shh")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("shh"), array().cast("array<bigint>")).as("shh"))
       .localCheckpoint(true) // feeds the vocab branch AND the eval branch
     val trainVocab = hashed.filter(col("split") === "train")
       .select(explode(col("shh")).as("sh")).distinct()
@@ -581,7 +594,8 @@ object Dedup {
     "d8_dup_clusters" -> ((s: SparkSession, dir: String) =>
       nearDupClustersFromPairs(cachedLshPairs(s, dir))),
     "d9_decontaminate" -> ((s: SparkSession, dir: String) =>
-      decontaminate(Tables.documents(s, dir))),
+      decontaminateFromBase(Tables.documents(s, dir),
+        shingleBase(s, dir).select("doc_id", "shh"))),
   )
 
   def oracles: Map[String, String] = Map(
