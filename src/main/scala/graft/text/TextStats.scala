@@ -401,6 +401,89 @@ object TextStats {
        |  CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum
        |FROM s GROUP BY lang, n_total, threshold ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- corpus mixing
+
+  /** Per-source mixing weights: the allocation step of a training-data
+    * mixer — each source (domain) gets sampling weight
+    * min(1, budget / n_tokens) so no source exceeds its per-domain token
+    * budget, and the expected post-mix token count is min(budget,
+    * n_tokens). One tokenize-count pass + one tiny per-source aggregate;
+    * the weights then drive a scan-filter sample (the [[hashBucket]]
+    * machinery), so the mix is deterministic end to end. */
+  def mixWeights(docs: DataFrame, budgetTokens: Long = 100000L): DataFrame =
+    docs.select(col("source"),
+        size(Tokenize.rawTokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(least(lit(1.0), lit(budgetTokens.toDouble) / col("n_tokens")), 6)
+          .as("weight"),
+        least(lit(budgetTokens), col("n_tokens")).as("sampled_tokens"))
+      .orderBy("source")
+
+  def mixWeightsSql(budgetTokens: Long = 100000L): String =
+    s"""WITH t AS (
+       |  SELECT source, CAST(len(${Tokenize.rawTokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  round(LEAST(1.0, $budgetTokens.0 / n_tokens), 6) AS weight,
+       |  LEAST($budgetTokens, n_tokens) AS sampled_tokens
+       |FROM s ORDER BY source""".stripMargin
+
+  /** Sequence packing (concat-then-chunk): documents are concatenated in
+    * doc_id order and sliced into fixed `seqLen`-token training windows;
+    * each doc reports its token offset, first/last chunk, and whether it
+    * crosses a chunk boundary — the bookkeeping a pretraining loader
+    * needs to map documents to context windows.
+    *
+    * The prefix sum here is a single global window (fine for a
+    * registry-sized table); at corpus scale the same plan becomes the
+    * standard two-pass distributed prefix sum — per-partition subtotals
+    * (one small aggregate), then a per-partition scan with the
+    * broadcast running base — same arithmetic, same output. Offsets stay
+    * below 2⁵³ (exact in double) until ~9e15 tokens, two decades past a
+    * 100 TB corpus. */
+  def sequencePack(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+    docs.select(col("doc_id"),
+        size(Tokenize.rawTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("tok_offset", col("cum") - col("n_tokens"))
+      .withColumn("chunk_first", floor(col("tok_offset") / lit(seqLen.toDouble)))
+      .withColumn("chunk_last",
+        when(col("n_tokens") === 0, col("chunk_first"))
+          .otherwise(floor((col("cum") - 1) / lit(seqLen.toDouble))))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("chunk_first"), col("chunk_last"),
+        (col("chunk_last") > col("chunk_first")).cast("long").as("crosses_boundary"))
+      .orderBy("doc_id")
+  }
+
+  def sequencePackSql(seqLen: Long = 512L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(${Tokenize.rawTokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |), d AS (
+       |  SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+       |    CAST(FLOOR((cum - n_tokens) / $seqLen.0) AS BIGINT) AS chunk_first,
+       |    CAST(CASE WHEN n_tokens = 0 THEN FLOOR((cum - n_tokens) / $seqLen.0)
+       |         ELSE FLOOR((cum - 1) / $seqLen.0) END AS BIGINT) AS chunk_last
+       |  FROM c
+       |)
+       |SELECT doc_id, n_tokens, tok_offset, chunk_first, chunk_last,
+       |  CAST(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -414,6 +497,10 @@ object TextStats {
       piiScrub(Tables.documents(s, dir), plantedText)),
     "x9_stratified_sample" -> ((s: SparkSession, dir: String) =>
       stratifiedSample(Tables.documents(s, dir))),
+    "x10_mix_weights" -> ((s: SparkSession, dir: String) =>
+      mixWeights(Tables.documents(s, dir))),
+    "x11_sequence_pack" -> ((s: SparkSession, dir: String) =>
+      sequencePack(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -426,5 +513,7 @@ object TextStats {
     "x7_repetition" -> xRepetitionSql,
     "x8_pii_scrub" -> xPiiScrubSql,
     "x9_stratified_sample" -> stratifiedSampleSql(),
+    "x10_mix_weights" -> mixWeightsSql(),
+    "x11_sequence_pack" -> sequencePackSql(),
   )
 }

@@ -101,6 +101,20 @@ class PlanAuditSpec extends SparkSpec {
       "lang leaked into row-level pushed filters")
   }
 
+  test("x9_stratified_sample: per-stratum thresholds join as broadcast") {
+    // the threshold frame is |strata| rows — a shuffle join here would
+    // shuffle the full corpus against a handful of rows
+    val p = plan("x9_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "threshold join fell back to SMJ")
+  }
+
+  test("d9_decontaminate: eval overlap is a semi-join, no cartesian shape") {
+    val p = plan("d9_decontaminate")
+    assert(p.contains("LeftSemi"), "train-vocab membership not a semi-join:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), "decontamination must never cross-join")
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))

@@ -105,4 +105,32 @@ class TextStatsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(all == totals)
   }
+
+  test("mixWeights caps each source at the token budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight", "web"),
+      (2L, "one two", "web"),
+      (3L, "alpha beta gamma", "books"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.mixWeights(docs, budgetTokens = 5L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got("web") == ((2L, 10L, 0.5, 5L)))     // 10 tokens, budget 5 → w=0.5
+    assert(got("books") == ((1L, 3L, 1.0, 3L)))    // under budget → w=1
+  }
+
+  test("sequencePack maps docs to context windows with exact offsets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i"),
+    ).toDF("doc_id", "text")
+    val got = TextStats.sequencePack(docs, seqLen = 4L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // cum: 3, 7, 9 → offsets 0, 3, 7
+    assert(got(1L) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(2L) == ((4L, 3L, 0L, 1L, 1L))) // spans the chunk-0/1 boundary
+    assert(got(3L) == ((2L, 7L, 1L, 2L, 1L))) // spans 1/2
+  }
 }
