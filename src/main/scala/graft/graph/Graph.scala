@@ -158,6 +158,12 @@ object Graph {
     */
   private[graph] val tolIterations =
     scala.collection.concurrent.TrieMap[String, Int]()
+  /** Key of the most recent [[pageRankTol]] run that recorded — the dir
+    * whose count the no-arg oracle lookup serves (last-write-wins, the
+    * same resolution the persisted-artifact oracles get from overwriting
+    * one parquet path per JVM). Per-dir counts stay intact in
+    * [[tolIterations]] for explicit-key lookups (ADVICE r3). */
+  @volatile private[graph] var lastRecordKey: Option[String] = None
   @volatile var lastTolIterations: Int = -1
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
@@ -190,7 +196,7 @@ object Graph {
       iters += 1
     }
     lastTolIterations = iters
-    recordKey.foreach(k => tolIterations(k) = iters)
+    recordKey.foreach { k => tolIterations(k) = iters; lastRecordKey = Some(k) }
     // normalize rank sum to N (GraphX SPARK-18847); the sum is
     // decimal-quantized so the scale factor is fold-order-independent
     val n = v.count()
@@ -201,14 +207,20 @@ object Graph {
   }
 
   /** Oracle for [[pageRankTol]]: the converged iteration count unrolled
-    * as CTEs; every rank recomputed independently by DuckDB. Fails loudly
-    * (invalid marker SQL) if the query never recorded a count — Verify
-    * runs one sf-dir per JVM, so exactly one entry is the healthy state. */
-  def pageRankTolSql(alpha: Double = 0.15, m: Int = 2000): String = {
-    val recorded = tolIterations.readOnlySnapshot().toMap
-    if (recorded.size != 1)
-      return s"SELECT graft_error_g5_oracle_without_exactly_one_recorded_run /* ${recorded.size} entries */"
-    val k = recorded.values.head
+    * as CTEs; every rank recomputed independently by DuckDB. The count is
+    * looked up per record key (explicit `key`, else the last-recorded
+    * run's); fails loudly (invalid marker SQL) only if no run recorded. */
+  def pageRankTolSql(alpha: Double = 0.15, m: Int = 2000,
+                     key: Option[String] = None): String = {
+    val recorded = tolIterations.readOnlySnapshot()
+    // explicit key wins; otherwise the most recently recorded run (the
+    // dir the rest of the oracle dump refers to). Running g5 for several
+    // sf-dirs in one JVM keeps every per-dir count addressable — only a
+    // run that never recorded yields the loud invalid marker.
+    val chosen = key.orElse(lastRecordKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_g5_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val k = chosen.get
     val base =
       s"""WITH edges_g AS (${edgesSql(m)}),
          |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),

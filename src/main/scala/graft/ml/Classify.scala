@@ -112,24 +112,33 @@ object Classify {
   /** Per-label precision/recall/FPR/F1, all relational (ref :113-136
     * semantics without the RDD hop; FPR(l) = fp / (total − n_true(l)),
     * the MulticlassMetrics.falsePositiveRate definition). Zero-denominator
-    * precision is 0.0 (not NaN) so the frame stays oracle-comparable. */
-  def metrics(scored: DataFrame): DataFrame =
+    * precision is 0.0 (not NaN) so the frame stays oracle-comparable.
+    *
+    * Each ratio is quantized to DECIMAL(32,16) BEFORE the 6-dp round
+    * (same as [[weightedMetrics]]): Spark's round(double) goes through the
+    * shortest-decimal-string HALF_UP path while DuckDB rounds the binary
+    * value, so a ratio landing near a half-ulp boundary can round apart —
+    * rounding the quantized decimal is exact arithmetic in both engines. */
+  def metrics(scored: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(32, 16)
+    def q6(c: Column): Column = round(c.cast(Dec), 6).cast("double")
     labelStats(scored)
       .withColumn("precision",
-        round(when(col("n_pred") === 0, lit(0.0))
-          .otherwise(col("tp") / col("n_pred")), 6))
-      .withColumn("recall", round(col("tp") / col("n_true"), 6))
+        q6(when(col("n_pred") === 0, lit(0.0))
+          .otherwise(col("tp") / col("n_pred"))))
+      .withColumn("recall", q6(col("tp") / col("n_true")))
       // zero-denominator guards (ANSI mode): single-label data → fpr 0,
       // tp = 0 → precision = recall = 0 → f1 defined as 0 (MLlib: NaN)
       .withColumn("fpr",
-        round(when(col("total") === col("n_true"), lit(0.0))
-          .otherwise((col("n_pred") - col("tp")) / (col("total") - col("n_true"))), 6))
+        q6(when(col("total") === col("n_true"), lit(0.0))
+          .otherwise((col("n_pred") - col("tp")) / (col("total") - col("n_true")))))
       .withColumn("f1",
-        round(when(col("precision") + col("recall") === 0, lit(0.0))
+        q6(when(col("precision") + col("recall") === 0, lit(0.0))
           .otherwise(lit(2) * col("precision") * col("recall") /
-            (col("precision") + col("recall"))), 6))
+            (col("precision") + col("recall")))))
       .select("label", "tp", "n_true", "n_pred", "precision", "recall", "fpr", "f1")
       .orderBy("label")
+  }
 
   /** Overall accuracy + label-frequency-weighted precision/recall/F1/FPR
     * (ref :109,131-136: `metrics.accuracy`, `weightedPrecision`,
@@ -238,18 +247,23 @@ object Classify {
        |  FROM bylabel l LEFT JOIN tp USING (label)
        |  LEFT JOIN bypred p ON l.label = p.prediction CROSS JOIN tot t)""".stripMargin
 
+  // round(quantize-to-DECIMAL(32,16)) — see [[metrics]]: exact decimal
+  // rounding agrees across engines where round(double) need not
+  private def q6Sql(x: String): String =
+    s"CAST(round(CAST($x AS DECIMAL(32,16)), 6) AS DOUBLE)"
+
   def labelMetricsSql(tag: String): String =
     s"""WITH ${labelStatsSql(tag)},
        |d AS (
        |  SELECT label, tp, n_true, n_pred,
-       |    CASE WHEN n_pred = 0 THEN 0.0 ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
-       |    round(CAST(tp AS DOUBLE) / n_true, 6) AS recall,
+       |    CASE WHEN n_pred = 0 THEN 0.0 ELSE ${q6Sql("CAST(tp AS DOUBLE) / n_pred")} END AS precision,
+       |    ${q6Sql("CAST(tp AS DOUBLE) / n_true")} AS recall,
        |    CASE WHEN total = n_true THEN 0.0
-       |      ELSE round(CAST(n_pred - tp AS DOUBLE) / (total - n_true), 6) END AS fpr
+       |      ELSE ${q6Sql("CAST(n_pred - tp AS DOUBLE) / (total - n_true)")} END AS fpr
        |  FROM stats)
        |SELECT label, tp, n_true, n_pred, precision, recall, fpr,
        |       CASE WHEN precision + recall = 0 THEN 0.0
-       |         ELSE round(2 * precision * recall / (precision + recall), 6) END AS f1
+       |         ELSE ${q6Sql("2 * precision * recall / (precision + recall)")} END AS f1
        |FROM d ORDER BY label""".stripMargin
 
   def weightedMetricsSql(tag: String): String =

@@ -18,11 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * intermediate dataset, here `localCheckpoint` pins the computed
   * partitions).
   *
-  * Scoping: entries key on (applicationId, identityHashCode(session)) —
-  * public API only. The identity hash cannot be recycled while an entry
-  * exists, because every cached DataFrame strongly references its
-  * session, pinning the object; distinct live sessions always get
-  * distinct keys. Eviction: a listener drops every entry when the
+  * Scoping: entries key on (applicationId, per-session serial) — each
+  * session object is assigned a unique id from an AtomicLong on first
+  * use (identityHashCode is only 31 bits and NOT guaranteed distinct
+  * among concurrently-live objects, so two live sessions could collide
+  * and be served each other's frames — ADVICE r3). The id map keys on
+  * the session object itself (SparkSession keeps reference equality),
+  * so lookups are exact identity. Eviction: a listener drops every entry when the
   * SparkContext ends, so nothing outlives `spark.stop()` in the
   * one-context-per-JVM pattern Verify/Bench/tests use. (Sessions stopped
   * while their context lives keep their entries until context end — a
@@ -36,9 +38,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialized {
   private val cache = TrieMap[(String, String), DataFrame]()
   private val hookedApps = TrieMap[String, Boolean]()
+  // SparkSession does not override equals/hashCode, so this TrieMap is
+  // identity-keyed; entries live until context end (same bounded
+  // lifetime as the cache itself — both are cleared together).
+  private val sessionIds = TrieMap[SparkSession, Long]()
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong()
 
   private def sessionKey(spark: SparkSession): String =
-    spark.sparkContext.applicationId + ":" + System.identityHashCode(spark)
+    spark.sparkContext.applicationId + ":" +
+      sessionIds.getOrElseUpdate(spark, nextSessionId.incrementAndGet())
 
   /** Return the memoized frame for `key`, building + eagerly
     * checkpointing it on first use in this session. */
@@ -57,5 +65,6 @@ object Materialized {
   def clear(): Unit = {
     cache.clear()
     hookedApps.clear()
+    sessionIds.clear()
   }
 }

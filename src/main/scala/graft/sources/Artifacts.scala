@@ -1,5 +1,11 @@
 package graft.sources
 
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
 /** Per-JVM temp-artifact namespace for the persisted-fit oracle pattern
   * (scored predictions, embeddings, IVF assignments, written indexes).
   *
@@ -9,11 +15,44 @@ package graft.sources
   * JVM the namespace is stable, so the oracle SQL builders — evaluated
   * after the queries run, in the same process — point DuckDB at exactly
   * the files that run wrote.
+  *
+  * Tags are sanitized to `[A-Za-z0-9._-]` (callers embed sf-dir paths;
+  * raw slashes would nest the data path under the namespace and a `..`
+  * segment could escape it — ADVICE r3), and dirs left by dead JVMs are
+  * swept on first use so /tmp does not accumulate one dir per past run.
   */
 object Artifacts {
   private val ns: Long = ProcessHandle.current().pid()
+  private val tmpRoot: String = System.getProperty("java.io.tmpdir")
 
-  /** `/tmp/graft_<pid>/<tag>` — parquet directory for one artifact. */
-  def path(tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_$ns/$tag"
+  // One-time startup sweep: delete graft_<pid> dirs whose JVM is gone.
+  // Only exact `graft_<digits>` names are considered, and only when the
+  // pid is verifiably absent — a live concurrent run is never touched.
+  private lazy val swept: Unit = {
+    val root = Paths.get(tmpRoot)
+    val stale = Try(Files.list(root)).map(_.iterator().asScala.filter { p =>
+      p.getFileName.toString match {
+        case s if s.startsWith("graft_") =>
+          s.drop(6).toLongOption match {
+            case Some(pid) if pid != ns => ProcessHandle.of(pid).isEmpty
+            case _ => false
+          }
+        case _ => false
+      }
+    }.toList).getOrElse(Nil)
+    stale.foreach { dir =>
+      Try(Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
+  private[sources] def sanitize(tag: String): String =
+    tag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** `/tmp/graft_<pid>/<sanitized tag>` — parquet directory for one
+    * artifact. */
+  def path(tag: String): String = {
+    swept
+    s"$tmpRoot/graft_$ns/${sanitize(tag)}"
+  }
 }
