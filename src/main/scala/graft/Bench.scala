@@ -13,10 +13,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup on the tiny SF: absorbs one-time JIT/codegen cost so
-    // per-query numbers reflect steady state, not who ran first
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // untimed warmup of EVERY query on the tiny SF: absorbs one-time
+    // JIT/whole-stage-codegen cost (several seconds for the plans with
+    // custom kernels) so timed numbers reflect steady state, not who ran
+    // first. The subplan memo keys on the sf-dir, so the timed pass below
+    // still pays its own shared builds at full scale — only compilation
+    // is absorbed, never work.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a bare count() would
