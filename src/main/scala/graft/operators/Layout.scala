@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Artifacts, Tables}
+
+/** Data-LAYOUT operators — how a 100 TB corpus is physically arranged so
+  * that scans prune and joins avoid shuffles:
+  *
+  *  - Z-order clustering ([[zValue]]/[[zorderWrite]]): interleave the
+  *    bits of two key columns and range-partition + sort by the result,
+  *    so parquet row-group min/max stats are tight on BOTH columns and a
+  *    2-D box predicate prunes most of the file. The standard layout for
+  *    multi-dimensional access patterns (Delta/Iceberg OPTIMIZE ZORDER);
+  *    a single-column sort only prunes its own column.
+  *  - Deterministic bloom-prune join ([[bloomPruneJoin]]): a
+  *    constant-size bit-position summary of the build side's keys is
+  *    broadcast and applied as a probe-side filter BEFORE the join, the
+  *    explicit form of Spark's runtime row-level filtering. False
+  *    positives only re-admit rows the join drops, so results are
+  *    identical to the plain join — at 100 TB the win is discarding
+  *    probe rows at the scan instead of shuffling them.
+  *  - Seeded shard shuffle ([[shardShuffle]]): reproducible global
+  *    training order as (shard, position-within-shard) — every engine
+  *    and every rerun assigns each document the same slot. Shard-local
+  *    row_number windows, never a single global sort partition.
+  *
+  * Cross-engine determinism: all randomness is md5 hex digits (the one
+  * hash both engines share — see NOTES.md), decoded to integers with
+  * strpos/instr arithmetic; bit interleaving is exact integer math.
+  */
+object Layout {
+  // ------------------------------------------------------------- z-order
+
+  /** Interleave the low `bits` bits of two non-negative long columns:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. 20 bits a
+    * side covers keys to ~1M and fits the result in 40 bits. */
+  def zValue(x: Column, y: Column, bits: Int = 20): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The DuckDB twin of [[zValue]] as an SQL expression. */
+  def zValueSqlExpr(x: String, y: String, bits: Int = 20): String =
+    (0 until bits).map { i =>
+      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Write `df` z-ordered on (x, y): range-partition on the z-value
+    * (sampled range boundaries — the scalable distributed sort shape,
+    * no single-partition bottleneck) and sort within partitions, so each
+    * parquet row group covers a small z-range and its min/max stats are
+    * tight on both key columns. */
+  def zorderWrite(df: DataFrame, x: String, y: String, path: String,
+                  partitions: Int = 16): Unit =
+    df.withColumn("zval", zValue(col(x), col(y)))
+      .repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(path)
+
+  /** q30: lay lineitem out z-ordered on (l_orderkey, l_partkey), read it
+    * back with a 2-D box predicate, return the matching keys in z order.
+    * Correctness is oracle-checked against the raw table (layout must
+    * never change results); the pruning behaviour is plan-audited in
+    * LayoutSpec (PushedFilters on both columns against the re-read). */
+  def q30Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val path = Artifacts.path(s"zorder_${Tables.norm(dir)}")
+    zorderWrite(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", path)
+    spark.read.parquet(path)
+      .filter(col("l_orderkey").between(100, 300) &&
+        col("l_partkey").between(50, 150))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("zval"))
+      .orderBy("zval", "l_orderkey", "l_partkey", "l_linenumber")
+  }
+
+  def q30ZorderSql: String =
+    s"""SELECT l_orderkey, l_partkey, l_linenumber,
+       |  ${zValueSqlExpr("l_orderkey", "l_partkey")} AS zval
+       |FROM lineitem
+       |WHERE l_orderkey BETWEEN 100 AND 300 AND l_partkey BETWEEN 50 AND 150
+       |ORDER BY zval, l_orderkey, l_partkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------- bloom filter
+
+  /** Hex digit at 1-based `pos` of md5(`prefix|key`) as an int. */
+  private def md5Digit(key: Column, prefix: String, pos: Int): Column =
+    (instr(lit("0123456789abcdef"),
+      substring(md5(concat(lit(s"$prefix|"), key.cast("string")).cast("binary")),
+        pos, 1)) - 1).cast("int")
+
+  /** Bloom bit position j of a key: 12 bits from md5(`j|key`) mod m. */
+  private def bloomPos(key: Column, j: Int, m: Int): Column =
+    (md5Digit(key, j.toString, 1) * 256 + md5Digit(key, j.toString, 2) * 16 +
+      md5Digit(key, j.toString, 3)) % m
+
+  private def md5DigitSqlExpr(key: String, prefix: String, pos: Int): String =
+    s"(strpos('0123456789abcdef', substr(md5('$prefix|' || CAST($key AS VARCHAR)), $pos, 1)) - 1)"
+
+  private[operators] def bloomPosSqlExpr(key: String, j: Int, m: Int): String =
+    s"((${md5DigitSqlExpr(key, j.toString, 1)} * 256 + " +
+      s"${md5DigitSqlExpr(key, j.toString, 2)} * 16 + " +
+      s"${md5DigitSqlExpr(key, j.toString, 3)}) % $m)"
+
+  /** The probe side filtered through a k-hash bloom summary of the build
+    * side's join keys, then exactly joined. The summary is the SET of
+    * occupied bit positions — at most `m` longs however large the build
+    * side grows (the bloom property: constant-size broadcast). A probe
+    * row survives the filter only if ALL k of its positions are occupied;
+    * false positives are then dropped by the join itself, so the result
+    * is row-identical to the plain join (the oracle IS the plain join).
+    * k=3, m=1024 give ~2% false positives at 500 build keys. */
+  def bloomPruneJoin(probe: DataFrame, build: DataFrame,
+                     probeKey: String, buildKey: String,
+                     k: Int = 3, m: Int = 1024): DataFrame =
+    bloomPruned(probe, build, probeKey, buildKey, k, m)
+      .join(broadcast(build), col(probeKey) === col(buildKey))
+
+  /** Just the probe-side prune (the frame [[bloomPruneJoin]] feeds to the
+    * exact join) — exposed so tests can measure prune selectivity. */
+  def bloomPruned(probe: DataFrame, build: DataFrame,
+                  probeKey: String, buildKey: String,
+                  k: Int = 3, m: Int = 1024): DataFrame = {
+    val occupied = build
+      .select(explode(array((0 until k).map(j =>
+        bloomPos(col(buildKey), j, m)): _*)).as("p"))
+      .agg(collect_set(col("p")).as("bloom_bits"))
+    probe.crossJoin(broadcast(occupied))
+      .filter((0 until k).map(j =>
+        array_contains(col("bloom_bits"), bloomPos(col(probeKey), j, m)))
+        .reduce(_ && _))
+      .drop("bloom_bits")
+  }
+
+  /** q31: join lineitem to the small filtered part set through the bloom
+    * prune, aggregate per brand. Oracle is the PLAIN join (the bloom must
+    * be invisible in results); LayoutSpec additionally asserts the prune
+    * really discards most probe rows before the join. */
+  def q31BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val small = Tables.part(spark, dir)
+      .filter(col("p_size") === 1)
+      .select("p_partkey", "p_brand")
+    bloomPruneJoin(Tables.lineitem(spark, dir), small, "l_partkey", "p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+          .cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  def q31BloomJoinSql: String =
+    """SELECT p.p_brand, count(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_size = 1
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
+  // ------------------------------------------------------- shard shuffle
+
+  /** Reproducible training order: shard = md5 digit of the seeded key
+    * mod `nShards`, position = rank within the shard by the seeded md5
+    * hex (ties by doc_id — md5 collisions on distinct keys are not
+    * assumed away). Windows are PARTITIONED BY shard: each shard sorts
+    * independently, so no single global-sort partition exists at any
+    * scale — exactly how a 100 TB corpus is written out for training
+    * (shard files + deterministic intra-shard order). */
+  def shardShuffle(docs: DataFrame, seed: Long = 42L,
+                   nShards: Int = 8): DataFrame = {
+    val hexKey = md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))
+      .cast("binary"))
+    val shard = (instr(lit("0123456789abcdef"), substring(hexKey, 1, 1)) - 1)
+      .cast("int") % nShards
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    docs.select(col("doc_id"), hexKey.as("shuffle_key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  def x12ShardShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardShuffle(Tables.documents(spark, dir))
+
+  def x12ShardShuffleSql(seed: Long = 42L, nShards: Int = 8): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    md5('$seed|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       |    CAST((strpos('0123456789abcdef',
+       |      substr(md5('$seed|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS INT) % $nShards AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
+       |FROM keyed ORDER BY shard, pos""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_zorder" -> q30Zorder _,
+    "q31_bloom_join" -> q31BloomJoin _,
+    "x12_shard_shuffle" -> ((s: SparkSession, dir: String) =>
+      x12ShardShuffle(s, dir)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_zorder" -> q30ZorderSql,
+    "q31_bloom_join" -> q31BloomJoinSql,
+    "x12_shard_shuffle" -> x12ShardShuffleSql(),
+  )
+}
