@@ -193,10 +193,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def lshNearDupsSql(minJaccard: Double = 0.1, source: String = "documents"): String = {
+  /** Shared CTE block ending in `verified(doc_a, doc_b, jaccard)` plus
+    * `sigs(doc_id, mh0..mh7)` — the SQL twin of the LSH band+verify
+    * pipeline, reused by the d3 pair query and the d10 estimator query. */
+  private def lshCtesSql(source: String): String = {
     val sh = shinglesSql("text")
     val bandKeys = (0 until 8).map(i => s"mh$i").mkString(", ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, $sh AS sh FROM $source
        |), sigs AS (
        |  ${minhashLanesSql(source).replace("\n", "\n  ")}
@@ -213,10 +216,13 @@ object Dedup {
        |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
        |  FROM pairs p JOIN base sa ON p.doc_a = sa.doc_id
        |               JOIN base sb ON p.doc_b = sb.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def lshNearDupsSql(minJaccard: Double = 0.1, source: String = "documents"): String =
+    s"""WITH ${lshCtesSql(source)}
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Top-k most-similar pairs by shingle Jaccard, via the inverted
     * shared-shingle join (index join, not cross join — the n-gram Jaccard
@@ -573,6 +579,36 @@ object Dedup {
       simhash(Tables.documents(s, dir))
     }
 
+  /** d10: MinHash-ESTIMATED Jaccard next to the exact value for every
+    * LSH-verified near-dup pair — estimate = fraction of the 8 lanes
+    * agreeing (the unbiased MinHash estimator). At corpus scale this is
+    * the triage signal: the estimate costs only the already-shuffled
+    * 8-lane signatures, so a pipeline can rank/threshold candidates
+    * BEFORE paying the exact shingle-set intersection, and this query is
+    * the estimator-vs-truth calibration surface. Lanes and verified
+    * pairs both come from the session memo — no extra scans. */
+  def minhashJaccardEstimate(s: SparkSession, dir: String): DataFrame = {
+    val la = cachedLanes(s, dir).select(
+      col("doc_id").as("doc_a") +: (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val lb = cachedLanes(s, dir).select(
+      col("doc_id").as("doc_b") +: (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val laneMatches = (0 until 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cachedLshPairs(s, dir).join(la, "doc_a").join(lb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(laneMatches.cast("double") / 8, 6).as("jaccard_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashJaccardEstimateSql(minJaccard: Double = 0.1): String =
+    s"""WITH ${lshCtesSql("documents")}
+       |SELECT v.doc_a, v.doc_b, v.jaccard,
+       |  round((${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 6) AS jaccard_est
+       |FROM verified v JOIN sigs sa ON v.doc_a = sa.doc_id
+       |                JOIN sigs sb ON v.doc_b = sb.doc_id
+       |WHERE v.jaccard >= $minJaccard ORDER BY v.doc_a, v.doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
@@ -596,6 +632,7 @@ object Dedup {
     "d9_decontaminate" -> ((s: SparkSession, dir: String) =>
       decontaminateFromBase(Tables.documents(s, dir),
         shingleBase(s, dir).select("doc_id", "shh"))),
+    "d10_minhash_estimate" -> minhashJaccardEstimate _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -616,5 +653,6 @@ object Dedup {
     "d7_curation_pipeline" -> curationPipelineSql(),
     "d8_dup_clusters" -> nearDupClustersSql(),
     "d9_decontaminate" -> decontaminateSql(),
+    "d10_minhash_estimate" -> minhashJaccardEstimateSql(),
   )
 }

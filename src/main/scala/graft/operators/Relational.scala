@@ -514,6 +514,27 @@ object Relational {
       |  MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
       |FROM lineitem""".stripMargin
 
+  /** Top-k rows PER GROUP (curation staple: keep the best k documents
+    * per language/domain). Rank window partitioned by the group key —
+    * each group sorts independently inside its hash partition, so there
+    * is no global sort and no single-partition bottleneck at any group
+    * count; full tie-break keys keep the cut deterministic. */
+  def q32GroupTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
+  def q32GroupTopkSql(k: Int = 3): String =
+    s"""SELECT lang, doc_id, n_chars, rk FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |  FROM documents)
+       |WHERE rk <= $k ORDER BY lang, rk""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -541,6 +562,7 @@ object Relational {
     "q23_profile" -> q23Profile _,
     "q28_cube" -> q28Cube _,
     "q29_partition_prune" -> q29PartitionPrune _,
+    "q32_group_topk" -> ((s: SparkSession, dir: String) => q32GroupTopk(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -569,5 +591,6 @@ object Relational {
     "q23_profile" -> q23ProfileSql,
     "q28_cube" -> q28CubeSql,
     "q29_partition_prune" -> q29PartitionPruneSql,
+    "q32_group_topk" -> q32GroupTopkSql(),
   )
 }

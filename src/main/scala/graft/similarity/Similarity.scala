@@ -392,6 +392,36 @@ object Similarity {
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  // ----------------------------------------------------------- centroids
+
+  /** Per-label embedding centroid in long format (label, d, centroid):
+    * the mean of every dimension over each label's vectors — the class
+    * prototype a retrieval/monitoring pipeline keeps per domain.
+    *
+    * This is the one embedding operator where exploding to element rows
+    * IS the right distributed shape: a global per-dimension aggregate
+    * partial-aggregates (label, d) sums map-side, so only labels × Dims
+    * rows per partition reach the shuffle — unlike per-pair dots, where
+    * exploding would shuffle corpus × Dims rows. Sums are
+    * decimal-quantized (order-independent), the mean is quantized before
+    * the 6-dp round (the [[graft.ml.Classify]] q6 pattern). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(round((sum(col("x").cast("double").cast(Dec)).cast("double") /
+        count(lit(1))).cast(Dec), 6).cast("double").as("centroid"))
+      .orderBy("label", "d")
+
+  def labelCentroidsSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |)
+       |SELECT label, d,
+       |  CAST(round(CAST(CAST(SUM(CAST(x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
+       |    AS DECIMAL(32,16)), 6) AS DOUBLE) AS centroid
+       |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -409,6 +439,8 @@ object Similarity {
     // additionally test-enforced against brute force in SimilaritySpec.
     "s4_ann_ivf" -> ((s: SparkSession, dir: String) =>
       annIvfPersisted(Tables.embeddings(s, dir), queryId = 0L)),
+    "s6_label_centroids" -> ((s: SparkSession, dir: String) =>
+      labelCentroids(Tables.embeddings(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -417,5 +449,6 @@ object Similarity {
     "s3_near_dup_pairs" -> nearDupPairsSql(),
     "s5_embedding_clusters" -> embeddingClustersSql(),
     "s4_ann_ivf" -> annIvfSql(0L),
+    "s6_label_centroids" -> labelCentroidsSql,
   )
 }
