@@ -61,8 +61,10 @@ object Classify {
   }
 
   /** 2-fold cross-validation over a small grid (ref :72-85 shape:
-    * elasticNet × regParam × numFeatures; folds=2, parallelism=2). */
-  def crossValidate(train: DataFrame): CrossValidatorModel = {
+    * elasticNet × regParam × numFeatures; folds=2, parallelism=2).
+    * Split from the fit so [[scoreAndPersistCv]] can derive its memo key
+    * from the validator's own params. */
+  def buildCrossValidator(): CrossValidator = {
     val pipe = pipeline()
     val lr = pipe.getStages.last.asInstanceOf[LogisticRegression]
     val tf = pipe.getStages(2).asInstanceOf[HashingTF]
@@ -77,8 +79,10 @@ object Classify {
       .setNumFolds(2)
       .setParallelism(2)
       .setSeed(42L)
-      .fit(train)
   }
+
+  def crossValidate(train: DataFrame): CrossValidatorModel =
+    buildCrossValidator().fit(train)
 
   /** Deterministic parity split: even doc_id → train, odd → test. */
   def split(docs: DataFrame): (DataFrame, DataFrame) =
@@ -118,10 +122,20 @@ object Classify {
     * (same as [[weightedMetrics]]): Spark's round(double) goes through the
     * shortest-decimal-string HALF_UP path while DuckDB rounds the binary
     * value, so a ratio landing near a half-ulp boundary can round apart —
-    * rounding the quantized decimal is exact arithmetic in both engines. */
+    * rounding the quantized decimal is exact arithmetic in both engines.
+    *
+    * The OUTPUT type is DECIMAL(18,6), not DOUBLE (VERDICT r4): the
+    * rounded 6-dp value is exactly representable as a decimal, so both
+    * engines emit identical bytes by construction — a trailing
+    * DECIMAL→DOUBLE cast re-introduces engine-specific bit patterns below
+    * 10 significant digits that the driver's hasher sees even when the
+    * printed values agree. F1 is computed from the already-quantized
+    * precision/recall via an explicit DOUBLE hop (IEEE arithmetic is
+    * engine-independent; decimal division scale rules are not). */
   def metrics(scored: DataFrame): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(32, 16)
-    def q6(c: Column): Column = round(c.cast(Dec), 6).cast("double")
+    val Out = org.apache.spark.sql.types.DecimalType(18, 6)
+    def q6(c: Column): Column = round(c.cast(Dec), 6).cast(Out)
     labelStats(scored)
       .withColumn("precision",
         q6(when(col("n_pred") === 0, lit(0.0))
@@ -133,9 +147,9 @@ object Classify {
         q6(when(col("total") === col("n_true"), lit(0.0))
           .otherwise((col("n_pred") - col("tp")) / (col("total") - col("n_true")))))
       .withColumn("f1",
-        q6(when(col("precision") + col("recall") === 0, lit(0.0))
-          .otherwise(lit(2) * col("precision") * col("recall") /
-            (col("precision") + col("recall")))))
+        q6(when(col("precision") + col("recall") === lit(0).cast(Out), lit(0.0))
+          .otherwise(lit(2) * col("precision").cast("double") * col("recall").cast("double") /
+            (col("precision").cast("double") + col("recall").cast("double")))))
       .select("label", "tp", "n_true", "n_pred", "precision", "recall", "fpr", "f1")
       .orderBy("label")
   }
@@ -148,6 +162,7 @@ object Classify {
     * determinism, same trick as the similarity kernels). */
   def weightedMetrics(scored: DataFrame): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(32, 16)
+    val Out = org.apache.spark.sql.types.DecimalType(18, 6)
     val s = labelStats(scored)
       .withColumn("p", when(col("n_pred") === 0, lit(0.0))
         .otherwise(col("tp") / col("n_pred")))
@@ -156,14 +171,20 @@ object Classify {
         .otherwise((col("n_pred") - col("tp")) / (col("total") - col("n_true"))))
       .withColumn("f1", when(col("p") + col("r") === 0, lit(0.0))
         .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))))
+    // weighted sums: per-label double terms quantized to DECIMAL(32,16),
+    // summed exactly, rounded exactly, emitted as DECIMAL(18,6) — the
+    // whole tail after the per-term quantize is exact arithmetic, so the
+    // hashed bytes cannot diverge across engines (VERDICT r4: no DOUBLE
+    // in the hashed output)
     def wsum(c: Column): Column =
-      sum((col("n_true") * c / col("total")).cast(Dec)).cast("double")
+      round(sum((col("n_true") * c / col("total")).cast(Dec)), 6).cast(Out)
     s.agg(
-      round(sum(col("tp")).cast("double") / first("total"), 6).as("accuracy"),
-      round(wsum(col("p")), 6).as("weighted_precision"),
-      round(wsum(col("r")), 6).as("weighted_recall"),
-      round(wsum(col("f1")), 6).as("weighted_f1"),
-      round(wsum(col("fp_rate")), 6).as("weighted_fpr"))
+      round((sum(col("tp")).cast("double") / first("total")).cast(Dec), 6)
+        .cast(Out).as("accuracy"),
+      wsum(col("p")).as("weighted_precision"),
+      wsum(col("r")).as("weighted_recall"),
+      wsum(col("f1")).as("weighted_f1"),
+      wsum(col("fp_rate")).as("weighted_fpr"))
   }
 
   /** Train on even ids, score odd ids, return the confusion matrix.
@@ -204,6 +225,42 @@ object Classify {
     }
     scored.write.mode("overwrite").parquet(scoredPath(tag))
     spark.read.parquet(scoredPath(tag))
+  }
+
+  /** CV variant of [[scoreAndPersist]]: fit the full grid search on the
+    * train split, score the test split with the BEST model, persist, read
+    * back (ref AirlineSentimentAnalysis.scala:72-98 — grid fit, then
+    * `bestModel.transform(testing)`). Like every persisted-fit query, the
+    * oracle recomputes the downstream metrics from the persisted
+    * predictions, so the grid search itself — which is not
+    * SQL-expressible — never needs a DuckDB twin. The memo key is derived
+    * from the validator's estimator signature + grid + folds + seed
+    * ([[cvFitKey]]), so the 8-fit grid runs once per session even though
+    * multiple queries could consume it. */
+  def scoreAndPersistCv(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    val cv = buildCrossValidator()
+    val scored = graft.plans.Materialized(
+      spark, s"ml_scored:${cvFitKey(cv)}:${Tables.norm(dir)}") {
+      val (train, test) = split(Tables.documents(spark, dir))
+      cv.fit(train).transform(test) // CrossValidatorModel.transform = bestModel.transform
+        .select(col("doc_id"), col("label"), col("prediction"))
+    }
+    scored.write.mode("overwrite").parquet(scoredPath(tag))
+    spark.read.parquet(scoredPath(tag))
+  }
+
+  /** Derived (never manual — see [[fitKey]]) signature for a
+    * CrossValidator: estimator pipeline signature + each grid point's
+    * param name=value pairs + folds + seed. Param names alone (not uids,
+    * which are random per construction) keep the key stable across
+    * rebuilt instances. */
+  private[ml] def cvFitKey(cv: CrossValidator): String = {
+    val grid = cv.getEstimatorParamMaps
+      .map(_.toSeq.map(p => s"${p.param.name}=${renderParamValue(p.value)}")
+        .sorted.mkString(","))
+      .sorted.mkString("|")
+    s"CV(folds=${cv.getNumFolds},seed=${cv.getSeed}," +
+      s"est=${fitKey(cv.getEstimator.asInstanceOf[Pipeline])},grid=$grid)"
   }
 
   /** Structural pipeline signature: stage classes + their explicit param
@@ -247,23 +304,25 @@ object Classify {
        |  FROM bylabel l LEFT JOIN tp USING (label)
        |  LEFT JOIN bypred p ON l.label = p.prediction CROSS JOIN tot t)""".stripMargin
 
-  // round(quantize-to-DECIMAL(32,16)) — see [[metrics]]: exact decimal
-  // rounding agrees across engines where round(double) need not
+  // round(quantize-to-DECIMAL(32,16)) emitted as DECIMAL(18,6) — see
+  // [[metrics]]: exact decimal rounding agrees across engines where
+  // round(double) need not, and the decimal OUTPUT type keeps
+  // engine-specific double bit patterns out of the driver's hash. The
+  // CASE sits INSIDE the wrapper so the zero branch is also quantized —
+  // a bare `0.0 ELSE decimal` would promote the whole CASE back to DOUBLE.
   private def q6Sql(x: String): String =
-    s"CAST(round(CAST($x AS DECIMAL(32,16)), 6) AS DOUBLE)"
+    s"CAST(round(CAST($x AS DECIMAL(32,16)), 6) AS DECIMAL(18,6))"
 
   def labelMetricsSql(tag: String): String =
     s"""WITH ${labelStatsSql(tag)},
        |d AS (
        |  SELECT label, tp, n_true, n_pred,
-       |    CASE WHEN n_pred = 0 THEN 0.0 ELSE ${q6Sql("CAST(tp AS DOUBLE) / n_pred")} END AS precision,
+       |    ${q6Sql("CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END")} AS precision,
        |    ${q6Sql("CAST(tp AS DOUBLE) / n_true")} AS recall,
-       |    CASE WHEN total = n_true THEN 0.0
-       |      ELSE ${q6Sql("CAST(n_pred - tp AS DOUBLE) / (total - n_true)")} END AS fpr
+       |    ${q6Sql("CASE WHEN total = n_true THEN 0.0 ELSE CAST(n_pred - tp AS DOUBLE) / (total - n_true) END")} AS fpr
        |  FROM stats)
        |SELECT label, tp, n_true, n_pred, precision, recall, fpr,
-       |       CASE WHEN precision + recall = 0 THEN 0.0
-       |         ELSE ${q6Sql("2 * precision * recall / (precision + recall)")} END AS f1
+       |  ${q6Sql("CASE WHEN precision + recall = 0 THEN 0.0 ELSE 2 * CAST(precision AS DOUBLE) * CAST(recall AS DOUBLE) / (CAST(precision AS DOUBLE) + CAST(recall AS DOUBLE)) END")} AS f1
        |FROM d ORDER BY label""".stripMargin
 
   def weightedMetricsSql(tag: String): String =
@@ -279,11 +338,11 @@ object Classify {
        |  SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1
        |  FROM d)
        |SELECT
-       |  round(CAST(SUM(tp) AS DOUBLE) / ANY_VALUE(total), 6) AS accuracy,
-       |  round(CAST(SUM(CAST(n_true * p / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_precision,
-       |  round(CAST(SUM(CAST(n_true * r / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_recall,
-       |  round(CAST(SUM(CAST(n_true * f1 / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_f1,
-       |  round(CAST(SUM(CAST(n_true * fp_rate / total AS DECIMAL(32,16))) AS DOUBLE), 6) AS weighted_fpr
+       |  ${q6Sql("CAST(SUM(tp) AS DOUBLE) / ANY_VALUE(total)")} AS accuracy,
+       |  CAST(round(SUM(CAST(n_true * p / total AS DECIMAL(32,16))), 6) AS DECIMAL(18,6)) AS weighted_precision,
+       |  CAST(round(SUM(CAST(n_true * r / total AS DECIMAL(32,16))), 6) AS DECIMAL(18,6)) AS weighted_recall,
+       |  CAST(round(SUM(CAST(n_true * f1 / total AS DECIMAL(32,16))), 6) AS DECIMAL(18,6)) AS weighted_f1,
+       |  CAST(round(SUM(CAST(n_true * fp_rate / total AS DECIMAL(32,16))), 6) AS DECIMAL(18,6)) AS weighted_fpr
        |FROM d2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,6 +357,10 @@ object Classify {
     // persisted predictions, it never needs to reproduce the fit
     "m5_cv_confusion" -> ((s: SparkSession, dir: String) =>
       confusionMatrix(scoreAndPersist(s, dir, "m5", pipelineCountVectorizer()))),
+    // grid-search model selection (SURVEY M8, the reference's dominant
+    // compute): best-of-8-fits predictions → weighted metrics
+    "m9_cv_metrics" -> ((s: SparkSession, dir: String) =>
+      weightedMetrics(scoreAndPersistCv(s, dir, "m9"))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -305,5 +368,6 @@ object Classify {
     "m3_label_metrics" -> labelMetricsSql("m3"),
     "m4_weighted_metrics" -> weightedMetricsSql("m4"),
     "m5_cv_confusion" -> confusionSql("m5"),
+    "m9_cv_metrics" -> weightedMetricsSql("m9"),
   )
 }
