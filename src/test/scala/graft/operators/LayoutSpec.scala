@@ -65,6 +65,27 @@ class LayoutSpec extends SparkSpec {
       s"bloom barely prunes: $survivors of $total survive for $matches matches")
   }
 
+  test("bloom prune feeds a shuffle join and filters BELOW the shuffle") {
+    // the prune only pays in front of a shuffle join: under a broadcast
+    // join probe rows already die at the join with zero shuffle, so the
+    // bloom would be pure overhead (VERDICT r4). Assert the exact join
+    // really shuffles and the bloom membership test sits on the probe
+    // side BEFORE the exchange, where it cuts shuffled rows.
+    val probe = Tables.lineitem(spark, sf("sf0.001"))
+    val build = Tables.part(spark, sf("sf0.001"))
+      .filter(col("p_size") === 1).select("p_partkey", "p_brand")
+    val plan = Layout.bloomPruneJoin(probe, build, "l_partkey", "p_partkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"exact join is not a shuffle join:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastHashJoin(l_partkey"),
+      "probe joined via broadcast — prune would be pure overhead")
+    val joinAt = plan.indexOf("ShuffledHashJoin")
+    val filterAt = plan.indexOf("xxhash64")
+    assert(filterAt > joinAt && filterAt >= 0,
+      "bloom membership test not below the join in the plan")
+  }
+
   test("shardShuffle is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = Layout.shardShuffle(docs).collect().toSeq
