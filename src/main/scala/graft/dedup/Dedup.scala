@@ -31,6 +31,10 @@ import graft.text.Tokenize
   * could swap in xxhash64 Catalyst-side for speed; semantics identical.
   */
 object Dedup {
+  // hashed-output type for jaccard/overlap ratios: a rounded 6-dp value
+  // is exact as DECIMAL(18,6) on both engines, where a trailing DOUBLE
+  // hashes engine-specific bit patterns (VERDICT r4, the m3 class)
+  private val Out6 = org.apache.spark.sql.types.DecimalType(18, 6)
   // --------------------------------------------------------- exact dedup
 
   /** Exact dedup: representative (min doc_id) per distinct text hash.
@@ -188,7 +192,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
-          .as("jaccard"))
+          .cast(Out6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
@@ -212,8 +216,8 @@ object Dedup {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |), verified AS (
        |  SELECT p.doc_a, p.doc_b,
-       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+       |    CAST(round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS DECIMAL(18,6)) AS jaccard
        |  FROM pairs p JOIN base sa ON p.doc_a = sa.doc_id
        |               JOIN base sb ON p.doc_b = sb.doc_id
        |)""".stripMargin
@@ -269,7 +273,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
-          .as("jaccard"))
+          .cast(Out6).as("jaccard"))
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(topK)
   }
@@ -292,7 +296,7 @@ object Dedup {
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
-       |       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+       |       CAST(round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS DECIMAL(18,6)) AS jaccard
        |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
        |            JOIN sizes sb ON doc_b = sb.doc_id
        |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $topK""".stripMargin
@@ -542,7 +546,8 @@ object Dedup {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("overlap_frac",
         when(col("n_shingles") === 0, lit(0.0))
-          .otherwise(round(col("n_overlap").cast("double") / col("n_shingles"), 6)))
+          .otherwise(round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+          .cast(Out6))
       .withColumn("contaminated", (col("n_overlap") > 0).cast("long"))
       .orderBy("doc_id")
   }
@@ -564,8 +569,8 @@ object Dedup {
        |)
        |SELECT ev.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
-       |  CASE WHEN len(sh) = 0 THEN 0.0
-       |    ELSE round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh), 6) END AS overlap_frac,
+       |  CAST(CASE WHEN len(sh) = 0 THEN 0.0
+       |    ELSE round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh), 6) END AS DECIMAL(18,6)) AS overlap_frac,
        |  CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
        |FROM ev LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
   }
@@ -597,14 +602,14 @@ object Dedup {
       .reduce(_ + _)
     cachedLshPairs(s, dir).join(la, "doc_a").join(lb, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        round(laneMatches.cast("double") / 8, 6).as("jaccard_est"))
+        round(laneMatches.cast("double") / 8, 6).cast(Out6).as("jaccard_est"))
       .orderBy("doc_a", "doc_b")
   }
 
   def minhashJaccardEstimateSql(minJaccard: Double = 0.1): String =
     s"""WITH ${lshCtesSql("documents")}
        |SELECT v.doc_a, v.doc_b, v.jaccard,
-       |  round((${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 6) AS jaccard_est
+       |  CAST(round((${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 6) AS DECIMAL(18,6)) AS jaccard_est
        |FROM verified v JOIN sigs sa ON v.doc_a = sa.doc_id
        |                JOIN sigs sb ON v.doc_b = sb.doc_id
        |WHERE v.jaccard >= $minJaccard ORDER BY v.doc_a, v.doc_b""".stripMargin

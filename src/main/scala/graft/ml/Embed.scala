@@ -68,7 +68,10 @@ object Embed {
       .crossJoin(broadcast(q))
       .select(col("doc_id"),
         round(VectorDotExact(col("emb"), col("qe")) /
-          (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6).as("cos"))
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6)
+          // DECIMAL(18,6) output: exact bytes on both engines, no
+          // double bit-pattern hash risk (VERDICT r4, the m3 class)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("cos"))
       .orderBy(desc("cos"), asc("doc_id"))
       .limit(k)
   }
@@ -87,7 +90,7 @@ object Embed {
        |  SELECT ex.doc_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
        |  FROM ex JOIN q USING (d) WHERE ex.doc_id != $queryId GROUP BY ex.doc_id
        |)
-       |SELECT d.doc_id, round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS cos
+       |SELECT d.doc_id, CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
        |FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
        |WHERE n.norm2 > 0
        |ORDER BY cos DESC, doc_id ASC LIMIT $k""".stripMargin

@@ -31,6 +31,11 @@ import graft.sources.Tables
 object Similarity {
   private val Dec = DecimalType(32, 16)
   private val DecAcc = DecimalType(38, 16)
+  // hashed-output type for similarity scores: the rounded 6-dp value is
+  // exactly representable as DECIMAL(18,6), so both engines emit
+  // identical bytes — a trailing DOUBLE would hash engine-specific bit
+  // patterns below 10 significant digits (VERDICT r4, the m3 class)
+  private val Out6 = DecimalType(18, 6)
   private val Dims = 64
 
   /** Exact decimal-quantized sum of element products — the deterministic
@@ -65,7 +70,8 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotCol(col("embedding"), col("qe")) /
-          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -83,7 +89,7 @@ object Similarity {
        |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
        |  FROM ex JOIN q USING (d) WHERE ex.vec_id != $queryId GROUP BY ex.vec_id
        |)
-       |SELECT d.vec_id, round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS cos
+       |SELECT d.vec_id, CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
@@ -145,7 +151,8 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotCol(col("embedding"), col("qe")) /
-          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -166,7 +173,7 @@ object Similarity {
        |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
        |  FROM ex JOIN cands USING (vec_id) JOIN q USING (d) GROUP BY ex.vec_id
        |)
-       |SELECT d.vec_id, round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS cos
+       |SELECT d.vec_id, CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
@@ -191,7 +198,8 @@ object Similarity {
       .join(n.select(col("vec_id").as("va"), sqrt(col("norm2")).as("sna")), "va")
       .join(n.select(col("vec_id").as("vb"), sqrt(col("norm2")).as("snb")), "vb")
     withVecs.select(col("va"), col("vb"),
-      round(dotCol(col("ea"), col("eb")) / (col("sna") * col("snb")), 6).as("cos"))
+      round(dotCol(col("ea"), col("eb")) / (col("sna") * col("snb")), 6)
+        .cast(Out6).as("cos"))
   }
 
   /** Scored pair frame memoized per (session, sf-dir) — s3's input and
@@ -245,7 +253,7 @@ object Similarity {
        |  JOIN ex eb ON eb.vec_id = p.vb AND eb.d = ea.d
        |  GROUP BY p.va, p.vb
        |), scored AS (
-       |  SELECT d.va, d.vb, round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cos
+       |  SELECT d.va, d.vb, CAST(round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS DECIMAL(18,6)) AS cos
        |  FROM dots d JOIN norms na ON d.va = na.vec_id JOIN norms nb ON d.vb = nb.vec_id
        |)""".stripMargin
 
@@ -343,7 +351,8 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotCol(col("embedding"), col("qe")) /
-          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6).as("cos"))
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
 
@@ -388,7 +397,7 @@ object Similarity {
        |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
        |  FROM ex JOIN cands USING (vec_id) JOIN q USING (d) GROUP BY ex.vec_id
        |)
-       |SELECT d.vec_id, round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS cos
+       |SELECT d.vec_id, CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
@@ -409,7 +418,7 @@ object Similarity {
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy("label", "d")
       .agg(round((sum(col("x").cast("double").cast(Dec)).cast("double") /
-        count(lit(1))).cast(Dec), 6).cast("double").as("centroid"))
+        count(lit(1))).cast(Dec), 6).cast(Out6).as("centroid"))
       .orderBy("label", "d")
 
   def labelCentroidsSql: String =
@@ -419,7 +428,7 @@ object Similarity {
        |)
        |SELECT label, d,
        |  CAST(round(CAST(CAST(SUM(CAST(x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
-       |    AS DECIMAL(32,16)), 6) AS DOUBLE) AS centroid
+       |    AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS centroid
        |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin
 
   // ------------------------------------------------------------ registry

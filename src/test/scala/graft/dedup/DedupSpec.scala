@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
 
   test("lshNearDups finds near and exact pairs with correct jaccard") {
     val pairs = Dedup.lshNearDups(corpus, minJaccard = 0.1).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
     assert(pairs.contains((1L, 3L, 1.0))) // exact dup → jaccard 1
     val near = pairs.find(p => p._1 == 1L && p._2 == 2L)
     assert(near.isDefined && near.get._3 > 0.5 && near.get._3 < 1.0)
@@ -41,7 +41,7 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardTop ranks exact dup first") {
     val top = Dedup.ngramJaccardTop(corpus, topK = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
     assert(top.head == (1L, 3L, 1.0))
   }
 

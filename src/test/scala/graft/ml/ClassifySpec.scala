@@ -8,6 +8,10 @@ import graft.sources.Tables
 class ClassifySpec extends SparkSpec {
   import spark.implicits._
 
+  /** Read a DECIMAL(18,6) metric column back as Double for comparisons. */
+  private def dec(r: org.apache.spark.sql.Row, c: String): Double =
+    r.getAs[java.math.BigDecimal](c).doubleValue
+
   test("pipeline fit+transform on a separable toy corpus is near-perfect") {
     val docs = (0 until 80).map { i =>
       if (i % 2 == 0) (i.toLong, "apple banana cherry fruit salad sweet", "en")
@@ -29,8 +33,9 @@ class ClassifySpec extends SparkSpec {
     assert(cm.toSeq == Seq((0.0, 0.0, 2L), (0.0, 1.0, 1L), (1.0, 0.0, 1L), (1.0, 1.0, 2L)))
     val m = Classify.metrics(scored).collect()
     val row0 = m.find(_.getDouble(0) == 0.0).get
-    assert(row0.getAs[Double]("precision") == 0.666667) // round(2/3, 6)
-    assert(row0.getAs[Double]("recall") == 0.666667)
+    // metric ratios are DECIMAL(18,6) — the hashed-output type
+    assert(dec(row0, "precision") == 0.666667) // round(2/3, 6)
+    assert(dec(row0, "recall") == 0.666667)
   }
 
   test("metrics + weightedMetrics match MulticlassMetrics on every ref-printed stat") {
@@ -47,17 +52,17 @@ class ClassifySpec extends SparkSpec {
       .map(r => r.getDouble(0) -> r).toMap
     mm.labels.foreach { l =>
       val row = perLabel(l)
-      assert(close(row.getAs[Double]("precision"), mm.precision(l)), s"precision($l)")
-      assert(close(row.getAs[Double]("recall"), mm.recall(l)), s"recall($l)")
-      assert(close(row.getAs[Double]("fpr"), mm.falsePositiveRate(l)), s"fpr($l)")
-      assert(close(row.getAs[Double]("f1"), mm.fMeasure(l)), s"f1($l)")
+      assert(close(dec(row, "precision"), mm.precision(l)), s"precision($l)")
+      assert(close(dec(row, "recall"), mm.recall(l)), s"recall($l)")
+      assert(close(dec(row, "fpr"), mm.falsePositiveRate(l)), s"fpr($l)")
+      assert(close(dec(row, "f1"), mm.fMeasure(l)), s"f1($l)")
     }
     val w = Classify.weightedMetrics(scored).head()
-    assert(close(w.getAs[Double]("accuracy"), mm.accuracy), "accuracy")
-    assert(close(w.getAs[Double]("weighted_precision"), mm.weightedPrecision), "wP")
-    assert(close(w.getAs[Double]("weighted_recall"), mm.weightedRecall), "wR")
-    assert(close(w.getAs[Double]("weighted_f1"), mm.weightedFMeasure), "wF1")
-    assert(close(w.getAs[Double]("weighted_fpr"), mm.weightedFalsePositiveRate), "wFPR")
+    assert(close(dec(w, "accuracy"), mm.accuracy), "accuracy")
+    assert(close(dec(w, "weighted_precision"), mm.weightedPrecision), "wP")
+    assert(close(dec(w, "weighted_recall"), mm.weightedRecall), "wR")
+    assert(close(dec(w, "weighted_f1"), mm.weightedFMeasure), "wF1")
+    assert(close(dec(w, "weighted_fpr"), mm.weightedFalsePositiveRate), "wFPR")
   }
 
   test("trainAndConfusion on real sf0.001 docs beats nothing-learned floor") {

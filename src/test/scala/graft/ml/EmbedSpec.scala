@@ -13,7 +13,7 @@ class EmbedSpec extends SparkSpec {
     assert(emb.select(size(col("emb"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
     val knn = Embed.w2vKnn(emb, queryId = 0L).collect()
     assert(knn.length == 10)
-    val cosines = knn.map(_.getDouble(1))
+    val cosines = knn.map(_.getDecimal(1).doubleValue) // cos is DECIMAL(18,6)
     assert(cosines.forall(c => c >= -1.000001 && c <= 1.000001))
     // TakeOrdered contract: descending, ties broken by doc_id
     assert(cosines.sameElements(cosines.sortBy(-_)))
@@ -36,6 +36,6 @@ class EmbedSpec extends SparkSpec {
       .select(col("doc_id"), org.apache.spark.ml.functions.vector_to_array(col("w2v")).as("emb"))
     val top = Embed.w2vKnn(emb, queryId = 0L, k = 1).collect()
     assert(top.head.getLong(0) == 1L, s"expected identical-text doc 1 first, got ${top.head}")
-    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    assert(math.abs(top.head.getDecimal(1).doubleValue - 1.0) < 1e-6)
   }
 }

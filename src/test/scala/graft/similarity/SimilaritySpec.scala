@@ -24,7 +24,7 @@ class SimilaritySpec extends SparkSpec {
   test("knnBrute matches a driver-side brute-force reference") {
     val expected = reference.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
     val got = Similarity.knnBrute(emb, queryId = 0L, k = 5).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue)) // cos is DECIMAL(18,6)
     assert(got.map(_._1).toSeq == expected.map(_._1))
     got.zip(expected).foreach { case ((_, g), (_, e)) =>
       assert(math.abs(g - e) < 1e-6, s"cosine mismatch: $g vs $e") }
@@ -38,7 +38,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("nearDupPairs: sorted desc, cosines match reference, pairs canonical") {
     val pairs = Similarity.nearDupPairs(emb, topK = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
     assert(pairs.length == 5)
     val cos = pairs.map(_._3)
     assert(cos.sameElements(cos.sorted.reverse))
