@@ -50,27 +50,50 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"),
   )
 
-  /** Per-language stopword-hit counts + argmax language ("und" =
-    * undetermined when no list hits). Pure array expressions — the hit
-    * count is `size(filter(tokens, in list))`, evaluated per language in
-    * one projection (no shuffle at all until the caller aggregates). */
+  /** How many language profiles contain each word — the calibration
+    * weight basis: a word unique to one language is strong evidence
+    * (weight 2), a word shared across profiles ("la", "un" live in both
+    * fr and es) is weak evidence (weight 1). Integer weights keep the
+    * score exact on both engines (ADVICE r4: weighted profiles raise
+    * discrimination where shared function words would otherwise swamp
+    * unique markers and fall to the arbitrary tie rule). */
+  private val wordLangCount: Map[String, Int] =
+    langStopwords.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+
+  private def uniqueWords(words: Seq[String]): Seq[String] =
+    words.filter(wordLangCount(_) == 1)
+  private def sharedWords(words: Seq[String]): Seq[String] =
+    words.filter(wordLangCount(_) > 1)
+
+  /** Per-language df-weighted stopword scores + argmax language ("und" =
+    * undetermined when nothing hits): score = 2·|unique-word hits| +
+    * |shared-word hits|. Pure array expressions — two `size(filter(...))`
+    * per language in one projection (no shuffle at all until the caller
+    * aggregates). */
   def langId(tokens: Column): Column = {
-    val hits = langStopwords.map { case (lang, words) =>
-      struct(size(filter(tokens, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    val scored = langStopwords.map { case (lang, words) =>
+      val (uniq, shared) = (uniqueWords(words), sharedWords(words))
+      val score = size(filter(tokens, t => t.isin(uniq: _*))) * 2 +
+        (if (shared.nonEmpty) size(filter(tokens, t => t.isin(shared: _*)))
+         else lit(0))
+      struct(score.as("score"), lit(lang).as("lang"))
     }
-    // argmax by fieldwise-descending struct sort: highest hits wins, ties
+    // argmax by fieldwise-descending struct sort: highest score wins, ties
     // break to the lexicographically-largest lang (same rule as the
     // DuckDB oracle's list_reverse_sort — deterministic on both sides)
-    val best = sort_array(array(hits: _*), asc = false).getItem(0)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   private def langIdSqlExpr(toks: String): String = {
     val structs = langStopwords.map { case (lang, words) =>
-      val lst = words.map(w => s"'$w'").mkString(", ")
-      s"{'hits': len(list_filter($toks, t -> t IN ($lst))), 'lang': '$lang'}"
+      val uq = uniqueWords(words).map(w => s"'$w'").mkString(", ")
+      val sh = sharedWords(words).map(w => s"'$w'").mkString(", ")
+      val score = s"2 * len(list_filter($toks, t -> t IN ($uq)))" +
+        (if (sh.nonEmpty) s" + len(list_filter($toks, t -> t IN ($sh)))" else "")
+      s"{'score': $score, 'lang': '$lang'}"
     }.mkString(", ")
-    s"CASE WHEN list_reverse_sort([$structs])[1].hits > 0 THEN list_reverse_sort([$structs])[1].lang ELSE 'und' END"
+    s"CASE WHEN list_reverse_sort([$structs])[1].score > 0 THEN list_reverse_sort([$structs])[1].lang ELSE 'und' END"
   }
 
   // ------------------------------------------------------- quality score
@@ -119,21 +142,24 @@ object TextStats {
        |ORDER BY n DESC, entity ASC""".stripMargin
 
   /** Corpus-scale language ID: tokenize ONCE, explode, broadcast-join the
-    * (lang, word) dictionary, count hits per (doc, lang), argmax via a
-    * fieldwise struct MAX with the same (hits desc, lang desc) tie rule
-    * as the per-row [[langId]] — docs with zero hits in every language
-    * fall out of the join and come back as 'und' through the left join.
-    * Same output as mapping [[langId]] over the corpus, but the text is
-    * tokenized once instead of once per language. */
+    * (lang, word, weight) dictionary (weight 2 unique / 1 shared — same
+    * calibration as [[langId]]), sum weights per (doc, lang), argmax via
+    * a fieldwise struct MAX with the same (score desc, lang desc) tie
+    * rule as the per-row [[langId]] — docs with zero hits in every
+    * language fall out of the join and come back as 'und' through the
+    * left join. Same output as mapping [[langId]] over the corpus, but
+    * the text is tokenized once instead of once per language. */
   def xLangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("tok"))
-    val dict = langStopwords.flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("lang", "word")
+    val dict = langStopwords
+      .flatMap { case (l, ws) => ws.map(w => (l, w, if (wordLangCount(w) == 1) 2 else 1)) }
+      .toDF("lang", "word", "weight")
     val best = toks.join(broadcast(dict), col("tok") === col("word"))
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+      .groupBy("doc_id", "lang").agg(sum(col("weight")).as("score"))
       .groupBy("doc_id")
-      .agg(max(struct(col("hits"), col("lang"))).as("best"))
+      .agg(max(struct(col("score"), col("lang"))).as("best"))
       .select(col("doc_id"), col("best.lang").as("hit_lang"))
     docs.select("doc_id").join(best, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("hit_lang"), lit("und")).as("pred_lang"))

@@ -13,13 +13,23 @@ class TextStatsSpec extends SparkSpec {
     assert(e == Seq("sherlock holmes", "dr watson", "london", "holmes"))
   }
 
-  test("langId: picks list with most hits; und when none") {
+  test("langId: picks list with highest weighted score; und when none") {
     val df = Seq(
       "the cat sat on the mat and it was good",   // en
       "der hund und die katze ist nicht hier",    // de
       "xyzzy qwerty").toDF("t")                   // none
     val got = df.select(TextStats.langId(Tokenize.rawTokens(col("t")))).as[String].collect()
     assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("langId weighting: unique markers beat shared function words") {
+    // "la"/"un" live in BOTH the fr and es profiles (weight 1), while
+    // "el"/"los" are unique to es and "le" unique to fr (weight 2):
+    //   "el los la" → es 2+2+1=5 vs fr 1  → es
+    //   "le la un"  → fr 2+1+1=4 vs es 1+1=2 → fr
+    val df = Seq("el los la", "le la un").toDF("t")
+    val got = df.select(TextStats.langId(Tokenize.rawTokens(col("t")))).as[String].collect()
+    assert(got.toSeq == Seq("es", "fr"))
   }
 
   test("rolling fingerprint is order-sensitive, tokenset md5 is not") {
