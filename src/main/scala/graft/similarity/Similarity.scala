@@ -433,6 +433,67 @@ object Similarity {
 
   // ------------------------------------------------------------ registry
 
+  // ------------------------------------------------------------ batch kNN
+
+  /** Batched top-k — the production retrieval shape: a BATCH of query
+    * vectors scored in ONE corpus pass. The query batch (vectors +
+    * norms) is broadcast; corpus norms are computed in a projection
+    * BELOW the broadcast join — once per vector, no shuffle (joining a
+    * separate norms frame would shuffle the corpus by vec_id for
+    * nothing); per-query top-k is a rank window PARTITIONED BY query
+    * id, so each query ranks its own candidates and no global sort
+    * exists. At cluster scale the same
+    * plan holds with a 10⁴-query batch: the broadcast is |Q|·Dims
+    * floats, the corpus is read once, and the window sort is per-query.
+    * (For very large k·|Q|, [[graft.functions.TopKAggregator]] is the
+    * O(k)-state no-sort alternative; the window form is the
+    * oracle-checkable baseline.) */
+  def knnBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm2Col(col("embedding")).as("qnorm2"))
+    val scored = emb.withColumn("norm2", norm2Col(col("embedding")))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(asc("qid"), desc("cos"), asc("vec_id"))
+  }
+
+  def knnBatchSql(queryIds: Seq[Long], k: Int = 5): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), q AS (SELECT vec_id AS qid, d, x AS qx FROM ex WHERE vec_id IN ($ids)),
+       |qn AS (SELECT vec_id AS qid, norm2 AS qnorm2 FROM norms WHERE vec_id IN ($ids)),
+       |dots AS (
+       |  SELECT q.qid, ex.vec_id,
+       |         CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN q USING (d) WHERE ex.vec_id != q.qid
+       |  GROUP BY q.qid, ex.vec_id
+       |), scored AS (
+       |  SELECT d.qid, d.vec_id,
+       |    CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
+       |  FROM dots d JOIN norms n USING (vec_id) JOIN qn ON d.qid = qn.qid
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS r
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, cos FROM rk WHERE r <= $k
+       |ORDER BY qid ASC, cos DESC, vec_id ASC""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
@@ -450,6 +511,8 @@ object Similarity {
       annIvfPersisted(Tables.embeddings(s, dir), queryId = 0L)),
     "s6_label_centroids" -> ((s: SparkSession, dir: String) =>
       labelCentroids(Tables.embeddings(s, dir))),
+    "s7_ann_batch" -> ((s: SparkSession, dir: String) =>
+      knnBatch(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -459,5 +522,6 @@ object Similarity {
     "s5_embedding_clusters" -> embeddingClustersSql(),
     "s4_ann_ivf" -> annIvfSql(0L),
     "s6_label_centroids" -> labelCentroidsSql,
+    "s7_ann_batch" -> knnBatchSql(Seq(0L, 1L, 2L, 3L, 4L)),
   )
 }

@@ -510,6 +510,49 @@ object TextStats {
        |  CAST(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ BPE pairs
+
+  /** BPE first-merge candidates: adjacent character-pair frequencies over
+    * the corpus, weighted by word frequency — the statistic the first
+    * iteration of byte-pair-encoding tokenizer training maximizes.
+    *
+    * The 100 TB shape: pair extraction runs over the DISTINCT-word
+    * vocabulary (vocab ≪ corpus — one shuffle on word builds the
+    * frequency table, partial-aggregated map-side), so the per-word
+    * character loop touches each distinct word once however many times
+    * it occurs. The interpreted higher-order `transform` is confined to
+    * vocab-sized input for the same reason. Words shorter than 2 chars
+    * are filtered BEFORE the sequence() call — Spark's sequence(1, 0)
+    * yields a DESCENDING range, not empty (unlike DuckDB's range). */
+  def bpeMergeCandidates(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val vocab = docs
+      .select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(topK)
+  }
+
+  def xBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidates(Tables.documents(spark, dir))
+
+  def xBpeMergesSql(topK: Int = 20): String =
+    s"""WITH vocab AS (
+       |  SELECT u.word, count(*) AS freq
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)
+       |  GROUP BY u.word
+       |), pairs AS (
+       |  SELECT substr(word, CAST(u.i AS INT), 2) AS pair, freq
+       |  FROM vocab, UNNEST(range(1, length(word))) AS u(i)
+       |)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+       |FROM pairs GROUP BY pair
+       |ORDER BY n DESC, pair ASC LIMIT $topK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -527,6 +570,7 @@ object TextStats {
       mixWeights(Tables.documents(s, dir))),
     "x11_sequence_pack" -> ((s: SparkSession, dir: String) =>
       sequencePack(Tables.documents(s, dir))),
+    "x13_bpe_merges" -> xBpeMerges _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -541,5 +585,6 @@ object TextStats {
     "x9_stratified_sample" -> stratifiedSampleSql(),
     "x10_mix_weights" -> mixWeightsSql(),
     "x11_sequence_pack" -> sequencePackSql(),
+    "x13_bpe_merges" -> xBpeMergesSql(),
   )
 }

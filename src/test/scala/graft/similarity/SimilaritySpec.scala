@@ -53,6 +53,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - expect) < 1e-6)
   }
 
+  test("knnBatch: each query's slice equals the single-query knnBrute") {
+    val batch = Similarity.knnBatch(emb, queryIds = Seq(0L, 1L), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(batch.length == 10)
+    Seq(0L, 1L).foreach { qid =>
+      val slice = batch.filter(_._1 == qid).map(t => (t._2, t._3)).toSeq
+      val single = Similarity.knnBrute(emb, queryId = qid, k = 5).collect()
+        .map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toSeq
+      assert(slice == single, s"batch slice for qid=$qid diverges from knnBrute")
+    }
+  }
+
   test("VectorDotExact equals the oracle's exact decimal SUM bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType

@@ -32,6 +32,17 @@ class TextStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq("es", "fr"))
   }
 
+  test("bpeMergeCandidates: pair counts weighted by word frequency") {
+    // vocab: "banana"×2, "bann"×1, "a"×3 (filtered: length < 2)
+    // banana pairs: ba, an, na, an, na → weighted ×2
+    // bann pairs:   ba, an, nn
+    // totals: an 2*2+1=5, na 2*2=4, ba 2+1=3, nn 1
+    val docs = Seq((1L, "banana bann a a"), (2L, "banana a")).toDF("doc_id", "text")
+    val got = TextStats.bpeMergeCandidates(docs, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("an", 5L), ("na", 4L), ("ba", 3L), ("nn", 1L)))
+  }
+
   test("rolling fingerprint is order-sensitive, tokenset md5 is not") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val toks = Tokenize.rawTokens(col("text"))
