@@ -331,6 +331,38 @@ object Relational {
       |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
       |ORDER BY yr, mo""".stripMargin
 
+  /** Incremental rollup (engine extension): per-(day, type) daily
+    * aggregates REAGGREGATED to monthly — the materialized-view /
+    * incremental-ETL pattern. At 100 TB the daily frame is what an
+    * ingestion pipeline persists per partition; month-end merges the
+    * dailies instead of rescanning raw events. Counts merge as
+    * sum-of-counts, value sums as sums of exact DECIMAL partials
+    * (order/grouping-independent), and the average is derived from the
+    * MERGED sums — never an average of averages. The oracle computes
+    * monthly DIRECTLY from raw events, so the hash match proves the
+    * two-level path exact, not just close. */
+  def q33IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(year(col("ts")).as("yr"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dy"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D204)).as("vsum"))
+    daily
+      .groupBy("yr", "mo", "event_type")
+      .agg(sum("n").cast("long").as("n_events"),
+        sum("vsum").cast("double").as("sum_value"),
+        (sum("vsum").cast("double") / sum("n")).as("avg_value"),
+        count(lit(1)).cast("long").as("n_days"))
+      .orderBy("yr", "mo", "event_type")
+  }
+
+  def q33IncrementalRollupSql: String =
+    """SELECT year(ts) AS yr, month(ts) AS mo, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+      |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** JSON extraction (engine extension; `props` column per FIXTURES.md). */
   def q17Json(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -563,6 +595,7 @@ object Relational {
     "q28_cube" -> q28Cube _,
     "q29_partition_prune" -> q29PartitionPrune _,
     "q32_group_topk" -> ((s: SparkSession, dir: String) => q32GroupTopk(s, dir)),
+    "q33_incremental_rollup" -> q33IncrementalRollup _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -592,5 +625,6 @@ object Relational {
     "q28_cube" -> q28CubeSql,
     "q29_partition_prune" -> q29PartitionPruneSql,
     "q32_group_topk" -> q32GroupTopkSql(),
+    "q33_incremental_rollup" -> q33IncrementalRollupSql,
   )
 }

@@ -29,6 +29,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q33 incremental rollup equals direct monthly aggregation") {
+    import org.apache.spark.sql.functions._
+    val D204 = org.apache.spark.sql.types.DecimalType(20, 4)
+    val direct = graft.sources.Tables.events(spark, dir)
+      .groupBy(year(col("ts")).as("yr"), month(col("ts")).as("mo"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("value").cast(D204)).cast("double").as("sum_value"))
+      .orderBy("yr", "mo", "event_type")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val viaDailies = Relational.q33IncrementalRollup(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(viaDailies == direct, "daily->monthly reaggregation diverged from direct")
+    assert(direct.nonEmpty)
+  }
+
   test("q10 window running sum is monotone per partition for positive values") {
     val rows = Relational.q10Window(spark, dir).collect()
       .groupBy(_.getAs[Long]("user_id"))
