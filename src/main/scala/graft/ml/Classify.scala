@@ -77,7 +77,10 @@ object Classify {
       .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(2)
-      .setParallelism(2)
+      // parallel model fits share the cluster like any concurrent jobs;
+      // parallelism affects wall-time only, never results (fixed seed,
+      // fixed folds), so it is deliberately NOT part of cvFitKey
+      .setParallelism(4)
       .setSeed(42L)
   }
 

@@ -124,6 +124,61 @@ object EventStream {
       .groupBy(col("w")).agg(count(lit(1)).as("n_users"))
       .select(col("w.start").as("wstart"), col("n_users"))
 
+  /** Daily rollup partials (day, event_type, n, sum_value) — the batch
+    * twin of [[dailyRollupStream]] and the unit the incremental-ETL
+    * pattern persists (the batch q33 merges these partials to monthly).
+    * Value sums are decimal-quantized, so a partial computed by any run
+    * shape — batch, stream, replay — is identical and merge-safe. */
+  def dailyRollup(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"))
+
+  /** Streaming variant: watermark → windowed daily aggregate, append
+    * mode — each (day, type) partial emits ONCE when the watermark
+    * closes its day. State is the open days' partial sums (bounded by
+    * the watermark). */
+  def dailyRollupStream(df: DataFrame, delay: String = "1 second"): DataFrame =
+    df.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** foreachBatch MERGE sink: each emitted daily partial UPSERTS its
+    * (day, event_type) row in the parquet store. Restart/replay safety:
+    * a re-emitted partial overwrites its key instead of appending a
+    * duplicate — the exactly-once tail of the incremental pipeline
+    * (checkpoint + idempotent sink). */
+  def mergeSink(df: DataFrame, storePath: String,
+                trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertStore(batch, storePath)
+      }
+      .start()
+
+  /** Key-overwrite merge into a parquet store: anti-join the store
+    * against the incoming keys, union the new partials, localCheckpoint
+    * to cut the read lineage BEFORE overwriting the path being read
+    * (lazy reads + overwrite of the same files would otherwise race).
+    * At cluster scale the same merge is a partition-overwrite (day is
+    * the partition key) — identical semantics, no full-store rewrite. */
+  def upsertStore(batch: DataFrame, storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val merged =
+      if (new java.io.File(storePath).exists())
+        spark.read.parquet(storePath)
+          .join(batch.select("day", "event_type"), Seq("day", "event_type"), "left_anti")
+          .unionByName(batch)
+      else batch
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+  }
+
   /** View→click attribution: clicks joined to the same user's views
     * within an attribution horizon. Batch twin of the stream-stream
     * interval join — equi-join on user_id with the time bound as a join
@@ -345,6 +400,8 @@ object EventStream {
       attribution(Tables.events(s, dir)).orderBy("user_id")),
     "st7_stream_dedup" -> ((s: SparkSession, dir: String) =>
       dedupDelivery(Tables.events(s, dir))),
+    "st8_daily_rollup" -> ((s: SparkSession, dir: String) =>
+      dailyRollup(Tables.events(s, dir)).orderBy("day", "event_type")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -415,5 +472,10 @@ object EventStream {
         |SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users
         |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st8_daily_rollup" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -115,6 +115,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "decontamination must never cross-join")
   }
 
+  test("s7_ann_batch: query batch broadcast, window partitioned by qid") {
+    val p = plan("s7_ann_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query batch not broadcast")
+    assert(!p.contains("CartesianProduct"), "corpus×queries planned as cartesian shuffle")
+    // per-query top-k: the window must partition by qid (no global sort
+    // of all scored rows)
+    assert("""windowspecdefinition\(qid""".r.findFirstIn(p.toLowerCase).isDefined ||
+      p.contains("PartitionBy: [qid"), s"window not partitioned by qid:\n${p.take(600)}")
+  }
+
+  test("x13_bpe_merges: both aggregates carry map-side partial combine") {
+    val p = plan("x13_bpe_merges")
+    // vocab build and pair count are partial+final hash aggregates —
+    // only (word, count) / (pair, partial-sum) rows reach each shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final aggregate pairs for vocab and pair counts")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+  }
+
+  test("q33_incremental_rollup: two-level aggregation, no raw rescan at merge") {
+    val p = plan("q33_incremental_rollup")
+    // exactly one parquet scan: the monthly merge reads the daily
+    // aggregate, never the raw events again
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "monthly merge rescans raw events")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected daily and monthly partial+final aggregates")
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
