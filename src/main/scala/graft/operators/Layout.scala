@@ -181,6 +181,52 @@ object Layout {
       |WHERE p.p_size = 1
       |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
 
+  // --------------------------------------------- dynamic partition pruning
+
+  /** q34: DYNAMIC partition pruning — the runtime companion of q29's
+    * static prune. The fact table lands partitioned by a key-range
+    * column (`pk_bucket = l_partkey div 64`); the dim side is filtered
+    * at runtime (`p_partkey < 50` → only bucket 0 survives). Because the
+    * join includes the partition column, Catalyst injects a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters:
+    * the scan reads only partitions whose bucket actually appears on the
+    * filtered build side — knowable only at runtime, from data. At
+    * 100 TB this is the difference between scanning one tenant/date
+    * partition and scanning the table when the dim filter isn't a
+    * literal on the partition column. Plan-audited in LayoutSpec; the
+    * oracle is the equivalent plain join (layout must never change
+    * results). */
+  def q34DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = Artifacts.path(s"dpp_${Tables.norm(dir)}")
+    // project only the consumed columns before the layout write, and
+    // cluster rows by the partition column so each partition directory
+    // gets one writer task and one file (not shuffle.partitions files)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"))
+      .withColumn("pk_bucket", expr("l_partkey div 64"))
+      .repartition(col("pk_bucket"))
+      .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.part(spark, dir)
+      .filter(col("p_partkey") < 50)
+      .withColumn("pk_bucket", expr("p_partkey div 64"))
+      .select("pk_bucket", "p_partkey", "p_brand")
+    fact.join(dim, Seq("pk_bucket")) // partition-column equi-join → DPP
+      .filter(col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+          .cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  def q34DppJoinSql: String =
+    """SELECT p.p_brand, count(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_partkey < 50
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
   // ------------------------------------------------------- shard shuffle
 
   /** Reproducible training order: shard = md5 digit of the seeded key
@@ -222,6 +268,7 @@ object Layout {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_zorder" -> q30Zorder _,
     "q31_bloom_join" -> q31BloomJoin _,
+    "q34_dpp_join" -> q34DppJoin _,
     "x12_shard_shuffle" -> ((s: SparkSession, dir: String) =>
       x12ShardShuffle(s, dir)),
   )
@@ -229,6 +276,7 @@ object Layout {
   def oracles: Map[String, String] = Map(
     "q30_zorder" -> q30ZorderSql,
     "q31_bloom_join" -> q31BloomJoinSql,
+    "q34_dpp_join" -> q34DppJoinSql,
     "x12_shard_shuffle" -> x12ShardShuffleSql(),
   )
 }

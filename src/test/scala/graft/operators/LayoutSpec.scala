@@ -86,6 +86,14 @@ class LayoutSpec extends SparkSpec {
       "bloom membership test not below the join in the plan")
   }
 
+  test("q34 joins through a runtime dynamicpruning filter on the fact scan") {
+    val df = Layout.q34DppJoin(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in plan:\n${p.take(1000)}")
+    assert(df.count() > 0, "empty join — dead test")
+  }
+
   test("shardShuffle is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = Layout.shardShuffle(docs).collect().toSeq
