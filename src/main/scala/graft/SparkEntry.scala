@@ -6,7 +6,7 @@ import graft.dedup.Dedup
 import graft.graph.Graph
 import graft.ml.{Classify, Embed}
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, Layout, Relational, SkewJoin, Upsert}
+import graft.operators.{AsofJoin, Layout, Relational, SkewJoin, Sketch, Upsert}
 import graft.search.TfIdf
 import graft.similarity.Similarity
 import graft.sources.Tables
@@ -39,7 +39,7 @@ object SparkEntry {
       TfIdf.postings(Tables.documents(s, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Layout.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
+    Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Layout.queries ++ Sketch.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
       Embed.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
@@ -60,7 +60,7 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Layout.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
+    Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Layout.oracles ++ Sketch.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Classify.oracles ++
       Embed.oracles ++ Multimodal.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),

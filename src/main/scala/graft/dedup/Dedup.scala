@@ -614,6 +614,49 @@ object Dedup {
        |                JOIN sigs sb ON v.doc_b = sb.doc_id
        |WHERE v.jaccard >= $minJaccard ORDER BY v.doc_a, v.doc_b""".stripMargin
 
+  /** Duplicate-cluster labels memoized per (session, sf-dir) — d8's
+    * output and d11's input (the CC fixpoint runs once per session). */
+  def cachedClusters(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"dedup_clusters:${Tables.norm(dir)}")(
+      nearDupClustersFromPairs(cachedLshPairs(s, dir)))
+
+  /** d11: canonical document per duplicate cluster — the keep-best rule
+    * a curation pipeline applies after clustering (versus d7's simpler
+    * drop-the-higher-id rule): the longest text wins, ties to the
+    * smallest doc_id. Output (cluster, canon_doc, n_members).
+    *
+    * Shape: the cluster labeling (pair graph ≪ corpus) joins each
+    * member's length, then ONE shuffle on cluster with a per-cluster
+    * rank window — near-dup clusters are small by construction, so the
+    * window sort is bounded per group and no global sort exists at any
+    * corpus size. */
+  def canonicalDocs(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy("cluster").orderBy(desc("n_chars"), asc("doc_id"))
+    clusters
+      .join(docs.select(col("doc_id"), length(col("text")).as("n_chars")), "doc_id")
+      .select(col("cluster"), col("doc_id"),
+        row_number().over(byLen).as("rk"),
+        count(lit(1)).over(Window.partitionBy("cluster")).as("n_members"))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("canon_doc"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  def canonicalDocsSql(minJaccard: Double = 0.1): String =
+    s"""WITH clusters AS (
+       |  ${nearDupClustersSql(minJaccard).replace("\n", "\n  ")}
+       |), scored AS (
+       |  SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
+       |  FROM clusters c JOIN documents d USING (doc_id)
+       |), ranked AS (
+       |  SELECT cluster, doc_id,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY cluster) AS n_members
+       |  FROM scored)
+       |SELECT cluster, doc_id AS canon_doc, n_members
+       |FROM ranked WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
@@ -633,7 +676,9 @@ object Dedup {
     "d7_curation_pipeline" -> ((s: SparkSession, dir: String) =>
       curationPipelineFromPairs(Tables.documents(s, dir), cachedLshPairs(s, dir))),
     "d8_dup_clusters" -> ((s: SparkSession, dir: String) =>
-      nearDupClustersFromPairs(cachedLshPairs(s, dir))),
+      cachedClusters(s, dir).orderBy("doc_id")),
+    "d11_canonical_docs" -> ((s: SparkSession, dir: String) =>
+      canonicalDocs(Tables.documents(s, dir), cachedClusters(s, dir))),
     "d9_decontaminate" -> ((s: SparkSession, dir: String) =>
       decontaminateFromBase(Tables.documents(s, dir),
         shingleBase(s, dir).select("doc_id", "shh"))),
@@ -659,5 +704,6 @@ object Dedup {
     "d8_dup_clusters" -> nearDupClustersSql(),
     "d9_decontaminate" -> decontaminateSql(),
     "d10_minhash_estimate" -> minhashJaccardEstimateSql(),
+    "d11_canonical_docs" -> canonicalDocsSql(),
   )
 }

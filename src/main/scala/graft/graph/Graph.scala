@@ -378,6 +378,88 @@ object Graph {
        |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri
        |FROM v LEFT JOIN cnt USING (id) ORDER BY id""".stripMargin
 
+  // ------------------------------------------------------- shortest paths
+
+  /** Converged round count per record key for [[shortestPaths]] — the
+    * same record-then-unroll oracle contract as [[tolIterations]]. */
+  private[graph] val bfsRounds =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private[graph] var lastBfsKey: Option[String] = None
+
+  /** Landmark shortest-path distances (the GraphFrames
+    * `shortestPaths(landmarks)` shape — beyond the reference's G1-G6
+    * surface, the remaining core GraphFrames batch API): for every
+    * vertex, the minimum hop count to each landmark following edge
+    * direction. Unreachable (vertex, landmark) pairs are absent.
+    *
+    * Frontier BFS, not full relaxation: each round joins EDGES against
+    * only the pairs discovered last round, anti-joins the known set, and
+    * unions the survivors in. The shuffle per round carries the frontier
+    * (≤ new pairs), never the full distance table, and the distance
+    * table itself is bounded by |V|·|landmarks| — at 1000 executors the
+    * frontier join is an ordinary equi-join on dst, skew-splittable by
+    * AQE. Rounds = graph eccentricity w.r.t. the landmark set; each
+    * round is one job (the anti-join count doubles as the convergence
+    * check), lineage cut per round like every iterative loop here.
+    *
+    * BFS invariant: a pair first discovered in round r has dist exactly
+    * r, so no re-relaxation is ever needed — which is what makes the
+    * frontier anti-join formulation correct, not just fast. The oracle
+    * ([[shortestPathsSql]]) re-derives every distance independently via
+    * a recursive CTE capped at the recorded round count (all true
+    * distances are ≤ that count by construction; only the cap itself is
+    * Spark-derived — the g5 contract). */
+  def shortestPaths(edges: DataFrame, landmarks: Seq[Long],
+                    recordKey: Option[String] = None): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    var dist = vertices(edges)
+      .filter(col("id").isin(landmarks: _*))
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var rounds = 0
+    var growing = true
+    while (growing) {
+      val next = e.join(frontier, e("dst") === frontier("id"))
+        .select(e("src").as("id"), col("landmark"), (col("dist") + 1L).as("dist"))
+        .distinct()
+        .join(dist.select("id", "landmark"), Seq("id", "landmark"), "left_anti")
+        .localCheckpoint(false) // materialized by the count below
+      val n = next.count()
+      if (n > 0) {
+        dist = dist.union(next).localCheckpoint(true)
+        rounds += 1
+      }
+      growing = n > 0
+      frontier = next
+    }
+    recordKey.foreach { k => bfsRounds(k) = rounds; lastBfsKey = Some(k) }
+    dist.orderBy("landmark", "id")
+  }
+
+  /** Oracle for [[shortestPaths]]: all directed walks up to the recorded
+    * round count via recursive CTE, min length per (vertex, landmark).
+    * Fails loudly (invalid marker SQL) if g7 never recorded a run. */
+  def shortestPathsSql(landmarks: Seq[Long], m: Int = 2000,
+                       key: Option[String] = None): String = {
+    val recorded = bfsRounds.readOnlySnapshot()
+    val chosen = key.orElse(lastBfsKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_g7_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    val lm = landmarks.mkString(", ")
+    s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
+       |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+       |walk(id, landmark, d) AS (
+       |  SELECT id, id, 0 FROM v WHERE id IN ($lm)
+       |  UNION
+       |  SELECT e.src, w.landmark, w.d + 1
+       |  FROM walk w JOIN edges_g e ON e.dst = w.id
+       |  WHERE w.d < $r)
+       |SELECT id, landmark, CAST(min(d) AS BIGINT) AS dist
+       |FROM walk GROUP BY id, landmark ORDER BY landmark, id""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   /** Edge list memoized per (session, sf-dir): every graph query walks
@@ -407,6 +489,9 @@ object Graph {
         recordKey = Some(Tables.norm(dir))).orderBy("id")),
     "g6_community_sizes" -> ((s: SparkSession, dir: String) =>
       communitySizesFromLabels(cachedComponents(s, dir))),
+    "g7_shortest_paths" -> ((s: SparkSession, dir: String) =>
+      shortestPaths(cachedEdges(s, dir), landmarks = Seq(0L, 1L, 2L, 3L, 4L),
+        recordKey = Some(Tables.norm(dir)))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -423,5 +508,8 @@ object Graph {
     // converged iteration count recorded by pageRankTol
     "g5_pagerank_tol" -> pageRankTolSql(),
     "g6_community_sizes" -> communitySizesSql(),
+    // built after the queries run (oracles is a def): caps the recursive
+    // walk at the round count recorded by shortestPaths
+    "g7_shortest_paths" -> shortestPathsSql(Seq(0L, 1L, 2L, 3L, 4L)),
   )
 }

@@ -443,6 +443,62 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS — the explicit member of the grouping family next to
+    * q19's ROLLUP and q28's CUBE: exactly the two single-key subtotal
+    * sets of (returnflag, linestatus) — no pair cells, no grand total —
+    * a shape neither rollup nor cube expresses without post-filtering.
+    * Catalyst expands the sets before ONE hash aggregate (one shuffle
+    * over 2× the rows), same execution as rollup/cube. */
+  def q35GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def q35GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** SCD-2 dimension build (engine extension): each customer's order
+    * history becomes versioned rows with [valid_from, valid_to) validity
+    * intervals via lead() — the slowly-changing-dimension type-2 shape a
+    * warehouse maintains for point-in-time joins (q24's as-of join is
+    * the read side of this table). valid_to is NULL on the current
+    * version. ONE shuffle on custkey; both windows share the same
+    * partitioning and sort, so Catalyst runs them in a single Window
+    * operator and the per-customer sort happens once — no global sort
+    * at any scale. */
+  def q36Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("o_custkey", "version_n", "o_orderkey", "valid_from",
+        "valid_to", "o_totalprice", "is_current")
+      .orderBy("o_custkey", "version_n")
+  }
+
+  def q36Scd2Sql: String =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, o_totalprice,
+      |    CAST(row_number() OVER w AS BIGINT) AS version_n,
+      |    lead(o_orderdate) OVER w AS valid_to
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |)
+      |SELECT o_custkey, version_n, o_orderkey, valid_from, valid_to,
+      |  o_totalprice, (valid_to IS NULL) AS is_current
+      |FROM v ORDER BY o_custkey, version_n""".stripMargin
+
   /** Hive-style partitioned write + partition-pruned read (engine
     * extension; the layout feature a 100 TB corpus lives on): documents
     * land partitioned by lang, the read filters one partition, and the
@@ -596,6 +652,8 @@ object Relational {
     "q29_partition_prune" -> q29PartitionPrune _,
     "q32_group_topk" -> ((s: SparkSession, dir: String) => q32GroupTopk(s, dir)),
     "q33_incremental_rollup" -> q33IncrementalRollup _,
+    "q35_grouping_sets" -> q35GroupingSets _,
+    "q36_scd2" -> q36Scd2 _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -626,5 +684,7 @@ object Relational {
     "q29_partition_prune" -> q29PartitionPruneSql,
     "q32_group_topk" -> q32GroupTopkSql(),
     "q33_incremental_rollup" -> q33IncrementalRollupSql,
+    "q35_grouping_sets" -> q35GroupingSetsSql,
+    "q36_scd2" -> q36Scd2Sql,
   )
 }

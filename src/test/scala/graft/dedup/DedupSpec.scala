@@ -114,4 +114,16 @@ class DedupSpec extends SparkSpec {
     // sub-shingle-width text: zero shingles, never contaminated
     assert(got(shortId) == ((0L, 0L, 0L)))
   }
+
+  test("canonicalDocs: longest text wins, ties break to min doc_id") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aaaa"), (3L, "a"), (7L, "xx"), (8L, "xx"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster")
+    val got = Dedup.canonicalDocs(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cluster 1: doc 2 longest; cluster 7: equal lengths → min id 7
+    assert(got.toSeq == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
 }

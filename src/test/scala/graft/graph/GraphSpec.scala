@@ -66,6 +66,17 @@ class GraphSpec extends SparkSpec {
     assert(c.toSeq == Seq((1L, 3L), (10L, 2L)))
   }
 
+  test("shortestPaths: directed landmark BFS — chain, shortcut, unreachable") {
+    // 1→2→3 chain plus a 1→3 shortcut; 4→5 disconnected; nothing reaches 1
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L)
+    val d = Graph.shortestPaths(e, landmarks = Seq(1L, 3L, 5L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set(
+      (1L, 1L, 0L),                                 // only 1 reaches 1
+      (3L, 3L, 0L), (2L, 3L, 1L), (1L, 3L, 1L),     // shortcut beats the chain
+      (5L, 5L, 0L), (4L, 5L, 1L)))                  // other component
+  }
+
   test("pageRank refQuirks: dangling-sink variant drops no-in-link vertices") {
     val e = edges(1L -> 2L, 2L -> 3L)
     // drop cascades per iteration (ref PageRank.scala:63 inner join):

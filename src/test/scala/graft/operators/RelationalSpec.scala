@@ -73,6 +73,38 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("q35 grouping sets: exactly the two single-key subtotal families") {
+    val rows = Relational.q35GroupingSets(spark, sf("sf0.001")).collect()
+    // every row belongs to exactly one grouping set (one key null)
+    rows.foreach(r => assert(r.isNullAt(0) != r.isNullAt(1)))
+    // both subtotal families partition the same data → equal grand totals
+    val byFlag = rows.filter(!_.isNullAt(0)).map(_.getDouble(2)).sum
+    val byStatus = rows.filter(!_.isNullAt(1)).map(_.getDouble(2)).sum
+    assert(math.abs(byFlag - byStatus) < 1e-6)
+  }
+
+  test("q36 scd2: contiguous versions, one current row, linked intervals") {
+    // valid_from/valid_to compared generically (NTZ timestamps surface
+    // as LocalDateTime)
+    val rows = Relational.q36Scd2(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(3), Option(r.get(4)),
+        r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n with no gaps
+      assert(sorted.map(_._2).toSeq == (1L to vs.length).toSeq, s"cust $cust")
+      // exactly the last version is current (valid_to null)
+      assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty)
+      // each version's valid_to equals the next version's valid_from
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4.contains(b._3), s"cust $cust: interval chain broken")
+      }
+      // is_current mirrors valid_to IS NULL
+      sorted.foreach(v => assert(v._5 == v._4.isEmpty))
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

@@ -65,6 +65,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annInt8: quantized integer ranking recalls the exact cosine top-10") {
+    val brute = Similarity.knnBrute(emb, 0L, k = 10).collect().map(_.getLong(0)).toSet
+    val got = Similarity.annInt8(emb, 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 10)
+    val dots = got.map(_._2)
+    assert(dots.sameElements(dots.sorted.reverse), "not sorted by qdot desc")
+    // measured 9/10 at sf0.001 (one boundary swap from 8-bit rounding)
+    val overlap = (got.map(_._1).toSet & brute).size
+    assert(overlap >= 7, s"int8 recall too low: $overlap/10")
+  }
+
   test("VectorDotExact equals the oracle's exact decimal SUM bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
