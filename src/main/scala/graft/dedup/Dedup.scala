@@ -657,6 +657,70 @@ object Dedup {
        |SELECT cluster, doc_id AS canon_doc, n_members
        |FROM ranked WHERE rk = 1 ORDER BY cluster""".stripMargin
 
+  // ------------------------------------------------------ repeated spans
+
+  /** d12: repeated-span contamination per document — the fraction of a
+    * document's 3-token spans (every position, duplicates kept) that
+    * also occur in at least one OTHER document. This is the
+    * chunk-granular stand-in for exact-substring dedup (suffix-array
+    * repeated-span removal à la "Deduplicating Training Data Makes
+    * Language Models Better"): a high shared fraction marks boilerplate
+    * or templated text that survives document-level dedup. Distinct
+    * from d9 (train/eval decontamination semi-join): this is
+    * intra-corpus, per-doc, with multiplicity.
+    *
+    * The 100 TB shape: spans leave the scan as md5 hashes (16 bytes
+    * shuffle, never text); the document-frequency table is one hash
+    * aggregate over distinct (hash, doc) pairs; the per-doc stat is one
+    * equi-join on the hash plus one aggregate — both AQE-skew-splittable.
+    * The (doc_id, h) frame is localCheckpoint'd because the df branch
+    * and the per-doc branch both consume it (NOTES multi-consumer rule).
+    *
+    * Exactness: counts are integers; the one ratio is a clean double
+    * division rounded to 6 dp and emitted DECIMAL(18,6) on both sides. */
+  def repeatedSpans(docs: DataFrame, w: Int = 3): DataFrame = {
+    val toks = Tokenize.rawTokens(col("text"))
+    val joined = (1 until w).foldLeft(toks) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    val spans = docs
+      .select(col("doc_id"), explode(filter(joined, s => s.isNotNull)).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      .localCheckpoint(true)
+    val df = spans.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+    spans.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_spans"), 6)
+          .cast(Out6).as("shared_frac"),
+        (col("n_shared") * 2 <= col("n_spans")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def repeatedSpansSql(w: Int = 3): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    val span = (0 until w).map(o => s"t[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toks AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id, md5($span) AS h
+       |  FROM toks, UNNEST(range(1, len(t) - ${w - 2})) AS u(i)
+       |), df AS (
+       |  SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h
+       |), per AS (
+       |  SELECT ch.doc_id, count(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM ch JOIN df USING (h) GROUP BY ch.doc_id
+       |)
+       |SELECT doc_id, n_spans, n_shared,
+       |  CAST(round(n_shared * 1.0 / n_spans, 6) AS DECIMAL(18,6)) AS shared_frac,
+       |  CAST(CASE WHEN n_shared * 2 <= n_spans THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
@@ -683,6 +747,8 @@ object Dedup {
       decontaminateFromBase(Tables.documents(s, dir),
         shingleBase(s, dir).select("doc_id", "shh"))),
     "d10_minhash_estimate" -> minhashJaccardEstimate _,
+    "d12_repeated_spans" -> ((s: SparkSession, dir: String) =>
+      repeatedSpans(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -705,5 +771,6 @@ object Dedup {
     "d9_decontaminate" -> decontaminateSql(),
     "d10_minhash_estimate" -> minhashJaccardEstimateSql(),
     "d11_canonical_docs" -> canonicalDocsSql(),
+    "d12_repeated_spans" -> repeatedSpansSql(),
   )
 }

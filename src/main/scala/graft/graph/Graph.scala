@@ -460,6 +460,71 @@ object Graph {
        |FROM walk GROUP BY id, landmark ORDER BY landmark, id""".stripMargin
   }
 
+  // ---------------------------------------------------- label propagation
+
+  /** Synchronous label propagation (the GraphFrames `labelPropagation`
+    * shape, determinized): every vertex starts labeled with its own id;
+    * each round every vertex adopts the most frequent label among its
+    * neighbors over the symmetrized edge set, ties broken to the
+    * smallest label. Fixed round count (the g2 fixed-iteration
+    * contract) — sync rounds + a total tie order make the result exact,
+    * unlike the asynchronous/randomized textbook variant.
+    *
+    * Scale shape per round: one equi-join of the (bounded) label table
+    * against edges on dst, one partial-aggregated count on (vertex,
+    * label), and one per-vertex rank window partitioned by vertex (no
+    * global sort). Labels are bigints — the shuffle carries |E| rows of
+    * three longs, never adjacency lists; lineage is cut per round like
+    * every iterative loop here. Entirely integer arithmetic — no
+    * cross-engine float concern at all. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = vertices(edges).select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cnt = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("vid"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("vid").orderBy(desc("n"), asc("label"))
+      val best = cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vid").as("id"), col("label").as("best"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("best"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy("id")
+  }
+
+  /** Oracle for [[labelPropagation]]: the same synchronous rounds
+    * unrolled as CTEs (every round is re-derived independently by
+    * DuckDB — nothing Spark-side feeds the oracle). */
+  def labelPropagationSql(rounds: Int = 3, m: Int = 2000): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
+    sb ++= "sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),\n"
+    sb ++= "r0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+         |cnt$r AS (
+         |  SELECT e.src AS id, l.label, count(*) AS n
+         |  FROM sym e JOIN r${r - 1} l ON l.id = e.dst GROUP BY e.src, l.label),
+         |best$r AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rk
+         |    FROM cnt$r) WHERE rk = 1),
+         |r$r AS (
+         |  SELECT p.id, COALESCE(b.label, p.label) AS label
+         |  FROM r${r - 1} p LEFT JOIN best$r b ON b.id = p.id)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, label FROM r$rounds ORDER BY id"
+    sb.toString
+  }
+
   // -------------------------------------------------------------- registry
 
   /** Edge list memoized per (session, sf-dir): every graph query walks
@@ -492,6 +557,8 @@ object Graph {
     "g7_shortest_paths" -> ((s: SparkSession, dir: String) =>
       shortestPaths(cachedEdges(s, dir), landmarks = Seq(0L, 1L, 2L, 3L, 4L),
         recordKey = Some(Tables.norm(dir)))),
+    "g8_label_propagation" -> ((s: SparkSession, dir: String) =>
+      labelPropagation(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -511,5 +578,6 @@ object Graph {
     // built after the queries run (oracles is a def): caps the recursive
     // walk at the round count recorded by shortestPaths
     "g7_shortest_paths" -> shortestPathsSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    "g8_label_propagation" -> labelPropagationSql(),
   )
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -553,6 +554,71 @@ object TextStats {
        |FROM pairs GROUP BY pair
        |ORDER BY n DESC, pair ASC LIMIT $topK""".stripMargin
 
+  // --------------------------------------------------- unigram LM score
+
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under the corpus's own unigram distribution — the
+    * classic cheap LM-perplexity proxy a curation pipeline uses to rank
+    * documents before an expensive neural scorer (low avg logprob =
+    * unusual token mix = candidate for drop or re-review).
+    *
+    * The 100 TB shape: one pass builds (doc_id, word, c) counts
+    * (map-side combined — per-doc distinct words reach the shuffle, not
+    * tokens), the vocabulary is its word-marginal (vocab ≪ corpus), the
+    * corpus total is a broadcast 1-row frame (A7 pattern, no driver
+    * action), and the score join is an ordinary equi-join on word that
+    * AQE can skew-split. The count frame is localCheckpoint'd because
+    * both the vocabulary and the per-doc branch consume it (the NOTES
+    * multi-consumer rule — column pruning would otherwise tokenize the
+    * corpus twice).
+    *
+    * Cross-engine exactness: ln() is a libm call, so each word's logprob
+    * is rounded to 6 dp and stored as DECIMAL(18,6) immediately (NOTES
+    * libm rule); the per-doc sum is then an exact decimal aggregate, and
+    * only the final mean re-enters double land for one clean division
+    * before the standard round→DECIMAL output cast. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = tok.groupBy("word").agg(sum("c").cast("long").as("n_w"))
+    val total = vocab.agg(sum("n_w").cast("long").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("n_w").cast("double") / col("n_total")), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+    tok.join(scored, "word")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        sum(col("logp") * col("c")).cast(DecimalType(18, 6)).as("sum_logp"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_logp"),
+        round(col("sum_logp").cast("double") / col("n_tokens"), 6)
+          .cast(DecimalType(18, 6)).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  def unigramLogprobSql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, u.word, count(*) AS c
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)
+       |  GROUP BY doc_id, u.word
+       |), vocab AS (
+       |  SELECT word, CAST(SUM(c) AS BIGINT) AS n_w FROM tc GROUP BY word
+       |), tot AS (
+       |  SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab
+       |), scored AS (
+       |  SELECT word, CAST(round(ln(CAST(n_w AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS logp
+       |  FROM vocab, tot
+       |), per AS (
+       |  SELECT tc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(logp * c) AS DECIMAL(18,6)) AS sum_logp
+       |  FROM tc JOIN scored USING (word) GROUP BY tc.doc_id
+       |)
+       |SELECT doc_id, n_tokens, sum_logp,
+       |  CAST(round(CAST(sum_logp AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6)) AS avg_logp
+       |FROM per ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -571,6 +637,8 @@ object TextStats {
     "x11_sequence_pack" -> ((s: SparkSession, dir: String) =>
       sequencePack(Tables.documents(s, dir))),
     "x13_bpe_merges" -> xBpeMerges _,
+    "x14_unigram_logprob" -> ((s: SparkSession, dir: String) =>
+      unigramLogprob(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -586,5 +654,6 @@ object TextStats {
     "x10_mix_weights" -> mixWeightsSql(),
     "x11_sequence_pack" -> sequencePackSql(),
     "x13_bpe_merges" -> xBpeMergesSql(),
+    "x14_unigram_logprob" -> unigramLogprobSql,
   )
 }

@@ -126,4 +126,22 @@ class DedupSpec extends SparkSpec {
     // cluster 1: doc 2 longest; cluster 7: equal lengths → min id 7
     assert(got.toSeq == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
   }
+
+  test("repeatedSpans: shared 3-token spans counted with multiplicity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // spans: "a b c", "b c d"
+      (2L, "a b c e"),  // spans: "a b c", "b c e"
+      (3L, "x y z w"),  // no overlap with others
+      (4L, "p q"),      // shorter than span width → absent from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue, r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 1L, 0.5, 1L))) // "a b c" shared with doc 2
+    assert(got(2L) == ((2L, 1L, 0.5, 1L)))
+    assert(got(3L) == ((2L, 0L, 0.0, 1L)))
+  }
 }

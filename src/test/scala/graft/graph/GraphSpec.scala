@@ -86,4 +86,22 @@ class GraphSpec extends SparkSpec {
     val r2 = Graph.pageRank(e, iterations = 2, refQuirks = true).collect()
     assert(r2.map(_.getLong(0)).toSet == Set(3L))
   }
+
+  test("labelPropagation: disjoint triangles converge to min-id labels") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val got = Graph.labelPropagation(e, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // K3 round-by-round with min-tie-break: round 1 → (2,1,1), round 2 →
+    // (1,1,1), stable at the min id thereafter; same shifted for {7,8,9}
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 7L)))
+  }
+
+  test("labelPropagation: edge direction is ignored (symmetrized)") {
+    val fwd = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val rev = edges(2L -> 1L, 3L -> 2L, 1L -> 3L)
+    val a = Graph.labelPropagation(fwd).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.labelPropagation(rev).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }

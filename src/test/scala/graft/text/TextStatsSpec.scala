@@ -154,4 +154,19 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) == ((4L, 3L, 0L, 1L, 1L))) // spans the chunk-0/1 boundary
     assert(got(3L) == ((2L, 7L, 1L, 2L, 1L))) // spans 1/2
   }
+
+  test("unigramLogprob scores docs by corpus unigram distribution") {
+    import spark.implicits._
+    // corpus: a:2, b:2, N=4 → logp(a) = logp(b) = round(ln(1/2), 6)
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogprob(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+      .toMap
+    val lp = -0.693147 // round(ln(0.5), 6)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - 3 * lp) < 1e-9) // exact decimal sum
+    assert(math.abs(got(1L)._3 - lp) < 1e-9)
+    assert(got(2L) == ((1L, lp, lp)))
+  }
 }
