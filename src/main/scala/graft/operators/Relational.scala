@@ -623,6 +623,39 @@ object Relational {
        |  FROM documents)
        |WHERE rk <= $k ORDER BY lang, rk""".stripMargin
 
+  /** Rolling event-time window via RANGE frame (engine extension): per
+    * user, the count and value sum over the trailing hour at every
+    * event — the feature-engineering shape ("activity in the last N
+    * minutes") that tumbling windows can't express. The frame is a
+    * RANGE over epoch microseconds, so simultaneous events are peers
+    * and the result is order-independent; the window is partitioned by
+    * user (no global sort — per-user frames evaluate independently at
+    * any scale, skew bounded by the hottest user). The summed value is
+    * decimal-quantized first (q10's rule: frame-evaluation strategy
+    * must not change the result). */
+  def q39Rolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(D204)).over(w).cast("double").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def q39RollingSql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value
+      |      FROM events WHERE user_id < 50)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -654,6 +687,7 @@ object Relational {
     "q33_incremental_rollup" -> q33IncrementalRollup _,
     "q35_grouping_sets" -> q35GroupingSets _,
     "q36_scd2" -> q36Scd2 _,
+    "q39_rolling_window" -> q39Rolling _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -686,5 +720,6 @@ object Relational {
     "q33_incremental_rollup" -> q33IncrementalRollupSql,
     "q35_grouping_sets" -> q35GroupingSetsSql,
     "q36_scd2" -> q36Scd2Sql,
+    "q39_rolling_window" -> q39RollingSql,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.KmvDistinctAggregator
+import graft.functions.{KmvDistinctAggregator, MisraGriesAggregator}
 import graft.sources.Tables
 
 /** Distinct-count sketching (engine extension): constant-space
@@ -88,12 +88,65 @@ object Sketch {
        |  CAST(round(s.est, 6) AS DECIMAL(18,6)) AS kmv_est
        |FROM exact e JOIN est s USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** q38: exact heavy hitters via the classic two-pass sketch plan —
+    * pass 1 runs a bounded Misra-Gries summary over the token stream
+    * (O(c) state map-side, associative merge; candidates are a
+    * DETERMINISTIC superset of every token with frequency > N/(c+1)),
+    * pass 2 exact-counts only the candidates (broadcast join — the
+    * candidate set is ≤ c rows by construction) and filters to
+    * frequency·k > N. Because the final filter uses exact counts, the
+    * result equals the plain GROUP BY + HAVING the oracle runs, at a
+    * fraction of the shuffle: at 100 TB pass 1 shuffles c pairs per
+    * partition instead of the full vocabulary, and pass 2's aggregate
+    * only carries candidate tokens.
+    *
+    * Capacity is 2k+1 > k, so the MG guarantee (> N/(2k+2) survives)
+    * strictly covers the > N/k report threshold. */
+  def heavyHitters(docs: DataFrame, k: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(graft.text.Tokenize.rawTokens(col("text"))).as("word"))
+    // pass 1: MG candidates + exact N in ONE bounded-state aggregate
+    // (1-row result, checkpointed — both branches below read it)
+    val sketch = toks.as[String]
+      .groupByKey(_ => 0)
+      .agg(new MisraGriesAggregator(2 * k + 1).toColumn.name("s"))
+      .toDF("g", "s")
+      .select(col("s._1").as("cands"), col("s._2").as("n_total"))
+      .localCheckpoint(true)
+    val candidates = sketch.select(explode(col("cands")).as("word"))
+    val total = sketch.select(col("n_total"))
+    // pass 2: exact counts for candidates only
+    toks.join(broadcast(candidates), "word")
+      .groupBy("word").agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("n_total"))
+      .select(col("word"), col("n"), col("n_total"))
+      .orderBy(desc("n"), asc("word"))
+  }
+
+  /** Oracle for [[heavyHitters]]: the exact GROUP BY + HAVING the
+    * two-pass plan is guaranteed to reproduce. */
+  def heavyHittersSql(k: Int = 32): String =
+    s"""WITH toks AS (
+       |  SELECT u.word
+       |  FROM documents, UNNEST(${graft.text.Tokenize.rawTokensSql("text")}) AS u(word)
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+       |SELECT word, CAST(count(*) AS BIGINT) AS n, n_total
+       |FROM toks, tot GROUP BY word, n_total
+       |HAVING count(*) * $k > n_total
+       |ORDER BY n DESC, word ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_kmv_distinct" -> ((s: SparkSession, dir: String) =>
       kmvDistinct(Tables.events(s, dir))),
+    "q38_heavy_hitters" -> ((s: SparkSession, dir: String) =>
+      heavyHitters(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
     "q37_kmv_distinct" -> kmvDistinctSql(),
+    "q38_heavy_hitters" -> heavyHittersSql(),
   )
 }

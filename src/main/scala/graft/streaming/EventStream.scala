@@ -383,7 +383,39 @@ object EventStream {
 
   // -------------------------------------------------------------- registry
 
+  // --------------------------------------- stream-static enrichment join
+
+  /** Stream-static enrichment: events joined to the customer dimension
+    * (user_id = c_custkey) and rolled up per market segment — the
+    * canonical "enrich the stream with a slowly-changing dim" shape.
+    * Works on batch AND streaming frames: a static DataFrame joined to a
+    * streaming one is re-read per micro-batch by Structured Streaming,
+    * so the same plan serves both ([[EventStreamSpec]] asserts
+    * stream/batch equivalence on the joined rows).
+    *
+    * Scale: the dim side is explicitly broadcast — the stream side never
+    * shuffles for the join (at 1000 executors each micro-batch maps the
+    * join locally); the rollup then shuffles only (segment, type)
+    * partials. Value sums decimal-quantized per the engine rule. */
+  def enrichedSegmentCounts(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))), "user_id")
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"))
+
+  /** Streaming variant of the enrichment leg alone (append-safe,
+    * stateless): the per-batch join used by the spec's equivalence
+    * test; callers aggregate downstream per their output mode. */
+  def enrichStream(stream: DataFrame, customer: DataFrame): DataFrame =
+    stream.join(broadcast(customer.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"))), "user_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_enriched_segments" -> ((s: SparkSession, dir: String) =>
+      enrichedSegmentCounts(Tables.events(s, dir), Tables.customer(s, dir))
+        .orderBy("segment", "event_type")),
     "st1_tumbling_counts" -> ((s: SparkSession, dir: String) =>
       tumblingCounts(Tables.events(s, dir)).orderBy("wstart", "sentiment")),
     "st2_sliding_counts" -> ((s: SparkSession, dir: String) =>
@@ -477,5 +509,11 @@ object EventStream {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st9_enriched_segments" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

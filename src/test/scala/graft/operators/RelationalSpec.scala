@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, unix_micros}
+
 import graft.SparkSpec
 
 /** Structural checks of the relational queries on sf0.001 (the DuckDB
@@ -53,6 +55,23 @@ class RelationalSpec extends SparkSpec {
       val sorted = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("running_value"))
       assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a })
     }
+  }
+
+  test("q39 rolling 1h counts match a brute-force recomputation") {
+    val got = Relational.q39Rolling(spark, dir).collect()
+      .filter(_.getAs[Long]("user_id") < 5)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_1h")).toMap
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = ev.map { case (u, e, us) =>
+      e -> ev.count { case (u2, _, us2) =>
+        u2 == u && us2 >= us - 3600000000L && us2 <= us
+      }.toLong
+    }.toMap
+    assert(got == brute)
   }
 
   test("q13 union-distinct is within nation key domain") {

@@ -19,6 +19,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: exact set on a skewed corpus, independent of partitioning") {
+    // 60×"hot", 30×"warm", 1 each of 20 rare words; N=110
+    // k=4 → threshold N/4=27.5 → exactly {hot, warm}
+    val docs = (
+      Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+        (1 to 20).map(i => s"rare$i")
+      ).zipWithIndex.map { case (wrd, i) => (i.toLong, wrd) }
+    Seq(1, 7).foreach { parts =>
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      val got = Sketch.heavyHitters(df, k = 4).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // capacity 2k+1 = 9 < 22 distinct words → MG eviction really runs
+      assert(got.toSeq == Seq(("hot", 60L), ("warm", 30L)), s"parts=$parts")
+    }
+  }
+
+  test("MisraGriesAggregator: merge keeps the frequency guarantee under eviction") {
+    import graft.functions.MisraGriesAggregator
+    val agg = new MisraGriesAggregator(3)
+    // stream A: x-heavy with noise; stream B: y-heavy with other noise
+    val a = "x x x a b c x x a".split(" ").foldLeft(agg.zero)(agg.reduce)
+    val b = "y y d e y f y d y".split(" ").foldLeft(agg.zero)(agg.reduce)
+    assert(a._1.size <= 3 && b._1.size <= 3) // bounded state
+    val (m, n) = agg.merge(a, b)
+    assert(n == 18) // exact N carried through merges
+    // x (5/18) and y (5/18) both exceed N/(c+1) = 18/4 → guaranteed kept
+    assert(m.contains("x") && m.contains("y"))
+    assert(m.size <= 3)
+  }
+
   test("KmvDistinctAggregator: partition-schedule independent") {
     // the estimate is a pure function of the distinct hash set, so any
     // partitioning (and so any partial-aggregation merge order) must

@@ -34,6 +34,26 @@ class EventStreamSpec extends SparkSpec {
       (ts(1), "POS", 1L), (ts(1), "NEG", 1L)))
   }
 
+  test("stream-static enrichment join matches the batch twin, drops unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val customer = Seq((1L, "AUTO"), (2L, "BIKE")).toDF("c_custkey", "c_mktsegment")
+    val data = Seq((1L, 2.0), (2L, 3.0), (1L, 4.0), (5L, 9.0)) // 5 has no dim row
+    val in = MemoryStream[(Long, Double)]
+    in.addData(data: _*)
+    val q = EventStream.enrichStream(in.toDF().toDF("user_id", "value"), customer)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_test")
+      .select("user_id", "value", "segment")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val batch = EventStream.enrichStream(data.toDF("user_id", "value"), customer)
+      .select("user_id", "value", "segment")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((1L, 2.0, "AUTO"), (1L, 4.0, "AUTO"), (2L, 3.0, "BIKE")))
+  }
+
   test("foreachBatch parquet sink: no driver collect, rows land in files") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
