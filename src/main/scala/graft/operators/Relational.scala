@@ -656,6 +656,51 @@ object Relational {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Grouped Pearson correlation from exact decimal sums (engine
+    * extension): corr(l_quantity, l_extendedprice) per return flag.
+    * Spark's built-in `corr` is a streaming-covariance aggregate whose
+    * result depends on input order (no DuckDB twin bit-for-bit), so the
+    * engine computes the five moment sums as decimal-quantized exact
+    * aggregates — one partial-aggregated pass, order-independent by
+    * construction — and assembles the textbook formula in doubles only
+    * at the very end (identical single-expression chain on both sides,
+    * then the standard round→DECIMAL output cast). Same one-shuffle
+    * cost as the built-in at any scale. */
+  def q40GroupedCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(D204)
+    val y = col("l_extendedprice").cast(D204)
+    val dec = DecimalType(38, 8)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+          .cast(DecimalType(18, 6)).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  def q40GroupedCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DECIMAL(18,6)) AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -688,6 +733,7 @@ object Relational {
     "q35_grouping_sets" -> q35GroupingSets _,
     "q36_scd2" -> q36Scd2 _,
     "q39_rolling_window" -> q39Rolling _,
+    "q40_grouped_corr" -> q40GroupedCorr _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -721,5 +767,6 @@ object Relational {
     "q35_grouping_sets" -> q35GroupingSetsSql,
     "q36_scd2" -> q36Scd2Sql,
     "q39_rolling_window" -> q39RollingSql,
+    "q40_grouped_corr" -> q40GroupedCorrSql,
   )
 }

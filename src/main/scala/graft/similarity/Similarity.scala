@@ -557,6 +557,78 @@ object Similarity {
        |SELECT vec_id, qdot FROM dots
        |ORDER BY qdot DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  // ------------------------------------------------- centroid assignment
+
+  /** s9: nearest-centroid classification — every vector assigned to the
+    * label whose s6 centroid is closest in L2 (the rocchio/prototype
+    * classifier, and the assignment step of one Lloyd iteration if the
+    * centroids were cluster means). Emits per-vector (true label,
+    * predicted label, correct) so the query doubles as the classifier's
+    * accuracy surface.
+    *
+    * Plan shape: centroids are a labels×dims aggregate collapsed to one
+    * double array per label (|L| rows, broadcast); each vector computes
+    * |v|² once in a projection below the broadcast join, dist² then
+    * costs one [[VectorDotExact]] dot per (vector, label) via
+    * ‖v−c‖² = |v|² − 2·v·c + |c|², and argmin is a rank window
+    * partitioned by vec_id — one corpus scan, no shuffle wider than
+    * |V|·|L| narrow rows, no global sort. All three dist² terms flow
+    * through the engine's exact decimal dot kernel, so the doubles
+    * being compared are bit-identical to the oracle's. */
+  def centroidAssign(emb: DataFrame): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val cents = labelCentroids(emb)
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("centroid")))),
+        s => s.getField("centroid").cast("double")).as("ce"))
+      .select(col("clabel"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("dist2"), asc("clabel"))
+    emb.withColumn("norm2", norm2Col(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (col("norm2") - lit(2) * dotCol(col("embedding"), col("ce")) +
+          col("cnorm2")).as("dist2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("pred"),
+        (col("clabel") === col("label")).cast("long").as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[centroidAssign]]: s6's centroid CTE, then the same
+    * dist² identity from the same decimal-quantized sums. */
+  def centroidAssignSql: String =
+    s"""WITH cents AS (
+       |  ${labelCentroidsSql.replace("\n", "\n  ")}
+       |), cent AS (
+       |  SELECT label AS clabel, d, CAST(centroid AS DOUBLE) AS c FROM cents
+       |), cn AS (
+       |  SELECT clabel, CAST(SUM(CAST(c * c AS DECIMAL(32,16))) AS DOUBLE) AS cnorm2
+       |  FROM cent GROUP BY clabel
+       |), ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), vn AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), dots AS (
+       |  SELECT ex.vec_id, cent.clabel,
+       |    CAST(SUM(CAST(ex.x * cent.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN cent USING (d) GROUP BY ex.vec_id, cent.clabel
+       |), dist AS (
+       |  SELECT d.vec_id, d.clabel, vn.norm2 - 2 * d.dot + cn.cnorm2 AS dist2
+       |  FROM dots d JOIN vn USING (vec_id) JOIN cn ON cn.clabel = d.clabel
+       |), best AS (
+       |  SELECT vec_id, clabel FROM (
+       |    SELECT vec_id, clabel,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, clabel ASC) AS rk
+       |    FROM dist) WHERE rk = 1
+       |)
+       |SELECT e.vec_id, e.label, b.clabel AS pred,
+       |  CAST(CASE WHEN b.clabel = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM embeddings e JOIN best b USING (vec_id) ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
@@ -578,6 +650,8 @@ object Similarity {
       knnBatch(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
     "s8_ann_int8" -> ((s: SparkSession, dir: String) =>
       annInt8(Tables.embeddings(s, dir), queryId = 0L)),
+    "s9_centroid_assign" -> ((s: SparkSession, dir: String) =>
+      centroidAssign(Tables.embeddings(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -589,5 +663,6 @@ object Similarity {
     "s6_label_centroids" -> labelCentroidsSql,
     "s7_ann_batch" -> knnBatchSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s8_ann_int8" -> annInt8Sql(0L),
+    "s9_centroid_assign" -> centroidAssignSql,
   )
 }

@@ -619,6 +619,53 @@ object TextStats {
        |  CAST(round(CAST(sum_logp AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6)) AS avg_logp
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** Per-doc logprob table memoized per (session, sf-dir): x14 emits it,
+    * x15 buckets it — one corpus tokenize+score pass per session. */
+  private def cachedLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"unigram_logprob:${Tables.norm(dir)}")(
+      unigramLogprob(Tables.documents(s, dir)))
+
+  // ---------------------------------------------------- perplexity buckets
+
+  /** Quality-score decile buckets (the CCNet shape: rank the corpus by
+    * LM score, split into head/middle/tail, sample per bucket): docs
+    * ntile'd into 10 buckets by unigram logprob, with per-bucket count,
+    * score range, and token mass — the table a curation pipeline uses
+    * to pick its quality cutoffs.
+    *
+    * The ntile window ranks the per-doc SCORE table (doc_id + two
+    * decimals — ~24 bytes/doc), never corpus text: at 100 TB of text
+    * that table is a few GB, and the production path replaces the exact
+    * global window with approx-quantile boundaries + a scan filter
+    * (the same output contract); the exact ntile here is the
+    * oracle-checkable form. Ties ordered (avg_logp, doc_id) — total
+    * order, so both engines bucket identically. */
+  def pplBuckets(perDoc: DataFrame, n: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("avg_logp"), asc("doc_id"))
+    perDoc
+      .select(col("doc_id"), col("n_tokens"), col("avg_logp"),
+        ntile(n).over(w).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_logp").as("lo"), max("avg_logp").as("hi"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("bucket")
+  }
+
+  def pplBucketsSql(n: Int = 10): String =
+    s"""WITH per AS (
+       |  ${unigramLogprobSql.replace("\n", "\n  ")}
+       |), b AS (
+       |  SELECT doc_id, n_tokens, avg_logp,
+       |    CAST(ntile($n) OVER (ORDER BY avg_logp ASC, doc_id ASC) AS BIGINT) AS bucket
+       |  FROM per
+       |)
+       |SELECT bucket, count(*) AS n_docs,
+       |  min(avg_logp) AS lo, max(avg_logp) AS hi,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -638,7 +685,9 @@ object TextStats {
       sequencePack(Tables.documents(s, dir))),
     "x13_bpe_merges" -> xBpeMerges _,
     "x14_unigram_logprob" -> ((s: SparkSession, dir: String) =>
-      unigramLogprob(Tables.documents(s, dir))),
+      cachedLogprob(s, dir).orderBy("doc_id")),
+    "x15_ppl_buckets" -> ((s: SparkSession, dir: String) =>
+      pplBuckets(cachedLogprob(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -655,5 +704,6 @@ object TextStats {
     "x11_sequence_pack" -> sequencePackSql(),
     "x13_bpe_merges" -> xBpeMergesSql(),
     "x14_unigram_logprob" -> unigramLogprobSql,
+    "x15_ppl_buckets" -> pplBucketsSql(),
   )
 }

@@ -74,6 +74,20 @@ class RelationalSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("q40 decimal-sum correlation matches Spark's built-in corr") {
+    val got = Relational.q40GroupedCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDecimal(2).doubleValue).toMap
+    val builtin = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions
+        .corr("l_quantity", "l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == builtin.keySet && got.nonEmpty)
+    got.foreach { case (flag, c) =>
+      assert(math.abs(c - builtin(flag)) < 1e-6, s"$flag: $c vs ${builtin(flag)}")
+    }
+  }
+
   test("q13 union-distinct is within nation key domain") {
     val keys = Relational.q13Union(spark, dir).collect().map(_.getInt(0))
     assert(keys.distinct.length == keys.length && keys.forall(k => k >= 0 && k < 25))

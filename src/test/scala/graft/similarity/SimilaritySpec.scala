@@ -137,4 +137,30 @@ class SimilaritySpec extends SparkSpec {
       assert(members.keys.min == lbl)
     }
   }
+
+  test("centroidAssign: separable toy clusters classify perfectly") {
+    import spark.implicits._
+    val dims = 64
+    // label 0 vectors live on axis 0, label 1 vectors on axis 1 — the
+    // centroids are axis-aligned and every vector is nearer its own
+    def vec(axis: Int, scale: Float) =
+      Array.tabulate(dims)(d => if (d == axis) scale else 0.1f)
+    val emb = Seq(
+      (0L, vec(0, 5f), 0), (1L, vec(0, 6f), 0), (2L, vec(0, 7f), 0),
+      (3L, vec(1, 5f), 1), (4L, vec(1, 6f), 1), (5L, vec(1, 7f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidAssign(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == 6)
+    got.foreach { case (id, label, pred, correct) =>
+      assert(pred == label && correct == 1L, s"vec $id: pred=$pred label=$label")
+    }
+  }
+
+  test("centroidAssign on real embeddings beats chance accuracy") {
+    val rows = Similarity.centroidAssign(emb).collect()
+    val acc = rows.count(_.getLong(3) == 1L).toDouble / rows.length
+    val nLabels = rows.map(_.getInt(1)).distinct.length
+    assert(acc > 1.5 / nLabels, s"accuracy $acc vs chance ${1.0 / nLabels}")
+  }
 }

@@ -169,4 +169,20 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(got(1L)._3 - lp) < 1e-9)
     assert(got(2L) == ((1L, lp, lp)))
   }
+
+  test("pplBuckets: even deciles with monotone non-overlapping score ranges") {
+    import spark.implicits._
+    // doc i repeats word w_i (i times) plus a shared word — scores vary
+    val docs = (1L to 8L).map { i =>
+      (i, (Seq.fill(i.toInt)(s"w$i") :+ "shared").mkString(" "))
+    }.toDF("doc_id", "text")
+    val per = TextStats.unigramLogprob(docs)
+    val got = TextStats.pplBuckets(per, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // all buckets present
+    assert(got.map(_._2).sum == 8L && got.forall(_._2 == 2L)) // even split
+    got.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    got.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3); case _ => }
+  }
 }
