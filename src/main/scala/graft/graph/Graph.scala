@@ -525,6 +525,84 @@ object Graph {
     sb.toString
   }
 
+  // --------------------------------------------------------------- k-core
+
+  /** Converged peel-round count per record key for [[kCore]] — the
+    * record-then-unroll oracle contract (g5/g7). */
+  private[graph] val kcoreRounds =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private[graph] var lastKcoreKey: Option[String] = None
+
+  /** k-core decomposition membership: the maximal induced subgraph of
+    * the symmetrized graph where every vertex has degree ≥ k, found by
+    * iterative peeling — drop all vertices below degree k, recompute
+    * degrees on the induced subgraph, repeat to fixpoint. Output is
+    * (id, core_deg): the surviving vertices with their within-core
+    * degree.
+    *
+    * Scale shape per round: two semi-joins restrict the edge list to
+    * surviving endpoints (each an equi-join on one key), one count
+    * aggregate rebuilds degrees; the vertex set only shrinks, so every
+    * round costs less than the last. The peel count is recorded and the
+    * oracle re-derives every round independently, capped at that count
+    * (the g5 contract — only the stopping rule is Spark-derived). */
+  def kCore(edges: DataFrame, k: Int = 10,
+            recordKey: Option[String] = None): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    def degreesOf(e: DataFrame): DataFrame =
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var alive = degreesOf(sym).filter(col("deg") >= k)
+      .select("id").localCheckpoint(true)
+    var n = alive.count()
+    var rounds = 1 // the initial filter is peel round 1
+    var converged = false
+    while (!converged) {
+      val induced = sym
+        .join(alive, sym("src") === alive("id"), "left_semi")
+        .join(alive.withColumnRenamed("id", "id2"),
+          col("dst") === col("id2"), "left_semi")
+      val next = degreesOf(induced).filter(col("deg") >= k)
+        .select("id").localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      if (!converged) { alive = next; n = m; rounds += 1 }
+    }
+    recordKey.foreach { key => kcoreRounds(key) = rounds; lastKcoreKey = Some(key) }
+    val core = sym
+      .join(alive, sym("src") === alive("id"), "left_semi")
+      .join(alive.withColumnRenamed("id", "id2"),
+        col("dst") === col("id2"), "left_semi")
+    degreesOf(core).withColumnRenamed("deg", "core_deg").orderBy("id")
+  }
+
+  /** Oracle for [[kCore]]: the peel rounds unrolled as CTEs to the
+    * recorded count (fails loudly if g9 never recorded a run). */
+  def kCoreSql(k: Int = 10, m: Int = 2000, key: Option[String] = None): String = {
+    val recorded = kcoreRounds.readOnlySnapshot()
+    val chosen = key.orElse(lastKcoreKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_g9_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    val sb = new StringBuilder
+    sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
+    sb ++= "sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),\n"
+    sb ++= s"a1 AS (SELECT src AS id FROM sym GROUP BY src HAVING count(*) >= $k)"
+    for (i <- 2 to r) {
+      sb ++= s""",
+         |a$i AS (
+         |  SELECT e.src AS id FROM sym e
+         |  JOIN a${i - 1} x ON e.src = x.id JOIN a${i - 1} y ON e.dst = y.id
+         |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT e.src AS id, count(*) AS core_deg FROM sym e
+       |JOIN a$r x ON e.src = x.id JOIN a$r y ON e.dst = y.id
+       |GROUP BY e.src ORDER BY id""".stripMargin
+    sb.toString
+  }
+
   // -------------------------------------------------------------- registry
 
   /** Edge list memoized per (session, sf-dir): every graph query walks
@@ -559,6 +637,8 @@ object Graph {
         recordKey = Some(Tables.norm(dir)))),
     "g8_label_propagation" -> ((s: SparkSession, dir: String) =>
       labelPropagation(cachedEdges(s, dir))),
+    "g9_kcore" -> ((s: SparkSession, dir: String) =>
+      kCore(cachedEdges(s, dir), recordKey = Some(Tables.norm(dir)))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -579,5 +659,7 @@ object Graph {
     // walk at the round count recorded by shortestPaths
     "g7_shortest_paths" -> shortestPathsSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "g8_label_propagation" -> labelPropagationSql(),
+    // built after the queries run: unrolls the recorded peel count
+    "g9_kcore" -> kCoreSql(),
   )
 }

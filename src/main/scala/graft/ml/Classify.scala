@@ -348,6 +348,124 @@ object Classify {
        |  CAST(round(SUM(CAST(n_true * fp_rate / total AS DECIMAL(32,16))), 6) AS DECIMAL(18,6)) AS weighted_fpr
        |FROM d2""".stripMargin
 
+  // ------------------------------------------------- native naive Bayes
+
+  /** m10: multinomial naive Bayes as pure DataFrame aggregates — train
+    * on the md5-hash train split (the x6 rule: bucket < 204), predict
+    * the eval docs' language. Unlike the spark.ml pipelines above
+    * (persisted-fit oracle — DuckDB re-aggregates predictions it cannot
+    * reproduce), EVERY step here — priors, Laplace-smoothed token
+    * likelihoods, per-doc argmax — is re-derived independently by the
+    * oracle; the model "fit" IS a pair of aggregates.
+    *
+    * Scale shape: training is one shuffle on (lang, word) with map-side
+    * combine (the likelihood table is vocab×langs ≪ corpus); scoring
+    * joins eval (doc, word, c) counts to the likelihood table on word —
+    * an AQE-splittable equi-join — then one (doc, lang) aggregate and a
+    * per-doc rank window. The langs frame and the unseen-word default
+    * are tiny broadcasts. No driver collect anywhere.
+    *
+    * Cross-engine exactness: every ln() output is rounded to 6 dp into
+    * DECIMAL(18,6) at birth (the libm rule); scores are then exact
+    * decimal sums, so argmax compares identical bytes — ties break to
+    * the lexicographically smallest language on both engines. */
+  def naiveBayesLang(docs: DataFrame): DataFrame = {
+    val Out6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val isTrain = graft.text.TextStats.hashBucket(col("doc_id")) < 204
+    val toks = docs.select(col("doc_id"), col("lang"), isTrain.as("tr"),
+        explode(graft.text.Tokenize.rawTokens(col("text"))).as("word"))
+      .localCheckpoint(true)
+
+    // ---- fit (aggregates over the train split)
+    val train = toks.filter(col("tr"))
+    val priors = train.select("doc_id", "lang").distinct()
+      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+    val nTrainDocs = priors.agg(sum("nd").as("ndocs"))
+    val logPrior = priors.crossJoin(broadcast(nTrainDocs))
+      .select(col("l"),
+        round(log(col("nd").cast("double") / col("ndocs")), 6)
+          .cast(Out6).as("lprior"))
+    val counts = train.groupBy(col("lang").as("l"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = counts.agg(countDistinct("word").cast("long").as("v"))
+    val langTotals = counts.groupBy("l").agg(sum("c").cast("long").as("t"))
+      .crossJoin(broadcast(vocab))
+    // per-lang Laplace default for words unseen in that language
+    val defaults = langTotals.select(col("l"),
+      round(log(lit(1.0) / (col("t") + col("v"))), 6).cast(Out6).as("ldefault"))
+    val loglik = counts.join(langTotals, "l")
+      .select(col("l"), col("word"),
+        round(log((col("c") + 1).cast("double") / (col("t") + col("v"))), 6)
+          .cast(Out6).as("llik"))
+
+    // ---- predict (eval split)
+    val evalCounts = toks.filter(!col("tr"))
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val langs = defaults.join(logPrior, "l") // one row per language
+    val scored = evalCounts
+      .crossJoin(broadcast(langs))
+      .join(loglik, Seq("l", "word"), "left")
+      .select(col("doc_id"), col("lang"), col("l"), col("lprior"),
+        (col("c") * coalesce(col("llik"), col("ldefault"))).as("contrib"))
+      .groupBy("doc_id", "lang", "l", "lprior")
+      .agg(sum("contrib").cast(Out6).as("csum"))
+      .select(col("doc_id"), col("lang"), col("l"),
+        (col("lprior") + col("csum")).cast(Out6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("l"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("l").as("pred"),
+        (col("l") === col("lang")).cast("long").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  def naiveBayesLangSql: String = {
+    val toks = graft.text.Tokenize.rawTokensSql("text")
+    val bucket = graft.text.TextStats.hashBucketSqlExpr("doc_id")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ($bucket) < 204 AS tr, u.word
+       |  FROM documents, UNNEST($toks) AS u(word)
+       |), priors AS (
+       |  SELECT lang AS l, count(DISTINCT doc_id) AS nd FROM toks WHERE tr GROUP BY lang
+       |), nt AS (SELECT SUM(nd) AS ndocs FROM priors),
+       |logprior AS (
+       |  SELECT l, CAST(round(ln(CAST(nd AS DOUBLE) / ndocs), 6) AS DECIMAL(18,6)) AS lprior
+       |  FROM priors, nt
+       |), counts AS (
+       |  SELECT lang AS l, word, count(*) AS c FROM toks WHERE tr GROUP BY lang, word
+       |), vocab AS (SELECT count(DISTINCT word) AS v FROM counts),
+       |langtot AS (SELECT l, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY l),
+       |defaults AS (
+       |  SELECT l, CAST(round(ln(1.0 / (t + v)), 6) AS DECIMAL(18,6)) AS ldefault
+       |  FROM langtot, vocab
+       |), loglik AS (
+       |  SELECT c.l, c.word,
+       |    CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (lt.t + v.v)), 6) AS DECIMAL(18,6)) AS llik
+       |  FROM counts c JOIN langtot lt USING (l), vocab v
+       |), ec AS (
+       |  SELECT doc_id, lang, word, count(*) AS c
+       |  FROM toks WHERE NOT tr GROUP BY doc_id, lang, word
+       |), langs AS (SELECT d.l, d.ldefault, p.lprior FROM defaults d JOIN logprior p USING (l)),
+       |scored AS (
+       |  SELECT ec.doc_id, ec.lang, lg.l,
+       |    CAST(lg.lprior + CAST(SUM(ec.c * COALESCE(ll.llik, lg.ldefault)) AS DECIMAL(18,6))
+       |      AS DECIMAL(18,6)) AS score
+       |  FROM ec CROSS JOIN langs lg
+       |    LEFT JOIN loglik ll ON ll.l = lg.l AND ll.word = ec.word
+       |  GROUP BY ec.doc_id, ec.lang, lg.l, lg.lprior
+       |), best AS (
+       |  SELECT doc_id, lang, l FROM (
+       |    SELECT doc_id, lang, l,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rk
+       |    FROM scored) WHERE rk = 1
+       |)
+       |SELECT doc_id, lang, l AS pred,
+       |  CAST(CASE WHEN l = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_confusion" -> ((s: SparkSession, dir: String) =>
       confusionMatrix(scoreAndPersist(s, dir, "m1"))),
@@ -364,6 +482,8 @@ object Classify {
     // compute): best-of-8-fits predictions → weighted metrics
     "m9_cv_metrics" -> ((s: SparkSession, dir: String) =>
       weightedMetrics(scoreAndPersistCv(s, dir, "m9"))),
+    "m10_naive_bayes" -> ((s: SparkSession, dir: String) =>
+      naiveBayesLang(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -372,5 +492,6 @@ object Classify {
     "m4_weighted_metrics" -> weightedMetricsSql("m4"),
     "m5_cv_confusion" -> confusionSql("m5"),
     "m9_cv_metrics" -> weightedMetricsSql("m9"),
+    "m10_naive_bayes" -> naiveBayesLangSql,
   )
 }

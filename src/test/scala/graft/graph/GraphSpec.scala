@@ -97,6 +97,22 @@ class GraphSpec extends SparkSpec {
       (7L, 7L), (8L, 7L), (9L, 7L)))
   }
 
+  test("kCore: pendant chain peels away over multiple rounds, K4 survives") {
+    // K4 {1,2,3,4} + chain 1-5-6: at k=2, vertex 6 (deg 1) peels in
+    // round 1, exposing 5 (deg drops 2→1) which peels in round 2 — the
+    // cascade the fixpoint loop exists for
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 1L -> 5L, 5L -> 6L)
+    val got = Graph.kCore(e, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kCore: k above max degree yields the empty core") {
+    val e = edges(1L -> 2L, 2L -> 3L)
+    assert(Graph.kCore(e, k = 5).count() == 0L)
+  }
+
   test("labelPropagation: edge direction is ignored (symmetrized)") {
     val fwd = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
     val rev = edges(2L -> 1L, 3L -> 2L, 1L -> 3L)

@@ -97,4 +97,25 @@ class ClassifySpec extends SparkSpec {
     assert(Classify.fitKey(Classify.pipeline(numFeatures = 512)) !=
       Classify.fitKey(Classify.pipeline(numFeatures = 1024)))
   }
+
+  test("naiveBayesLang: disjoint vocabularies classify eval docs perfectly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two languages with disjoint vocab; the md5 split decides
+    // train/eval per doc_id, so assert against the same rule
+    val docs = (0L until 60L).map { i =>
+      if (i % 2 == 0) (i, s"alpha beta gamma w$i alpha", "aa")
+      else (i, s"delta epsilon zeta w$i delta", "bb")
+    }.toDF("doc_id", "text", "lang")
+    val evalIds = docs
+      .select(col("doc_id"), graft.text.TextStats.hashBucket(col("doc_id")).as("b"))
+      .collect().filter(_.getInt(1) >= 204).map(_.getLong(0)).toSet
+    assert(evalIds.nonEmpty && evalIds.size < 60) // both splits populated
+    val got = Classify.naiveBayesLang(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == evalIds) // exactly the eval split scored
+    got.foreach { case (id, lang, pred, correct) =>
+      assert(pred == lang && correct == 1L, s"doc $id: $pred vs $lang")
+    }
+  }
 }
