@@ -678,15 +678,30 @@ object Dedup {
     *
     * Exactness: counts are integers; the one ratio is a clean double
     * division rounded to 6 dp and emitted DECIMAL(18,6) on both sides. */
-  def repeatedSpans(docs: DataFrame, w: Int = 3): DataFrame = {
+  /** (doc_id, h): every w-token span instance as an md5 hash — the
+    * shared scan for d12/d13 (checkpointed: every consumer reads it at
+    * least twice, the NOTES multi-consumer rule). */
+  def spanHashes(docs: DataFrame, w: Int = 3): DataFrame = {
     val toks = Tokenize.rawTokens(col("text"))
     val joined = (1 until w).foldLeft(toks) { (acc, o) =>
       zip_with(acc, slice(toks, lit(o + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
     }
-    val spans = docs
-      .select(col("doc_id"), explode(filter(joined, s => s.isNotNull)).as("s"))
+    docs.select(col("doc_id"), explode(filter(joined, s => s.isNotNull)).as("s"))
       .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
       .localCheckpoint(true)
+  }
+
+  /** Span-hash frame memoized per (session, sf-dir) — d12 and d13 walk
+    * the same spans, so the tokenize+hash scan runs once per session
+    * (the shingleBase pattern). */
+  private def cachedSpans(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"span_hashes:${Tables.norm(dir)}")(
+      spanHashes(Tables.documents(s, dir)))
+
+  def repeatedSpans(docs: DataFrame, w: Int = 3): DataFrame =
+    repeatedSpansFromSpans(spanHashes(docs, w))
+
+  def repeatedSpansFromSpans(spans: DataFrame): DataFrame = {
     val df = spans.select("h", "doc_id").distinct()
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
     spans.join(df, "h")
@@ -721,6 +736,51 @@ object Dedup {
        |FROM per ORDER BY doc_id""".stripMargin
   }
 
+  /** d13: span novelty per document — the fraction of a document's span
+    * instances whose FIRST corpus occurrence (min doc_id over the whole
+    * corpus) is this document. Scanning the corpus in doc_id order, this
+    * is each document's marginal contribution of never-seen-before
+    * spans — the redundancy-growth curve a curation pipeline watches to
+    * decide when additional data stops adding content (novelty falls as
+    * the corpus saturates). Complements d12 (which asks "is this span
+    * shared at all"); d13 asks "who said it first".
+    *
+    * Same 100 TB shape as d12 over the shared memoized span-hash frame:
+    * one min-aggregate on the hash builds the first-occurrence table,
+    * one equi-join + per-doc aggregate scores it. */
+  def spanNoveltyFromSpans(spans: DataFrame): DataFrame = {
+    val first = spans.groupBy("h").agg(min("doc_id").as("first_doc"))
+    spans.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .select(col("doc_id"), col("n_spans"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_spans"), 6)
+          .cast(Out6).as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
+  def spanNoveltySql(w: Int = 3): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    val span = (0 until w).map(o => s"t[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toks AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id, md5($span) AS h
+       |  FROM toks, UNNEST(range(1, len(t) - ${w - 2})) AS u(i)
+       |), first AS (
+       |  SELECT h, min(doc_id) AS first_doc FROM ch GROUP BY h
+       |), per AS (
+       |  SELECT ch.doc_id, count(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN first_doc = ch.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM ch JOIN first USING (h) GROUP BY ch.doc_id
+       |)
+       |SELECT doc_id, n_spans, n_novel,
+       |  CAST(round(n_novel * 1.0 / n_spans, 6) AS DECIMAL(18,6)) AS novel_frac
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
@@ -748,7 +808,9 @@ object Dedup {
         shingleBase(s, dir).select("doc_id", "shh"))),
     "d10_minhash_estimate" -> minhashJaccardEstimate _,
     "d12_repeated_spans" -> ((s: SparkSession, dir: String) =>
-      repeatedSpans(Tables.documents(s, dir))),
+      repeatedSpansFromSpans(cachedSpans(s, dir))),
+    "d13_span_novelty" -> ((s: SparkSession, dir: String) =>
+      spanNoveltyFromSpans(cachedSpans(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -772,5 +834,6 @@ object Dedup {
     "d10_minhash_estimate" -> minhashJaccardEstimateSql(),
     "d11_canonical_docs" -> canonicalDocsSql(),
     "d12_repeated_spans" -> repeatedSpansSql(),
+    "d13_span_novelty" -> spanNoveltySql(),
   )
 }

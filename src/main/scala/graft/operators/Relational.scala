@@ -701,6 +701,69 @@ object Relational {
       |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DECIMAL(18,6)) AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Correlated scalar subqueries through the engine's SQL front end
+    * (SQL-surface extension): orders whose total exceeds 1.5× their own
+    * customer's average order value. The SAME ANSI text runs on both
+    * engines (Catalyst decorrelates the two scalar subqueries into
+    * aggregate+join — exactly the plan a hand-written join would give,
+    * so the SQL surface costs nothing at scale). The comparison is
+    * cross-multiplied into exact decimal arithmetic
+    * (2·n·price > 3·Σprice ⟺ price > 1.5·Σ/n) so no division or
+    * rounding exists to diverge between engines. */
+  private def q41SubquerySql(table: String): String =
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+       |FROM $table o
+       |WHERE 2 * (SELECT count(*) FROM $table o2
+       |           WHERE o2.o_custkey = o.o_custkey)
+       |        * CAST(o.o_totalprice AS DECIMAL(20,4))
+       |    > 3 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(20,4)))
+       |           FROM $table o2 WHERE o2.o_custkey = o.o_custkey)
+       |ORDER BY o.o_orderkey""".stripMargin
+
+  def q41Subquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q41")
+    spark.sql(q41SubquerySql("orders_q41"))
+  }
+
+  def q41SubqueryOracle: String = q41SubquerySql("orders")
+
+  /** Per-group top-k through the bounded typed [[TopKAggregator]]
+    * (engine extension): top-5 users by decimal-exact value sum per
+    * event type. Versus q32's rank-window formulation, the aggregator
+    * holds O(k) state per group, partials run map-side, and only k
+    * pairs per group per partition reach the shuffle — the shape that
+    * wins when groups are huge and k is small. The oracle is the plain
+    * rank window: both formulations must agree row-for-row. */
+  def q42TopkAgg(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("value").cast(D204)).cast("double").as("sv"))
+      .as[(String, Long, Double)]
+    sums.groupByKey(_._1)
+      .mapValues { case (_, u, v) => (u, v) }
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("event_type", "topk")
+      .select(col("event_type"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("p._2").as("user_id"), col("p._1").as("sum_value"))
+      .orderBy("event_type", "rk")
+  }
+
+  def q42TopkAggSql(k: Int = 5): String =
+    s"""WITH s AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       |  FROM events GROUP BY event_type, user_id
+       |), r AS (
+       |  SELECT event_type, user_id, sum_value,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY sum_value DESC, user_id ASC) AS rk
+       |  FROM s
+       |)
+       |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, sum_value
+       |FROM r WHERE rk <= $k ORDER BY event_type, rk""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -734,6 +797,8 @@ object Relational {
     "q36_scd2" -> q36Scd2 _,
     "q39_rolling_window" -> q39Rolling _,
     "q40_grouped_corr" -> q40GroupedCorr _,
+    "q41_correlated_subquery" -> q41Subquery _,
+    "q42_topk_agg" -> ((s: SparkSession, dir: String) => q42TopkAgg(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -768,5 +833,7 @@ object Relational {
     "q36_scd2" -> q36Scd2Sql,
     "q39_rolling_window" -> q39RollingSql,
     "q40_grouped_corr" -> q40GroupedCorrSql,
+    "q41_correlated_subquery" -> q41SubqueryOracle,
+    "q42_topk_agg" -> q42TopkAggSql(),
   )
 }

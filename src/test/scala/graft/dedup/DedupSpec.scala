@@ -144,4 +144,19 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0.5, 1L)))
     assert(got(3L) == ((2L, 0L, 0.0, 1L)))
   }
+
+  test("spanNovelty: first corpus occurrence wins, repeats score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // both spans first here → novelty 1.0
+      (2L, "a b c e"),  // "a b c" first seen in doc 1 → novelty 0.5
+      (3L, "a b c d"),  // exact repeat of doc 1 → novelty 0.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanNoveltyFromSpans(Dedup.spanHashes(docs)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
 }

@@ -88,6 +88,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q41 correlated subquery equals the hand-decorrelated join") {
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+    val got = Relational.q41Subquery(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    val o = graft.sources.Tables.orders(spark, dir)
+    val agg = o.groupBy("o_custkey")
+      .agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"),
+        fsum(col("o_totalprice").cast("decimal(20,4)")).as("s"))
+    val expected = o.join(agg, "o_custkey")
+      .filter(col("o_totalprice").cast("decimal(20,4)") * 2 * col("n") > col("s") * 3)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q42 typed top-k aggregator equals the rank-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, desc, asc, sum => fsum}
+    val got = Relational.q42TopkAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val s = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(fsum(col("value").cast("decimal(20,4)")).cast("double").as("sv"))
+    val w = Window.partitionBy("event_type").orderBy(desc("sv"), asc("user_id"))
+    val expected = s.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("event_type", "rk")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3).toLong, r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("q13 union-distinct is within nation key domain") {
     val keys = Relational.q13Union(spark, dir).collect().map(_.getInt(0))
     assert(keys.distinct.length == keys.length && keys.forall(k => k >= 0 && k < 25))
