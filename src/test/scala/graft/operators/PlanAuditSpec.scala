@@ -145,6 +145,45 @@ class PlanAuditSpec extends SparkSpec {
       "expected daily and monthly partial+final aggregates")
   }
 
+  test("q38_heavy_hitters: candidate set and total broadcast; no cartesian") {
+    val p = plan("q38_heavy_hitters")
+    // pass 2's candidate join must be a broadcast (candidates ≤ c rows)
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"),
+      "1-row total not broadcast — cartesian shuffle")
+  }
+
+  test("st9_enriched_segments: dim side broadcast, rollup partial-aggregated") {
+    val p = plan("st9_enriched_segments")
+    assert(p.contains("BroadcastHashJoin"), "customer dim not broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side combine")
+  }
+
+  test("s9_centroid_assign: centroids broadcast; argmin is a per-vector window") {
+    val p = plan("s9_centroid_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid frame not broadcast")
+    assert(!p.contains("CartesianProduct"), "centroid join became a cartesian shuffle")
+    assert(p.contains("Window"), "argmin lost its rank window")
+  }
+
+  test("q39_rolling_window: frame is partitioned by user — no global sort before it") {
+    val p = plan("q39_rolling_window")
+    assert(p.contains("Window"), p.take(500))
+    // the window's required ordering sorts WITHIN user partitions
+    // (hashpartitioning on user_id), never a range partition of all rows
+    val windowSection = p.substring(p.indexOf("Window"))
+    assert(windowSection.contains("hashpartitioning(user_id"),
+      "rolling window not hash-partitioned by user")
+  }
+
+  test("q41_correlated_subquery: scalar subqueries decorrelate to joins") {
+    val p = plan("q41_correlated_subquery")
+    assert(!p.contains("CartesianProduct"), "subquery not decorrelated")
+    // both correlated aggregates become plain aggregate+join
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
