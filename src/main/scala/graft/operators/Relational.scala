@@ -764,6 +764,101 @@ object Relational {
        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, sum_value
        |FROM r WHERE rk <= $k ORDER BY event_type, rk""".stripMargin
 
+  /** Snapshot diff — the CDC/regression-diff operator (engine
+    * extension): given two versions of a keyed table, emit every key
+    * that was added, removed, or changed. The "new" snapshot here is
+    * derived deterministically from `orders` by md5 bucket (≈5% rows
+    * removed, ≈10% status-changed, ≈5% new keys appended), so both
+    * engines reconstruct the identical pair of snapshots and the diff
+    * itself — one full outer join on the key plus a null/inequality
+    * case — is fully oracle-checked. At scale the join is the only
+    * shuffle, and a bucketed/partitioned layout on the key makes it
+    * co-located. */
+  def q43SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    val b = graft.text.TextStats.hashBucket(col("o_orderkey"))
+    val newSnap = o.filter(b >= 13)
+      .select(col("o_orderkey"),
+        when(b < 38, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      .union(o.filter(b >= 243)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus")))
+    o.select(col("o_orderkey"), col("o_orderstatus").as("old_status"))
+      .join(newSnap.select(col("o_orderkey"), col("o_orderstatus").as("new_status")),
+        Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("old_status").isNull, "added")
+          .when(col("new_status").isNull, "removed")
+          .when(col("old_status") =!= col("new_status"), "changed")
+          .otherwise("same").as("change"),
+        col("old_status"), col("new_status"))
+      .filter(col("change") =!= "same")
+      .orderBy("o_orderkey")
+  }
+
+  def q43SnapshotDiffSql: String = {
+    val bucket = graft.text.TextStats.hashBucketSqlExpr("o_orderkey")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderstatus, $bucket AS b FROM orders
+       |), new_snap AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN b < 38 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+       |  FROM o WHERE b >= 13
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, 'N' FROM o WHERE b >= 243
+       |), d AS (
+       |  SELECT COALESCE(a.o_orderkey, n.o_orderkey) AS o_orderkey,
+       |    a.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+       |  FROM o a FULL OUTER JOIN new_snap n ON a.o_orderkey = n.o_orderkey
+       |)
+       |SELECT o_orderkey,
+       |  CASE WHEN old_status IS NULL THEN 'added'
+       |       WHEN new_status IS NULL THEN 'removed'
+       |       WHEN old_status <> new_status THEN 'changed'
+       |       ELSE 'same' END AS change,
+       |  old_status, new_status
+       |FROM d
+       |WHERE old_status IS NULL OR new_status IS NULL OR old_status <> new_status
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** JSON-lines sink + schema'd source roundtrip (S-surface extension,
+    * the q20 contract for JSON): write → read with an explicit schema
+    * (never inference — at 100 TB schema inference is a full extra
+    * scan) → aggregate; the oracle recomputes from the source table, so
+    * the roundtrip must be lossless. */
+  def q44JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.sources.Artifacts.path(s"json_docs_${Tables.norm(dir)}")
+    Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").json(tmp)
+    spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("n_chars"))
+      .orderBy("lang")
+  }
+
+  def q44JsonRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ORC sink + source roundtrip (the second columnar format beside
+    * parquet; same q20 contract). */
+  def q45OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.sources.Artifacts.path(s"orc_lineitem_${Tables.norm(dir)}")
+    Tables.lineitem(spark, dir).select("l_linestatus", "l_quantity")
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  def q45OrcRoundtripSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -799,6 +894,9 @@ object Relational {
     "q40_grouped_corr" -> q40GroupedCorr _,
     "q41_correlated_subquery" -> q41Subquery _,
     "q42_topk_agg" -> ((s: SparkSession, dir: String) => q42TopkAgg(s, dir)),
+    "q43_snapshot_diff" -> q43SnapshotDiff _,
+    "q44_json_roundtrip" -> q44JsonRoundtrip _,
+    "q45_orc_roundtrip" -> q45OrcRoundtrip _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -835,5 +933,8 @@ object Relational {
     "q40_grouped_corr" -> q40GroupedCorrSql,
     "q41_correlated_subquery" -> q41SubqueryOracle,
     "q42_topk_agg" -> q42TopkAggSql(),
+    "q43_snapshot_diff" -> q43SnapshotDiffSql,
+    "q44_json_roundtrip" -> q44JsonRoundtripSql,
+    "q45_orc_roundtrip" -> q45OrcRoundtripSql,
   )
 }

@@ -120,6 +120,36 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q43 snapshot diff categorizes exactly the constructed deltas") {
+    val got = Relational.q43SnapshotDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // recompute the construction rule driver-side
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        graft.text.TextStats.hashBucket(col("o_orderkey")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(byType("removed") == o.count(_._3 < 13))
+    assert(byType("changed") == o.count(t => t._3 >= 13 && t._3 < 38))
+    assert(byType("added") == o.count(_._3 >= 243))
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("q44/q45 roundtrips are lossless vs direct aggregation") {
+    val json = Relational.q44JsonRoundtrip(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val directJson = graft.sources.Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("n_chars").cast("long").as("nc"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(json == directJson && json.nonEmpty)
+    val orc = Relational.q45OrcRoundtrip(spark, dir).collect()
+    assert(orc.nonEmpty && orc.map(_.getLong(1)).sum ==
+      graft.sources.Tables.lineitem(spark, dir).count())
+  }
+
   test("q13 union-distinct is within nation key domain") {
     val keys = Relational.q13Union(spark, dir).collect().map(_.getInt(0))
     assert(keys.distinct.length == keys.length && keys.forall(k => k >= 0 && k < 25))
