@@ -364,6 +364,51 @@ object Graph {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Local clustering coefficient (the classic companion to triangle
+    * counting; GraphFrames users derive it exactly this way from
+    * `triangleCount` + `degrees`): coeff = 2·n_tri / (nbrs·(nbrs−1))
+    * over the undirected distinct-neighbor graph, 0 when nbrs < 2.
+    *
+    * Scale shape: one count aggregate over the symmetrized edge list
+    * plus two |V|-sized joins on `id` — the triangle frame is the only
+    * expensive input and it is shared (memoized) with g4. The ratio is
+    * rounded to 6 dp and emitted DECIMAL(18,6) on both sides (the m3
+    * lesson — never hash cross-engine DOUBLE cast chains).
+    */
+  def clusteringCoeff(edges: DataFrame, tris: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("nbrs"))
+    tris.join(deg, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tri"), coalesce(col("nbrs"), lit(0L)).as("nbrs"))
+      .select(col("id"), col("n_tri"), col("nbrs"),
+        when(col("nbrs") >= 2,
+          round(col("n_tri").cast("double") * 2.0 /
+            (col("nbrs") * (col("nbrs") - 1)), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)).as("coeff"))
+      .orderBy("id")
+  }
+
+  def clusteringCoeffSql(m: Int = 2000): String =
+    s"""WITH edges_g AS (${edgesSql(m)}),
+       |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_g),
+       |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+       |tris AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+       |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (
+       |  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris),
+       |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id),
+       |sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
+       |deg AS (SELECT src AS id, count(*) AS nbrs FROM sym GROUP BY src)
+       |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri, COALESCE(deg.nbrs, 0) AS nbrs,
+       |  CAST(CASE WHEN COALESCE(deg.nbrs, 0) >= 2
+       |    THEN round(COALESCE(cnt.n_tri, 0) * 2.0 / (deg.nbrs * (deg.nbrs - 1)), 6)
+       |    ELSE 0.0 END AS DECIMAL(18,6)) AS coeff
+       |FROM v LEFT JOIN cnt USING (id) LEFT JOIN deg USING (id) ORDER BY id""".stripMargin
+
   def triangleCountsSql(m: Int = 2000): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_g),
@@ -618,6 +663,12 @@ object Graph {
     graft.plans.Materialized(s, s"graph_cc:${Tables.norm(dir)}")(
       connectedComponents(cachedEdges(s, dir)))
 
+  /** Per-vertex triangle counts memoized per (session, sf-dir) — g4's
+    * output and g10's input (|V| rows, safely small). */
+  def cachedTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"graph_tri:${Tables.norm(dir)}")(
+      triangleCounts(cachedEdges(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
       degrees(cachedEdges(s, dir)).orderBy("id")),
@@ -626,7 +677,7 @@ object Graph {
     "g3_connected_components" -> ((s: SparkSession, dir: String) =>
       cachedComponents(s, dir).orderBy("id")),
     "g4_triangle_counts" -> ((s: SparkSession, dir: String) =>
-      triangleCounts(cachedEdges(s, dir)).orderBy("id")),
+      cachedTriangles(s, dir).orderBy("id")),
     "g5_pagerank_tol" -> ((s: SparkSession, dir: String) =>
       pageRankTol(cachedEdges(s, dir),
         recordKey = Some(Tables.norm(dir))).orderBy("id")),
@@ -639,6 +690,8 @@ object Graph {
       labelPropagation(cachedEdges(s, dir))),
     "g9_kcore" -> ((s: SparkSession, dir: String) =>
       kCore(cachedEdges(s, dir), recordKey = Some(Tables.norm(dir)))),
+    "g10_clustering_coeff" -> ((s: SparkSession, dir: String) =>
+      clusteringCoeff(cachedEdges(s, dir), cachedTriangles(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -661,5 +714,6 @@ object Graph {
     "g8_label_propagation" -> labelPropagationSql(),
     // built after the queries run: unrolls the recorded peel count
     "g9_kcore" -> kCoreSql(),
+    "g10_clustering_coeff" -> clusteringCoeffSql(),
   )
 }

@@ -263,6 +263,51 @@ object Layout {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
        |FROM keyed ORDER BY shard, pos""".stripMargin
 
+  // --------------------------------------------------------- compaction
+
+  /** Small-file compaction plan (the Delta/Iceberg OPTIMIZE bin-packing
+    * step): treat each event-day as one "file" with its row count, walk
+    * files in day order, and assign each to the first output bin whose
+    * running total hasn't reached `targetRows` — i.e.
+    * bin = floor(offset_before_this_file / target). Bins may overshoot by
+    * at most one file, the standard greedy compaction contract.
+    *
+    * Scale note: the global-ordered window here runs over file METADATA,
+    * not data — one row per file. A 100 TB corpus at 1 GB files is 100k
+    * metadata rows, so the single window partition is a non-issue; the
+    * expensive part (rewriting the files bin-by-bin) would be
+    * shard-parallel downstream of this plan. */
+  def compactionPlan(files: DataFrame, targetRows: Long): DataFrame = {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("start_offset",
+        coalesce(sum(col("n_rows")).over(w), lit(0L)).cast("bigint"))
+      .withColumn("bin",
+        floor(col("start_offset").cast("double") / targetRows).cast("bigint"))
+      .orderBy("day")
+  }
+
+  def q47CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    compactionPlan(files, targetRows = 20000L)
+  }
+
+  def q47CompactionPlanSql(targetRows: Long = 20000L): String =
+    s"""WITH files AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+       |  FROM events GROUP BY 1),
+       |cum AS (
+       |  SELECT day, n_rows,
+       |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM files)
+       |SELECT day, n_rows, start_offset,
+       |  CAST(FLOOR(CAST(start_offset AS DOUBLE) / $targetRows) AS BIGINT) AS bin
+       |FROM cum ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -271,6 +316,7 @@ object Layout {
     "q34_dpp_join" -> q34DppJoin _,
     "x12_shard_shuffle" -> ((s: SparkSession, dir: String) =>
       x12ShardShuffle(s, dir)),
+    "q47_compaction_plan" -> q47CompactionPlan _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,5 +324,6 @@ object Layout {
     "q31_bloom_join" -> q31BloomJoinSql,
     "q34_dpp_join" -> q34DppJoinSql,
     "x12_shard_shuffle" -> x12ShardShuffleSql(),
+    "q47_compaction_plan" -> q47CompactionPlanSql(),
   )
 }

@@ -553,6 +553,142 @@ object Relational {
       |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE) AS qty_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Wide-to-long unpivot (melt) — the inverse of q21's pivot: per-flag
+    * decimal sums spread over three metric columns, then `Dataset.unpivot`
+    * back to (key, metric, value) rows. Catalyst compiles this to an
+    * Expand node — rows×metrics generated map-side, no shuffle beyond the
+    * feeding aggregate; at 100 TB the wide aggregate (6 groups) is tiny,
+    * so the melt is free. Oracle expresses the same melt as a UNION ALL
+    * (identical semantics, engine-neutral syntax). */
+  def q46Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D204)).cast("double").as("sum_price"),
+        sum(col("l_discount").cast(D204)).cast("double").as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  def q46UnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Gaps-and-islands interval merge: per supplier, coalesce overlapping
+    * [ship, receipt] date intervals into maximal islands, then report
+    * island count and total covered days. The classic two-window shape:
+    * a running max of interval ends marks island starts
+    * (start > max-so-far), a running sum of those marks numbers the
+    * islands — both windows PARTITION BY the key, so at 100 TB each
+    * supplier's intervals sort independently; there is no global-order
+    * partition anywhere. Frames are explicit ROWS on both engines (the
+    * default RANGE frame treats ORDER BY ties differently). */
+  def q48IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    // interval end derived deterministically (the testdata lineitem has no
+    // receipt date): ship date + 1..7 days keyed off the line number
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("supp"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_linenumber") % 7 + 1).cast("int")).as("e"))
+    val ord = Window.partitionBy("supp").orderBy("s", "e")
+    val prevMax = max(col("e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("ni",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("supp", "island")
+      .agg(min("s").as("is_start"), max("e").as("is_end"))
+      .groupBy("supp")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("is_end"), col("is_start")) + 1)
+          .cast("bigint").as("covered_days"))
+      .orderBy("supp")
+  }
+
+  def q48IntervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS s,
+      |    CAST(l_shipdate AS DATE) + CAST(l_linenumber % 7 + 1 AS INT) AS e
+      |  FROM lineitem),
+      |fl AS (
+      |  SELECT supp, s, e,
+      |    CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS ni
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY supp ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT supp, s, e,
+      |    SUM(ni) OVER (PARTITION BY supp ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |merged AS (
+      |  SELECT supp, island, MIN(s) AS is_start, MAX(e) AS is_end
+      |  FROM isl GROUP BY supp, island)
+      |SELECT supp, count(*) AS n_islands,
+      |  CAST(SUM(date_diff('day', is_start, is_end) + 1) AS BIGINT) AS covered_days
+      |FROM merged GROUP BY supp ORDER BY supp""".stripMargin
+
+  /** Fixed-bin numeric histogram + cumulative distribution over
+    * `events.value` — the profiling shape that REPLACES q22's exact
+    * per-group percentiles at scale: one map-side-combinable aggregate
+    * over bin = floor((v−lo)/width) (clamped), then a tiny window over
+    * the ~n_bins rows for the CDF. At 100 TB the exact-percentile sort
+    * is the bottleneck; this histogram is one scan + a 32-row window,
+    * and quantile estimates read off the CDF. Bin arithmetic is
+    * IEEE-double division + floor — bit-identical on both engines; the
+    * CDF ratio is the usual round→DECIMAL(18,6) output. */
+  def q49Histogram(spark: SparkSession, dir: String,
+                   lo: Double = 0.0, hi: Double = 1000.0,
+                   nBins: Int = 32): DataFrame = {
+    val width = (hi - lo) / nBins
+    val rawBin = floor((col("value") - lo) / width)
+    val bin = least(greatest(rawBin, lit(0L)), lit(nBins.toLong - 1))
+    val counts = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = counts.agg(sum("n").cast("long").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("cum_n", sum(col("n")).over(w).cast("bigint"))
+      .select(col("bin").cast("bigint").as("bin"), col("n"), col("cum_n"),
+        round(col("cum_n").cast("double") / col("n_total"), 6)
+          .cast(DecimalType(18, 6)).as("cdf"))
+      .orderBy("bin")
+  }
+
+  def q49HistogramSql(lo: Double = 0.0, hi: Double = 1000.0,
+                      nBins: Int = 32): String = {
+    val width = (hi - lo) / nBins
+    s"""WITH counts AS (
+       |  SELECT least(greatest(FLOOR((value - $lo) / $width), 0), ${nBins - 1}) AS bin,
+       |    count(*) AS n
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+       |cum AS (
+       |  SELECT bin, n,
+       |    CAST(SUM(n) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM counts)
+       |SELECT CAST(bin AS BIGINT) AS bin, n, cum_n,
+       |  CAST(round(CAST(cum_n AS DOUBLE) / n_total, 6) AS DECIMAL(18,6)) AS cdf
+       |FROM cum, tot ORDER BY bin""".stripMargin
+  }
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -897,6 +1033,9 @@ object Relational {
     "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q44_json_roundtrip" -> q44JsonRoundtrip _,
     "q45_orc_roundtrip" -> q45OrcRoundtrip _,
+    "q46_unpivot" -> q46Unpivot _,
+    "q48_interval_merge" -> q48IntervalMerge _,
+    "q49_histogram" -> ((s: SparkSession, dir: String) => q49Histogram(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -936,5 +1075,8 @@ object Relational {
     "q43_snapshot_diff" -> q43SnapshotDiffSql,
     "q44_json_roundtrip" -> q44JsonRoundtripSql,
     "q45_orc_roundtrip" -> q45OrcRoundtripSql,
+    "q46_unpivot" -> q46UnpivotSql,
+    "q48_interval_merge" -> q48IntervalMergeSql,
+    "q49_histogram" -> q49HistogramSql(),
   )
 }

@@ -666,6 +666,77 @@ object TextStats {
        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------- bigram LM score
+
+  /** Bigram language-model quality score — the next rung above [[unigramLogprob]]:
+    * each document's mean conditional log-probability ln(c(w₁w₂)/c(w₁·))
+    * under the corpus's own bigram distribution. Repetitive/templated text
+    * scores near 0 (its bigrams dominate their prefixes); incoherent text
+    * scores very negative. Docs with <2 tokens have no bigrams and drop out.
+    *
+    * Same 100 TB shape as x14: per-doc distinct bigrams reach the first
+    * shuffle (map-side combine), the corpus bigram table and its prefix
+    * marginal are vocabulary-sized (≪ corpus), and the score join is an
+    * equi-join on bigram that AQE can skew-split. The per-doc count frame
+    * is localCheckpoint'd (multi-consumer rule), as is the corpus table
+    * (prefix marginal + score join both read it). Exactness follows the
+    * NOTES libm rule: ln() rounded to 6 dp into DECIMAL(18,6) per bigram,
+    * exact decimal sums per doc, one clean double division at the end. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), Tokenize.rawTokens(col("text")).as("toks"))
+    val bigrams = filter(
+      zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val tc = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val corpus = tc.groupBy("bg").agg(sum("c").cast("long").as("n_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .localCheckpoint(true)
+    val prefix = corpus.groupBy("w1").agg(sum("n_bg").cast("long").as("n_w1"))
+    val scored = corpus.join(prefix, "w1")
+      .select(col("bg"),
+        round(log(col("n_bg").cast("double") / col("n_w1")), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+    tc.join(scored, "bg")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        sum(col("logp") * col("c")).cast(DecimalType(18, 6)).as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logp"),
+        round(col("sum_logp").cast("double") / col("n_bigrams"), 6)
+          .cast(DecimalType(18, 6)).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  def bigramLogprobSql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), bgrows AS (
+       |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i + 1] AS bg
+       |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+       |), tc AS (
+       |  SELECT doc_id, bg, count(*) AS c FROM bgrows GROUP BY doc_id, bg
+       |), corpus AS (
+       |  SELECT bg, CAST(SUM(c) AS BIGINT) AS n_bg,
+       |    split_part(bg, ' ', 1) AS w1
+       |  FROM tc GROUP BY bg
+       |), prefix AS (
+       |  SELECT w1, CAST(SUM(n_bg) AS BIGINT) AS n_w1 FROM corpus GROUP BY w1
+       |), scored AS (
+       |  SELECT bg, CAST(round(ln(CAST(n_bg AS DOUBLE) / n_w1), 6) AS DECIMAL(18,6)) AS logp
+       |  FROM corpus JOIN prefix USING (w1)
+       |), per AS (
+       |  SELECT tc.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(logp * c) AS DECIMAL(18,6)) AS sum_logp
+       |  FROM tc JOIN scored USING (bg) GROUP BY tc.doc_id
+       |)
+       |SELECT doc_id, n_bigrams, sum_logp,
+       |  CAST(round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS DECIMAL(18,6)) AS avg_logp
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -688,6 +759,8 @@ object TextStats {
       cachedLogprob(s, dir).orderBy("doc_id")),
     "x15_ppl_buckets" -> ((s: SparkSession, dir: String) =>
       pplBuckets(cachedLogprob(s, dir))),
+    "x16_bigram_logprob" -> ((s: SparkSession, dir: String) =>
+      bigramLogprob(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -705,5 +778,6 @@ object TextStats {
     "x13_bpe_merges" -> xBpeMergesSql(),
     "x14_unigram_logprob" -> unigramLogprobSql,
     "x15_ppl_buckets" -> pplBucketsSql(),
+    "x16_bigram_logprob" -> bigramLogprobSql,
   )
 }

@@ -108,6 +108,18 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("clusteringCoeff: K4 vertices are fully clustered, a pendant is 0") {
+    // K4 {1,2,3,4} + pendant 5 off vertex 1: each K4 vertex not touching
+    // the pendant has coeff 1; vertex 1 has 4 neighbors but still only 3
+    // triangles → 2·3/(4·3) = 0.5; the pendant (1 neighbor) is 0
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 1L -> 5L)
+    val got = Graph.clusteringCoeff(e, Graph.triangleCounts(e)).collect()
+      .map(r => (r.getLong(0), r.getAs[java.math.BigDecimal]("coeff").doubleValue))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0.5), (2L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 0.0)))
+  }
+
   test("kCore: k above max degree yields the empty core") {
     val e = edges(1L -> 2L, 2L -> 3L)
     assert(Graph.kCore(e, k = 5).count() == 0L)

@@ -94,6 +94,34 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() > 0, "empty join — dead test")
   }
 
+  test("compactionPlan: greedy sequential bins, each starting below its boundary") {
+    val files = Seq(
+      ("2024-01-01", 70L), ("2024-01-02", 40L), ("2024-01-03", 10L),
+      ("2024-01-04", 95L), ("2024-01-05", 5L), ("2024-01-06", 200L),
+      ("2024-01-07", 1L))
+      .toDF("day", "n_rows").select(to_date(col("day")).as("day"), col("n_rows"))
+    val got = Layout.compactionPlan(files, targetRows = 100L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // offsets are the running sum of prior sizes; bin = offset / target,
+    // so a bin may overshoot by its last file but never starts past its
+    // boundary: 70@0→b0, 40@70→b0, 10@110→b1, 95@120→b1, 5@215→b2,
+    // 200@220→b2, 1@420→b4 (bin 3 skipped — the 200-row file overshot it)
+    assert(got.toSeq == Seq((70L, 0L, 0L), (40L, 70L, 0L), (10L, 110L, 1L),
+      (95L, 120L, 1L), (5L, 215L, 2L), (200L, 220L, 2L), (1L, 420L, 4L)))
+  }
+
+  test("q47 compaction plan covers every event-day once, bins non-decreasing") {
+    val plan = Layout.q47CompactionPlan(spark, sf("sf0.001")).collect()
+    val days = plan.map(_.getDate(0).toString)
+    assert(days.distinct.length == days.length && days.nonEmpty)
+    val bins = plan.map(_.getLong(3))
+    assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    // offsets reconstruct: each row's start_offset = prior rows' total
+    val sizes = plan.map(_.getLong(1))
+    val offs = plan.map(_.getLong(2))
+    assert(offs.toSeq == sizes.scanLeft(0L)(_ + _).init.toSeq)
+  }
+
   test("shardShuffle is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = Layout.shardShuffle(docs).collect().toSeq

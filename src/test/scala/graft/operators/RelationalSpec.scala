@@ -200,6 +200,56 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q46 unpivot melts each wide row into one row per metric") {
+    val wide = Relational.q1Agg(spark, sf("sf0.001"))
+      .select("l_returnflag").distinct().count()
+    val long = Relational.q46Unpivot(spark, sf("sf0.001")).collect()
+    assert(long.length == 3 * wide)
+    // every (key, metric) cell appears exactly once
+    val cells = long.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length == cells.length)
+    assert(cells.map(_._2).toSet == Set("sum_qty", "sum_price", "sum_disc"))
+  }
+
+  test("q48 interval merge: islands cover at least the longest interval, never more than the span") {
+    import org.apache.spark.sql.functions._
+    val iv = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_suppkey").as("supp"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_linenumber") % 7 + 1).cast("int")).as("e"))
+      .groupBy("supp")
+      .agg(count(lit(1)).as("n_iv"),
+        (datediff(max("e"), min("s")) + 1).as("span_days"),
+        (max(datediff(col("e"), col("s"))) + 1).as("longest"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    val got = Relational.q48IntervalMerge(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (supp, nIslands, covered) =>
+      val (nIv, span, longest) = iv(supp)
+      assert(nIslands >= 1 && nIslands <= nIv)
+      assert(covered >= longest && covered <= span,
+        s"supp $supp: covered $covered outside [$longest, $span]")
+    }
+  }
+
+  test("q49 histogram: complete mass, monotone CDF ending at 1") {
+    import org.apache.spark.sql.functions._
+    val h = Relational.q49Histogram(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue))
+    assert(h.nonEmpty && h.forall(b => b._1 >= 0 && b._1 <= 31))
+    val total = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .filter(col("value").isNotNull).count()
+    assert(h.map(_._2).sum == total)
+    assert(h.last._3 == total && math.abs(h.last._4 - 1.0) < 1e-9)
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._3 && a._4 <= b._4)
+      case _ =>
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

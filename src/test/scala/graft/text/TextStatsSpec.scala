@@ -170,6 +170,28 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) == ((1L, lp, lp)))
   }
 
+  test("bigramLogprob: conditional probs under the corpus bigram table") {
+    import spark.implicits._
+    // bigrams: "a b" ×2 (docs 1, 2), "a c" ×1 (doc 1) → prefix a· = 3;
+    // logp(b|a) = ln(2/3), logp(c|a) = ln(1/3); doc 3 has 1 token → drops
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextStats.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(3).doubleValue))
+      .toMap
+    val lpAB = BigDecimal(math.log(2.0 / 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAC = BigDecimal(math.log(1.0 / 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1's bigrams are "a b", "b a", "a c" — "b a" occurs once with
+    // prefix b· = 1 → logp 0; avg = (lpAB + 0 + lpAC) / 3
+    val want1 = BigDecimal((lpAB + 0.0 + lpAC) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - want1) < 1e-9)
+    assert(got(2L)._1 == 1L)
+    assert(math.abs(got(2L)._2 - lpAB) < 1e-9)
+    assert(!got.contains(3L))
+  }
+
   test("pplBuckets: even deciles with monotone non-overlapping score ranges") {
     import spark.implicits._
     // doc i repeats word w_i (i times) plus a shared word — scores vary
