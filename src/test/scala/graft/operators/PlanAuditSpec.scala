@@ -184,6 +184,42 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
   }
 
+  test("q48_interval_merge: both windows hash-partition by supplier") {
+    val p = plan("q48_interval_merge")
+    assert(p.contains("Window"), p.take(500))
+    // every Window operator must partition by supp — no global-order
+    // window anywhere in the island computation
+    val sections = p.split("Window").drop(1)
+    assert(sections.nonEmpty)
+    assert(p.contains("hashpartitioning(supp"),
+      "island windows not hash-partitioned by supplier")
+    // the only range partition allowed is the final orderBy(supp) — the
+    // interval columns themselves must never drive a global sort
+    assert("""rangepartitioning\((s|e)#""".r.findFirstIn(p).isEmpty,
+      "global sort on interval columns leaked into windows")
+  }
+
+  test("q49_histogram: one partial-combined aggregate; window sees only bins") {
+    val p = plan("q49_histogram")
+    // map-side combine on the scan aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+    // the total is broadcast, not recomputed per row
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "histogram total not broadcast")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("g10_clustering_coeff: coefficient join is |V|-sized — no corpus rescan") {
+    val p = plan("g10_clustering_coeff")
+    // triangle frame arrives memoized (scan of an in-memory checkpoint),
+    // so the only parquet scan feeding this plan is the edge memo — the
+    // orders table itself must not be re-read
+    assert(!p.contains("Relation [o_orderkey") && !p.contains("orders.parquet"),
+      "clustering coeff re-scans the orders table")
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
