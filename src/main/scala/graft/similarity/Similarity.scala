@@ -632,6 +632,107 @@ object Similarity {
        |  CAST(CASE WHEN b.clabel = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
        |FROM embeddings e JOIN best b USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ unrolled KMeans
+
+  /** KMeans (Lloyd) with every iteration DuckDB-oracle-checked — unlike
+    * s4's sampled quantizer fit (persisted-fit oracle), this clustering
+    * is deterministic end to end, so the oracle re-derives the full
+    * algorithm: init centroids are the k lowest vec_ids' vectors,
+    * assignment is s9's exact dist² identity (|v|²−2v·c+|c|² through
+    * the decimal dot kernel, rank-window argmin with cid tie-break),
+    * and the update step is s6's decimal-quantized per-dim mean rounded
+    * to 6 dp — both engines iterate on byte-identical centroids, so the
+    * final assignment hash-matches.
+    *
+    * 100 TB shape per iteration: centroids are k×dims (tiny, broadcast);
+    * assignment is one corpus scan; the update explodes assigned rows to
+    * (cluster, dim) — labels×dims rows reach the shuffle, the same
+    * "exploding is right here" argument as s6. The input frame with its
+    * norm is localCheckpoint'd once and reused by every iteration (the
+    * standard cache posture for iterative ML — same as the Graph loops).
+    */
+  def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val base = emb
+      .select(col("vec_id"), col("embedding"), norm2Col(col("embedding")).as("norm2"))
+      .localCheckpoint(true)
+    // init: the k lowest vec_ids' raw vectors as double arrays
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+      .select(col("cid"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("dist2"), asc("cid"))
+    def assign(c: DataFrame): DataFrame = base
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        (col("norm2") - lit(2) * dotCol(col("embedding"), col("ce")) +
+          col("cnorm2")).as("dist2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    for (_ <- 1 until iters) {
+      val a = assign(cents)
+      cents = base.join(a, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(round((sum(col("x").cast("double").cast(Dec)).cast("double") /
+          count(lit(1))).cast(Dec), 6).cast(Out6).as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c").cast("double")).as("ce"))
+        .select(col("cid"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[kmeans]]: the Lloyd rounds unrolled as CTEs — init from
+    * the k lowest vec_ids, then per round the s9 dist² CTEs and the s6
+    * mean CTE, ending in the final assignment. */
+  def kmeansSql(k: Int = 4, iters: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ex AS (
+              |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+              |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+              |), vn AS (
+              |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+              |  FROM ex GROUP BY vec_id
+              |), cent0 AS (
+              |  SELECT vec_id AS cid, d, x AS c FROM ex WHERE vec_id < $k
+              |)""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s""",
+                |cn$i AS (
+                |  SELECT cid, CAST(SUM(CAST(c * c AS DECIMAL(32,16))) AS DOUBLE) AS cnorm2
+                |  FROM cent$i GROUP BY cid
+                |), dot$i AS (
+                |  SELECT ex.vec_id, c.cid,
+                |    CAST(SUM(CAST(ex.x * c.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+                |  FROM ex JOIN cent$i c USING (d) GROUP BY ex.vec_id, c.cid
+                |), best$i AS (
+                |  SELECT vec_id, cid FROM (
+                |    SELECT dt.vec_id, dt.cid,
+                |      row_number() OVER (PARTITION BY dt.vec_id
+                |        ORDER BY vn.norm2 - 2 * dt.dot + cn.cnorm2 ASC, dt.cid ASC) AS rk
+                |    FROM dot$i dt JOIN vn USING (vec_id) JOIN cn$i cn USING (cid)) t
+                |  WHERE rk = 1
+                |)""".stripMargin
+      if (i < iters - 1)
+        sb ++= s""",
+                  |cent${i + 1} AS (
+                  |  SELECT b.cid, ex.d,
+                  |    CAST(CAST(round(CAST(CAST(SUM(CAST(ex.x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
+                  |      AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+                  |  FROM ex JOIN best$i b USING (vec_id) GROUP BY b.cid, ex.d
+                  |)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vec_id, cid AS cluster FROM best${iters - 1} ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
@@ -655,6 +756,8 @@ object Similarity {
       annInt8(Tables.embeddings(s, dir), queryId = 0L)),
     "s9_centroid_assign" -> ((s: SparkSession, dir: String) =>
       centroidAssign(Tables.embeddings(s, dir))),
+    "s10_kmeans" -> ((s: SparkSession, dir: String) =>
+      kmeans(Tables.embeddings(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -667,5 +770,6 @@ object Similarity {
     "s7_ann_batch" -> knnBatchSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s8_ann_int8" -> annInt8Sql(0L),
     "s9_centroid_assign" -> centroidAssignSql,
+    "s10_kmeans" -> kmeansSql(),
   )
 }

@@ -157,6 +157,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: separable toy clusters recovered despite mixed init") {
+    import spark.implicits._
+    val dims = 64
+    def vec(axis: Int, scale: Float) =
+      Array.tabulate(dims)(d => if (d == axis) scale else 0.1f)
+    // init takes vec_ids 0..1 — one from each true cluster — so Lloyd
+    // must move both centroids onto the axis clusters and assignment
+    // must split exactly along them
+    val emb = Seq(
+      (0L, vec(0, 5f), 0), (2L, vec(0, 6f), 0), (4L, vec(0, 7f), 0),
+      (1L, vec(1, 5f), 1), (3L, vec(1, 6f), 1), (5L, vec(1, 7f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeans(emb, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // cluster 0 seeded from vec 0 (axis 0), cluster 1 from vec 1 (axis 1)
+    assert(Set(0L, 2L, 4L).map(got) == Set(0L))
+    assert(Set(1L, 3L, 5L).map(got) == Set(1L))
+  }
+
+  test("kmeans on real embeddings: ≤k non-empty clusters, all vectors assigned") {
+    val rows = Similarity.kmeans(emb, k = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == emb.count())
+    val clusters = rows.map(_._2).distinct
+    assert(clusters.nonEmpty && clusters.length <= 4 && clusters.forall(c => c >= 0 && c < 4))
+  }
+
   test("centroidAssign on real embeddings beats chance accuracy") {
     val rows = Similarity.centroidAssign(emb).collect()
     val acc = rows.count(_.getLong(3) == 1L).toDouble / rows.length
