@@ -208,6 +208,47 @@ object EventStream {
                  click_ts >= view_ts AND
                  click_ts <= view_ts + interval $horizonSec seconds"""))
 
+  /** Left-outer attribution, batch twin: every view keeps a row whether
+    * or not a click landed within the horizon, so the per-user rollup can
+    * report conversion AND abandonment (n_orphan_views) from one join —
+    * the semantics the streaming left-outer join below reproduces
+    * incrementally. Same shuffle shape as [[attribution]]: ONE equi-join
+    * on user_id with the interval check as a join predicate. */
+  def attributionOuter(df: DataFrame, horizonSec: Long = 3600): DataFrame = {
+    val views = df.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val clicks = df.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"))
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_us") >= col("view_us") &&
+          col("click_us") <= col("view_us") + lit(horizonSec * 1000000L),
+        "left_outer")
+      .groupBy("user_id")
+      .agg(count_distinct(col("view_id")).as("n_views"),
+        count(col("click_us")).as("n_attributed"),
+        count_distinct(when(col("click_us").isNull, col("view_id")))
+          .as("n_orphan_views"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming variant: watermarked stream-stream LEFT OUTER join — the
+    * one join mode [[attributionStream]] doesn't cover. Unmatched views
+    * are held in state only until the click-side watermark passes
+    * view_ts + horizon, then emitted once with null click columns:
+    * bounded state AND a complete answer (inner joins silently drop
+    * abandoned views; at 100 TB/day the abandonment stream is usually
+    * the one the downstream model trains on). */
+  def attributionOuterStream(views: DataFrame, clicks: DataFrame,
+                             horizonSec: Long = 3600): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(clicks.withWatermark("click_ts", "2 hours"),
+        expr(s"""view_user = click_user AND
+                 click_ts >= view_ts AND
+                 click_ts <= view_ts + interval $horizonSec seconds"""),
+        "leftOuter")
+
   /** Exactly-once ingestion dedup, batch twin: an at-least-once delivery
     * layer re-delivers some events (simulated deterministically — every
     * event_id % 10 == 0 arrives twice); dedup on event_id restores
@@ -434,6 +475,8 @@ object EventStream {
       dedupDelivery(Tables.events(s, dir))),
     "st8_daily_rollup" -> ((s: SparkSession, dir: String) =>
       dailyRollup(Tables.events(s, dir)).orderBy("day", "event_type")),
+    "st10_attribution_outer" -> ((s: SparkSession, dir: String) =>
+      attributionOuter(Tables.events(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -515,5 +558,19 @@ object EventStream {
         |  CAST(SUM(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st10_attribution_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS c_user, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT v.user_id, v.view_id, c.click_us
+        |  FROM v LEFT JOIN c ON v.user_id = c.c_user
+        |    AND c.click_us >= v.view_us AND c.click_us <= v.view_us + 3600000000)
+        |SELECT user_id,
+        |  CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+        |  CAST(COUNT(click_us) AS BIGINT) AS n_attributed,
+        |  CAST(COUNT(DISTINCT CASE WHEN click_us IS NULL THEN view_id END) AS BIGINT) AS n_orphan_views
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -226,6 +226,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionOuterStream: unmatched views emit with null clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.attributionOuterStream(
+      vIn.toDF().toDF("view_user", "view_ts"),
+      cIn.toDF().toDF("click_user", "click_ts"))
+      .select(col("view_user"), col("view_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    try {
+      val m = (h: Int, min: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+      // user 1: view 00:00 with click 00:30 (matched);
+      // user 2: view 00:05 with no click ever (must emit as orphan)
+      vIn.addData((1L, m(0, 0)), (2L, m(0, 5)))
+      cIn.addData((1L, m(0, 30)))
+      q.processAllAvailable()
+      // push BOTH watermarks far past view_ts + horizon so the held
+      // orphan view flushes, then one more batch to emit it
+      vIn.addData((9L, m(12, 0)))
+      cIn.addData((9L, m(12, 0)))
+      q.processAllAvailable()
+      vIn.addData((9L, m(13, 0)))
+      cIn.addData((9L, m(13, 0)))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+        .toSet
+      assert(got.contains((1L, m(0, 0), Some(m(0, 30)))), got.mkString(","))
+      assert(got.contains((2L, m(0, 5), None)), s"orphan view not emitted: $got")
+      // batch twin agrees: user 1 converted, user 2 abandoned
+      val events = Seq(
+        (1L, 100L, m(0, 0), "view"), (2L, 101L, m(0, 5), "view"),
+        (1L, 102L, m(0, 30), "click"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+      val batch = EventStream.attributionOuter(events).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch.toSeq == Seq((1L, 1L, 1L, 0L), (2L, 1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup within watermark drops late duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
