@@ -47,6 +47,48 @@ object Dedup {
   def dupHistogram(docs: DataFrame): DataFrame =
     exactDedup(docs).groupBy("n_copies").agg(count(lit(1)).as("n_groups"))
 
+  /** Incremental-ingest dedup — the daily-delta shape: an incoming batch
+    * (doc_id % 5 == 0, a deterministic stand-in for "today's crawl") is
+    * admitted against the accumulated corpus (the rest) with three
+    * fates: `dup_of_corpus` (text hash already indexed), `dup_in_batch`
+    * (an earlier doc in the same batch has the hash; min doc_id wins),
+    * `admitted`.
+    *
+    * The 100 TB posture is the point: the corpus side joins as its
+    * 16-byte md5 hash set ONLY — the persisted artifact a production
+    * ingest keeps between runs — so the delta join shuffles hashes,
+    * never text, and its build side is the (much smaller) incoming
+    * batch under broadcast when it fits. */
+  def incrementalIngest(docs: DataFrame): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select(h.as("h")).distinct()
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), h.as("h"))
+      .localCheckpoint(true) // consumed by the fate join AND the min-id branch
+    val firsts = incoming.groupBy("h").agg(min("doc_id").as("first_id"))
+    incoming
+      .join(corpus.withColumn("in_corpus", lit(1L)), Seq("h"), "left_outer")
+      .join(firsts, "h")
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, "dup_of_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("admitted").as("fate"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalIngestSql: String =
+    """WITH inc AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+      |corp AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 != 0),
+      |firsts AS (SELECT h, min(doc_id) AS first_id FROM inc GROUP BY h)
+      |SELECT i.doc_id,
+      |  CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+      |       WHEN i.doc_id != f.first_id THEN 'dup_in_batch'
+      |       ELSE 'admitted' END AS fate
+      |FROM inc i LEFT JOIN corp c ON i.h = c.h JOIN firsts f ON i.h = f.h
+      |ORDER BY i.doc_id""".stripMargin
+
   // ------------------------------------------------------------- minhash
 
   /** Word w-shingles (duplicates removed — shingle *sets* for Jaccard).
@@ -811,6 +853,8 @@ object Dedup {
       repeatedSpansFromSpans(cachedSpans(s, dir))),
     "d13_span_novelty" -> ((s: SparkSession, dir: String) =>
       spanNoveltyFromSpans(cachedSpans(s, dir))),
+    "d14_incremental_ingest" -> ((s: SparkSession, dir: String) =>
+      incrementalIngest(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -835,5 +879,6 @@ object Dedup {
     "d11_canonical_docs" -> canonicalDocsSql(),
     "d12_repeated_spans" -> repeatedSpansSql(),
     "d13_span_novelty" -> spanNoveltySql(),
+    "d14_incremental_ingest" -> incrementalIngestSql,
   )
 }

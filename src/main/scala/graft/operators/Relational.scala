@@ -689,6 +689,36 @@ object Relational {
        |FROM cum, tot ORDER BY bin""".stripMargin
   }
 
+  /** Inter-event gap statistics per user via lag() — the windowed
+    * navigation function family (lag/lead) the other window queries
+    * don't exercise. Windows partition by user_id (hash-partitioned,
+    * no global sort); ties within a user totally ordered by
+    * (ts, event_id) so both engines see the same predecessor. Single-
+    * event users surface NULL gaps (canonical on both engines). */
+  def q50EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("gap_us").cast("bigint").as("sum_gap_us"),
+        max("gap_us").cast("bigint").as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  def q50EventGapsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1036,6 +1066,7 @@ object Relational {
     "q46_unpivot" -> q46Unpivot _,
     "q48_interval_merge" -> q48IntervalMerge _,
     "q49_histogram" -> ((s: SparkSession, dir: String) => q49Histogram(s, dir)),
+    "q50_event_gaps" -> q50EventGaps _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1078,5 +1109,6 @@ object Relational {
     "q46_unpivot" -> q46UnpivotSql,
     "q48_interval_merge" -> q48IntervalMergeSql,
     "q49_histogram" -> q49HistogramSql(),
+    "q50_event_gaps" -> q50EventGapsSql,
   )
 }

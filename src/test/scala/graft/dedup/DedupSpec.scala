@@ -145,6 +145,22 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0.0, 1L)))
   }
 
+  test("incrementalIngest: corpus dup, batch dup, and admit fates") {
+    import spark.implicits._
+    // corpus = ids not divisible by 5; incoming = 0, 5, 10, 15
+    val docs = Seq(
+      (1L, "already indexed"), (2L, "other corpus doc"),
+      (0L, "already indexed"),   // hash exists in corpus → dup_of_corpus
+      (5L, "fresh text"),        // first of its hash in batch → admitted
+      (10L, "fresh text"),       // same hash, higher id → dup_in_batch
+      (15L, "unique newcomer")). // admitted
+      toDF("doc_id", "text")
+    val got = Dedup.incrementalIngest(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(0L -> "dup_of_corpus", 5L -> "admitted",
+      10L -> "dup_in_batch", 15L -> "admitted"))
+  }
+
   test("spanNovelty: first corpus occurrence wins, repeats score zero") {
     import spark.implicits._
     val docs = Seq(
