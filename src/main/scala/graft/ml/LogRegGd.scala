@@ -1,0 +1,152 @@
+package graft.ml
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.text.Tokenize
+
+/** Logistic regression trained from scratch by full-batch gradient
+  * descent, with EVERY training step DuckDB-oracle-checked — the
+  * optimization-loop companion to Similarity.kmeans (iterative ML where
+  * the oracle re-derives the whole algorithm, not a persisted-fit dump).
+  * The MLlib pipeline path (Classify.scala m1/m3-m5/m9) remains the
+  * production trainer; this operator exists to pin down the exact
+  * arithmetic of a distributed GD step.
+  *
+  * Model: p(en | doc) = σ(w₁·x₁ + w₂·x₂ + b) over two cheap features
+  * (kilo-chars from the table's own n_chars column, hecto-tokens from
+  * the shared tokenizer), label y = [lang = 'en'].
+  *
+  * Determinism contract (NOTES rules): features are rounded to 6 dp into
+  * DECIMAL(18,6) at birth; each step's gradient sums Σ(p−y)·x are exact
+  * decimal aggregates (order-independent under any partitioning); the
+  * only libm call (exp in σ) is immediately rounded to 6 dp into decimal
+  * (the x14 ln precedent); weights live as 6-dp decimals on both
+  * engines, so step k+1 starts from byte-identical weights.
+  *
+  * 100 TB shape per step: ONE corpus scan producing three partial-
+  * aggregated decimal sums (map-side combine, 3 numbers per partition to
+  * the driver — collecting the gradient IS the algorithm, the same
+  * justification as the Graph loops' convergence aggregates). The
+  * feature frame is localCheckpoint'd once and reused by every step.
+  */
+object LogRegGd {
+  private val Out6 = DecimalType(18, 6)
+
+  /** Per-doc features + label; checkpointed — every GD step rescans it. */
+  private def features(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      round(col("n_chars") / 1000.0, 6).cast(Out6).as("x1"),
+      round(size(Tokenize.rawTokens(col("text"))) / 100.0, 6).cast(Out6).as("x2"),
+      (col("lang") === "en").cast("long").as("y"))
+
+  private def featuresSql: String =
+    s"""SELECT doc_id,
+       |  CAST(round(n_chars / 1000.0, 6) AS DECIMAL(18,6)) AS x1,
+       |  CAST(round(len(${Tokenize.rawTokensSql("text")}) / 100.0, 6) AS DECIMAL(18,6)) AS x2,
+       |  CAST(lang = 'en' AS BIGINT) AS y
+       |FROM documents""".stripMargin
+
+  /** σ(z) rounded to 6 dp as a Column over decimal weight literals. */
+  private def pCol(w1: JBigDecimal, w2: JBigDecimal, b: JBigDecimal) = {
+    val z = (lit(w1) * col("x1") + lit(w2) * col("x2") + lit(b)).cast("double")
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6).cast(Out6)
+  }
+
+  private def round6(d: Double): JBigDecimal =
+    JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+
+  /** Train `steps` full-batch GD steps, return per-doc final scores:
+    * (doc_id, p, pred, correct). */
+  def logregGd(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
+               steps: Int = 2): DataFrame = {
+    val f = features(docs).localCheckpoint(true)
+    val n = f.count()
+    var w1 = JBigDecimal.ZERO.setScale(6)
+    var w2 = JBigDecimal.ZERO.setScale(6)
+    var b = JBigDecimal.ZERO.setScale(6)
+    for (_ <- 1 to steps) {
+      // Σ(p−y)·x as exact decimal sums — one scan, three partial sums.
+      // Operand types narrowed EXPLICITLY (residual fits (8,6), features
+      // fit (10,6)) so the product is DECIMAL(19,12) exact on both
+      // engines; at default widths Spark's 38-digit cap would reduce the
+      // product scale below DuckDB's and the sums would diverge.
+      val r = (col("p") - col("y")).cast(DecimalType(8, 6))
+      val g = f.select(pCol(w1, w2, b).as("p"), col("x1"), col("x2"), col("y"))
+        .agg(sum(r * col("x1").cast(DecimalType(10, 6))).as("s1"),
+          sum(r * col("x2").cast(DecimalType(10, 6))).as("s2"),
+          sum(r).as("sb"))
+        .head()
+      def grad(i: Int): JBigDecimal =
+        round6(g.getDecimal(i).doubleValue() / n)
+      // w ← round(w − lr·grad, 6): exact decimal product, one clean
+      // double cast before the quantize (the oracle mirrors this text)
+      def step(w: JBigDecimal, gr: JBigDecimal): JBigDecimal =
+        round6(w.subtract(lr.multiply(gr)).doubleValue())
+      val (g1, g2, gb) = (grad(0), grad(1), grad(2))
+      w1 = step(w1, g1); w2 = step(w2, g2); b = step(b, gb)
+    }
+    f.select(col("doc_id"), pCol(w1, w2, b).as("p"), col("y"))
+      .select(col("doc_id"), col("p"),
+        (col("p") >= 0.5).cast("long").as("pred"),
+        ((col("p") >= 0.5).cast("long") === col("y")).cast("long").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the GD steps unrolled as CTEs — each step's gradient CTE
+    * reads the previous weight CTE (1-row cross join), ending in the
+    * per-doc scores at the final weights. */
+  def logregGdSql(lr: String = "0.5", steps: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS (
+              |  ${featuresSql.replace("\n", "\n  ")}
+              |), w0 AS (
+              |  SELECT CAST(0 AS DECIMAL(18,6)) AS w1, CAST(0 AS DECIMAL(18,6)) AS w2,
+              |    CAST(0 AS DECIMAL(18,6)) AS b
+              |)""".stripMargin
+    for (i <- 0 until steps) {
+      sb ++= s""",
+                |p$i AS (
+                |  SELECT f.x1, f.x2, f.y,
+                |    CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
+                |      AS DECIMAL(18,6)) AS p
+                |  FROM f, w$i w
+                |), g$i AS (
+                |  SELECT
+                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(x1 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS g1,
+                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(x2 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS g2,
+                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS gb
+                |  FROM p$i
+                |), w${i + 1} AS (
+                |  SELECT
+                |    CAST(round(CAST(w.w1 - $lr * g.g1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS w1,
+                |    CAST(round(CAST(w.w2 - $lr * g.g2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS w2,
+                |    CAST(round(CAST(w.b - $lr * g.gb AS DOUBLE), 6) AS DECIMAL(18,6)) AS b
+                |  FROM w$i w, g$i g
+                |)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT f.doc_id,
+              |  CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
+              |    AS DECIMAL(18,6)) AS p,
+              |  CAST(CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
+              |    AS DECIMAL(18,6)) >= 0.5 AS BIGINT) AS pred,
+              |  CAST((CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
+              |    AS DECIMAL(18,6)) >= 0.5) = (f.y = 1) AS BIGINT) AS correct
+              |FROM f, w$steps w ORDER BY f.doc_id""".stripMargin
+    sb.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
+      logregGd(Tables.documents(s, dir))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m12_logreg_gd" -> logregGdSql(),
+  )
+}

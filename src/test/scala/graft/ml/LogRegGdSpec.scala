@@ -1,0 +1,39 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class LogRegGdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logregGd: separable toy corpus classified after enough GD steps") {
+    // long docs are 'en', short docs are 'de' — x1 (kilo-chars) separates
+    // them linearly; the registered query's 2 half-steps only start the
+    // move (bias still pulls shorts to p≈0.53), so train 12 steps here to
+    // let the boundary settle between the clusters
+    val docs = (1L to 10L).map { i =>
+      if (i <= 5) (i, "w " * 2000, "en", 4000L)
+      else (i, "w " * 10, "de", 20L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val got = LogRegGd.logregGd(docs, steps = 12).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    val acc = got.map(_._4).sum
+    assert(acc == 10L, s"expected perfect separation, got $acc/10: ${got.mkString(",")}")
+    // scores ordered with the features: every long doc scores above every short one
+    val (longDocs, shortDocs) = got.partition(_._1 <= 5)
+    assert(longDocs.map(_._2).min > shortDocs.map(_._2).max)
+  }
+
+  test("logregGd is deterministic across runs and beats the zero model") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = LogRegGd.logregGd(docs).collect().map(_.toSeq).toSeq
+    val b = LogRegGd.logregGd(docs).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the p=0.5 zero model predicts the majority class everywhere; the
+    // trained model must not be WORSE than always-majority
+    val rows = a.map(r => (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+    val correct = rows.map(_._2).sum
+    assert(correct * 2 >= rows.length, s"$correct/${rows.length}")
+  }
+}
