@@ -719,6 +719,71 @@ object Relational {
       |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Ordered funnel (view → click → purchase): per stage, the first
+    * qualifying event strictly AFTER the user's previous stage time —
+    * the sequential-pattern analytics shape. Each stage is one filtered
+    * aggregate + one equi-join on user_id (no window over all events,
+    * no cross join); the three stage tables only ever shrink, and the
+    * final summary is three broadcast 1-row frames (A7 pattern, no
+    * driver action). */
+  def q51Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t_view"))
+      .groupBy("user_id").agg(min("us").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t_click"))
+      .groupBy("user_id").agg(min("us").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_after_view"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_after_click"))))
+  }
+
+  def q51FunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view_users,
+      |       (SELECT count(*) FROM c) AS n_click_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
+  /** Retention cohorts: users grouped by first-active day, counted on
+    * each subsequent active day offset (0..7) — the standard cohort
+    * triangle. One distinct (user, day) aggregate, one min-day
+    * aggregate, one join back on user_id; the output is
+    * |cohorts|×|offsets|, metadata-sized at any corpus scale. */
+  def q52Retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true) // consumed by the cohort aggregate AND the join
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def q52RetentionSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM days JOIN cohorts USING (user_id)
+      |WHERE date_diff('day', cohort_day, day) <= 7
+      |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1067,6 +1132,8 @@ object Relational {
     "q48_interval_merge" -> q48IntervalMerge _,
     "q49_histogram" -> ((s: SparkSession, dir: String) => q49Histogram(s, dir)),
     "q50_event_gaps" -> q50EventGaps _,
+    "q51_funnel" -> q51Funnel _,
+    "q52_retention" -> q52Retention _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1110,5 +1177,7 @@ object Relational {
     "q48_interval_merge" -> q48IntervalMergeSql,
     "q49_histogram" -> q49HistogramSql(),
     "q50_event_gaps" -> q50EventGapsSql,
+    "q51_funnel" -> q51FunnelSql,
+    "q52_retention" -> q52RetentionSql,
   )
 }

@@ -250,6 +250,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q51 funnel: stage counts are monotone non-increasing") {
+    val r = Relational.q51Funnel(spark, sf("sf0.001")).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v -> $c -> $p")
+    assert(v > 0)
+  }
+
+  test("q52 retention: day-0 equals cohort size and bounds later offsets") {
+    val rows = Relational.q52Retention(spark, sf("sf0.001")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(r => r._2 >= 0 && r._2 <= 7))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (day, rs) =>
+      val d0 = rs.find(_._2 == 0L)
+      // every cohort has a day-0 row (its members were active that day),
+      // and no later offset exceeds the cohort's size
+      assert(d0.isDefined, s"cohort $day missing day-0 row")
+      rs.foreach(r => assert(r._3 <= d0.get._3, s"cohort $day offset ${r._2}"))
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
