@@ -220,6 +220,32 @@ class PlanAuditSpec extends SparkSpec {
       "clustering coeff re-scans the orders table")
   }
 
+  test("q51_funnel: stage joins are equi-joins; summary frames broadcast") {
+    val p = plan("q51_funnel")
+    assert(!p.contains("CartesianProduct"), "funnel stage became a cartesian")
+    // the three 1-row stage counts combine via broadcast, and every
+    // stage join is a hash/merge equi-join on user_id
+    assert(p.contains("BroadcastExchange"), p.take(500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "stage aggregates missing")
+  }
+
+  test("q52_retention: cohort join keyed on user_id, no cartesian") {
+    val p = plan("q52_retention")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("user_id"), p.take(300))
+    // the (user, day) distinct and the cohort min-day both partial-aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
+  test("d14_incremental_ingest: corpus side joins as hashes, text never shuffles") {
+    val p = plan("d14_incremental_ingest")
+    // every Exchange must carry only hash/id columns — the text column
+    // dies at the scan projections
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("text#"), s"text shuffled: $e"))
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))
