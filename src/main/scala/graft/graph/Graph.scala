@@ -132,6 +132,69 @@ object Graph {
        |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
   }
 
+  /** Personalized PageRank (the GraphFrames
+    * `parallelPersonalizedPageRank` shape, single source set): teleport
+    * mass lands uniformly on the `sources` set instead of all vertices,
+    * so ranks measure proximity TO the sources. Same checkpointed loop,
+    * decimal-quantized mass sums, and double teleport arithmetic as
+    * [[pageRank]]; the teleport constant is computed ONCE in Scala and
+    * interpolated into both engines' expressions, so the doubles being
+    * added are bit-identical. */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+                           iterations: Int = 3, alpha: Double = 0.15): DataFrame = {
+    val v = vertices(edges).localCheckpoint(true) // reused every round
+    val k = sources.size
+    val tele = alpha / k
+    val isSrc = col("id").isin(sources: _*)
+    var ranks = v.select(col("id"),
+      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")).localCheckpoint(true)
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val contribs = edges.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+        .groupBy("dst").agg(sum("contrib").cast("double").as("mass"))
+      ranks = v.join(spread.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (when(isSrc, lit(tele)).otherwise(lit(0.0)) +
+            lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), round(col("rank"), 12).as("rank")).orderBy("id")
+  }
+
+  /** Oracle for [[personalizedPageRank]]: the [[pageRankSql]] unroll with
+    * the teleport CASE restricted to the source set. */
+  def personalizedPageRankSql(sources: Seq[Long], iterations: Int = 3,
+                              alpha: Double = 0.15, m: Int = 2000): String = {
+    val k = sources.size
+    val tele = alpha / k
+    val srcList = sources.mkString(", ")
+    val base =
+      s"""WITH edges_g AS (${edgesSql(m)}),
+         |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges_g GROUP BY src),
+         |contribs AS (SELECT e.src, e.dst, o.out_deg FROM edges_g e JOIN outdeg o USING (src)),
+         |r0 AS (SELECT id,
+         |  CAST(CASE WHEN id IN ($srcList) THEN ${1.0 / k} ELSE 0.0 END AS DOUBLE) AS rank
+         |  FROM v)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""m$i AS (
+         |  SELECT c.dst, CAST(SUM(CAST(r.rank / c.out_deg AS DECIMAL(32,16))) AS DOUBLE) AS mass
+         |  FROM contribs c JOIN r${i - 1} r ON c.src = r.id GROUP BY c.dst),
+         |r$i AS (
+         |  SELECT v.id,
+         |    CAST(CASE WHEN v.id IN ($srcList) THEN $tele ELSE 0.0 END AS DOUBLE)
+         |      + ${1.0 - alpha} * COALESCE(m$i.mass, 0.0) AS rank
+         |  FROM v LEFT JOIN m$i ON v.id = m$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
+  }
+
   /** Tolerance-converged PageRank (ref G3
     * EpinionsGraphFrameAnalysis.scala:93 —
     * `graph.pageRank.resetProbability(0.15).tol(0.01).run()`).
@@ -692,6 +755,8 @@ object Graph {
       kCore(cachedEdges(s, dir), recordKey = Some(Tables.norm(dir)))),
     "g10_clustering_coeff" -> ((s: SparkSession, dir: String) =>
       clusteringCoeff(cachedEdges(s, dir), cachedTriangles(s, dir))),
+    "g11_personalized_pagerank" -> ((s: SparkSession, dir: String) =>
+      personalizedPageRank(cachedEdges(s, dir), sources = Seq(0L, 1L, 2L))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -715,5 +780,6 @@ object Graph {
     // built after the queries run: unrolls the recorded peel count
     "g9_kcore" -> kCoreSql(),
     "g10_clustering_coeff" -> clusteringCoeffSql(),
+    "g11_personalized_pagerank" -> personalizedPageRankSql(Seq(0L, 1L, 2L)),
   )
 }

@@ -108,6 +108,19 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("personalizedPageRank: mass stays near the source, unreachable stays 0") {
+    // chain 1→2→3 plus isolated pair 8→9; personalize on {1}
+    val e = edges(1L -> 2L, 2L -> 3L, 8L -> 9L)
+    val r = Graph.personalizedPageRank(e, sources = Seq(1L), iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // source keeps the full teleport share; downstream decays by 0.85/hop
+    assert(math.abs(r(1L) - 0.15) < 1e-12)
+    assert(math.abs(r(2L) - 0.15 * 0.85) < 1e-9) // one hop from the source
+    assert(r(2L) > r(3L) && r(3L) > 0.0)
+    // vertices unreachable from the source set get NO rank at all
+    assert(r(8L) == 0.0 && r(9L) == 0.0)
+  }
+
   test("clusteringCoeff: K4 vertices are fully clustered, a pendant is 0") {
     // K4 {1,2,3,4} + pendant 5 off vertex 1: each K4 vertex not touching
     // the pendant has coeff 1; vertex 1 has 4 neighbors but still only 3
