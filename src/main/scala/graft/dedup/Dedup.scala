@@ -757,6 +757,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct w-token spans they share, with the span-set Jaccard —
+    * the table that tells a curation pipeline which domains are
+    * republishing each other (and whether a train/eval source split is
+    * leaky) BEFORE paying per-document dedup.
+    *
+    * Scale shape: the span table collapses to DISTINCT (source, span)
+    * first, so each span hash contributes at most |sources|² join rows
+    * regardless of how many documents contain it — the self-join is
+    * bounded by the (small) source count, never corpus size; shuffles
+    * carry 16-byte hashes. Shares the memoized span scan with d12/d13. */
+  def crossSourceContamination(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sh = spans.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("h")).distinct()
+      .localCheckpoint(true) // consumed by counts AND both join sides
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 6)
+          .cast(Out6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def crossSourceContaminationSql(w: Int = 3): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    val span = (0 until w).map(o => s"t[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toks AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id, md5($span) AS h
+       |  FROM toks, UNNEST(range(1, len(t) - ${w - 2})) AS u(i)
+       |), sh AS (
+       |  SELECT DISTINCT d.source, ch.h FROM ch JOIN documents d USING (doc_id)
+       |), cnt AS (
+       |  SELECT source, count(*) AS n FROM sh GROUP BY source
+       |), pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT source_a, source_b, n_shared,
+       |  CAST(round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) AS DECIMAL(18,6)) AS jaccard
+       |FROM pairs JOIN cnt ca ON ca.source = source_a JOIN cnt cb ON cb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   def repeatedSpansSql(w: Int = 3): String = {
     val toks = Tokenize.rawTokensSql("text")
     val span = (0 until w).map(o => s"t[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
@@ -855,6 +906,8 @@ object Dedup {
       spanNoveltyFromSpans(cachedSpans(s, dir))),
     "d14_incremental_ingest" -> ((s: SparkSession, dir: String) =>
       incrementalIngest(Tables.documents(s, dir))),
+    "d15_source_contamination" -> ((s: SparkSession, dir: String) =>
+      crossSourceContamination(Tables.documents(s, dir), cachedSpans(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -880,5 +933,6 @@ object Dedup {
     "d12_repeated_spans" -> repeatedSpansSql(),
     "d13_span_novelty" -> spanNoveltySql(),
     "d14_incremental_ingest" -> incrementalIngestSql,
+    "d15_source_contamination" -> crossSourceContaminationSql(),
   )
 }

@@ -161,6 +161,23 @@ class DedupSpec extends SparkSpec {
       10L -> "dup_in_batch", 15L -> "admitted"))
   }
 
+  test("crossSourceContamination: shared spans counted once per source pair") {
+    import spark.implicits._
+    // sources A and B share the single span "a b c"; C shares nothing
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "a b c x", "B"), (3L, "a b c", "B"),
+      (4L, "p q r", "C")).toDF("doc_id", "text", "lang")
+      .withColumnRenamed("lang", "source")
+    val got = Dedup.crossSourceContamination(docs, Dedup.spanHashes(docs))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
+    // A has 1 distinct span; B has 2 ("a b c", "b c x"); shared = 1 →
+    // jaccard 1/(1+2−1) = 0.5. C pairs are absent (inner join, 0 shared)
+    assert(got.keySet == Set(("A", "B")))
+    assert(got(("A", "B")) == ((1L, 0.5)))
+  }
+
   test("spanNovelty: first corpus occurrence wins, repeats score zero") {
     import spark.implicits._
     val docs = Seq(
