@@ -784,6 +784,52 @@ object Relational {
       |WHERE date_diff('day', cohort_day, day) <= 7
       |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Approximate quantiles by inverting the q49 histogram CDF: for each
+    * target quantile, the first bin whose cumulative count reaches
+    * q·N, reported with its value bounds — the scale path that replaces
+    * q22's exact sort-based percentiles (one scan + 32-row arithmetic;
+    * error bounded by bin width). Quantile targets and bin bounds are
+    * exact binary fractions, so every comparison is bit-identical
+    * across engines. */
+  def q53HistQuantiles(spark: SparkSession, dir: String,
+                       lo: Double = 0.0, hi: Double = 1000.0,
+                       nBins: Int = 32): DataFrame = {
+    import spark.implicits._
+    val width = (hi - lo) / nBins
+    val hist = q49Histogram(spark, dir, lo, hi, nBins)
+    val total = hist.agg(max("cum_n").as("n_total"))
+    val qs = Seq(0.5, 0.9, 0.99).toDF("q")
+    hist.crossJoin(broadcast(total)).crossJoin(broadcast(qs))
+      .filter(col("cum_n").cast("double") >= col("q") * col("n_total"))
+      .groupBy("q").agg(min("bin").as("bin"))
+      .select(col("q").cast(DecimalType(4, 2)).as("q"), col("bin"),
+        (lit(lo) + col("bin") * width).as("lo_bound"),
+        (lit(lo) + (col("bin") + 1) * width).as("hi_bound"))
+      .orderBy("q")
+  }
+
+  def q53HistQuantilesSql(lo: Double = 0.0, hi: Double = 1000.0,
+                          nBins: Int = 32): String = {
+    val width = (hi - lo) / nBins
+    s"""WITH counts AS (
+       |  SELECT least(greatest(FLOOR((value - $lo) / $width), 0), ${nBins - 1}) AS bin,
+       |    count(*) AS n
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, CAST(SUM(n) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM counts),
+       |tot AS (SELECT MAX(cum_n) AS n_total FROM cum),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+       |sel AS (
+       |  SELECT q, MIN(bin) AS bin FROM cum, tot, qs
+       |  WHERE CAST(cum_n AS DOUBLE) >= q * n_total GROUP BY q)
+       |SELECT CAST(q AS DECIMAL(4,2)) AS q, CAST(bin AS BIGINT) AS bin,
+       |  $lo + bin * $width AS lo_bound,
+       |  $lo + (bin + 1) * $width AS hi_bound
+       |FROM sel ORDER BY q""".stripMargin
+  }
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1134,6 +1180,7 @@ object Relational {
     "q50_event_gaps" -> q50EventGaps _,
     "q51_funnel" -> q51Funnel _,
     "q52_retention" -> q52Retention _,
+    "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1179,5 +1226,6 @@ object Relational {
     "q50_event_gaps" -> q50EventGapsSql,
     "q51_funnel" -> q51FunnelSql,
     "q52_retention" -> q52RetentionSql,
+    "q53_hist_quantiles" -> q53HistQuantilesSql(),
   )
 }

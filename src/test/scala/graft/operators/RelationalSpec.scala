@@ -271,6 +271,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q53 histogram quantiles bracket the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.q53HistQuantiles(spark, sf("sf0.001")).collect()
+      .map(r => (r.getDecimal(0).doubleValue, r.getDouble(2), r.getDouble(3)))
+    assert(approx.map(_._1).toSeq == Seq(0.5, 0.9, 0.99))
+    val exact = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .filter(col("value").isNotNull)
+      .select(expr("percentile(value, array(0.5, 0.9, 0.99))"))
+      .head().getSeq[Double](0)
+    approx.zip(exact).foreach { case ((q, lo, hi), ex) =>
+      assert(ex >= lo && ex <= hi, s"q=$q exact=$ex outside [$lo,$hi]")
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
