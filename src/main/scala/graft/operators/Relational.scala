@@ -830,10 +830,45 @@ object Relational {
        |FROM sel ORDER BY q""".stripMargin
   }
 
-  /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
-    * reference composes distinct counts by hand). No oracle — sketch
-    * algorithms differ across engines; accuracy is asserted against the
-    * exact count in RelationalSpec. */
+  /** Calendar gap detection: densify the [min, max] event-day range with
+    * a generated sequence, anti-join the observed days, and report each
+    * missing day with its distance to the previous observed day — the
+    * data-quality check that catches silent ingestion outages. The
+    * generated calendar is metadata-sized (one row per day); the only
+    * corpus-sized work is the distinct-day aggregate.
+    *
+    * The synthetic events table has no real gaps, so the query simulates
+    * a deterministic outage (drops days where day-of-month % 7 == 3)
+    * before detecting — the detection logic is what's under test. */
+  def q54MissingDays(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) % 7 =!= 3)
+      .localCheckpoint(true) // consumed by the range agg AND the anti join
+    val bounds = days.agg(min("day").as("lo"), max("day").as("hi"))
+    val calendar = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    calendar.join(days, Seq("day"), "left_anti")
+      .join(broadcast(bounds), col("day") > col("lo"))
+      .select(col("day"), datediff(col("day"), col("lo"))
+        .cast("bigint").as("days_since_range_start"))
+      .orderBy("day")
+  }
+
+  def q54MissingDaysSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+      |  WHERE CAST(date_part('day', CAST(ts AS DATE)) AS INT) % 7 != 3),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+      |calendar AS (
+      |  SELECT CAST(u.d AS DATE) AS day
+      |  FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)),
+      |missing AS (
+      |  SELECT c.day FROM calendar c
+      |  WHERE NOT EXISTS (SELECT 1 FROM days d WHERE d.day = c.day))
+      |SELECT m.day,
+      |  CAST(date_diff('day', b.lo, m.day) AS BIGINT) AS days_since_range_start
+      |FROM missing m, bounds b WHERE m.day > b.lo ORDER BY m.day""".stripMargin
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(approx_count_distinct("l_orderkey").as("approx_orders"),
@@ -1181,6 +1216,7 @@ object Relational {
     "q51_funnel" -> q51Funnel _,
     "q52_retention" -> q52Retention _,
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
+    "q54_missing_days" -> q54MissingDays _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1227,5 +1263,6 @@ object Relational {
     "q51_funnel" -> q51FunnelSql,
     "q52_retention" -> q52RetentionSql,
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
+    "q54_missing_days" -> q54MissingDaysSql,
   )
 }

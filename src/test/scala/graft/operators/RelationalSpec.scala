@@ -285,6 +285,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q54 missing days finds exactly the simulated outage days") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q54MissingDays(spark, sf("sf0.001")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(got.nonEmpty)
+    // every reported day is one the filter dropped (dom % 7 == 3), and
+    // none is outside the observed range (the anti-join's calendar ends
+    // at the filtered max)
+    got.foreach { case (day, dist) =>
+      assert(day.split("-")(2).toInt % 7 == 3, s"$day not an outage day")
+      assert(dist > 0)
+    }
+    val observed = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) % 7 === 3)
+      .collect().map(_.getDate(0).toString).toSet
+    // the simulated outage days inside the range are exactly what's reported
+    assert(got.map(_._1).toSet.subsetOf(observed))
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
