@@ -141,12 +141,68 @@ object LogRegGd {
     sb.toString
   }
 
+  /** Calibration deciles (reliability diagram) for [[logregGd]]'s
+    * scores: equal-frequency score bins (ntile — the construction that
+    * stays informative when scores cluster, as 2 GD steps from zero
+    * weights do), with per-bin count, mean predicted probability, and
+    * observed positive rate. A well-calibrated model has mean_p ≈
+    * pos_rate per bin; the gap IS the calibration error. The ntile
+    * window ranks the narrow (doc_id, p, y) score table, never corpus
+    * text (the x15 pattern); ties ordered (p, doc_id) — total order,
+    * both engines bucket identically. Sums are exact decimal; one clean
+    * double division before the round→DECIMAL output cast. */
+  def calibration(scored: DataFrame, n: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("p"), asc("doc_id"))
+    scored
+      .select(col("p"), col("y"), ntile(n).over(w).cast("bigint").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).as("sum_p"),
+        sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bin"), col("n"),
+        round(col("sum_p").cast("double") / col("n"), 6)
+          .cast(Out6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n"), 6)
+          .cast(Out6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  def calibrationSql(lr: String = "0.5", steps: Int = 2, n: Int = 10): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), withy AS (
+       |  SELECT s.doc_id, s.p, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), binned AS (
+       |  SELECT p, y,
+       |    CAST(ntile($n) OVER (ORDER BY p ASC, doc_id ASC) AS BIGINT) AS bin
+       |  FROM withy
+       |)
+       |SELECT bin, count(*) AS n,
+       |  CAST(round(CAST(SUM(p) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS mean_p,
+       |  CAST(round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS pos_rate
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Final scores memoized per (session, sf-dir): m12 emits them, m13
+    * buckets them — one GD training per session (|docs| rows, narrow). */
+  private def cachedScores(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"logreg_scored:${Tables.norm(dir)}")(
+      logregGd(Tables.documents(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
-      logregGd(Tables.documents(s, dir))),
+      cachedScores(s, dir).orderBy("doc_id")),
+    "m13_calibration" -> ((s: SparkSession, dir: String) => {
+      val f = features(Tables.documents(s, dir))
+      calibration(cachedScores(s, dir)
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("p"), col("y")))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
     "m12_logreg_gd" -> logregGdSql(),
+    "m13_calibration" -> calibrationSql(),
   )
 }

@@ -25,6 +25,28 @@ class LogRegGdSpec extends SparkSpec {
     assert(longDocs.map(_._2).min > shortDocs.map(_._2).max)
   }
 
+  test("calibration: even deciles with monotone mean predicted probability") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val scored = LogRegGd.logregGd(docs)
+    val y = docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+    val got = LogRegGd.calibration(
+      scored.join(y, "doc_id").select(col("doc_id"), col("p"), col("y")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val total = docs.count()
+    assert(got.map(_._2).sum == total)
+    // equal-frequency bins (within the ±1 ntile remainder)
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    // mean predicted probability is nondecreasing across score deciles
+    got.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ =>
+    }
+    got.foreach { case (_, _, _, rate) => assert(rate >= 0.0 && rate <= 1.0) }
+  }
+
   test("logregGd is deterministic across runs and beats the zero model") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = LogRegGd.logregGd(docs).collect().map(_.toSeq).toSeq
