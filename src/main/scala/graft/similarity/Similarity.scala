@@ -262,6 +262,36 @@ object Similarity {
        |SELECT va, vb, cos FROM scored
        |ORDER BY cos DESC, va ASC, vb ASC LIMIT $topK""".stripMargin
 
+  /** kNN graph over the bucket-mate candidate pairs: each vector's top-k
+    * scored neighbors as directed edges (src, dst, cos, rk) — the
+    * structure SemDeDup-style semantic curation and graph-based
+    * diversity sampling consume. Symmetrize the canonical pairs, then a
+    * rank window PARTITIONED BY src (never a global sort); candidates
+    * stay bucket-bounded, so at 100 TB the pair list — not n² — is the
+    * working set. Shares the memoized scored-pair frame with s3/s5. */
+  def knnGraphFromScored(scored: DataFrame, k: Int = 3): DataFrame = {
+    val sym = scored.select(col("va").as("src"), col("vb").as("dst"), col("cos"))
+      .union(scored.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rk").cast("bigint").as("rk"))
+      .orderBy("src", "rk")
+  }
+
+  def knnGraphSql(k: Int = 3, p: Int = 6): String =
+    s"""WITH ${scoredPairsSqlCtes(p)},
+       |sym AS (
+       |  SELECT va AS src, vb AS dst, cos FROM scored
+       |  UNION ALL SELECT vb AS src, va AS dst, cos FROM scored
+       |), ranked AS (
+       |  SELECT src, dst, cos,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
+       |  FROM sym
+       |)
+       |SELECT src, dst, cos, rk FROM ranked WHERE rk <= $k ORDER BY src, rk""".stripMargin
+
   /** Oracle for [[embeddingClusters]]: threshold pairs → transitive
     * closure via recursive CTE → min reachable label per vector. */
   def embeddingClustersSql(minCos: Double = 0.30, p: Int = 6): String =
@@ -758,6 +788,8 @@ object Similarity {
       centroidAssign(Tables.embeddings(s, dir))),
     "s10_kmeans" -> ((s: SparkSession, dir: String) =>
       kmeans(Tables.embeddings(s, dir))),
+    "s11_knn_graph" -> ((s: SparkSession, dir: String) =>
+      knnGraphFromScored(cachedScoredPairs(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -771,5 +803,6 @@ object Similarity {
     "s8_ann_int8" -> annInt8Sql(0L),
     "s9_centroid_assign" -> centroidAssignSql,
     "s10_kmeans" -> kmeansSql(),
+    "s11_knn_graph" -> knnGraphSql(),
   )
 }

@@ -185,6 +185,24 @@ class SimilaritySpec extends SparkSpec {
     assert(clusters.nonEmpty && clusters.length <= 4 && clusters.forall(c => c >= 0 && c < 4))
   }
 
+  test("knnGraph: ≤k dense-ranked neighbors per vector, cos nonincreasing") {
+    val scored = Similarity.scoredPairs(emb)
+    val got = Similarity.knnGraphFromScored(scored, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue, r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (src, edges) =>
+      val sorted = edges.sortBy(_._4)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length)) // dense ranks
+      sorted.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"src $src cos not sorted")
+        case _ =>
+      }
+      assert(!sorted.exists(_._2 == src), s"src $src self-edge")
+    }
+  }
+
   test("centroidAssign on real embeddings beats chance accuracy") {
     val rows = Similarity.centroidAssign(emb).collect()
     val acc = rows.count(_.getLong(3) == 1L).toDouble / rows.length
