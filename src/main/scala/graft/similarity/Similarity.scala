@@ -294,8 +294,10 @@ object Similarity {
 
   /** Oracle for [[embeddingClusters]]: threshold pairs → transitive
     * closure via recursive CTE → min reachable label per vector. */
-  def embeddingClustersSql(minCos: Double = 0.30, p: Int = 6): String =
-    s"""WITH RECURSIVE ${scoredPairsSqlCtes(p)},
+  /** Shared recursive CTE block ending in `clusters(vec_id, cluster)` —
+    * the SQL twin of [[embeddingClusters]]. */
+  private def clustersSqlCtes(minCos: Double, p: Int): String =
+    s"""${scoredPairsSqlCtes(p)},
        |und AS (
        |  SELECT va AS src, vb AS dst FROM scored WHERE cos >= $minCos
        |  UNION SELECT vb, va FROM scored WHERE cos >= $minCos
@@ -303,9 +305,35 @@ object Similarity {
        |reach(id, lbl) AS (
        |  SELECT id, id FROM v
        |  UNION
-       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id)
-       |SELECT id AS vec_id, min(lbl) AS cluster FROM reach GROUP BY id
-       |ORDER BY vec_id""".stripMargin
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+       |clusters AS (
+       |  SELECT id AS vec_id, min(lbl) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  def embeddingClustersSql(minCos: Double = 0.30, p: Int = 6): String =
+    s"""WITH RECURSIVE ${clustersSqlCtes(minCos, p)}
+       |SELECT vec_id, cluster FROM clusters ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup-style keep/drop decision: every vector keeps its cluster
+    * label (null for singletons) and a `keep` flag — the cluster's min
+    * vec_id (or any unclustered vector) survives, near-duplicates drop.
+    * One |V|-sized left join downstream of the memoized cluster frame;
+    * the output IS the curation decision table a pipeline applies at
+    * write time. */
+  def semanticDedup(emb: DataFrame, scored: DataFrame,
+                    minCos: Double = 0.30): DataFrame =
+    emb.select(col("vec_id"))
+      .join(embeddingClusters(scored, minCos), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        (col("cluster").isNull || col("cluster") === col("vec_id"))
+          .cast("long").as("keep"))
+      .orderBy("vec_id")
+
+  def semanticDedupSql(minCos: Double = 0.30, p: Int = 6): String =
+    s"""WITH RECURSIVE ${clustersSqlCtes(minCos, p)}
+       |SELECT e.vec_id, c.cluster,
+       |  CAST(c.cluster IS NULL OR c.cluster = e.vec_id AS BIGINT) AS keep
+       |FROM embeddings e LEFT JOIN clusters c USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
 
   // ----------------------------------------------------------------- IVF
 
@@ -790,6 +818,8 @@ object Similarity {
       kmeans(Tables.embeddings(s, dir))),
     "s11_knn_graph" -> ((s: SparkSession, dir: String) =>
       knnGraphFromScored(cachedScoredPairs(s, dir))),
+    "s12_semantic_dedup" -> ((s: SparkSession, dir: String) =>
+      semanticDedup(Tables.embeddings(s, dir), cachedScoredPairs(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -804,5 +834,6 @@ object Similarity {
     "s9_centroid_assign" -> centroidAssignSql,
     "s10_kmeans" -> kmeansSql(),
     "s11_knn_graph" -> knnGraphSql(),
+    "s12_semantic_dedup" -> semanticDedupSql(),
   )
 }

@@ -203,6 +203,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: one survivor per cluster, singletons all kept") {
+    val scored = Similarity.scoredPairs(emb)
+    val got = Similarity.semanticDedup(emb, scored).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2)))
+    assert(got.length == emb.count())
+    // every non-singleton cluster keeps exactly its min member
+    got.filter(_._2.isDefined).groupBy(_._2.get).foreach { case (c, members) =>
+      assert(members.count(_._3 == 1L) == 1)
+      assert(members.find(_._3 == 1L).get._1 == members.map(_._1).min)
+      assert(members.map(_._1).min == c) // label IS the min member
+    }
+    got.filter(_._2.isEmpty).foreach(m => assert(m._3 == 1L))
+  }
+
   test("centroidAssign on real embeddings beats chance accuracy") {
     val rows = Similarity.centroidAssign(emb).collect()
     val acc = rows.count(_.getLong(3) == 1L).toDouble / rows.length
