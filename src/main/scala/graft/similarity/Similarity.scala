@@ -208,6 +208,13 @@ object Similarity {
     graft.plans.Materialized(s, s"sim_scored_pairs:${Tables.norm(dir)}")(
       scoredPairs(Tables.embeddings(s, dir)))
 
+  /** Cluster labels memoized per (session, sf-dir) — s5's output and
+    * s12's input (clustered vectors only, ≪ corpus). The CC fixpoint
+    * runs once per session, not once per consumer. */
+  def cachedClusters(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"sim_clusters:${Tables.norm(dir)}")(
+      embeddingClusters(cachedScoredPairs(s, dir)))
+
   /** Embedding near-dup pairs: bucket-mates in LSH table 0, exact cosine
     * per pair (embeddings joined to the slim pair list, dot computed
     * per-row), global top-k. */
@@ -319,10 +326,9 @@ object Similarity {
     * One |V|-sized left join downstream of the memoized cluster frame;
     * the output IS the curation decision table a pipeline applies at
     * write time. */
-  def semanticDedup(emb: DataFrame, scored: DataFrame,
-                    minCos: Double = 0.30): DataFrame =
+  def semanticDedup(emb: DataFrame, clusters: DataFrame): DataFrame =
     emb.select(col("vec_id"))
-      .join(embeddingClusters(scored, minCos), Seq("vec_id"), "left_outer")
+      .join(clusters, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cluster"),
         (col("cluster").isNull || col("cluster") === col("vec_id"))
           .cast("long").as("keep"))
@@ -799,7 +805,7 @@ object Similarity {
     "s3_near_dup_pairs" -> ((s: SparkSession, dir: String) =>
       nearDupPairsFromScored(cachedScoredPairs(s, dir))),
     "s5_embedding_clusters" -> ((s: SparkSession, dir: String) =>
-      embeddingClusters(cachedScoredPairs(s, dir))),
+      cachedClusters(s, dir).orderBy("vec_id")),
     // the quantizer fit stays in Spark (not SQL-expressible); the
     // assignments are persisted so everything downstream of the fit —
     // probe pruning + exact re-rank — is DuckDB hash-checked. Recall is
@@ -819,7 +825,7 @@ object Similarity {
     "s11_knn_graph" -> ((s: SparkSession, dir: String) =>
       knnGraphFromScored(cachedScoredPairs(s, dir))),
     "s12_semantic_dedup" -> ((s: SparkSession, dir: String) =>
-      semanticDedup(Tables.embeddings(s, dir), cachedScoredPairs(s, dir))),
+      semanticDedup(Tables.embeddings(s, dir), cachedClusters(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(

@@ -204,8 +204,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("semanticDedup: one survivor per cluster, singletons all kept") {
-    val scored = Similarity.scoredPairs(emb)
-    val got = Similarity.semanticDedup(emb, scored).collect()
+    val clusters = Similarity.embeddingClusters(Similarity.scoredPairs(emb))
+    val got = Similarity.semanticDedup(emb, clusters).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
         r.getLong(2)))
     assert(got.length == emb.count())
