@@ -869,6 +869,38 @@ object Relational {
       |SELECT m.day,
       |  CAST(date_diff('day', b.lo, m.day) AS BIGINT) AS days_since_range_start
       |FROM missing m, bounds b WHERE m.day > b.lo ORDER BY m.day""".stripMargin
+
+  /** Trending top-k: the 3 most frequent event types per tumbling hour —
+    * q32's group-top-k rank window applied to time-windowed counts (the
+    * "what's trending now" analytics shape; the streaming twin is st1's
+    * windowed counts + a per-batch rank). Counts partial-aggregate
+    * map-side; the rank window partitions by hour — never a global
+    * sort. Ties broken (n desc, event_type asc) — total order. */
+  def q55Trending(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("hour").orderBy(desc("n"), asc("event_type"))
+    counts.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .orderBy("hour", "rk")
+  }
+
+  def q55TrendingSql(k: Int = 3): String =
+    s"""WITH counts AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT hour, event_type, n,
+       |    CAST(row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type ASC) AS BIGINT) AS rk
+       |  FROM counts)
+       |SELECT hour, event_type, n, rk FROM ranked
+       |WHERE rk <= $k ORDER BY hour, rk""".stripMargin
+
+  /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
+    * reference composes distinct counts by hand). No oracle — sketch
+    * algorithms differ across engines; accuracy is asserted against the
+    * exact count in RelationalSpec. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(approx_count_distinct("l_orderkey").as("approx_orders"),
@@ -1217,6 +1249,7 @@ object Relational {
     "q52_retention" -> q52Retention _,
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
     "q54_missing_days" -> q54MissingDays _,
+    "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1264,5 +1297,6 @@ object Relational {
     "q52_retention" -> q52RetentionSql,
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
     "q54_missing_days" -> q54MissingDaysSql,
+    "q55_trending" -> q55TrendingSql(),
   )
 }

@@ -737,6 +737,45 @@ object TextStats {
        |FROM per ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- per-source profile
+
+  /** Per-source corpus profile: doc count, char/token mass, length
+    * percentiles, and language mix — the one table a curation run reads
+    * FIRST to decide per-domain quality thresholds and mix weights
+    * (pairs with x10). One tokenize pass, one aggregate keyed by source;
+    * at 100 TB the output is |sources| rows. Exact interpolated
+    * percentiles agree across engines (the q22 precedent); ratios take
+    * the standard round→DECIMAL path. */
+  def sourceProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"),
+        size(Tokenize.rawTokens(col("text"))).as("n_toks"),
+        (col("lang") === "en").cast("long").as("is_en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"),
+        sum("n_toks").cast("long").as("total_tokens"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+        sum("is_en").cast("long").as("n_en"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("p50_chars"), col("p90_chars"),
+        round(col("n_en").cast("double") / col("n_docs"), 6)
+          .cast(DecimalType(18, 6)).as("en_frac"))
+      .orderBy("source")
+
+  def sourceProfileSql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,
+       |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       |  CAST(round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       |    AS DECIMAL(18,6)) AS en_frac
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -761,6 +800,8 @@ object TextStats {
       pplBuckets(cachedLogprob(s, dir))),
     "x16_bigram_logprob" -> ((s: SparkSession, dir: String) =>
       bigramLogprob(Tables.documents(s, dir))),
+    "x17_source_profile" -> ((s: SparkSession, dir: String) =>
+      sourceProfile(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -779,5 +820,6 @@ object TextStats {
     "x14_unigram_logprob" -> unigramLogprobSql,
     "x15_ppl_buckets" -> pplBucketsSql(),
     "x16_bigram_logprob" -> bigramLogprobSql,
+    "x17_source_profile" -> sourceProfileSql,
   )
 }

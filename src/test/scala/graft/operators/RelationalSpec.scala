@@ -305,6 +305,21 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._1).toSet.subsetOf(observed))
   }
 
+  test("q55 trending: ≤k dense-ranked types per hour, counts nonincreasing") {
+    val got = Relational.q55Trending(spark, sf("sf0.001")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (h, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length))
+      sorted.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"hour $h counts not sorted")
+        case _ =>
+      }
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

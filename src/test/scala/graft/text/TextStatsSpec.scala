@@ -192,6 +192,22 @@ class TextStatsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("sourceProfile: per-source masses sum to corpus totals") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextStats.sourceProfile(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5), r.getDecimal(6).doubleValue))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sum == docs.count())
+    val totalChars = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head().getLong(0)
+    assert(got.map(_._3).sum == totalChars)
+    got.foreach { case (src, _, _, p50, p90, enFrac) =>
+      assert(p50 <= p90, s"$src percentiles inverted")
+      assert(enFrac >= 0.0 && enFrac <= 1.0)
+    }
+  }
+
   test("pplBuckets: even deciles with monotone non-overlapping score ranges") {
     import spark.implicits._
     // doc i repeats word w_i (i times) plus a shared word — scores vary
