@@ -897,6 +897,68 @@ object Relational {
        |SELECT hour, event_type, n, rk FROM ranked
        |WHERE rk <= $k ORDER BY hour, rk""".stripMargin
 
+  /** A/B experiment lift: deterministic variant assignment (user_id
+    * parity — the hash-split shape), per-variant conversion to
+    * 'purchase', and the two-proportion z statistic. One per-user
+    * aggregate + one 2-row aggregate; the z arithmetic is pure double
+    * math over integer counts (division/sqrt are correctly-rounded IEEE
+    * ops, identical on both engines) with the standard round→DECIMAL
+    * output cast. The same op ORDER is written on both sides — IEEE
+    * addition/multiplication are not associative, so the oracle mirrors
+    * the expression text, not just the formula. */
+  def q56AbLift(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase" && col("value") > 900)
+        .cast("long")).as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val agg = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").cast("long").as("conv"))
+    val a = agg.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = agg.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se2 = p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    val z = when(se2 > 0, round((pa - pb) / sqrt(se2), 6)).otherwise(lit(0.0))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pa, 6).cast(DecimalType(18, 6)).as("rate_a"),
+        round(pb, 6).cast(DecimalType(18, 6)).as("rate_b"),
+        round(pa - pb, 6).cast(DecimalType(18, 6)).as("lift"),
+        z.cast(DecimalType(18, 6)).as("z"))
+  }
+
+  def q56AbLiftSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 900 THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS variant, count(*) AS n,
+      |    CAST(SUM(converted) AS BIGINT) AS conv
+      |  FROM u GROUP BY 1),
+      |a AS (SELECT n AS n_a, conv AS conv_a FROM v WHERE variant = 0),
+      |b AS (SELECT n AS n_b, conv AS conv_b FROM v WHERE variant = 1)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(round(CAST(conv_a AS DOUBLE) / n_a, 6) AS DECIMAL(18,6)) AS rate_a,
+      |  CAST(round(CAST(conv_b AS DOUBLE) / n_b, 6) AS DECIMAL(18,6)) AS rate_b,
+      |  CAST(round((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b), 6)
+      |    AS DECIMAL(18,6)) AS lift,
+      |  CAST(CASE WHEN (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |          (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)))) *
+      |         ((1.0 / n_a) + (1.0 / n_b))) > 0
+      |    THEN round(
+      |      ((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b)) /
+      |      sqrt(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |            (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)))) *
+      |           ((1.0 / n_a) + (1.0 / n_b))), 6)
+      |    ELSE 0.0 END AS DECIMAL(18,6)) AS z
+      |FROM a, b""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1250,6 +1312,7 @@ object Relational {
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
     "q54_missing_days" -> q54MissingDays _,
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
+    "q56_ab_lift" -> q56AbLift _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1298,5 +1361,6 @@ object Relational {
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
     "q54_missing_days" -> q54MissingDaysSql,
     "q55_trending" -> q55TrendingSql(),
+    "q56_ab_lift" -> q56AbLiftSql,
   )
 }

@@ -320,6 +320,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q56 A/B lift: complete partition, rates consistent with counts") {
+    val r = Relational.q56AbLift(spark, sf("sf0.001")).head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select("user_id").distinct().count()
+    assert(na + nb == users)
+    assert(ca <= na && cb <= nb)
+    val rateA = r.getDecimal(4).doubleValue
+    val rateB = r.getDecimal(5).doubleValue
+    assert(math.abs(rateA - ca.toDouble / na) < 1e-6)
+    assert(math.abs(rateB - cb.toDouble / nb) < 1e-6)
+    assert(math.abs(r.getDecimal(6).doubleValue - (rateA - rateB)) < 2e-6)
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
