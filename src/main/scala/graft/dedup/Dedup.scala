@@ -808,6 +808,50 @@ object Dedup {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** LSH s-curve tuning table: P(candidate | jaccard=s) = 1 − (1 − sʳ)ᵇ
+    * for the banding configurations an 8-lane MinHash supports — the
+    * design tool that picks (bands, rows) BEFORE paying a corpus pass
+    * (d10 then calibrates the chosen config against truth). Powers are
+    * explicit binary-squaring multiply chains, NOT pow(): plain IEEE
+    * multiplication is bit-identical across engines where libm pow need
+    * not be; the oracle mirrors the exact parenthesization. */
+  def lshTuning(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Column
+    def powChain(x: Column, e: Int): Column = e match {
+      case 1 => x
+      case 2 => x * x
+      case 4 => (x * x) * (x * x)
+      case 8 => ((x * x) * (x * x)) * ((x * x) * (x * x))
+    }
+    val frames = Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) =>
+      val s = col("id").cast("double") / lit(20.0)
+      spark.range(1, 20)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          round(s, 2).cast(org.apache.spark.sql.types.DecimalType(4, 2)).as("s"),
+          round(lit(1.0) - powChain(lit(1.0) - powChain(s, r), b), 6)
+            .cast(Out6).as("p_candidate"))
+    }
+    frames.reduce(_ union _).orderBy("bands", "s")
+  }
+
+  def lshTuningSql: String = {
+    def powChain(x: String, e: Int): String = e match {
+      case 1 => x
+      case 2 => s"($x * $x)"
+      case 4 => s"(($x * $x) * ($x * $x))"
+      case 8 => s"((($x * $x) * ($x * $x)) * (($x * $x) * ($x * $x)))"
+    }
+    val rows = Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) =>
+      val s = "(CAST(i AS DOUBLE) / CAST(20 AS DOUBLE))"
+      val inner = s"(1.0 - ${powChain(s, r)})"
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(round($s, 2) AS DECIMAL(4,2)) AS s,
+         |  CAST(round(1.0 - ${powChain(inner, b)}, 6) AS DECIMAL(18,6)) AS p_candidate
+         |FROM UNNEST(range(1, 20)) AS t(i)""".stripMargin
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY bands, s")
+  }
+
   def repeatedSpansSql(w: Int = 3): String = {
     val toks = Tokenize.rawTokensSql("text")
     val span = (0 until w).map(o => s"t[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
@@ -908,6 +952,7 @@ object Dedup {
       incrementalIngest(Tables.documents(s, dir))),
     "d15_source_contamination" -> ((s: SparkSession, dir: String) =>
       crossSourceContamination(Tables.documents(s, dir), cachedSpans(s, dir))),
+    "d16_lsh_tuning" -> ((s: SparkSession, _: String) => lshTuning(s)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -934,5 +979,6 @@ object Dedup {
     "d13_span_novelty" -> spanNoveltySql(),
     "d14_incremental_ingest" -> incrementalIngestSql,
     "d15_source_contamination" -> crossSourceContaminationSql(),
+    "d16_lsh_tuning" -> lshTuningSql,
   )
 }

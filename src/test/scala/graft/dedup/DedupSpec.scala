@@ -178,6 +178,25 @@ class DedupSpec extends SparkSpec {
     assert(got(("A", "B")) == ((1L, 0.5)))
   }
 
+  test("lshTuning: s-curves are monotone and steeper for more rows per band") {
+    val got = Dedup.lshTuning(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(got.keySet == Set((8L, 1L), (4L, 2L), (2L, 4L)))
+    got.values.foreach { curve =>
+      assert(curve.length == 19)
+      curve.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b); case _ => // monotone in s
+      }
+      curve.foreach { case (_, pc) => assert(pc >= 0.0 && pc <= 1.0) }
+    }
+    // at low similarity, more rows per band admits FEWER candidates
+    val low = 0.2
+    def at(b: Long, r: Long) = got((b, r)).find(_._1 == low).get._2
+    assert(at(8L, 1L) > at(4L, 2L) && at(4L, 2L) > at(2L, 4L))
+  }
+
   test("spanNovelty: first corpus occurrence wins, repeats score zero") {
     import spark.implicits._
     val docs = Seq(
