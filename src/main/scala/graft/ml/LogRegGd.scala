@@ -190,6 +190,56 @@ object LogRegGd {
     graft.plans.Materialized(s, s"logreg_scored:${Tables.norm(dir)}")(
       logregGd(Tables.documents(s, dir)))
 
+  /** Precision/recall curve points by descending-score sweep: rank the
+    * scored docs by (p desc, doc_id), and at every rank the cumulative
+    * positives give precision@k and recall@k — the full PR curve in ONE
+    * window pass, sampled at 20 evenly spaced ranks to keep the output
+    * bounded. The windows run over the narrow score table (x15 pattern);
+    * ranks and cumulative counts are exact integers, ratios take the
+    * round→DECIMAL path. */
+  def prCurve(scored: DataFrame, points: Int = 20): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("p"), asc("doc_id"))
+    val ranked = scored
+      .select(col("doc_id"), col("p"), col("y"),
+        row_number().over(ord).cast("bigint").as("k"),
+        sum(col("y")).over(ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("long").as("tp"))
+    val n = scored.count()
+    val nPos = broadcast(scored.agg(sum("y").cast("long").as("n_pos")))
+    val step = math.max(1L, n / points)
+    ranked.filter(col("k") % step === 0)
+      .crossJoin(nPos)
+      .select(col("k"), col("tp"),
+        round(col("tp").cast("double") / col("k"), 6)
+          .cast(Out6).as("precision"),
+        round(col("tp").cast("double") / col("n_pos"), 6)
+          .cast(Out6).as("recall"))
+      .orderBy("k")
+  }
+
+  def prCurveSql(lr: String = "0.5", steps: Int = 2, points: Int = 20): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), withy AS (
+       |  SELECT s.doc_id, s.p, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), ranked AS (
+       |  SELECT doc_id, p, y,
+       |    CAST(row_number() OVER (ORDER BY p DESC, doc_id ASC) AS BIGINT) AS k,
+       |    CAST(SUM(y) OVER (ORDER BY p DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp
+       |  FROM withy
+       |), tot AS (
+       |  SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM withy
+       |)
+       |SELECT k, tp,
+       |  CAST(round(CAST(tp AS DOUBLE) / k, 6) AS DECIMAL(18,6)) AS precision,
+       |  CAST(round(CAST(tp AS DOUBLE) / n_pos, 6) AS DECIMAL(18,6)) AS recall
+       |FROM ranked, tot
+       |WHERE k % greatest(1, n // $points) = 0 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
       cachedScores(s, dir).orderBy("doc_id")),
@@ -199,10 +249,17 @@ object LogRegGd {
         .join(f.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("p"), col("y")))
     }),
+    "m14_pr_curve" -> ((s: SparkSession, dir: String) => {
+      val f = features(Tables.documents(s, dir))
+      prCurve(cachedScores(s, dir)
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("p"), col("y")))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
     "m12_logreg_gd" -> logregGdSql(),
     "m13_calibration" -> calibrationSql(),
+    "m14_pr_curve" -> prCurveSql(),
   )
 }

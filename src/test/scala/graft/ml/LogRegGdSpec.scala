@@ -47,6 +47,30 @@ class LogRegGdSpec extends SparkSpec {
     got.foreach { case (_, _, _, rate) => assert(rate >= 0.0 && rate <= 1.0) }
   }
 
+  test("prCurve: recall nondecreasing, final point covers all positives") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val y = docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+    val scored = LogRegGd.logregGd(docs).join(y, "doc_id")
+      .select(col("doc_id"), col("p"), col("y"))
+    val got = LogRegGd.prCurve(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+    assert(got.nonEmpty)
+    // k strictly increasing, tp and recall nondecreasing, precision = tp/k
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._2 <= b._2 && a._4 <= b._4)
+      case _ =>
+    }
+    got.foreach { case (k, tp, prec, _) =>
+      assert(math.abs(prec - tp.toDouble / k) < 1e-6)
+    }
+    // the last sampled rank is the full corpus → recall 1.0
+    val total = docs.count()
+    assert(got.last._1 == total && math.abs(got.last._4 - 1.0) < 1e-9)
+  }
+
   test("logregGd is deterministic across runs and beats the zero model") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = LogRegGd.logregGd(docs).collect().map(_.toSeq).toSeq
