@@ -959,6 +959,49 @@ object Relational {
       |    ELSE 0.0 END AS DECIMAL(18,6)) AS z
       |FROM a, b""".stripMargin
 
+  /** Ingestion-volume drift detection (the CUSUM mass-curve shape):
+    * cumulative deviation of daily event counts from the overall daily
+    * mean, plus the drawdown from the running peak — a sustained
+    * drawdown marks the day volume shifted. Windows run over one row
+    * per DAY (metadata-sized at any corpus scale); the only corpus work
+    * is the daily count aggregate. Deviations are exact decimals so the
+    * cumulative sums are order-independent. */
+  def q57VolumeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val mean = daily.agg(
+      round(sum("n").cast("double") / count(lit(1)), 6)
+        .cast(DecimalType(18, 6)).as("mean_n"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(mean))
+      .withColumn("cum_dev",
+        sum(col("n") - col("mean_n")).over(w).cast(DecimalType(18, 6)))
+      .withColumn("peak", max("cum_dev").over(w).cast(DecimalType(18, 6)))
+      .select(col("day"), col("n"), col("cum_dev"),
+        (col("peak") - col("cum_dev")).cast(DecimalType(18, 6)).as("drawdown"))
+      .orderBy("day")
+  }
+
+  def q57VolumeDriftSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(round(CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / count(*), 6)
+      |    AS DECIMAL(18,6)) AS mean_n FROM daily),
+      |c AS (
+      |  SELECT day, n,
+      |    CAST(SUM(n - mean_n) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS cum_dev
+      |  FROM daily, m),
+      |pk AS (
+      |  SELECT day, n, cum_dev,
+      |    CAST(MAX(cum_dev) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS peak
+      |  FROM c)
+      |SELECT day, n, cum_dev,
+      |  CAST(peak - cum_dev AS DECIMAL(18,6)) AS drawdown
+      |FROM pk ORDER BY day""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1313,6 +1356,7 @@ object Relational {
     "q54_missing_days" -> q54MissingDays _,
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
     "q56_ab_lift" -> q56AbLift _,
+    "q57_volume_drift" -> q57VolumeDrift _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1362,5 +1406,6 @@ object Relational {
     "q54_missing_days" -> q54MissingDaysSql,
     "q55_trending" -> q55TrendingSql(),
     "q56_ab_lift" -> q56AbLiftSql,
+    "q57_volume_drift" -> q57VolumeDriftSql,
   )
 }

@@ -334,6 +334,17 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getDecimal(6).doubleValue - (rateA - rateB)) < 2e-6)
   }
 
+  test("q57 drift: cumulative deviations net to zero, drawdown nonnegative") {
+    val got = Relational.q57VolumeDrift(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDecimal(3).doubleValue))
+    assert(got.nonEmpty)
+    // by construction the final cum_dev is Σn − days·mean ≈ 0 (mean
+    // rounded to 6 dp → bounded by days · 5e-7)
+    assert(math.abs(got.last._2) <= got.length * 5e-7 + 1e-9)
+    got.foreach { case (_, _, dd) => assert(dd >= 0.0) }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
