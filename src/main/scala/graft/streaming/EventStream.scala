@@ -208,6 +208,43 @@ object EventStream {
                  click_ts >= view_ts AND
                  click_ts <= view_ts + interval $horizonSec seconds"""))
 
+  /** Streaming trending (q55's stream twin), stage 1: watermarked hourly
+    * counts per event type — each (hour, type) count emits once when the
+    * watermark closes the hour. */
+  def trendingStream(df: DataFrame, delay: String = "1 second"): DataFrame =
+    df.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+
+  /** Stage 2: per micro-batch, rank each closed hour's types and UPSERT
+    * the top-k rows into the trending store keyed by (hour, rk) — the
+    * same idempotent-replay contract as [[mergeSink]] (a re-emitted hour
+    * overwrites its rows instead of appending duplicates). The rank
+    * window partitions by hour WITHIN the small closed-window batch —
+    * state and ranking never touch more than the batch's hours. */
+  def trendingSink(counts: DataFrame, storePath: String, k: Int = 3,
+                   trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour").orderBy(col("n").desc, col("event_type").asc)
+        val ranked = batch
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter(col("rk") <= k)
+        val spark = ranked.sparkSession
+        val merged =
+          if (new java.io.File(storePath).exists())
+            spark.read.parquet(storePath)
+              .join(ranked.select("hour", "rk"), Seq("hour", "rk"), "left_anti")
+              .unionByName(ranked)
+          else ranked
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+      }
+      .start()
+
   /** Left-outer attribution, batch twin: every view keeps a row whether
     * or not a click landed within the horizon, so the per-user rollup can
     * report conversion AND abandonment (n_orphan_views) from one join —

@@ -322,6 +322,34 @@ class EventStreamSpec extends SparkSpec {
     assert(after.contains((day(1, 0), "view", 99L, 123.0)), "replay did not overwrite")
   }
 
+  test("trendingStream + trendingSink: closed hours ranked top-k in the store") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+    val store = java.nio.file.Files.createTempDirectory("graft_trend").toString + "/store"
+    val in = MemoryStream[(Timestamp, String)]
+    // hour 1: view×3, click×2, error×1, signup×1 → top-3 = view, click, (error|signup by name)
+    val h1 = Seq.fill(3)((at(1, 5), "view")) ++ Seq.fill(2)((at(1, 10), "click")) ++
+      Seq((at(1, 15), "error"), (at(1, 20), "signup"))
+    val q = EventStream.trendingSink(
+      EventStream.trendingStream(in.toDF().toDF("ts", "event_type")), store)
+    try {
+      in.addData(h1: _*)
+      q.processAllAvailable()
+      in.addData((at(6, 0), "view")) // advances watermark past hour 1
+      q.processAllAvailable()
+      in.addData((at(7, 0), "view")) // one more batch so the closed hour emits
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(store)
+      .filter(org.apache.spark.sql.functions.col("hour") === at(1, 0))
+      .select("event_type", "n", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(got.toSeq == Seq(("view", 3L, 1L), ("click", 2L, 2L), ("error", 1L, 3L)),
+      got.mkString(","))
+  }
+
   test("dedupDelivery restores exactly-once counts from at-least-once feed") {
     val events = graft.sources.Tables.events(spark, sf("sf0.001"))
     val got = EventStream.dedupDelivery(events).collect()
