@@ -240,6 +240,48 @@ object LogRegGd {
        |FROM ranked, tot
        |WHERE k % greatest(1, n // $points) = 0 ORDER BY k""".stripMargin
 
+  /** ROC AUC by the Mann-Whitney rank identity:
+    * AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋), ranks ascending
+    * by score with doc_id tie-break (deterministic; under score ties
+    * this is the standard row_number approximation, stated rather than
+    * hidden). ONE rank window over the narrow score table and a 1-row
+    * aggregate — every intermediate is an exact integer, so the only
+    * float op is the final division (round→DECIMAL as usual). */
+  def auc(scored: DataFrame): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("p"), asc("doc_id"))
+    scored
+      .select(col("y"), row_number().over(ord).cast("long").as("rank"))
+      .agg(sum(when(col("y") === 1, col("rank"))).cast("long").as("rank_sum"),
+        sum(col("y")).cast("long").as("n_pos"),
+        count(lit(1)).as("n"))
+      .select(col("rank_sum"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        round(expr("rank_sum - (n_pos * (n_pos + 1)) DIV 2").cast("double")
+          / (col("n_pos") * (col("n") - col("n_pos"))), 6)
+          .cast(Out6).as("auc"))
+  }
+
+  def aucSql(lr: String = "0.5", steps: Int = 2): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), withy AS (
+       |  SELECT s.doc_id, s.p, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), ranked AS (
+       |  SELECT y,
+       |    CAST(row_number() OVER (ORDER BY p ASC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM withy
+       |), agg AS (
+       |  SELECT CAST(SUM(CASE WHEN y = 1 THEN rank END) AS BIGINT) AS rank_sum,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos, count(*) AS n
+       |  FROM ranked
+       |)
+       |SELECT rank_sum, n_pos, (n - n_pos) AS n_neg,
+       |  CAST(round(CAST(rank_sum - (n_pos * (n_pos + 1)) // 2 AS DOUBLE)
+       |    / (n_pos * (n - n_pos)), 6) AS DECIMAL(18,6)) AS auc
+       |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
       cachedScores(s, dir).orderBy("doc_id")),
@@ -255,11 +297,18 @@ object LogRegGd {
         .join(f.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("p"), col("y")))
     }),
+    "m15_auc" -> ((s: SparkSession, dir: String) => {
+      val f = features(Tables.documents(s, dir))
+      auc(cachedScores(s, dir)
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("p"), col("y")))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
     "m12_logreg_gd" -> logregGdSql(),
     "m13_calibration" -> calibrationSql(),
     "m14_pr_curve" -> prCurveSql(),
+    "m15_auc" -> aucSql(),
   )
 }

@@ -71,6 +71,27 @@ class LogRegGdSpec extends SparkSpec {
     assert(got.last._1 == total && math.abs(got.last._4 - 1.0) < 1e-9)
   }
 
+  test("auc: rank identity gives 1.0 on a perfectly separated toy set") {
+    import org.apache.spark.sql.functions._
+    // positives all score above negatives → AUC exactly 1
+    val scored = Seq(
+      (1L, "0.90", 1L), (2L, "0.80", 1L),
+      (3L, "0.20", 0L), (4L, "0.10", 0L), (5L, "0.05", 0L))
+      .toDF("doc_id", "ps", "y")
+      .select(col("doc_id"),
+        col("ps").cast("decimal(18,6)").as("p"), col("y"))
+    val r = LogRegGd.auc(scored).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getDecimal(3).doubleValue == 1.0)
+    // and on the real corpus AUC lands in [0, 1]
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val y = docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+    val real = LogRegGd.auc(LogRegGd.logregGd(docs).join(y, "doc_id")
+      .select(col("doc_id"), col("p"), col("y"))).head()
+    val v = real.getDecimal(3).doubleValue
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
   test("logregGd is deterministic across runs and beats the zero model") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = LogRegGd.logregGd(docs).collect().map(_.toSeq).toSeq
