@@ -1002,6 +1002,57 @@ object Relational {
       |  CAST(peak - cum_dev AS DECIMAL(18,6)) AS drawdown
       |FROM pk ORDER BY day""".stripMargin
 
+  /** Blocked fuzzy join (entity resolution): a deterministically
+    * corrupted name set (every 10th customer, one char dropped) is
+    * matched back to the master list by Levenshtein distance — but only
+    * WITHIN suffix blocks (last 4 chars), so the expensive distance
+    * runs on block-mates, never the n² cross join; best match per
+    * record via a rank window (dist asc, key asc). The standard
+    * record-linkage shape: blocking key → candidate equi-join → edit
+    * distance → best-match rank. Levenshtein is integer-exact on both
+    * engines. */
+  def q58FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val corrupted = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("src_key"),
+        concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)"))
+          .as("dirty_name"))
+    val blockedDirty = corrupted
+      .withColumn("blk", expr("right(dirty_name, 4)"))
+    val blockedMaster = cust
+      .select(col("c_custkey").as("cand_key"), col("c_name").as("cand_name"),
+        expr("right(c_name, 4)").as("blk"))
+    val w = Window.partitionBy("src_key").orderBy(asc("dist"), asc("cand_key"))
+    blockedDirty.join(blockedMaster, "blk")
+      .withColumn("dist", levenshtein(col("dirty_name"), col("cand_name")).cast("bigint"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("src_key"), col("cand_key").as("matched_key"), col("dist"),
+        (col("matched_key") === col("src_key")).cast("long").as("correct"))
+      .orderBy("src_key")
+  }
+
+  def q58FuzzyJoinSql: String =
+    """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey AS src_key,
+      |    substr(c_name, 1, 9) || substr(c_name, 11) AS dirty_name
+      |  FROM cust WHERE c_custkey % 10 = 0),
+      |bd AS (SELECT src_key, dirty_name, right(dirty_name, 4) AS blk FROM dirty),
+      |bm AS (SELECT c_custkey AS cand_key, c_name AS cand_name,
+      |         right(c_name, 4) AS blk FROM cust),
+      |cand AS (
+      |  SELECT bd.src_key, bm.cand_key,
+      |    CAST(levenshtein(bd.dirty_name, bm.cand_name) AS BIGINT) AS dist
+      |  FROM bd JOIN bm USING (blk)),
+      |best AS (
+      |  SELECT src_key, cand_key, dist,
+      |    row_number() OVER (PARTITION BY src_key ORDER BY dist ASC, cand_key ASC) AS rk
+      |  FROM cand)
+      |SELECT src_key, cand_key AS matched_key, dist,
+      |  CAST(cand_key = src_key AS BIGINT) AS correct
+      |FROM best WHERE rk = 1 ORDER BY src_key""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1357,6 +1408,7 @@ object Relational {
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
     "q56_ab_lift" -> q56AbLift _,
     "q57_volume_drift" -> q57VolumeDrift _,
+    "q58_fuzzy_join" -> q58FuzzyJoin _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1407,5 +1459,6 @@ object Relational {
     "q55_trending" -> q55TrendingSql(),
     "q56_ab_lift" -> q56AbLiftSql,
     "q57_volume_drift" -> q57VolumeDriftSql,
+    "q58_fuzzy_join" -> q58FuzzyJoinSql,
   )
 }

@@ -345,6 +345,17 @@ class RelationalSpec extends SparkSpec {
     got.foreach { case (_, _, dd) => assert(dd >= 0.0) }
   }
 
+  test("q58 fuzzy join: every corrupted record resolves to its true source") {
+    val got = Relational.q58FuzzyJoin(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // the one-char-dropped name is always nearest its own master row
+    got.foreach { case (src, matched, dist, correct) =>
+      assert(matched == src && correct == 1L, s"$src resolved to $matched")
+      assert(dist == 1L, s"$src dist $dist") // exactly the dropped char
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
