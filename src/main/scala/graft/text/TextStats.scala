@@ -776,6 +776,53 @@ object TextStats {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------- vocabulary coverage
+
+  /** Vocabulary coverage curve: the top-k corpus tokens by frequency
+    * with each prefix's share of ALL token occurrences — the table that
+    * sizes a tokenizer vocabulary (how many types cover 90/99% of the
+    * stream; pairs with x13's merge candidates). One tokenize+count
+    * pass (map-side combined); the rank window runs over the vocabulary
+    * (≪ corpus), and only k rows survive to the output. */
+  def vocabCoverage(docs: DataFrame, k: Int = 50): DataFrame = {
+    val counts = docs
+      .select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("long").as("n_total"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("word"))
+    counts
+      .withColumn("rank", row_number().over(ord).cast("bigint"))
+      .withColumn("cum_n",
+        sum("n").over(ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("n"), col("cum_n"),
+        round(col("cum_n").cast("double") / col("n_total"), 6)
+          .cast(DecimalType(18, 6)).as("coverage"))
+      .orderBy("rank")
+  }
+
+  def vocabCoverageSql(k: Int = 50): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH words AS (
+       |  SELECT u.word, count(*) AS n
+       |  FROM documents, UNNEST($toks) AS u(word) GROUP BY u.word
+       |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM words),
+       |ranked AS (
+       |  SELECT word, n,
+       |    CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rank,
+       |    CAST(SUM(n) OVER (ORDER BY n DESC, word ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM words
+       |)
+       |SELECT rank, word, n, cum_n,
+       |  CAST(round(CAST(cum_n AS DOUBLE) / n_total, 6) AS DECIMAL(18,6)) AS coverage
+       |FROM ranked, tot WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -802,6 +849,8 @@ object TextStats {
       bigramLogprob(Tables.documents(s, dir))),
     "x17_source_profile" -> ((s: SparkSession, dir: String) =>
       sourceProfile(Tables.documents(s, dir))),
+    "x18_vocab_coverage" -> ((s: SparkSession, dir: String) =>
+      vocabCoverage(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -821,5 +870,6 @@ object TextStats {
     "x15_ppl_buckets" -> pplBucketsSql(),
     "x16_bigram_logprob" -> bigramLogprobSql,
     "x17_source_profile" -> sourceProfileSql,
+    "x18_vocab_coverage" -> vocabCoverageSql(),
   )
 }

@@ -208,6 +208,19 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage: ranks dense, counts and coverage monotone") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextStats.vocabCoverage(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).doubleValue))
+    // 9 tokens total: a×4, b×3, c×1, d×1 (c before d by name)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, "a", 4L), (2L, "b", 3L), (3L, "c", 1L)))
+    assert(got.map(_._4).toSeq == Seq(4L, 7L, 8L))
+    assert(math.abs(got.last._5 - 8.0 / 9) < 1e-6)
+  }
+
   test("pplBuckets: even deciles with monotone non-overlapping score ranges") {
     import spark.implicits._
     // doc i repeats word w_i (i times) plus a shared word — scores vary
