@@ -1053,6 +1053,47 @@ object Relational {
       |  CAST(cand_key = src_key AS BIGINT) AS correct
       |FROM best WHERE rk = 1 ORDER BY src_key""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type) — the behavioral-model shape
+    * (next-action prediction features, anomalous-flow detection) that
+    * funnels (q51) and gap stats (q50) don't express. One lead() window
+    * per user (hash-partitioned by user_id, no global sort; ties totally
+    * ordered by (ts, event_id) so both engines pick the same successor),
+    * then a |types|² aggregate — the matrix is metadata-sized at any
+    * corpus scale. Probabilities divide exact counts by the exact
+    * from-state row total (window SUM over the 25-row matrix), one IEEE
+    * division, standard round→DECIMAL output cast. */
+  def q59MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    trans
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(wf), 6)
+        .cast(DecimalType(18, 6)))
+      .orderBy("from_type", "to_type")
+  }
+
+  def q59MarkovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM t
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+      |       AS DECIMAL(18,6)) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1403,6 +1444,7 @@ object Relational {
     "q50_event_gaps" -> q50EventGaps _,
     "q51_funnel" -> q51Funnel _,
     "q52_retention" -> q52Retention _,
+    "q59_markov_transitions" -> q59MarkovTransitions _,
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
     "q54_missing_days" -> q54MissingDays _,
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
@@ -1454,6 +1496,7 @@ object Relational {
     "q50_event_gaps" -> q50EventGapsSql,
     "q51_funnel" -> q51FunnelSql,
     "q52_retention" -> q52RetentionSql,
+    "q59_markov_transitions" -> q59MarkovTransitionsSql,
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
     "q54_missing_days" -> q54MissingDaysSql,
     "q55_trending" -> q55TrendingSql(),

@@ -823,6 +823,133 @@ object TextStats {
        |FROM ranked, tot WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------------------------- RAG chunking
+  /** Chunk size / stride (tokens) for [[ragChunks]]: 32-token windows
+    * every 24 tokens → 8-token overlap. Fixed so oracle SQL inlines the
+    * identical constants. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — the retrieval/RAG ingestion
+    * staple (and the unit every context-window training pipeline feeds):
+    * each document becomes ⌈(n−size)/stride⌉+1 windows of up to
+    * ChunkSize tokens starting every ChunkStride, with a content hash
+    * per chunk (the dedup/citation key downstream stages join on).
+    *
+    * The 100 TB shape: tokenize + window-generate + slice are all
+    * per-row projections — zero shuffles, perfectly partition-parallel;
+    * output size is corpus·(size/stride) with no skew beyond document
+    * length itself. `slice` is a codegen'd builtin (NOT a higher-order
+    * lambda — the NOTES inlining trap doesn't apply), and the md5 runs
+    * over the joined chunk text only. Chunk count uses pure integer
+    * arithmetic, identical on both engines. */
+  def ragChunks(docs: DataFrame): DataFrame = {
+    val nChunks = when(col("n") <= ChunkSize, lit(1)).otherwise(
+      floor((col("n") - ChunkSize + ChunkStride - 1) / lit(ChunkStride))
+        .cast("int") + 1)
+    docs
+      .select(col("doc_id"), Tokenize.rawTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * ChunkStride + 1).cast("long").as("start_tok"),
+        size(slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)))
+          .cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def ragChunksSql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    val sz = ChunkSize
+    val st = ChunkStride
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), sized AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $sz THEN 1
+       |         ELSE (len(toks) - $sz + ${st - 1}) // $st + 1 END AS n_chunks
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, toks, g.i AS chunk_idx
+       |  FROM sized, UNNEST(range(n_chunks)) AS g(i)
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $st + 1 AS BIGINT) AS start_tok,
+       |  CAST(len(toks[chunk_idx * $st + 1 : chunk_idx * $st + $sz]) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(toks[chunk_idx * $st + 1 : chunk_idx * $st + $sz], ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // -------------------------------------------- per-source KL divergence
+  /** Per-source unigram KL divergence from the corpus distribution:
+    * KL(P_source ‖ P_corpus) = Σ_w P_s(w)·ln(P_s(w)/P(w)) — the
+    * domain-shift score a mixing stage reads to see which sources are
+    * distributionally far from the blend they feed (pairs with x10's
+    * budgets and x17's profile).
+    *
+    * One (source, word) count pass (map-side combined; per-source
+    * distinct words reach the shuffle, not tokens), then everything
+    * downstream is |sources|·|vocab| rows. The log ratio collapses to
+    * ln((c_sw·N)/(N_s·n_w)) — both products are exact BIGINTs well under
+    * 2⁵³, so the double division is one exact-operand IEEE op; the libm
+    * ln is rounded to 6 dp and stored DECIMAL at birth (x14 discipline),
+    * the per-source sum is an exact decimal aggregate of logp·c, and one
+    * final division by N_s re-enters double land before the standard
+    * round→DECIMAL output cast. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumed by both marginals AND the score join
+    val vocab = tok.groupBy("word").agg(sum("c").cast("long").as("n_w"))
+    val totals = tok.groupBy("source").agg(sum("c").cast("long").as("n_s"))
+    val grand = vocab.agg(sum("n_w").cast("long").as("n_total"))
+    tok
+      .join(broadcast(vocab), "word")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("n_s"),
+        (round(log((col("c") * col("n_total")).cast("double") /
+          (col("n_s") * col("n_w")).cast("double")), 6)
+          .cast(DecimalType(18, 6)) * col("c")).as("term"))
+      .groupBy("source")
+      .agg(first("n_s").cast("long").as("n_tokens"),
+        sum("term").cast(DecimalType(18, 6)).as("sum_term"))
+      .select(col("source"), col("n_tokens"),
+        round(col("sum_term").cast("double") / col("n_tokens"), 6)
+          .cast(DecimalType(18, 6)).as("kl"))
+      .orderBy("source")
+  }
+
+  def sourceKlSql: String =
+    s"""WITH tc AS (
+       |  SELECT source, u.word, count(*) AS c
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)
+       |  GROUP BY source, u.word
+       |), vocab AS (
+       |  SELECT word, CAST(SUM(c) AS BIGINT) AS n_w FROM tc GROUP BY word
+       |), totals AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM tc GROUP BY source
+       |), grand AS (
+       |  SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab
+       |), terms AS (
+       |  SELECT tc.source, t.n_s,
+       |    CAST(round(ln(CAST(tc.c * g.n_total AS DOUBLE) / CAST(t.n_s * v.n_w AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) * tc.c AS term
+       |  FROM tc JOIN vocab v USING (word) JOIN totals t USING (source), grand g
+       |), per AS (
+       |  SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(term) AS DECIMAL(18,6)) AS sum_term
+       |  FROM terms GROUP BY source
+       |)
+       |SELECT source, n_tokens,
+       |  CAST(round(CAST(sum_term AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6)) AS kl
+       |FROM per ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -851,6 +978,10 @@ object TextStats {
       sourceProfile(Tables.documents(s, dir))),
     "x18_vocab_coverage" -> ((s: SparkSession, dir: String) =>
       vocabCoverage(Tables.documents(s, dir))),
+    "x19_rag_chunks" -> ((s: SparkSession, dir: String) =>
+      ragChunks(Tables.documents(s, dir))),
+    "x20_source_kl" -> ((s: SparkSession, dir: String) =>
+      sourceKl(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -871,5 +1002,7 @@ object TextStats {
     "x16_bigram_logprob" -> bigramLogprobSql,
     "x17_source_profile" -> sourceProfileSql,
     "x18_vocab_coverage" -> vocabCoverageSql(),
+    "x19_rag_chunks" -> ragChunksSql,
+    "x20_source_kl" -> sourceKlSql,
   )
 }

@@ -356,6 +356,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q59 markov: rows per from-state sum to 1, counts match raw transitions") {
+    val got = Relational.q59MarkovTransitions(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue))
+    assert(got.nonEmpty)
+    // probabilities within each from-state sum to 1 (up to 6-dp rounding)
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) <= rows.length * 5e-7 + 1e-9, s"$from sums to $s")
+      // each p is consistent with its count / state total
+      val tot = rows.map(_._3).sum.toDouble
+      rows.foreach { case (_, to, n, p) =>
+        assert(math.abs(p - n / tot) < 1e-6, s"$from->$to")
+      }
+    }
+    // total transitions = total events minus one per user with ≥1 event
+    val e = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val nEvents = e.count()
+    val nUsers = e.select("user_id").distinct().count()
+    assert(got.map(_._3).sum == nEvents - nUsers)
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

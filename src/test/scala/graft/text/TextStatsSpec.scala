@@ -221,6 +221,43 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(got.last._5 - 8.0 / 9) < 1e-6)
   }
 
+  test("ragChunks: windows tile the token stream with the fixed overlap") {
+    import spark.implicits._
+    // 40 tokens → 2 chunks: [1..32] and [25..40] (16 tokens); 10 tokens
+    // → 1 full-doc chunk; identical content hashes to identical keys
+    val t40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val t10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t40), (2L, t10), (3L, t10)).toDF("doc_id", "text")
+    val got = TextStats.ragChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == Seq(
+      (1L, 0L, 1L, 32L), (1L, 1L, 25L, 16L),
+      (2L, 0L, 1L, 10L), (3L, 0L, 1L, 10L)))
+    // every token position is covered: last chunk reaches the end
+    assert(got(1)._3 + got(1)._4 - 1 == 40)
+    // same chunk content → same hash (the downstream dedup key)
+    assert(got(2)._5 == got(3)._5 && got(0)._5 != got(2)._5)
+  }
+
+  test("sourceKl: zero for an identical mix, nonnegative always") {
+    import spark.implicits._
+    // srcA and srcB share the corpus distribution exactly → KL = 0;
+    // srcC is skewed → KL > 0 (Gibbs); all ≥ 0 up to 6-dp log rounding
+    val docs = Seq(
+      (1L, "a a b", "srcA"), (2L, "a a b", "srcB"), (3L, "c c c", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = TextStats.sourceKl(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.map(_._1).toSeq == Seq("srcA", "srcB", "srcC"))
+    assert(got.map(_._2).toSeq == Seq(3L, 3L, 3L))
+    got.foreach { case (s, _, kl) => assert(kl >= -1e-6, s"$s kl=$kl") }
+    // identical-mix sources score 0 exactly is false (they differ from
+    // the pooled corpus because srcC shifts it) — but A and B must agree
+    assert(math.abs(got(0)._3 - got(1)._3) < 1e-9)
+    assert(got(2)._3 > got(0)._3)
+  }
+
   test("pplBuckets: even deciles with monotone non-overlapping score ranges") {
     import spark.implicits._
     // doc i repeats word w_i (i times) plus a shared word — scores vary
