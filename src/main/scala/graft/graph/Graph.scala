@@ -732,6 +732,64 @@ object Graph {
     graft.plans.Materialized(s, s"graph_tri:${Tables.norm(dir)}")(
       triangleCounts(cachedEdges(s, dir)))
 
+  // ------------------------------------------------------- co-visitation
+
+  /** Item co-visitation graph from the event stream — the bipartite
+    * (user, item) projection that seeds "users who viewed X also viewed
+    * Y" recommenders and item-similarity graphs. Items are `props.k`
+    * (the event payload's item key); each user's distinct item set is
+    * CAPPED at the `cap` most-visited items (ties (visits desc, item
+    * asc) — total order) before the pair join, because the per-user
+    * pair count is quadratic: one bot user with 10⁵ items would emit
+    * 5·10⁹ pairs uncapped, while the cap bounds every user at
+    * cap·(cap−1)/2 — the standard guard that makes co-occurrence
+    * projections survive power-law users at 100 TB. The capped set is
+    * localCheckpoint'd (self-join input — the NOTES double-execution
+    * rule), the pair join is an equi-join on user_id with the canonical
+    * `item_a < item_b` predicate, and the final top-k is
+    * orderBy+limit → TakeOrderedAndProject (no global sort). */
+  def covisitation(spark: SparkSession, dir: String,
+                   cap: Int = 16, topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("n_visits"), asc("item"))
+    val kept = Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy("user_id", "item").agg(count(lit(1)).as("n_visits"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select("user_id", "item")
+      .localCheckpoint(true)
+    val a = kept.select(col("user_id"), col("item").as("item_a"))
+    val b = kept.select(col("user_id"), col("item").as("item_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+  }
+
+  def covisitationSql(cap: Int = 16, topK: Int = 20): String =
+    s"""WITH ui AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |         count(*) AS n_visits
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY n_visits DESC, item ASC) AS rk
+       |    FROM ui) WHERE rk <= $cap),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+       |  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2)
+       |SELECT item_a, item_b, n_users FROM pairs
+       |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT $topK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
       degrees(cachedEdges(s, dir)).orderBy("id")),
@@ -757,6 +815,8 @@ object Graph {
       clusteringCoeff(cachedEdges(s, dir), cachedTriangles(s, dir))),
     "g11_personalized_pagerank" -> ((s: SparkSession, dir: String) =>
       personalizedPageRank(cachedEdges(s, dir), sources = Seq(0L, 1L, 2L))),
+    "g12_covisitation" -> ((s: SparkSession, dir: String) =>
+      covisitation(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -781,5 +841,6 @@ object Graph {
     "g9_kcore" -> kCoreSql(),
     "g10_clustering_coeff" -> clusteringCoeffSql(),
     "g11_personalized_pagerank" -> personalizedPageRankSql(Seq(0L, 1L, 2L)),
+    "g12_covisitation" -> covisitationSql(),
   )
 }

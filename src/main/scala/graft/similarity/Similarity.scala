@@ -558,6 +558,70 @@ object Similarity {
        |ORDER BY qid ASC, cos DESC, vec_id ASC""".stripMargin
   }
 
+  // --------------------------------------------------- hard negatives
+
+  /** Hard-negative mining — the contrastive-training data-prep shape:
+    * for each query vector, the top-k most similar vectors whose LABEL
+    * differs (nearest wrong-class examples; random negatives are too
+    * easy, same-label neighbors are positives). Identical plan skeleton
+    * to [[knnBatch]] — query batch broadcast (now carrying its label),
+    * corpus norms computed below the join, per-query rank window — plus
+    * one label-inequality predicate INSIDE the broadcast join, so
+    * same-label rows are dropped before any dot product is computed.
+    * The per-query self row is excluded by that same predicate. At
+    * cluster scale the label filter costs nothing (it rides the
+    * existing join) and the mined pairs stream straight into a
+    * contrastive batch builder. */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    val scored = emb.withColumn("norm2", norm2Col(col("embedding")))
+      .crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(asc("qid"), desc("cos"), asc("vec_id"))
+  }
+
+  def hardNegativesSql(queryIds: Seq[Long], k: Int = 5): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), lab AS (SELECT vec_id, label FROM embeddings),
+       |q AS (
+       |  SELECT ex.vec_id AS qid, l.label AS qlabel, ex.d, ex.x AS qx
+       |  FROM ex JOIN lab l USING (vec_id) WHERE ex.vec_id IN ($ids)
+       |), qn AS (SELECT vec_id AS qid, norm2 AS qnorm2 FROM norms WHERE vec_id IN ($ids)),
+       |dots AS (
+       |  SELECT q.qid, ex.vec_id, any_value(l.label) AS label,
+       |         CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN lab l USING (vec_id) JOIN q USING (d)
+       |  WHERE l.label != q.qlabel
+       |  GROUP BY q.qid, ex.vec_id
+       |), scored AS (
+       |  SELECT d.qid, d.vec_id, d.label,
+       |    CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
+       |  FROM dots d JOIN norms n USING (vec_id) JOIN qn ON d.qid = qn.qid
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS r
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, label, cos FROM rk WHERE r <= $k
+       |ORDER BY qid ASC, cos DESC, vec_id ASC""".stripMargin
+  }
+
   // -------------------------------------------------------- int8 quantized
 
   /** Scalar-quantized (int8) retrieval — the compression scale path:
@@ -826,6 +890,8 @@ object Similarity {
       knnGraphFromScored(cachedScoredPairs(s, dir))),
     "s12_semantic_dedup" -> ((s: SparkSession, dir: String) =>
       semanticDedup(Tables.embeddings(s, dir), cachedClusters(s, dir))),
+    "s13_hard_negatives" -> ((s: SparkSession, dir: String) =>
+      hardNegatives(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -841,5 +907,6 @@ object Similarity {
     "s10_kmeans" -> kmeansSql(),
     "s11_knn_graph" -> knnGraphSql(),
     "s12_semantic_dedup" -> semanticDedupSql(),
+    "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),
   )
 }

@@ -138,6 +138,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(e, k = 5).count() == 0L)
   }
 
+  test("covisitation: canonical pairs, counts bounded by co-visiting users") {
+    val got = Graph.covisitation(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 20)
+    // canonical edges, counts sorted nonincreasing with full tie order
+    got.foreach { case (a, b, n) => assert(a < b && n >= 1) }
+    assert(got.sameElements(got.sortBy(t => (-t._3, t._1, t._2))))
+    // spot-check the top pair against a direct recount (cap can only
+    // LOWER a pair's count, never raise it)
+    val (a, b, n) = got.head
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("props"), "$.k").cast("long").as("item"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val direct = byUser.count { case (_, items) => items(a) && items(b) }
+    assert(n <= direct, s"pair ($a,$b) counted $n > direct $direct")
+  }
+
   test("labelPropagation: edge direction is ignored (symmetrized)") {
     val fwd = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
     val rev = edges(2L -> 1L, 3L -> 2L, 1L -> 3L)

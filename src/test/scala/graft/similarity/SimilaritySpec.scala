@@ -65,6 +65,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: only other-label vectors, best-first, never self") {
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = Similarity.hardNegatives(emb, queryIds = Seq(0L, 1L), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDecimal(3).doubleValue))
+    Seq(0L, 1L).foreach { qid =>
+      val mined = got.filter(_._1 == qid)
+      assert(mined.length == 5)
+      // every negative carries a different label than the query (and so
+      // can never be the query row itself)
+      mined.foreach { case (_, vid, lab, _) =>
+        assert(lab == labels(vid) && lab != labels(qid), s"qid=$qid vid=$vid")
+      }
+      // cosines nonincreasing, and each equals the knnBrute score for
+      // the same (query, candidate) pair
+      val cos = mined.map(_._4)
+      assert(cos.sameElements(cos.sorted.reverse))
+      val brute = Similarity.knnBrute(emb, queryId = qid, k = 2000).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue).toMap
+      mined.foreach { case (_, vid, _, c) =>
+        assert(math.abs(c - brute(vid)) < 1e-9, s"qid=$qid vid=$vid") }
+      // and they are the TOP other-label candidates: every skipped
+      // higher-cos vector must share the query's label
+      val minCos = cos.min
+      brute.foreach { case (vid, c) =>
+        if (c > minCos + 1e-9 && !mined.exists(_._2 == vid))
+          assert(labels(vid) == labels(qid), s"missed negative $vid")
+      }
+    }
+  }
+
   test("annInt8: quantized integer ranking recalls the exact cosine top-10") {
     val brute = Similarity.knnBrute(emb, 0L, k = 10).collect().map(_.getLong(0)).toSet
     val got = Similarity.annInt8(emb, 0L, k = 10).collect()
