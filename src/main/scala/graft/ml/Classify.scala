@@ -466,6 +466,87 @@ object Classify {
        |FROM best ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- chi² feature selection
+
+  /** m16: chi-squared feature selection — the top-k (language, word)
+    * pairs whose document-presence is most dependent on the label, the
+    * classic filter step that picks discriminative vocabulary before a
+    * classifier fit (pairs with [[naiveBayesLang]]'s count tables).
+    *
+    * Each pair's 2×2 contingency table (a = docs of lang l containing
+    * w, b/c/d the complements) comes from ONE per-doc-distinct token
+    * pass: per-doc distinct words via `array_distinct` BEFORE explode
+    * (presence counts, not token counts, reach the shuffle), the word
+    * marginal by re-aggregating that table, the label marginal from the
+    * raw docs. The full |langs|×|vocab| grid is assembled from the two
+    * broadcast marginals so absent pairs (a=0, which can still be
+    * maximally dependent) score too — the grid is metadata-sized at any
+    * corpus scale, and the top-k is orderBy+limit.
+    *
+    * Cross-engine exactness: a·d−b·c is exact BIGINT arithmetic; the χ²
+    * assembly then runs in doubles with the SAME left-associative op
+    * order on both engines (each step correctly-rounded IEEE), through
+    * the standard round→DECIMAL output cast. Degenerate margins (a word
+    * in every document) zero the denominator — guarded to χ²=0 with the
+    * CASE inside the decimal cast on both sides. */
+  def chi2Features(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val Out6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dw = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(graft.text.Tokenize.rawTokens(col("text")))).as("word"))
+      .groupBy(col("lang").as("l"), col("word")).agg(count(lit(1)).as("a"))
+      .localCheckpoint(true) // consumed by the word marginal AND the grid join
+    val dfW = dw.groupBy("word").agg(sum("a").cast("long").as("df_w"))
+    val perLang = docs.groupBy(col("lang").as("l")).agg(count(lit(1)).as("n_l"))
+    val total = perLang.agg(sum("n_l").cast("long").as("n_total"))
+    val grid = dfW.crossJoin(broadcast(perLang)).crossJoin(broadcast(total))
+      .join(dw, Seq("l", "word"), "left")
+      .select(col("l"), col("word"), col("df_w"), col("n_l"), col("n_total"),
+        coalesce(col("a"), lit(0L)).as("a"))
+    val b = col("df_w") - col("a")
+    val c = col("n_l") - col("a")
+    val d = col("n_total") - col("n_l") - b
+    val delta = (col("a") * d - b * c).cast("double")
+    val denom = col("df_w").cast("double") * (col("n_total") - col("df_w")).cast("double") *
+      col("n_l").cast("double") * (col("n_total") - col("n_l")).cast("double")
+    grid
+      .select(col("l").as("lang"), col("word"), col("a").cast("long").as("n_docs"),
+        when(denom > 0,
+          round(col("n_total").cast("double") * delta * delta / denom, 6))
+          .otherwise(lit(0.0)).cast(Out6).as("chi2"))
+      .orderBy(desc("chi2"), asc("lang"), asc("word"))
+      .limit(topK)
+  }
+
+  def chi2FeaturesSql(topK: Int = 20): String = {
+    val toks = graft.text.Tokenize.rawTokensSql("text")
+    s"""WITH dw AS (
+       |  SELECT lang AS l, u.word, count(*) AS a
+       |  FROM documents, UNNEST(list_distinct($toks)) AS u(word)
+       |  GROUP BY lang, u.word
+       |), dfw AS (
+       |  SELECT word, CAST(SUM(a) AS BIGINT) AS df_w FROM dw GROUP BY word
+       |), perlang AS (
+       |  SELECT lang AS l, count(*) AS n_l FROM documents GROUP BY lang
+       |), tot AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n_total FROM perlang),
+       |grid AS (
+       |  SELECT p.l, w.word, w.df_w, p.n_l, t.n_total, COALESCE(dw.a, 0) AS a
+       |  FROM dfw w CROSS JOIN perlang p CROSS JOIN tot t
+       |    LEFT JOIN dw ON dw.l = p.l AND dw.word = w.word
+       |), scored AS (
+       |  SELECT l AS lang, word, CAST(a AS BIGINT) AS n_docs,
+       |    CAST(CASE WHEN df_w * (n_total - df_w) * n_l * (n_total - n_l) > 0 THEN
+       |      round(CAST(n_total AS DOUBLE)
+       |        * CAST(a * (n_total - n_l - (df_w - a)) - (df_w - a) * (n_l - a) AS DOUBLE)
+       |        * CAST(a * (n_total - n_l - (df_w - a)) - (df_w - a) * (n_l - a) AS DOUBLE)
+       |        / (CAST(df_w AS DOUBLE) * CAST(n_total - df_w AS DOUBLE)
+       |           * CAST(n_l AS DOUBLE) * CAST(n_total - n_l AS DOUBLE)), 6)
+       |    ELSE 0.0 END AS DECIMAL(18,6)) AS chi2
+       |  FROM grid
+       |)
+       |SELECT lang, word, n_docs, chi2 FROM scored
+       |ORDER BY chi2 DESC, lang ASC, word ASC LIMIT $topK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_confusion" -> ((s: SparkSession, dir: String) =>
       confusionMatrix(scoreAndPersist(s, dir, "m1"))),
@@ -484,6 +565,8 @@ object Classify {
       weightedMetrics(scoreAndPersistCv(s, dir, "m9"))),
     "m10_naive_bayes" -> ((s: SparkSession, dir: String) =>
       naiveBayesLang(Tables.documents(s, dir))),
+    "m16_chi2_features" -> ((s: SparkSession, dir: String) =>
+      chi2Features(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -493,5 +576,6 @@ object Classify {
     "m5_cv_confusion" -> confusionSql("m5"),
     "m9_cv_metrics" -> weightedMetricsSql("m9"),
     "m10_naive_bayes" -> naiveBayesLangSql,
+    "m16_chi2_features" -> chi2FeaturesSql(),
   )
 }

@@ -1094,6 +1094,41 @@ object Relational {
       |       AS DECIMAL(18,6)) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Top-k 3-step event paths — sequential pattern mining over per-user
+    * event streams (q59's transition matrix generalized from bigrams to
+    * path trigrams): the most common (step1 → step2 → step3) sequences
+    * across all users, the table a UX/flow analysis reads first. Two
+    * stacked lead() windows share ONE per-user sort (same window spec →
+    * single Window node, one hash-partitioned local sort), the trigram
+    * aggregate map-side combines to ≤|types|³ rows, and the top-k is
+    * orderBy+limit → TakeOrderedAndProject. Ties (n desc, then the path
+    * lexicographically) — total order on both engines. */
+  def q60EventPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type").as("step1"),
+        lead("event_type", 1).over(w).as("step2"),
+        lead("event_type", 2).over(w).as("step3"))
+      .filter(col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("step1"), asc("step2"), asc("step3"))
+      .limit(k)
+  }
+
+  def q60EventPathsSql(k: Int = 10): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |p AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS step2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS step3
+       |  FROM e)
+       |SELECT step1, step2, step3, count(*) AS n FROM p
+       |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+       |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC LIMIT $k""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1445,6 +1480,7 @@ object Relational {
     "q51_funnel" -> q51Funnel _,
     "q52_retention" -> q52Retention _,
     "q59_markov_transitions" -> q59MarkovTransitions _,
+    "q60_event_paths" -> ((s: SparkSession, dir: String) => q60EventPaths(s, dir)),
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
     "q54_missing_days" -> q54MissingDays _,
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
@@ -1497,6 +1533,7 @@ object Relational {
     "q51_funnel" -> q51FunnelSql,
     "q52_retention" -> q52RetentionSql,
     "q59_markov_transitions" -> q59MarkovTransitionsSql,
+    "q60_event_paths" -> q60EventPathsSql(),
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
     "q54_missing_days" -> q54MissingDaysSql,
     "q55_trending" -> q55TrendingSql(),

@@ -98,6 +98,27 @@ class ClassifySpec extends SparkSpec {
       Classify.fitKey(Classify.pipeline(numFeatures = 1024)))
   }
 
+  test("chi2Features: discriminative words max out, ubiquitous words score 0") {
+    import spark.implicits._
+    // aa only in en docs, bb only in de docs, zz in every doc
+    val docs = Seq(
+      (1L, "aa zz", "en"), (2L, "aa zz", "en"),
+      (3L, "bb zz", "de"), (4L, "bb zz", "de")).toDF("doc_id", "text", "lang")
+    val got = Classify.chi2Features(docs, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSeq
+    assert(got.length == 6) // 2 langs × 3 vocab words, full grid incl. a=0
+    // perfect 2×2 association (present OR absent) → χ² = N = 4;
+    // the word present in every doc has a degenerate margin → 0
+    val byPair = got.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(byPair(("en", "aa")) == ((2L, 4.0)))
+    assert(byPair(("de", "bb")) == ((2L, 4.0)))
+    assert(byPair(("de", "aa")) == ((0L, 4.0))) // absence is evidence too
+    assert(byPair(("en", "zz"))._2 == 0.0 && byPair(("de", "zz"))._2 == 0.0)
+    // sorted by χ² desc with (lang, word) tie order
+    assert(got.sameElements(got.sortBy(t => (-t._4, t._1, t._2))))
+  }
+
   test("naiveBayesLang: disjoint vocabularies classify eval docs perfectly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -378,6 +378,20 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("q60 paths: trigram totals match per-user lengths, top-k ordered") {
+    val all = Relational.q60EventPaths(spark, sf("sf0.001"), k = 1000000).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // every user with n events contributes exactly max(0, n-2) trigrams
+    val perUser = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(all.map(_._4).sum == perUser.map(n => math.max(0L, n - 2)).sum)
+    val top = Relational.q60EventPaths(spark, sf("sf0.001"), k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(top.length == 10)
+    assert(top.sameElements(
+      all.sortBy(t => (-t._4, t._1, t._2, t._3)).take(10)))
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
