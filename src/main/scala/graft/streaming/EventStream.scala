@@ -459,6 +459,40 @@ object EventStream {
       }
   }
 
+  // ------------------------------------------- streaming transition mining
+
+  case class TransState(us: Long, eventId: Long, etype: String)
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming first-order transition mining — the incremental twin of
+    * q59's batch Markov matrix: each user's state is ONLY the last seen
+    * (event-time, event_id, type) triple (O(active users)·~40 bytes —
+    * no window over history, no buffered events), and every arriving
+    * event emits one (from → to) transition against it. Within a
+    * micro-batch rows are ordered by (time, event_id) — the same total
+    * order as the batch window — so in-order arrival yields exactly the
+    * batch twin's transition multiset ([[graft.operators.Relational.q59MarkovTransitions]]
+    * before its aggregate; EventStreamSpec asserts equality across a
+    * multi-batch split). Downstream the counts/probabilities are a
+    * per-batch aggregate into an upsert store (the [[mergeSink]] shape). */
+  def transitionsStream(events: Dataset[(Long, Long, Long, String)]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[TransState], TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[List[TransState]]) =>
+          var last = state.getOption.flatMap(_.headOption).orNull
+          val out = scala.collection.mutable.ListBuffer[TransOut]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, et) =>
+            if (last != null) out += TransOut(user, last.etype, et)
+            last = TransState(us, eid, et)
+          }
+          state.update(List(last))
+          out.iterator
+      }
+  }
+
   // -------------------------------------------------------------- registry
 
   // --------------------------------------- stream-static enrichment join

@@ -246,6 +246,47 @@ class PlanAuditSpec extends SparkSpec {
     exchanges.foreach(e => assert(!e.contains("text#"), s"text shuffled: $e"))
   }
 
+  test("q60_event_paths: both leads share ONE window sort; top-k is TakeOrdered") {
+    val p = plan("q60_event_paths")
+    // the two lead() columns use the same window spec → a single Window
+    // node over a single per-user sort (two would double the sort cost)
+    assert("RunningWindowFunction|Window".r.findAllIn(p).size >= 1)
+    assert("""Sort \[user_id""".r.findAllIn(p).size <= 1,
+      "per-user sort duplicated across window nodes")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("s13_hard_negatives: query batch broadcast; label filter, no cartesian shuffle") {
+    val p = plan("s13_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), "corpus×query became a shuffle cartesian")
+    // the label-inequality predicate rides the join (filters before any
+    // window/shuffle), so same-label rows never reach the rank window
+    assert(p.contains("NOT (label"), "label filter missing from the join stage")
+  }
+
+  test("g12_covisitation: per-user cap window sits BELOW the pair self-join") {
+    val p = plan("g12_covisitation")
+    // plan order (bottom-up): window (cap) feeds the join — the join must
+    // consume the localCheckpoint'd capped RDD scan, not raw events
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(500))
+    val joinInputs = p.linesIterator.filter(_.contains("Scan ExistingRDD")).size
+    assert(joinInputs >= 2, "pair join does not consume the capped checkpoint")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+  }
+
+  test("x19_rag_chunks: chunk generation is shuffle-free below the output sort") {
+    val p = plan("x19_rag_chunks")
+    // tokenize → explode → slice/md5 are per-row projections; the ONLY
+    // exchange allowed is the final presentation orderBy
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle in chunker: $exchanges")
+    assert(p.contains("Generate explode"), p.take(500))
+  }
+
   test("q1_agg: scan→partial-agg pipeline runs inside whole-stage codegen") {
     // codegen stages exist only in the AQE FINAL plan — execute first
     val df = SparkEntry.queries("q1_agg")(spark, sf("sf0.001"))

@@ -68,6 +68,34 @@ class EventStreamSpec extends SparkSpec {
     assert(got.toSeq == Seq("NEG", "NEUTRAL", "POS"))
   }
 
+  test("transitionsStream: multi-batch split yields the batch twin's multiset") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = (h: Int) => ts(h).getTime * 1000L
+    val in = MemoryStream[(Long, Long, Long, String)] // (user, us, event_id, type)
+    val q = EventStream.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").start()
+    try {
+      // user 1: view→click in batch 1; the click→purchase edge SPANS the
+      // batch boundary — only the persisted last-event state can emit it
+      in.addData((1L, us(0), 1L, "view"), (1L, us(1), 2L, "click"),
+        (2L, us(0), 3L, "view"))
+      q.processAllAvailable()
+      in.addData((1L, us(2), 4L, "purchase"), (2L, us(3), 5L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("trans_test").as[EventStream.TransOut].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type)).sorted
+      assert(got.toSeq == Seq(
+        (1L, "click", "purchase"), (1L, "view", "click"), (2L, "view", "view")))
+      // simultaneous events order by event_id — same rule as the batch window
+      in.addData((3L, us(5), 7L, "b"), (3L, us(5), 6L, "a"))
+      q.processAllAvailable()
+      val u3 = spark.table("trans_test").as[EventStream.TransOut].collect()
+        .filter(_.user_id == 3L).map(t => (t.from_type, t.to_type))
+      assert(u3.toSeq == Seq(("a", "b")))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions at gap breaks, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val us = (h: Int) => ts(h).getTime * 1000L
