@@ -748,11 +748,12 @@ object Graph {
     * rule), the pair join is an equi-join on user_id with the canonical
     * `item_a < item_b` predicate, and the final top-k is
     * orderBy+limit → TakeOrderedAndProject (no global sort). */
-  def covisitation(spark: SparkSession, dir: String,
-                   cap: Int = 16, topK: Int = 20): DataFrame = {
+  /** The capped per-user item set (cold path — callers must checkpoint
+    * before self-joining; the memoized wrappers do). */
+  def covisitKeptFrom(events: DataFrame, cap: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(desc("n_visits"), asc("item"))
-    val kept = Tables.events(spark, dir)
+    events
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
@@ -760,18 +761,68 @@ object Graph {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
       .select("user_id", "item")
-      .localCheckpoint(true)
+  }
+
+  /** Canonical (item_a < item_b) pair counts over a (checkpointed)
+    * capped item set (cold path). */
+  def covisitPairsFrom(kept: DataFrame): DataFrame = {
     val a = kept.select(col("user_id"), col("item").as("item_a"))
     val b = kept.select(col("user_id"), col("item").as("item_b"))
     a.join(b, Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
-      .orderBy(desc("n_users"), asc("item_a"), asc("item_b"))
-      .limit(topK)
   }
 
-  def covisitationSql(cap: Int = 16, topK: Int = 20): String =
-    s"""WITH ui AS (
+  /** Capped item set / pair counts memoized per (session, sf-dir): g12
+    * ranks the pairs, g13 normalizes them to Jaccard — one event scan
+    * and one pair join serve both ([[graft.plans.Materialized]]; both
+    * frames are bounded — ≤ users·cap and ≤ items²/2 rows). */
+  private def cachedCovisitKept(s: SparkSession, dir: String, cap: Int): DataFrame =
+    graft.plans.Materialized(s, s"covisit_kept:${Tables.norm(dir)}:$cap")(
+      covisitKeptFrom(Tables.events(s, dir), cap))
+
+  private def cachedCovisitPairs(s: SparkSession, dir: String, cap: Int): DataFrame =
+    graft.plans.Materialized(s, s"covisit_pairs:${Tables.norm(dir)}:$cap")(
+      covisitPairsFrom(cachedCovisitKept(s, dir, cap)))
+
+  def covisitation(spark: SparkSession, dir: String,
+                   cap: Int = 16, topK: Int = 20): DataFrame =
+    cachedCovisitPairs(spark, dir, cap)
+      .orderBy(desc("n_users"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+
+  /** Item-item Jaccard similarity over the co-visitation pairs — the
+    * normalized edge weight a recommender actually ranks by
+    * (co-count alone just surfaces popular items): |A∩B| / |A∪B| where
+    * A, B are the CAPPED per-item user sets, so numerator and
+    * denominator come from the same universe. Per-item user counts and
+    * the pair frame both reuse the g12 memos; the count join is a
+    * broadcast (|items| rows); output is the top-k by similarity with
+    * full tie order. Division is one IEEE op over exact counts through
+    * the standard round→DECIMAL cast; n_users ≥ 1 keeps the
+    * denominator positive. */
+  def itemJaccard(spark: SparkSession, dir: String,
+                  cap: Int = 16, topK: Int = 20): DataFrame = {
+    val counts = cachedCovisitKept(spark, dir, cap)
+      .groupBy("item").agg(count(lit(1)).as("nu"))
+    itemJaccardFrom(cachedCovisitPairs(spark, dir, cap), counts, topK)
+  }
+
+  /** Cold-path Jaccard assembly (shared by [[itemJaccard]] and specs). */
+  def itemJaccardFrom(pairs: DataFrame, counts: DataFrame, topK: Int): DataFrame =
+    pairs
+      .join(broadcast(counts.select(col("item").as("item_a"), col("nu").as("n_a"))), "item_a")
+      .join(broadcast(counts.select(col("item").as("item_b"), col("nu").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        round(col("n_users").cast("double") / (col("n_a") + col("n_b") - col("n_users")), 6)
+          .cast(DecimalType(18, 6)).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+
+  /** Shared CTE prefix (ui → kept → pairs) for the co-visitation oracles
+    * — must mirror [[covisitKeptFrom]]/[[covisitPairsFrom]] exactly. */
+  private def covisitCteSql(cap: Int): String =
+    s"""ui AS (
        |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
        |         count(*) AS n_visits
        |  FROM events
@@ -786,9 +837,22 @@ object Graph {
        |pairs AS (
        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
        |  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def covisitationSql(cap: Int = 16, topK: Int = 20): String =
+    s"""WITH ${covisitCteSql(cap)}
        |SELECT item_a, item_b, n_users FROM pairs
        |ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT $topK""".stripMargin
+
+  def itemJaccardSql(cap: Int = 16, topK: Int = 20): String =
+    s"""WITH ${covisitCteSql(cap)},
+       |counts AS (SELECT item, count(*) AS nu FROM kept GROUP BY item)
+       |SELECT p.item_a, p.item_b, p.n_users,
+       |  CAST(round(CAST(p.n_users AS DOUBLE) / (a.nu + b.nu - p.n_users), 6)
+       |       AS DECIMAL(18,6)) AS jaccard
+       |FROM pairs p JOIN counts a ON p.item_a = a.item
+       |             JOIN counts b ON p.item_b = b.item
+       |ORDER BY jaccard DESC, item_a ASC, item_b ASC LIMIT $topK""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
@@ -817,6 +881,8 @@ object Graph {
       personalizedPageRank(cachedEdges(s, dir), sources = Seq(0L, 1L, 2L))),
     "g12_covisitation" -> ((s: SparkSession, dir: String) =>
       covisitation(s, dir)),
+    "g13_item_jaccard" -> ((s: SparkSession, dir: String) =>
+      itemJaccard(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -842,5 +908,6 @@ object Graph {
     "g10_clustering_coeff" -> clusteringCoeffSql(),
     "g11_personalized_pagerank" -> personalizedPageRankSql(Seq(0L, 1L, 2L)),
     "g12_covisitation" -> covisitationSql(),
+    "g13_item_jaccard" -> itemJaccardSql(),
   )
 }

@@ -308,6 +308,57 @@ object Layout {
        |  CAST(FLOOR(CAST(start_offset AS DOUBLE) / $targetRows) AS BIGINT) AS bin
        |FROM cum ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------- bucketed join
+
+  /** Bucketed co-located join — the layout that deletes the join shuffle
+    * entirely: both fact tables are written `bucketBy(8, orderkey)` +
+    * `sortBy` once per (session, sf-dir), and the subsequent equi-join
+    * on the bucket key plans as a SortMergeJoin with NO Exchange on
+    * either side — each task merges bucket i of orders with bucket i of
+    * lineitem locally (LayoutSpec pins exactly one Exchange in the
+    * whole plan: the post-join customer rollup). At 100 TB this is THE
+    * repeated-join amortization: pay one bucketed write, then every
+    * orderkey-join of those tables — daily, across pipelines — moves
+    * zero bytes between executors, where an unbucketed SMJ re-shuffles
+    * both sides every time. The write is skipped when the tables
+    * already exist (the prep is the amortized asset, the join is the
+    * operator; same session-scoped reuse as the Materialized memos).
+    * The `merge` hint keeps the demo on the SMJ path (auto-broadcast
+    * would hide the exchange question at test SFs — at production fact
+    * sizes neither side broadcasts). */
+  def q61BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // catalog identifiers can't carry the sf-dir path verbatim
+    val n = Tables.norm(dir).replaceAll("[^A-Za-z0-9]", "_")
+    val (oT, lT) = (s"b_orders_$n", s"b_lineitem_$n")
+    if (!spark.catalog.tableExists(oT)) {
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").format("parquet")
+        .option("path", Artifacts.path(s"bucketed_orders_$n"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .option("path", Artifacts.path(s"bucketed_lineitem_$n"))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
+    }
+    val o = spark.table(oT)
+    val l = spark.table(lT)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+          .cast("double").as("sum_qty"))
+      .orderBy(desc("sum_qty"), asc("o_custkey"))
+      .limit(15)
+  }
+
+  /** Oracle is the plain join over the raw parquet — bucketing must be
+    * result-invariant (it only relocates rows). */
+  def q61BucketedJoinSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey ORDER BY sum_qty DESC, o_custkey ASC LIMIT 15""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,6 +368,7 @@ object Layout {
     "x12_shard_shuffle" -> ((s: SparkSession, dir: String) =>
       x12ShardShuffle(s, dir)),
     "q47_compaction_plan" -> q47CompactionPlan _,
+    "q61_bucketed_join" -> q61BucketedJoin _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -325,5 +377,6 @@ object Layout {
     "q34_dpp_join" -> q34DppJoinSql,
     "x12_shard_shuffle" -> x12ShardShuffleSql(),
     "q47_compaction_plan" -> q47CompactionPlanSql(),
+    "q61_bucketed_join" -> q61BucketedJoinSql,
   )
 }

@@ -158,6 +158,26 @@ class GraphSpec extends SparkSpec {
     assert(n <= direct, s"pair ($a,$b) counted $n > direct $direct")
   }
 
+  test("itemJaccard: similarity consistent with pair and item counts") {
+    val got = Graph.itemJaccard(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue))
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { case (a, b, n, j) =>
+      assert(a < b && n >= 1 && j > 0.0 && j <= 1.0, s"($a,$b)")
+    }
+    assert(got.sameElements(got.sortBy(t => (-t._4, t._1, t._2))))
+    // cross-check the top pair against the capped sets computed directly
+    val kept = Graph.covisitKeptFrom(
+        graft.sources.Tables.events(spark, sf("sf0.001")), cap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byItem = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val (a, b, n, j) = got.head
+    val (ua, ub) = (byItem(a), byItem(b))
+    assert(n == (ua & ub).size)
+    assert(math.abs(j - n.toDouble / (ua.size + ub.size - n)) < 1e-6)
+  }
+
   test("labelPropagation: edge direction is ignored (symmetrized)") {
     val fwd = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
     val rev = edges(2L -> 1L, 3L -> 2L, 1L -> 3L)

@@ -122,6 +122,28 @@ class LayoutSpec extends SparkSpec {
     assert(offs.toSeq == sizes.scanLeft(0L)(_ + _).init.toSeq)
   }
 
+  test("q61 bucketed join: SortMergeJoin with no exchange under the join") {
+    val df = Layout.q61BucketedJoin(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(500))
+    // the ONLY shuffle in the whole plan is the post-join customer
+    // rollup — both bucketed scans feed the join exchange-free
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"join sides shuffled:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastHashJoin"), "merge hint ignored")
+    // and the layout is result-invariant: matches the plain raw join
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val l = Tables.lineitem(spark, sf("sf0.001"))
+    val raw = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == raw(r.getLong(0)), s"custkey ${r.getLong(0)}")
+    }
+  }
+
   test("shardShuffle is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val a = Layout.shardShuffle(docs).collect().toSeq

@@ -266,14 +266,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("NOT (label"), "label filter missing from the join stage")
   }
 
-  test("g12_covisitation: per-user cap window sits BELOW the pair self-join") {
+  test("g12_covisitation: cap window below the join; registry serves the memo") {
+    // cold-path builders (the registered query reads the Materialized
+    // checkpoint, which severs lineage — audit the pieces instead)
+    val events = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val kept = graft.graph.Graph.covisitKeptFrom(events, cap = 16)
+    val kp = kept.queryExecution.executedPlan.toString
+    assert(kp.contains("Window") && kp.contains("row_number"),
+      "per-user cap window missing")
+    assert("""rk#\d+ <= 16""".r.findFirstIn(kp).isDefined, "cap filter missing")
+    val pairs = graft.graph.Graph.covisitPairsFrom(kept.localCheckpoint(true))
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"), "pair join degenerated to cartesian")
+    assert(pp.linesIterator.count(_.contains("Scan ExistingRDD")) >= 2,
+      "pair join does not consume the capped checkpoint")
+    // the registered query itself is the memoized frame + TakeOrdered
     val p = plan("g12_covisitation")
-    // plan order (bottom-up): window (cap) feeds the join — the join must
-    // consume the localCheckpoint'd capped RDD scan, not raw events
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), p.take(500))
-    val joinInputs = p.linesIterator.filter(_.contains("Scan ExistingRDD")).size
-    assert(joinInputs >= 2, "pair join does not consume the capped checkpoint")
     assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
   }
 
