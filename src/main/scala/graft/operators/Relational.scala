@@ -1129,6 +1129,51 @@ object Relational {
        |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
        |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC LIMIT $k""".stripMargin
 
+  /** SCD-2 change compression: collapse each user's event stream into
+    * validity intervals — one row per RUN of equal event_type, with
+    * [valid_from, valid_to) event-time bounds (valid_to = the next run's
+    * start; NULL marks the current state) — the slowly-changing-dimension
+    * history build every warehouse needs when ingesting change events.
+    * Two windows share the same per-user (time, event_id) sort: lag()
+    * marks run starts, then row_number+lead over the surviving starts
+    * assign segment ids and close each interval. Both are
+    * hash-partitioned by user — no global sort; output is
+    * #state-changes ≪ #events. NULL valid_to rows are canonical on both
+    * engines (one open interval per user). */
+  def q62Scd2Compress(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val marked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    marked
+      .withColumn("seg_idx", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("seg_idx"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "seg_idx")
+  }
+
+  def q62Scd2CompressSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+      |  FROM e),
+      |starts AS (
+      |  SELECT user_id, event_id, event_type, us FROM marked
+      |  WHERE prev_type IS NULL OR prev_type != event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS seg_idx,
+      |  event_type AS state,
+      |  us AS valid_from_us,
+      |  lead(us) OVER w AS valid_to_us
+      |FROM starts
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, seg_idx""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1481,6 +1526,7 @@ object Relational {
     "q52_retention" -> q52Retention _,
     "q59_markov_transitions" -> q59MarkovTransitions _,
     "q60_event_paths" -> ((s: SparkSession, dir: String) => q60EventPaths(s, dir)),
+    "q62_scd2_compress" -> q62Scd2Compress _,
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
     "q54_missing_days" -> q54MissingDays _,
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
@@ -1534,6 +1580,7 @@ object Relational {
     "q52_retention" -> q52RetentionSql,
     "q59_markov_transitions" -> q59MarkovTransitionsSql,
     "q60_event_paths" -> q60EventPathsSql(),
+    "q62_scd2_compress" -> q62Scd2CompressSql,
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
     "q54_missing_days" -> q54MissingDaysSql,
     "q55_trending" -> q55TrendingSql(),

@@ -622,6 +622,120 @@ object Similarity {
        |ORDER BY qid ASC, cos DESC, vec_id ASC""".stripMargin
   }
 
+  // ---------------------------------------------------------- NDCG@k eval
+
+  /** Per-rank discounted gains 1/log₂(r+1), rounded to 6 dp — computed
+    * ONCE in Scala and interpolated as identical literals into both the
+    * engine plan and the oracle SQL (the g11 teleport-constant rule:
+    * never let two engines each call libm). */
+  private def ndcgGains(k: Int): Seq[java.math.BigDecimal] =
+    (1 to k).map { r =>
+      java.math.BigDecimal.valueOf(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+  private def ndcgCumGains(k: Int): Seq[java.math.BigDecimal] =
+    ndcgGains(k).scanLeft(java.math.BigDecimal.ZERO.setScale(6))(_.add(_)).tail
+
+  /** m17: NDCG@k of cosine retrieval against label relevance — the
+    * ranking-quality metric for the ANN family (pairs with m15's AUC on
+    * the classifier side): for each query vector, rank the whole corpus
+    * by exact cosine, score rel=1 where the candidate shares the
+    * query's label, and report DCG@k over the ideal DCG. One corpus
+    * pass scores all queries ([[knnBatch]] skeleton); the rank window
+    * partitions by query; gains/cumulative-gains are 6-dp decimal
+    * literals so DCG/IDCG are exact decimal sums — the only double op
+    * is the final ratio through the standard round→DECIMAL cast.
+    * Queries whose label has no other member (IDCG=0) guard to 0 with
+    * the CASE inside the decimal cast. */
+  def ndcgAtK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val zero = java.math.BigDecimal.ZERO.setScale(6)
+    val gainArr = array(ndcgGains(k).map(lit): _*)
+    val cumArr = array(ndcgCumGains(k).map(lit): _*)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    val scored = emb.withColumn("norm2", norm2Col(col("embedding")))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    val rel = col("label") === col("qlabel")
+    val per = scored.withColumn("rk", row_number().over(w))
+      .groupBy("qid")
+      .agg(sum(rel.cast("long")).cast("long").as("n_rel_total"),
+        sum(when(col("rk") <= k && rel, lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_rel_at_k"),
+        sum(when(col("rk") <= k && rel,
+          element_at(gainArr, col("rk").cast("int"))).otherwise(lit(zero)))
+          .cast(Out6).as("dcg"))
+    per
+      .withColumn("idcg",
+        when(col("n_rel_total") > 0,
+          element_at(cumArr, least(lit(k), col("n_rel_total")).cast("int")))
+          .otherwise(lit(zero)).cast(Out6))
+      .select(col("qid"), col("n_rel_total"), col("n_rel_at_k"),
+        col("dcg"), col("idcg"),
+        when(col("idcg") > 0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .otherwise(lit(0.0)).cast(Out6).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  def ndcgAtKSql(queryIds: Seq[Long], k: Int = 10): String = {
+    val ids = queryIds.mkString(", ")
+    val gains = ndcgGains(k).map(_.toPlainString).mkString("[", ", ", "]")
+    val cum = ndcgCumGains(k).map(_.toPlainString).mkString("[", ", ", "]")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), lab AS (SELECT vec_id, label FROM embeddings),
+       |q AS (
+       |  SELECT ex.vec_id AS qid, l.label AS qlabel, ex.d, ex.x AS qx
+       |  FROM ex JOIN lab l USING (vec_id) WHERE ex.vec_id IN ($ids)
+       |), qn AS (SELECT vec_id AS qid, norm2 AS qnorm2 FROM norms WHERE vec_id IN ($ids)),
+       |dots AS (
+       |  SELECT q.qid, any_value(q.qlabel) AS qlabel, ex.vec_id,
+       |         any_value(l.label) AS label,
+       |         CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN lab l USING (vec_id) JOIN q USING (d)
+       |  WHERE ex.vec_id != q.qid
+       |  GROUP BY q.qid, ex.vec_id
+       |), ranked AS (
+       |  SELECT d.qid, d.qlabel, d.vec_id, d.label,
+       |    row_number() OVER (PARTITION BY d.qid ORDER BY
+       |      CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) DESC,
+       |      d.vec_id ASC) AS rk
+       |  FROM dots d JOIN norms n USING (vec_id) JOIN qn ON d.qid = qn.qid
+       |), per AS (
+       |  SELECT qid,
+       |    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total,
+       |    CAST(SUM(CASE WHEN rk <= $k AND label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+       |    CAST(SUM(CASE WHEN rk <= $k AND label = qlabel
+       |              THEN ($gains)[rk] ELSE CAST(0 AS DECIMAL(18,6)) END)
+       |         AS DECIMAL(18,6)) AS dcg
+       |  FROM ranked GROUP BY qid
+       |), fin AS (
+       |  SELECT qid, n_rel_total, n_rel_at_k, dcg,
+       |    CAST(CASE WHEN n_rel_total > 0
+       |         THEN ($cum)[least($k, n_rel_total)]
+       |         ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(18,6)) AS idcg
+       |  FROM per
+       |)
+       |SELECT qid, n_rel_total, n_rel_at_k, dcg, idcg,
+       |  CAST(CASE WHEN idcg > 0
+       |       THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+       |       ELSE 0.0 END AS DECIMAL(18,6)) AS ndcg
+       |FROM fin ORDER BY qid""".stripMargin
+  }
+
   // -------------------------------------------------------- int8 quantized
 
   /** Scalar-quantized (int8) retrieval — the compression scale path:
@@ -892,6 +1006,8 @@ object Similarity {
       semanticDedup(Tables.embeddings(s, dir), cachedClusters(s, dir))),
     "s13_hard_negatives" -> ((s: SparkSession, dir: String) =>
       hardNegatives(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
+    "m17_ndcg" -> ((s: SparkSession, dir: String) =>
+      ndcgAtK(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -908,5 +1024,6 @@ object Similarity {
     "s11_knn_graph" -> knnGraphSql(),
     "s12_semantic_dedup" -> semanticDedupSql(),
     "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
   )
 }

@@ -392,6 +392,39 @@ class RelationalSpec extends SparkSpec {
       all.sortBy(t => (-t._4, t._1, t._2, t._3)).take(10)))
   }
 
+  test("q62 scd2: per-user intervals tile, states alternate, one open tail") {
+    val got = Relational.q62Scd2Compress(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (user, segs) =>
+      val s = segs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to s.length).toSeq, s"user $user seg ids")
+      // exactly one open (NULL valid_to) interval — the last
+      assert(s.init.forall(_._5.isDefined) && s.last._5.isEmpty, s"user $user tail")
+      // intervals tile: each segment closes where the next opens
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user gap at seg ${a._2}")
+          assert(a._3 != b._3, s"user $user consecutive equal states")
+        case _ =>
+      }
+    }
+    // compression is lossless on run count: segments = 1 + state changes
+    val raw = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime / 1000 * 1000000L +
+          r.getTimestamp(3).getNanos / 1000)) // micro-exact tie order
+    val expect = raw.groupBy(_._1).view.mapValues { rows =>
+      val types = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      1 + types.sliding(2).count { case Array(x, y) => x != y; case _ => false }
+    }
+    got.groupBy(_._1).foreach { case (u, segs) =>
+      assert(segs.length == expect(u), s"user $u run count")
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

@@ -95,6 +95,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ndcgAtK matches a driver-side reference ranking for query 0") {
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = Similarity.ndcgAtK(emb, queryIds = Seq(0L, 1L), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue,
+        r.getDecimal(5).doubleValue))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    got.foreach { case (_, nTot, nAtK, dcg, idcg, ndcg) =>
+      assert(nAtK <= math.min(10L, nTot))
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(dcg <= idcg + 1e-9)
+    }
+    // driver-side reference for qid 0: rank by (6-dp cos desc, vec_id)
+    def gain(r: Int) = BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ranked = reference.toSeq
+      .map { case (id, c) => (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, c) => (-c, id) }
+    val rels = ranked.map { case (id, _) => labels(id) == labels(0L) }
+    val dcg = rels.take(10).zipWithIndex
+      .collect { case (true, i) => gain(i + 1) }.sum
+    val nTot = rels.count(identity)
+    val idcg = (1 to math.min(10, nTot)).map(gain).sum
+    val expect = (dcg / idcg).toDouble
+    assert(math.abs(got(0)._6 - expect) < 1e-5,
+      s"ndcg ${got(0)._6} vs reference $expect")
+    assert(got(0)._2 == nTot)
+  }
+
   test("annInt8: quantized integer ranking recalls the exact cosine top-10") {
     val brute = Similarity.knnBrute(emb, 0L, k = 10).collect().map(_.getLong(0)).toSet
     val got = Similarity.annInt8(emb, 0L, k = 10).collect()
