@@ -1174,6 +1174,53 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, seg_idx""".stripMargin
 
+  /** Robust outlier screening via median absolute deviation: per event
+    * type, med = median(value), MAD = median(|value − med|), and the
+    * count of values outside med ± 3·1.4826·MAD — the data-quality
+    * gate that, unlike mean/stddev z-scores, is not dragged by the very
+    * outliers it hunts. Three aggregate passes, each one shuffle of
+    * |types| rows; the per-type medians broadcast back onto the scan.
+    * Exact interpolated percentiles agree across engines (q22
+    * precedent); every comparison operand is the identical IEEE double
+    * on both sides, so the boundary cut is bit-identical. */
+  def q63MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .localCheckpoint(true) // scanned by all three passes
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first("med").as("med0"), first("mad").as("mad0"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).cast("long").as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("med0"), 6).as("med"), round(col("mad0"), 6).as("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  def q63MadOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM ev GROUP BY event_type),
+      |mad AS (
+      |  SELECT ev.event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      |  FROM ev JOIN med USING (event_type) GROUP BY ev.event_type)
+      |SELECT ev.event_type, count(*) AS n,
+      |  round(any_value(med), 6) AS med, round(any_value(mad), 6) AS mad,
+      |  CAST(SUM(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+      |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
+
   /** HLL approximate distinct count (SURVEY §2.4 note: surfaced since the
     * reference composes distinct counts by hand). No oracle — sketch
     * algorithms differ across engines; accuracy is asserted against the
@@ -1527,6 +1574,7 @@ object Relational {
     "q59_markov_transitions" -> q59MarkovTransitions _,
     "q60_event_paths" -> ((s: SparkSession, dir: String) => q60EventPaths(s, dir)),
     "q62_scd2_compress" -> q62Scd2Compress _,
+    "q63_mad_outliers" -> q63MadOutliers _,
     "q53_hist_quantiles" -> ((s: SparkSession, dir: String) => q53HistQuantiles(s, dir)),
     "q54_missing_days" -> q54MissingDays _,
     "q55_trending" -> ((s: SparkSession, dir: String) => q55Trending(s, dir)),
@@ -1581,6 +1629,7 @@ object Relational {
     "q59_markov_transitions" -> q59MarkovTransitionsSql,
     "q60_event_paths" -> q60EventPathsSql(),
     "q62_scd2_compress" -> q62Scd2CompressSql,
+    "q63_mad_outliers" -> q63MadOutliersSql,
     "q53_hist_quantiles" -> q53HistQuantilesSql(),
     "q54_missing_days" -> q54MissingDaysSql,
     "q55_trending" -> q55TrendingSql(),

@@ -138,15 +138,113 @@ object Sketch {
        |HAVING count(*) * $k > n_total
        |ORDER BY n DESC, word ASC""".stripMargin
 
+  /** q64: a REAL HyperLogLog built on the cross-engine md5 hash — unlike
+    * `approx_count_distinct` (whose HLL internals have no DuckDB twin and
+    * so can never be oracled), every step here is recomputed identically
+    * by the oracle: bucket = top 8 hash bits (m=256 registers), register
+    * = max ρ (leading-zero rank of the remaining 24 bits, computed by
+    * BINARY-STRING LENGTH — `bin`/`format('{:b}')` — never floor(log2),
+    * which can misround at exact powers), harmonic mean with the
+    * standard α₂₅₆ bias constant (computed once in Scala, inlined into
+    * both engines), and the small-range linear-counting correction
+    * (both engines branch on the SAME register table, so the branch
+    * agrees by construction; the corrected ln goes through the standard
+    * round→DECIMAL cast).
+    *
+    * Determinism note on the harmonic sum: each term 2^(−ρ) is an exact
+    * dyadic double from a 26-entry literal table (no pow()), and every
+    * partial sum of ≤256 such terms fits in ≤33 mantissa bits — so the
+    * double SUM is exact under ANY aggregation order, no decimal
+    * quantization needed (documented exception to the decimal-sum rule).
+    *
+    * Scale shape: one map-side-combined (bucket → max ρ) aggregate —
+    * 256 rows reach the shuffle regardless of input size; the exact
+    * distinct count sits alongside as the calibration column (the q37
+    * pattern: the query exhibits the error the sketch accepts). */
+  def hllDistinct(lineitem: DataFrame, b: Int = 8): DataFrame = {
+    val spark = lineitem.sparkSession
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // 2^-rho for rho = 0..wBits+1, exact dyadic literals
+    val powArr = array((0 to wBits + 1).map(r => lit(1.0 / (1L << r))): _*)
+    val hv = hash32(col("l_orderkey"))
+    val regs = lineitem
+      .select((hv / lit(1L << wBits)).cast("long").as("bucket"),
+        (hv % lit(1L << wBits)).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    val grid = spark.range(m).select(col("id").as("bucket"))
+    val stats = grid.join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("rho"), lit(0L)).as("rho"))
+      .agg(sum(element_at(powArr, col("rho").cast("int") + 1)).as("harm"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).cast("long").as("n_empty"))
+    val raw = lit(alpha) * m * m / col("harm")
+    val est = when(raw <= 2.5 * m && col("n_empty") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty"))).otherwise(raw)
+    val exact = lineitem.agg(count_distinct(col("l_orderkey")).cast("long").as("n_exact"))
+    stats.crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("n_empty"),
+        round(est, 6).cast(Out6).as("hll_est"),
+        round((est - col("n_exact")) / col("n_exact"), 6).cast(Out6).as("rel_err"))
+  }
+
+  def hllDistinctSql(b: Int = 8): String = {
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // every literal is cast to DOUBLE: DuckDB types a bare decimal-point
+    // literal as DECIMAL and the α·m² product overflows DECIMAL(18)
+    val pows = (0 to wBits + 1).map(r => s"CAST(${1.0 / (1L << r)} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH h AS (
+       |  SELECT ${hash32SqlExpr("l_orderkey")} AS hv FROM lineitem
+       |), rw AS (
+       |  SELECT hv // ${1L << wBits} AS bucket, hv % ${1L << wBits} AS w FROM h
+       |), regs AS (
+       |  SELECT bucket,
+       |    MAX(CASE WHEN w = 0 THEN ${wBits + 1}
+       |        ELSE ${wBits + 1} - length(format('{:b}', w)) END) AS rho
+       |  FROM rw GROUP BY bucket
+       |), grid AS (
+       |  SELECT g.i AS bucket FROM UNNEST(range($m)) AS g(i)
+       |), full_regs AS (
+       |  SELECT COALESCE(r.rho, 0) AS rho
+       |  FROM grid LEFT JOIN regs r USING (bucket)
+       |), stats AS (
+       |  SELECT SUM(($pows)[rho + 1]) AS harm,
+       |         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+       |  FROM full_regs
+       |), est AS (
+       |  SELECT n_empty,
+       |    CASE WHEN CAST($alpha AS DOUBLE) * $m * $m / harm <= CAST(${2.5 * m} AS DOUBLE)
+       |              AND n_empty > 0
+       |         THEN CAST(${m.toDouble} AS DOUBLE) * ln(CAST(${m.toDouble} AS DOUBLE) / n_empty)
+       |         ELSE CAST($alpha AS DOUBLE) * $m * $m / harm END AS e
+       |  FROM stats
+       |), exact AS (
+       |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem
+       |)
+       |SELECT x.n_exact, s.n_empty,
+       |  CAST(round(s.e, 6) AS DECIMAL(18,6)) AS hll_est,
+       |  CAST(round((s.e - x.n_exact) / x.n_exact, 6) AS DECIMAL(18,6)) AS rel_err
+       |FROM est s CROSS JOIN exact x""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_kmv_distinct" -> ((s: SparkSession, dir: String) =>
       kmvDistinct(Tables.events(s, dir))),
     "q38_heavy_hitters" -> ((s: SparkSession, dir: String) =>
       heavyHitters(Tables.documents(s, dir))),
+    "q64_hll_distinct" -> ((s: SparkSession, dir: String) =>
+      hllDistinct(Tables.lineitem(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
     "q37_kmv_distinct" -> kmvDistinctSql(),
     "q38_heavy_hitters" -> heavyHittersSql(),
+    "q64_hll_distinct" -> hllDistinctSql(),
   )
 }

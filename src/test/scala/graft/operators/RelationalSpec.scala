@@ -425,6 +425,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q63 MAD: medians bracket data, outliers match a driver-side recount") {
+    val got = Relational.q63MadOutliers(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val raw = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select("event_type", "value").na.drop().collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    got.foreach { case (et, n, med, mad, nOut) =>
+      val vals = raw.filter(_._1 == et).map(_._2).toSeq
+      assert(n == vals.length)
+      val m0 = median(vals)
+      val d0 = median(vals.map(v => math.abs(v - m0)))
+      assert(math.abs(med - m0) < 1e-6 && math.abs(mad - d0) < 1e-6, et)
+      val expect = vals.count(v => math.abs(v - m0) > 3.0 * 1.4826 * d0)
+      assert(nOut == expect, s"$et outliers $nOut vs $expect")
+      assert(nOut < n / 10, s"$et flags too much") // robust cut is selective
+    }
+  }
+
   test("GraftExtensions injects vector_dot_exact via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)

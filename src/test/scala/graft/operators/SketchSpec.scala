@@ -75,6 +75,25 @@ class SketchSpec extends SparkSpec {
     assert(dup == 30.0)
   }
 
+  test("hllDistinct: estimate within the m=256 error envelope on real keys") {
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+    val r = Sketch.hllDistinct(li).collect().head
+    val (exact, est, relErr) =
+      (r.getLong(0), r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue)
+    assert(exact > 1000L) // sanity: real cardinality, not the tiny regime
+    // standard error for m=256 is 1.04/√256 = 6.5%; allow 4σ
+    assert(math.abs(relErr) < 0.26, s"HLL off by ${relErr * 100}%: $est vs $exact")
+    assert(math.abs(est / exact - 1.0 - relErr) < 1e-5) // rel_err consistent
+  }
+
+  test("hllDistinct: register table is partition-schedule independent") {
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+    val a = Sketch.hllDistinct(li).collect().head
+    val b = Sketch.hllDistinct(li.repartition(7)).collect().head
+    assert(a.getDecimal(2) == b.getDecimal(2), "estimate depends on partitioning")
+    assert(a.getLong(1) == b.getLong(1))
+  }
+
   test("hash32 matches its SQL twin's digit arithmetic") {
     // 32-bit range and determinism across rows
     val hs = Seq(1L, 2L, 42L, 999999L).toDF("k")
