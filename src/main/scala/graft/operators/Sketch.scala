@@ -233,6 +233,70 @@ object Sketch {
        |FROM est s CROSS JOIN exact x""".stripMargin
   }
 
+  /** q65: Count-Min sketch frequency estimation — the bounded-memory
+    * frequency table (d=4 rows × w=256 counters) that answers "how
+    * often does key x occur" with a one-sided error: est ≥ exact
+    * always, est ≤ exact + εN with probability 1−(1/2)ᵈ. Like q64's
+    * HLL, every step is recomputed identically by the oracle: row-i
+    * position = md5-hash32 of "i:word" mod w (row salt in the hashed
+    * string — d independent hash functions from the one shared
+    * primitive), counters are one map-side-combined (row, pos)
+    * aggregate (≤ d·w rows reach the shuffle at ANY corpus size), and
+    * the estimate is the MIN over the d counters hit by the key,
+    * reported next to the exact count for the top-k words (the q37/q64
+    * calibration pattern — the query exhibits the error being
+    * accepted). The one-sided bound is spec-enforced, not assumed. */
+  def cmsFreq(docs: DataFrame, d: Int = 4, w: Int = 256, topK: Int = 10): DataFrame = {
+    val toks = docs
+      .select(explode(graft.text.Tokenize.rawTokens(col("text"))).as("word"))
+      .localCheckpoint(true) // consumed by the counter build AND the exact counts
+    val posFor = (i: Int, word: Column) =>
+      (hash32(concat(lit(s"$i:"), word)) % w).cast("long")
+    val counters = toks
+      .select(posexplode(array((0 until d).map(i => posFor(i, col("word"))): _*))
+        .as(Seq("row", "pos")))
+      .groupBy("row", "pos").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("word")).limit(topK)
+      .localCheckpoint(true) // joined once per sketch row
+    val probes = top
+      .select(col("word"), col("n_exact"),
+        posexplode(array((0 until d).map(i => posFor(i, col("word"))): _*))
+          .as(Seq("row", "pos")))
+    probes.join(counters, Seq("row", "pos"))
+      .groupBy("word").agg(first("n_exact").cast("long").as("n_exact"),
+        min("c").cast("long").as("cm_est"))
+      .select(col("word"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).cast("long").as("overcount"))
+      .orderBy(desc("n_exact"), asc("word"))
+  }
+
+  def cmsFreqSql(d: Int = 4, w: Int = 256, topK: Int = 10): String = {
+    val posSql = (i: Int) => s"(${hash32SqlExpr(s"('$i:' || word)")} % $w)"
+    val posRows = (0 until d).map(i => s"SELECT $i AS row, ${posSql(i)} AS pos, word FROM words")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT u.word
+       |  FROM documents, UNNEST(${graft.text.Tokenize.rawTokensSql("text")}) AS u(word)
+       |), words AS (SELECT word FROM toks),
+       |positions AS (
+       |  $posRows
+       |), counters AS (
+       |  SELECT row, pos, count(*) AS c FROM positions GROUP BY row, pos
+       |), top AS (
+       |  SELECT word, count(*) AS n_exact FROM toks GROUP BY word
+       |  ORDER BY n_exact DESC, word ASC LIMIT $topK
+       |), probes AS (
+       |  ${(0 until d).map(i => s"SELECT word, n_exact, $i AS row, ${posSql(i)} AS pos FROM top")
+            .mkString("\n  UNION ALL ")}
+       |)
+       |SELECT p.word, CAST(any_value(p.n_exact) AS BIGINT) AS n_exact,
+       |  CAST(MIN(c.c) AS BIGINT) AS cm_est,
+       |  CAST(MIN(c.c) - any_value(p.n_exact) AS BIGINT) AS overcount
+       |FROM probes p JOIN counters c USING (row, pos)
+       |GROUP BY p.word ORDER BY n_exact DESC, word ASC""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_kmv_distinct" -> ((s: SparkSession, dir: String) =>
       kmvDistinct(Tables.events(s, dir))),
@@ -240,11 +304,14 @@ object Sketch {
       heavyHitters(Tables.documents(s, dir))),
     "q64_hll_distinct" -> ((s: SparkSession, dir: String) =>
       hllDistinct(Tables.lineitem(s, dir))),
+    "q65_cms_freq" -> ((s: SparkSession, dir: String) =>
+      cmsFreq(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
     "q37_kmv_distinct" -> kmvDistinctSql(),
     "q38_heavy_hitters" -> heavyHittersSql(),
     "q64_hll_distinct" -> hllDistinctSql(),
+    "q65_cms_freq" -> cmsFreqSql(),
   )
 }

@@ -94,6 +94,37 @@ class SketchSpec extends SparkSpec {
     assert(a.getLong(1) == b.getLong(1))
   }
 
+  test("cmsFreq: one-sided error, estimates equal a driver-side sketch recount") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val got = Sketch.cmsFreq(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    got.foreach { case (word, exact, est, over) =>
+      assert(est >= exact, s"$word under-counted: $est < $exact")
+      assert(over == est - exact)
+    }
+    // full driver-side recount of the d=4 × w=256 sketch
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8).foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+    }
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+        graft.text.Tokenize.rawTokens(org.apache.spark.sql.functions.col("text"))))
+      .collect().map(_.getString(0))
+    val counters = scala.collection.mutable.Map[(Int, Long), Long]()
+    toks.foreach { word =>
+      (0 until 4).foreach { i =>
+        val key = (i, h32(s"$i:$word") % 256)
+        counters(key) = counters.getOrElse(key, 0L) + 1
+      }
+    }
+    got.foreach { case (word, _, est, _) =>
+      val expect = (0 until 4).map(i => counters((i, h32(s"$i:$word") % 256))).min
+      assert(est == expect, s"$word: engine $est vs recount $expect")
+    }
+  }
+
   test("hash32 matches its SQL twin's digit arithmetic") {
     // 32-bit range and determinism across rows
     val hs = Seq(1L, 2L, 42L, 999999L).toDF("k")
