@@ -7,7 +7,7 @@ import graft.graph.Graph
 import graft.ml.{Classify, Embed, LogRegGd}
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, Layout, Relational, SkewJoin, Sketch, Upsert}
-import graft.search.TfIdf
+import graft.search.{Rank, TfIdf}
 import graft.similarity.Similarity
 import graft.sources.Tables
 import graft.streaming.EventStream
@@ -41,7 +41,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Layout.queries ++ Sketch.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
-      Embed.queries ++ LogRegGd.queries ++ Multimodal.queries ++
+      Embed.queries ++ LogRegGd.queries ++ Multimodal.queries ++ Rank.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) =>
         TfIdf.searchSingle(cachedPostings(s, dir), "spark")),
@@ -62,7 +62,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Layout.oracles ++ Sketch.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Classify.oracles ++
-      Embed.oracles ++ LogRegGd.oracles ++ Multimodal.oracles ++ Map(
+      Embed.oracles ++ LogRegGd.oracles ++ Multimodal.oracles ++ Rank.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
       "t3_tfidf_persisted" -> TfIdf.searchSingleSql("spark"),

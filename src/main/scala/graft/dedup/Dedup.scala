@@ -918,6 +918,89 @@ object Dedup {
        |FROM per ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- prefix-filter similarity join
+
+  /** d17: exact-threshold set-similarity self-join via PREFIX FILTERING
+    * (the PPJoin family, Xiao et al. 2008) — the third candidate-
+    * generation strategy beside LSH banding (d3, probabilistic recall)
+    * and the df-capped inverted index (d4, top-k): deterministic 100%
+    * recall at a hard Jaccard threshold, with candidates pruned by a
+    * provable prefix bound instead of hash luck.
+    *
+    * Order each doc's shingle set by (global df asc, hash asc) — rarest
+    * first — and keep only the first n − ⌈t·n⌉ + 1 entries as its
+    * prefix. Any pair with J ≥ t MUST share its (globally) smallest
+    * common shingle inside both prefixes (if the smallest common element
+    * escaped A's prefix, all |A∩B| ≥ ⌈t·|A|⌉ common elements would sit
+    * in A's last ⌈t·|A|⌉ − 1 positions — pigeonhole contradiction), so
+    * the equi-join on prefix entries is complete. Rarest-first ordering
+    * makes the join keys the LOW-df shingles — candidate count is
+    * Σ df_prefix², with the stop-phrase shingles pushed out of every
+    * prefix, the same Σdf² control d4 gets by capping, but lossless.
+    *
+    * The threshold predicate is exact integer arithmetic
+    * (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ ½ for t = ½): no float boundary, so the
+    * engines' different (but each internally consistent) tie orders
+    * cannot disagree on the output set — completeness holds under ANY
+    * total order, per engine. Verification joins the candidate pairs
+    * back to the memoized 64-bit shingle arrays (array_intersect), as
+    * d3 does. */
+  def prefixFilterPairs(base: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(asc("df_s"), asc("s"))
+    val inv = base.select(col("doc_id"), col("n"), explode(col("shh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df_s"))
+    val prefix = inv.join(dfreq, "s")
+      .withColumn("pos", row_number().over(w))
+      // prefix length n − ⌈n/2⌉ + 1, in exact integer arithmetic
+      .filter(col("pos") <= col("n") - (col("n") + 1).divide(2).cast("long") + 1)
+      .select("doc_id", "s")
+      .localCheckpoint(true) // feeds both sides of the candidate join
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .cast(Out6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def prefixFilterPairsSql: String = {
+    val sh = shinglesSql("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, $sh AS sh FROM documents
+       |), inv AS (
+       |  SELECT doc_id, len(sh) AS n, u.s FROM base, UNNEST(sh) AS u(s)
+       |), dfreq AS (
+       |  SELECT s, count(*) AS df_s FROM inv GROUP BY s
+       |), prefix AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT i.doc_id, i.s,
+       |      row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df_s ASC, i.s ASC) AS pos,
+       |      i.n
+       |    FROM inv i JOIN dfreq d USING (s))
+       |  WHERE pos <= n - (n + 1) // 2 + 1
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+       |), ver AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand JOIN base sa ON doc_a = sa.doc_id
+       |            JOIN base sb ON doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS DECIMAL(18,6)) AS jaccard
+       |FROM ver WHERE inter * 3 >= na + nb ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
@@ -953,6 +1036,8 @@ object Dedup {
     "d15_source_contamination" -> ((s: SparkSession, dir: String) =>
       crossSourceContamination(Tables.documents(s, dir), cachedSpans(s, dir))),
     "d16_lsh_tuning" -> ((s: SparkSession, _: String) => lshTuning(s)),
+    "d17_prefix_join" -> ((s: SparkSession, dir: String) =>
+      prefixFilterPairs(shingleBase(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -980,5 +1065,6 @@ object Dedup {
     "d14_incremental_ingest" -> incrementalIngestSql,
     "d15_source_contamination" -> crossSourceContaminationSql(),
     "d16_lsh_tuning" -> lshTuningSql,
+    "d17_prefix_join" -> prefixFilterPairsSql,
   )
 }

@@ -854,6 +854,90 @@ object Graph {
        |             JOIN counts b ON p.item_b = b.item
        |ORDER BY jaccard DESC, item_a ASC, item_b ASC LIMIT $topK""".stripMargin
 
+  // ------------------------------------------------------------------ HITS
+
+  /** g14: HITS hubs-and-authorities (Kleinberg) — the link-analysis
+    * complement to PageRank (ref EpinionsGraphFrameAnalysis.scala:93
+    * runs only PageRank; HITS is the other classic the same edge list
+    * supports). Fixed-iteration mutual recursion: auth ← Σ hub over
+    * in-edges, hub ← Σ auth over out-edges, each side L1-normalized per
+    * half-step (sum-normalization keeps everything in exact decimal
+    * sums; the usual L2 norm would need a cross-engine sqrt).
+    *
+    * Scale/determinism shape is [[pageRank]]'s: the edge list is
+    * checkpointed once and reused every round, per-edge contributions
+    * are decimal-quantized before the shuffle-sum (order-independent),
+    * the normalizing total is a broadcast 1-row frame (never a driver
+    * action), and each round ends in an eager localCheckpoint so
+    * lineage stays flat. The normalized scores are double ratios of
+    * exact decimal sums — one IEEE division, identical on both
+    * engines. */
+  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    val v = vertices(edges).localCheckpoint(true)
+    val e = edges.localCheckpoint(true) // probed twice per round
+    var hub = v.select(col("id"), lit(1.0).as("hub")).localCheckpoint(true)
+    var auth = v.select(col("id"), lit(1.0).as("auth"))
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub, e("src") === hub("id"))
+        .select(col("dst"), col("hub").cast(Dec).as("c"))
+        .groupBy("dst").agg(sum("c").as("araw"))
+      val asum = araw.agg(sum("araw").as("s"))
+      auth = v.join(araw.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .crossJoin(broadcast(asum))
+        .select(col("id"),
+          (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
+            col("s").cast("double")).as("auth"))
+        .localCheckpoint(true)
+      val hraw = e.join(auth, e("dst") === auth("id"))
+        .select(col("src"), col("auth").cast(Dec).as("c"))
+        .groupBy("src").agg(sum("c").as("hraw"))
+      val hsum = hraw.agg(sum("hraw").as("s"))
+      hub = v.join(hraw.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
+        .crossJoin(broadcast(hsum))
+        .select(col("id"),
+          (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /
+            col("s").cast("double")).as("hub"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, "id")
+      .select(col("id"), round(col("auth"), 12).as("auth"),
+        round(col("hub"), 12).as("hub"))
+      .orderBy("id")
+  }
+
+  /** Oracle for [[hits]]: iterations unrolled as CTE pairs, mirroring
+    * the decimal-sum / double-division dance exactly (the [[pageRankSql]]
+    * pattern). */
+  def hitsSql(iterations: Int = 4, m: Int = 2000): String = {
+    val base =
+      s"""WITH edges_g AS (${edgesSql(m)}),
+         |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+         |hub0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst, SUM(CAST(h.hub AS DECIMAL(32,16))) AS araw
+         |  FROM edges_g e JOIN hub${i - 1} h ON e.src = h.id GROUP BY e.dst),
+         |as$i AS (SELECT SUM(araw) AS s FROM ar$i),
+         |auth$i AS (
+         |  SELECT v.id,
+         |    CAST(COALESCE(r.araw, 0) AS DOUBLE) / CAST(t.s AS DOUBLE) AS auth
+         |  FROM v CROSS JOIN as$i t LEFT JOIN ar$i r ON v.id = r.dst),
+         |hr$i AS (
+         |  SELECT e.src, SUM(CAST(a.auth AS DECIMAL(32,16))) AS hraw
+         |  FROM edges_g e JOIN auth$i a ON e.dst = a.id GROUP BY e.src),
+         |hs$i AS (SELECT SUM(hraw) AS s FROM hr$i),
+         |hub$i AS (
+         |  SELECT v.id,
+         |    CAST(COALESCE(r.hraw, 0) AS DOUBLE) / CAST(t.s AS DOUBLE) AS hub
+         |  FROM v CROSS JOIN hs$i t LEFT JOIN hr$i r ON v.id = r.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT a.id, round(a.auth, 12) AS auth, round(h.hub, 12) AS hub
+       |FROM auth$iterations a JOIN hub$iterations h ON a.id = h.id
+       |ORDER BY a.id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
       degrees(cachedEdges(s, dir)).orderBy("id")),
@@ -883,6 +967,8 @@ object Graph {
       covisitation(s, dir)),
     "g13_item_jaccard" -> ((s: SparkSession, dir: String) =>
       itemJaccard(s, dir)),
+    "g14_hits" -> ((s: SparkSession, dir: String) =>
+      hits(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -909,5 +995,6 @@ object Graph {
     "g11_personalized_pagerank" -> personalizedPageRankSql(Seq(0L, 1L, 2L)),
     "g12_covisitation" -> covisitationSql(),
     "g13_item_jaccard" -> itemJaccardSql(),
+    "g14_hits" -> hitsSql(),
   )
 }

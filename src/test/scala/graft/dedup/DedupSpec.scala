@@ -211,4 +211,44 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0.5)))
     assert(got(3L) == ((2L, 0L, 0.0)))
   }
+
+  private def prefixBase(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"),
+        size(col("sh")).cast("long").as("n"))
+  }
+
+  test("prefixFilterPairs: complete vs brute force at J ≥ 1/2") {
+    // d0↔d1 share 3 of 5 shingles (J = 0.6), d3 duplicates d0 (J = 1),
+    // d1↔d3 = 0.6, d2 disjoint; d4 overlaps d0 at J = 1/3 (excluded)
+    val base = prefixBase(
+      0L -> "a b c d e f",
+      1L -> "a b c d e g",
+      2L -> "x y z w v u",
+      3L -> "a b c d e f",
+      4L -> "a b c d x y").localCheckpoint(true)
+    val got = Dedup.prefixFilterPairs(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
+    assert(got == Seq((0L, 1L, 0.6), (0L, 3L, 1.0), (1L, 3L, 0.6)))
+  }
+
+  test("prefixFilterPairs: prefix index is strictly smaller than full index") {
+    val base = prefixBase(
+      0L -> "a b c d e f g h i j",
+      1L -> "a b c d e f g h i k",
+      2L -> "p q r s t u v w x y").localCheckpoint(true)
+    // 3-gram shingles: n = 8 per doc → prefix keeps 8 − ⌈8/2⌉ + 1 = 5
+    val inv = base.select(col("doc_id"), explode(col("shh"))).count()
+    // reproduce the internal prune bound: Σ per-doc prefix lengths
+    val prefLen = base.select(
+      sum(col("n") - (col("n") + lit(1)).divide(2).cast("long") + lit(1))).head.getLong(0)
+    assert(prefLen < inv && prefLen == 15)
+    // and the borderline J = 7/9 pair still survives end-to-end
+    val got = Dedup.prefixFilterPairs(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L)))
+  }
 }

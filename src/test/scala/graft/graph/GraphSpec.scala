@@ -185,4 +185,21 @@ class GraphSpec extends SparkSpec {
     val b = Graph.labelPropagation(rev).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("hits: two hubs pointing at one authority") {
+    // 1→3, 2→3: vertex 3 is the pure authority, 1 and 2 split hub mass
+    val h = Graph.hits(edges(1L -> 3L, 2L -> 3L)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(h(3L)._1 - 1.0) < 1e-9) // auth(3) = 1 (all of it)
+    assert(math.abs(h(3L)._2 - 0.0) < 1e-9) // no out-edges → hub 0
+    assert(math.abs(h(1L)._2 - 0.5) < 1e-9 && math.abs(h(2L)._2 - 0.5) < 1e-9)
+    assert(math.abs(h(1L)._1 - 0.0) < 1e-9) // no in-edges → auth 0
+  }
+
+  test("hits: L1 normalization — auth and hub each sum to 1") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 4L -> 2L)
+    val rows = Graph.hits(e).collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
