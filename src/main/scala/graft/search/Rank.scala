@@ -102,6 +102,33 @@ object Rank {
       .orderBy(desc("n_hits"), asc("doc_id"))
   }
 
+  /** More-like-this: rank documents by true-cosine TF-IDF similarity to
+    * a SOURCE document, using its `maxTerms` highest-tfidf terms as the
+    * query vector (the Lucene MLT shape — truncating the query vector
+    * bounds the postings probe to a handful of term lookups regardless
+    * of document length; the candidate set is the union of those terms'
+    * postings, never the corpus). Term selection is deterministic:
+    * tfidf desc, term asc. The source doc's own row is excluded. */
+  def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Long,
+                   k: Int = 10, maxTerms: Int = 8): DataFrame = {
+    val qvec = postings.filter(col("doc_id") === docId)
+      .orderBy(desc("tfidf"), asc("term")).limit(maxTerms)
+      .select(col("term"), col("tfidf").as("q_tfidf"))
+    val qnorm = qvec.agg(
+      sum((col("q_tfidf") * col("q_tfidf")).cast(Dec)).cast("double").as("qnorm2"))
+    val dot = postings.filter(col("doc_id") =!= docId)
+      .join(broadcast(qvec), "term")
+      .groupBy("doc_id")
+      .agg(sum((col("tfidf") * col("q_tfidf")).cast(Dec)).cast("double").as("dot"))
+    dot.join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        round(col("dot") / (sqrt(col("norm2")) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   def bm25Sql(terms: Seq[String], k: Int = 10): String = {
@@ -131,6 +158,25 @@ object Rank {
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  def moreLikeThisSql(docId: Long, k: Int = 10, maxTerms: Int = 8): String =
+    s"""${TfIdf.postingsSql},
+       |norms AS (
+       |  SELECT doc_id, CAST(SUM(CAST(tfidf * tfidf AS DECIMAL(32,12))) AS DOUBLE) AS norm2
+       |  FROM postings GROUP BY doc_id
+       |), qv AS (
+       |  SELECT term, tfidf AS q_tfidf FROM postings WHERE doc_id = $docId
+       |  ORDER BY tfidf DESC, term ASC LIMIT $maxTerms
+       |), qn AS (
+       |  SELECT CAST(SUM(CAST(q_tfidf * q_tfidf AS DECIMAL(32,12))) AS DOUBLE) AS qnorm2 FROM qv
+       |), dots AS (
+       |  SELECT p.doc_id, CAST(SUM(CAST(p.tfidf * q.q_tfidf AS DECIMAL(32,12))) AS DOUBLE) AS dot
+       |  FROM postings p JOIN qv q USING (term) WHERE p.doc_id != $docId GROUP BY p.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(round(d.dot / (sqrt(n.norm2) * sqrt(q.qnorm2)), 6) AS DECIMAL(18,6)) AS score
+       |FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn q
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   def phraseSearchSql(w1: String, w2: String): String = {
     val toks = Tokenize.rawTokensSql("text")
     s"""WITH t AS (
@@ -151,10 +197,15 @@ object Rank {
       bm25(cachedPostings(s, dir), bm25Terms)),
     "t5_phrase_search" -> ((s: SparkSession, dir: String) =>
       phraseSearch(Tables.documents(s, dir), "table", "hash")),
+    "t6_more_like_this" -> ((s: SparkSession, dir: String) => {
+      val p = cachedPostings(s, dir)
+      moreLikeThis(p, TfIdf.docNorms(p), docId = 0L)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
     "t4_bm25" -> bm25Sql(bm25Terms),
     "t5_phrase_search" -> phraseSearchSql("table", "hash"),
+    "t6_more_like_this" -> moreLikeThisSql(0L),
   )
 }

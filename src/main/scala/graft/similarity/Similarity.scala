@@ -975,6 +975,37 @@ object Similarity {
     sb.toString
   }
 
+  // ------------------------------------------------------------ ANN recall
+
+  /** s14: recall@k of the LSH-bucketed ANN (s2) against the exact
+    * brute-force top-k (s1) for one query — the evaluation loop every
+    * approximate index needs before it replaces the exact path at
+    * scale (pairs with d16's LSH band tuning table: this is the same
+    * measurement for the embedding side). One row: k, overlap count,
+    * recall ratio. Both rankings are recomputed here (each is a
+    * bounded top-k, cheap); the join is on the k-row result frames, so
+    * the comparison itself is metadata-sized at any corpus scale. */
+  def annRecall(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val exact = knnBrute(emb, queryId, k).select("vec_id")
+    val approx = annLsh(emb, queryId, k).select("vec_id")
+    exact.join(approx, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k), 6).cast(Out6).as("recall"))
+  }
+
+  def annRecallSql(queryId: Long, k: Int = 10): String =
+    s"""WITH exact AS (SELECT vec_id FROM (
+       |  ${knnBruteSql(queryId, k).replace("\n", "\n  ")}
+       |)), approx AS (SELECT vec_id FROM (
+       |  ${annLshSql(queryId, k).replace("\n", "\n  ")}
+       |)), o AS (
+       |  SELECT count(*) AS n_overlap FROM exact JOIN approx USING (vec_id)
+       |)
+       |SELECT CAST($k AS BIGINT) AS k, n_overlap,
+       |  CAST(round(CAST(n_overlap AS DOUBLE) / $k, 6) AS DECIMAL(18,6)) AS recall
+       |FROM o""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
@@ -1008,6 +1039,8 @@ object Similarity {
       hardNegatives(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
     "m17_ndcg" -> ((s: SparkSession, dir: String) =>
       ndcgAtK(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
+    "s14_ann_recall" -> ((s: SparkSession, dir: String) =>
+      annRecall(Tables.embeddings(s, dir), queryId = 0L)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1025,5 +1058,6 @@ object Similarity {
     "s12_semantic_dedup" -> semanticDedupSql(),
     "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    "s14_ann_recall" -> annRecallSql(0L),
   )
 }

@@ -950,6 +950,148 @@ object TextStats {
        |  CAST(round(CAST(sum_term AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6)) AS kl
        |FROM per ORDER BY source""".stripMargin
 
+  // ---------------------------------------- content-defined chunking (CDC)
+
+  /** x21: content-defined chunking + cross-document chunk dedup. Chunk
+    * boundaries are cut where a token's hash lands in a 1/16 slice
+    * (mean chunk ≈ 16 tokens), so boundaries depend only on LOCAL
+    * content — after an insertion or deletion the chunking re-synchronizes
+    * at the next boundary token, and unchanged chunks keep their hash.
+    * That is the property fixed windows (x19 RAG chunks, d12 spans)
+    * lack, and why CDC is the standard incremental-dedup granularity.
+    *
+    * Output: the top repeated chunks across the corpus (chunk hash,
+    * token length, occurrence count, distinct docs). Shape: one
+    * tokenize+posexplode scan; the boundary flag is a per-row md5 (the
+    * cross-engine hash); chunk ids are a running sum over a doc-keyed
+    * window (each doc's token stream sorts within its partition — no
+    * global sort); chunk reassembly is one doc-keyed aggregate; the
+    * final dedup aggregate shuffles 32-byte hashes, never text. */
+  def cdcChunks(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toks = docs.select(col("doc_id"),
+      posexplode(Tokenize.rawTokens(col("text"))).as(Seq("pos", "tok")))
+    // boundary AFTER each token whose md5 starts with '0' (p = 1/16)
+    val flagged = toks.withColumn("b",
+      (substring(md5(col("tok").cast("binary")), 1, 1) === "0").cast("long"))
+    val chunks = flagged
+      .withColumn("chunk_id", coalesce(sum("b").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").cast("binary")).as("chunk_hash"),
+        count(lit(1)).as("n_toks"))
+    chunks.groupBy("chunk_hash")
+      .agg(max("n_toks").as("n_toks"), count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_occ") > 1)
+      .orderBy(desc("n_occ"), asc("chunk_hash"))
+      .limit(topK)
+  }
+
+  def cdcChunksSql(topK: Int = 20): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), p AS (
+       |  SELECT doc_id, u.i AS pos, toks[u.i] AS tok,
+       |    CASE WHEN substr(md5(toks[u.i]), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+       |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+       |), c AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM p
+       |), ch AS (
+       |  SELECT doc_id, chunk_id,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+       |    count(*) AS n_toks
+       |  FROM c GROUP BY doc_id, chunk_id
+       |)
+       |SELECT chunk_hash, MAX(n_toks) AS n_toks, count(*) AS n_occ,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
+       |ORDER BY n_occ DESC, chunk_hash ASC LIMIT $topK""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Zipf slope
+
+  /** x22: least-squares Zipf fit over the corpus token frequency table —
+    * slope and intercept of ln(freq) against ln(rank) for the top-N
+    * words. A healthy natural-language corpus sits near slope −1;
+    * synthetic, templated, or truncated-vocabulary corpora flatten out,
+    * making the slope a one-row corpus-health signal (pairs with x17's
+    * per-source profile).
+    *
+    * The frequency table is vocab-sized, so the global rank window and
+    * the regression run on metadata, not the corpus; the single corpus
+    * scan is the token count. ln() outputs are rounded to 6 dp into
+    * DECIMAL at birth (the libm rule), the five regression sums are
+    * exact decimal aggregates, and the closed-form slope/intercept is
+    * IEEE double arithmetic with mirrored association — so both engines
+    * emit identical bytes. */
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val Out6 = DecimalType(18, 6)
+    val DecP = DecimalType(38, 12)
+    // vocab-sized frame: the unpartitioned rank window is metadata-scale
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(desc("f"), asc("w"))
+    val xy = docs.select(explode(Tokenize.rawTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= topN)
+      .select(
+        round(log(col("rk").cast("double")), 6).cast(Out6).as("x"),
+        round(log(col("f").cast("double")), 6).cast(Out6).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x") * col("y")).cast(DecP)).as("sxy"),
+      sum((col("x") * col("x")).cast(DecP)).as("sxx"))
+    val d = s.select(col("n"),
+      ((col("n").cast("double") * col("sxy").cast("double")) -
+        (col("sx").cast("double") * col("sy").cast("double"))).as("num"),
+      ((col("n").cast("double") * col("sxx").cast("double")) -
+        (col("sx").cast("double") * col("sx").cast("double"))).as("den"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .withColumn("slope", col("num") / col("den"))
+    d.select(col("n").as("n_words"),
+      round(col("slope"), 6).cast(Out6).as("slope"),
+      round((col("syd") - col("slope") * col("sxd")) / col("n").cast("double"), 6)
+        .cast(Out6).as("intercept"))
+  }
+
+  def zipfSlopeSql(topN: Int = 100): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH wds AS (
+       |  SELECT u.w FROM documents, UNNEST($toks) AS u(w)
+       |), f AS (
+       |  SELECT w, count(*) AS f FROM wds GROUP BY w
+       |), r AS (
+       |  SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rk FROM f
+       |), xy AS (
+       |  SELECT CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+       |         CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+       |  FROM r WHERE rk <= $topN
+       |), s AS (
+       |  SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+       |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+       |  FROM xy
+       |), d AS (
+       |  SELECT n,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM s
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_words,
+       |  CAST(round(slope, 6) AS DECIMAL(18,6)) AS slope,
+       |  CAST(round((syd - slope * sxd) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS intercept
+       |FROM d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -982,6 +1124,10 @@ object TextStats {
       ragChunks(Tables.documents(s, dir))),
     "x20_source_kl" -> ((s: SparkSession, dir: String) =>
       sourceKl(Tables.documents(s, dir))),
+    "x21_cdc_chunks" -> ((s: SparkSession, dir: String) =>
+      cdcChunks(Tables.documents(s, dir))),
+    "x22_zipf_slope" -> ((s: SparkSession, dir: String) =>
+      zipfSlope(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1004,5 +1150,7 @@ object TextStats {
     "x18_vocab_coverage" -> vocabCoverageSql(),
     "x19_rag_chunks" -> ragChunksSql,
     "x20_source_kl" -> sourceKlSql,
+    "x21_cdc_chunks" -> cdcChunksSql(),
+    "x22_zipf_slope" -> zipfSlopeSql(),
   )
 }

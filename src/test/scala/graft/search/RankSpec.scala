@@ -62,4 +62,34 @@ class RankSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toSeq
     assert(got == Seq((0L, 2L))) // positions (0,1) and (1,2); doc 1 has none
   }
+
+  test("moreLikeThis: identical doc scores cosine 1, excludes the source") {
+    val d = Seq(
+      (0L, "cat dog bird"),
+      (1L, "cat dog bird"),   // identical vector → cosine 1
+      (2L, "cat fish"),       // partial overlap
+      (3L, "worm slug")       // no overlap → absent
+    ).toDF("doc_id", "text")
+    val p = TfIdf.postings(d).localCheckpoint(true)
+    val got = Rank.moreLikeThis(p, TfIdf.docNorms(p), docId = 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[java.math.BigDecimal]("score").doubleValue).toMap
+    assert(!got.contains(0L) && !got.contains(3L))
+    assert(math.abs(got(1L) - 1.0) < 1e-9)
+    assert(got(2L) < 1.0 && got(2L) > 0.0)
+  }
+
+  test("moreLikeThis: maxTerms truncation keeps the highest-tfidf terms") {
+    // doc 0 has a rare term ("zebra", df=1) and a common one ("cat", df=3);
+    // with maxTerms=1 only the top-tfidf term (zebra) forms the query
+    val d = Seq(
+      (0L, "zebra cat"),
+      (1L, "zebra dog"),
+      (2L, "cat dog"),
+      (3L, "cat mouse")).toDF("doc_id", "text")
+    val p = TfIdf.postings(d).localCheckpoint(true)
+    val got = Rank.moreLikeThis(p, TfIdf.docNorms(p), docId = 0L, maxTerms = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L)) // only the other zebra doc matches the truncated query
+  }
 }

@@ -283,4 +283,14 @@ class SimilaritySpec extends SparkSpec {
     val nLabels = rows.map(_.getInt(1)).distinct.length
     assert(acc > 1.5 / nLabels, s"accuracy $acc vs chance ${1.0 / nLabels}")
   }
+
+  test("annRecall equals the direct overlap of the s1 and s2 top-k sets") {
+    val exact = Similarity.knnBrute(emb, queryId = 0L).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annLsh(emb, queryId = 0L).collect().map(_.getLong(0)).toSet
+    val row = Similarity.annRecall(emb, queryId = 0L).collect().head
+    assert(row.getLong(0) == 10L)
+    assert(row.getLong(1) == (exact & approx).size.toLong)
+    assert(math.abs(row.getDecimal(2).doubleValue -
+      (exact & approx).size.toDouble / 10) < 1e-9)
+  }
 }

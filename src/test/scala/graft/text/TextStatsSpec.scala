@@ -273,4 +273,68 @@ class TextStatsSpec extends SparkSpec {
     got.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
     got.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3); case _ => }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("cdcChunks: boundaries re-synchronize after a front insertion") {
+    import spark.implicits._
+    // pick tokens by their actual boundary property (md5 first hex = '0')
+    val toks = (1 to 200).map(i => s"w$i")
+    val boundary = toks.find(t => md5hex(t).startsWith("0")).get
+    val plain = toks.filterNot(t => md5hex(t).startsWith("0")).take(5)
+    val Seq(n1, n2, n3, n4, n5) = plain
+    // A chunks: [n1 n2 boundary], [n3 n4]; B inserts n5 at the front —
+    // its first chunk differs but the post-boundary chunk [n3 n4] aligns
+    val docs = Seq(
+      (0L, s"$n1 $n2 $boundary $n3 $n4"),
+      (1L, s"$n5 $n1 $n2 $boundary $n3 $n4")).toDF("doc_id", "text")
+    val got = TextStats.cdcChunks(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 1) // exactly one shared chunk
+    val (hash, nToks, nOcc, nDocs) = got.head
+    assert(hash == md5hex(s"$n3 $n4"))
+    assert((nToks, nOcc, nDocs) == ((2L, 2L, 2L)))
+  }
+
+  test("cdcChunks: exact duplicate docs share every chunk") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text), (2L, "qq rr ss")).toDF("doc_id", "text")
+    val got = TextStats.cdcChunks(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (nOcc, nDocs) => nOcc == 2L && nDocs == 2L })
+    // every one of doc 0's chunks is in the repeated set: total repeated
+    // tokens = 2 × 40
+    val totToks = TextStats.cdcChunks(docs).collect()
+      .map(r => r.getLong(1) * r.getLong(2)).sum
+    assert(totToks == 80L)
+  }
+
+  test("zipfSlope: two-point fit matches the closed form") {
+    import spark.implicits._
+    // freqs: "aa" ×4, "bb" ×2 → points (ln1, ln4), (ln2, ln2)
+    val docs = Seq((0L, "aa aa aa aa bb bb")).toDF("doc_id", "text")
+    val r = TextStats.zipfSlope(docs).collect().head
+    assert(r.getLong(0) == 2L)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (x1, y1) = (r6(math.log(1.0)), r6(math.log(4.0)))
+    val (x2, y2) = (r6(math.log(2.0)), r6(math.log(2.0)))
+    val slope = (y2 - y1) / (x2 - x1)
+    val intercept = y1 - slope * x1
+    assert(math.abs(r.getDecimal(1).doubleValue - r6(slope)) < 2e-6)
+    assert(math.abs(r.getDecimal(2).doubleValue - r6(intercept)) < 2e-6)
+  }
+
+  test("zipfSlope: a perfect Zipf corpus fits slope ≈ −1") {
+    import spark.implicits._
+    // freq(rank r) = 60/r for r = 1..5 → exactly ln y = ln 60 − 1·ln x
+    val words = Seq("aa" -> 60, "bb" -> 30, "cc" -> 20, "dd" -> 15, "ee" -> 12)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val r = TextStats.zipfSlope(Seq((0L, text)).toDF("doc_id", "text")).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDecimal(1).doubleValue - (-1.0)) < 1e-3)
+  }
 }
