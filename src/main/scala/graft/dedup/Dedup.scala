@@ -1001,6 +1001,66 @@ object Dedup {
        |FROM ver WHERE inter * 3 >= na + nb ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------- per-source duplication rates
+
+  /** d18: duplication scorecard per source — for each ingest source, the
+    * fraction of its documents that are exact duplicates (md5 group
+    * size > 1 anywhere in the corpus) and near-duplicates (appearing in
+    * the LSH-verified pair set, either side). The per-source view is
+    * what curation actually acts on: a source whose near-dup rate spikes
+    * gets throttled or re-crawled, a corpus-wide average hides that.
+    *
+    * Shape: the exact flag joins docs to 16-byte md5 group counts (d1's
+    * shuffle — hashes, never text); the near flag is a left join against
+    * the distinct members of the MEMOIZED d3 pair set (`cachedLshPairs`,
+    * shared with d3/d7/d8 — registering this query adds no LSH work);
+    * the output is one row per source. */
+  def dupRateBySource(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val withH = docs.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"))
+    val hc = withH.groupBy("h").agg(count(lit(1)).as("c"))
+    val nearIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("near", lit(1L))
+    withH.join(hc, "h")
+      .join(nearIds, Seq("doc_id"), "left_outer")
+      .select(col("source"),
+        (col("c") > 1).cast("long").as("is_exact"),
+        coalesce(col("near"), lit(0L)).as("is_near"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_exact").cast("long").as("n_exact"),
+        sum("is_near").cast("long").as("n_near"))
+      .select(col("source"), col("n_docs"), col("n_exact"), col("n_near"),
+        round(col("n_exact").cast("double") / col("n_docs"), 6).cast(Out6).as("exact_rate"),
+        round(col("n_near").cast("double") / col("n_docs"), 6).cast(Out6).as("near_rate"))
+      .orderBy("source")
+  }
+
+  def dupRateBySourceSql(minJaccard: Double = 0.1): String =
+    s"""WITH ${lshCtesSql("documents")},
+       |near AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM verified WHERE jaccard >= $minJaccard
+       |    UNION ALL
+       |    SELECT doc_b FROM verified WHERE jaccard >= $minJaccard)
+       |), hc AS (
+       |  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text)
+       |), flags AS (
+       |  SELECT d.source,
+       |    CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_exact,
+       |    CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near
+       |  FROM documents d JOIN hc ON md5(d.text) = hc.h
+       |  LEFT JOIN near n ON d.doc_id = n.doc_id
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(is_exact) AS BIGINT) AS n_exact,
+       |  CAST(SUM(is_near) AS BIGINT) AS n_near,
+       |  CAST(round(CAST(SUM(is_exact) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS exact_rate,
+       |  CAST(round(CAST(SUM(is_near) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS near_rate
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s: SparkSession, dir: String) =>
       dupHistogram(Tables.documents(s, dir)).orderBy("n_copies")),
@@ -1038,6 +1098,8 @@ object Dedup {
     "d16_lsh_tuning" -> ((s: SparkSession, _: String) => lshTuning(s)),
     "d17_prefix_join" -> ((s: SparkSession, dir: String) =>
       prefixFilterPairs(shingleBase(s, dir))),
+    "d18_dup_rate_by_source" -> ((s: SparkSession, dir: String) =>
+      dupRateBySource(Tables.documents(s, dir), cachedLshPairs(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1066,5 +1128,6 @@ object Dedup {
     "d15_source_contamination" -> crossSourceContaminationSql(),
     "d16_lsh_tuning" -> lshTuningSql,
     "d17_prefix_join" -> prefixFilterPairsSql,
+    "d18_dup_rate_by_source" -> dupRateBySourceSql(),
   )
 }

@@ -938,6 +938,66 @@ object Graph {
        |ORDER BY a.id""".stripMargin
   }
 
+  // -------------------------------------------------------- assortativity
+
+  /** g15: directed degree assortativity — the Pearson correlation
+    * between out-degree(src) and in-degree(dst) across edges (Newman's
+    * r). One number says whether hubs link to hubs (r > 0, social-graph
+    * shape) or hubs link to leaves (r < 0, web/infrastructure shape) —
+    * the quick structural fingerprint before choosing skew strategies
+    * for the heavier graph jobs.
+    *
+    * Shape: two degree aggregates joined back to the edge list, then a
+    * single 6-sum moment aggregate (map-side combinable). The per-edge
+    * degree products are exact BIGINT sums (degrees are bounded by the
+    * densest vertex, so Σxy fits long well past sf1); the closed-form r
+    * is assembled in doubles with mirrored association — the exact
+    * sums make each cast identical, the IEEE ops keep the bytes
+    * identical (q40's discipline, minus the decimal quantization that
+    * integer inputs don't need). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val outD = edges.groupBy("src").agg(count(lit(1)).as("x"))
+    val inD = edges.groupBy("dst").agg(count(lit(1)).as("y"))
+    val s = edges.join(outD, "src").join(inD, "dst")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    // products of the (exact) sums in DOUBLE: at web scale n·Σxy
+    // overflows BIGINT (ANSI would throw); double keeps determinism —
+    // both engines round the same exact-integer factors the same way
+    val d = s.select(col("n"),
+      (col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")).as("num"),
+      ((col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+        (col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))).as("den"))
+    d.select(col("n").as("n_edges"),
+      when(col("den") > 0, round(col("num") / sqrt(col("den")), 6))
+        .otherwise(lit(0.0)).cast(DecimalType(18, 6)).as("r"))
+  }
+
+  def assortativitySql(m: Int = 2000): String =
+    s"""WITH edges_g AS (${edgesSql(m)}),
+       |outd AS (SELECT src, count(*) AS x FROM edges_g GROUP BY src),
+       |ind AS (SELECT dst, count(*) AS y FROM edges_g GROUP BY dst),
+       |s AS (
+       |  SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM edges_g e JOIN outd USING (src) JOIN ind USING (dst)
+       |), d AS (
+       |  SELECT n,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+       |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+       |  FROM s
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_edges,
+       |  CAST(CASE WHEN den > 0 THEN round(num / sqrt(den), 6) ELSE 0.0 END AS DECIMAL(18,6)) AS r
+       |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
       degrees(cachedEdges(s, dir)).orderBy("id")),
@@ -969,6 +1029,8 @@ object Graph {
       itemJaccard(s, dir)),
     "g14_hits" -> ((s: SparkSession, dir: String) =>
       hits(cachedEdges(s, dir))),
+    "g15_assortativity" -> ((s: SparkSession, dir: String) =>
+      assortativity(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -996,5 +1058,6 @@ object Graph {
     "g12_covisitation" -> covisitationSql(),
     "g13_item_jaccard" -> itemJaccardSql(),
     "g14_hits" -> hitsSql(),
+    "g15_assortativity" -> assortativitySql(),
   )
 }

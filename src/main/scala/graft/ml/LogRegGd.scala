@@ -282,6 +282,57 @@ object LogRegGd {
        |    / (n_pos * (n - n_pos)), 6) AS DECIMAL(18,6)) AS auc
        |FROM agg""".stripMargin
 
+  /** m18: Matthews correlation coefficient at the p ≥ ½ decision
+    * threshold — the single-number confusion summary that stays honest
+    * under class imbalance (accuracy and F1 both inflate when one class
+    * dominates, the usual case for quality-filter labels). The four
+    * confusion cells are exact integer counts from one aggregate; the
+    * p ≥ 0.5 compare is exact (p is DECIMAL(18,6)); MCC's denominator
+    * factors are multiplied in DOUBLE — at corpus scale the product of
+    * four marginals overflows BIGINT (ANSI would throw), and the
+    * mirrored-order double product keeps both engines byte-identical. */
+  def mcc(scored: DataFrame): DataFrame = {
+    val pred = (col("p") >= 0.5).cast("long")
+    val cells = scored.agg(
+      sum((pred * col("y"))).cast("long").as("tp"),
+      sum((pred * (lit(1) - col("y")))).cast("long").as("fp"),
+      sum(((lit(1) - pred) * col("y"))).cast("long").as("fn"),
+      sum(((lit(1) - pred) * (lit(1) - col("y")))).cast("long").as("tn"))
+    val d = cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      (col("tp").cast("double") * col("tn").cast("double") -
+        col("fp").cast("double") * col("fn").cast("double")).as("num"),
+      ((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn")).cast("double") *
+        (col("tn") + col("fp")).cast("double") * (col("tn") + col("fn")).cast("double"))
+        .as("den"))
+    d.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("den") > 0, round(col("num") / sqrt(col("den")), 6))
+        .otherwise(lit(0.0)).cast(Out6).as("mcc"))
+  }
+
+  def mccSql(lr: String = "0.5", steps: Int = 2): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), withy AS (
+       |  SELECT s.doc_id, s.p, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), cells AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN p >= 0.5 THEN y ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN p >= 0.5 THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN p >= 0.5 THEN 0 ELSE y END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN p >= 0.5 THEN 0 ELSE 1 - y END) AS BIGINT) AS tn
+       |  FROM withy
+       |), d AS (
+       |  SELECT tp, fp, fn, tn,
+       |    CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE) AS num,
+       |    CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE) AS den
+       |  FROM cells
+       |)
+       |SELECT tp, fp, fn, tn,
+       |  CAST(CASE WHEN den > 0 THEN round(num / sqrt(den), 6) ELSE 0.0 END AS DECIMAL(18,6)) AS mcc
+       |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
       cachedScores(s, dir).orderBy("doc_id")),
@@ -303,6 +354,12 @@ object LogRegGd {
         .join(f.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("p"), col("y")))
     }),
+    "m18_mcc" -> ((s: SparkSession, dir: String) => {
+      val f = features(Tables.documents(s, dir))
+      mcc(cachedScores(s, dir)
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("p"), col("y")))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -310,5 +367,6 @@ object LogRegGd {
     "m13_calibration" -> calibrationSql(),
     "m14_pr_curve" -> prCurveSql(),
     "m15_auc" -> aucSql(),
+    "m18_mcc" -> mccSql(),
   )
 }

@@ -1092,6 +1092,96 @@ object TextStats {
        |FROM d""".stripMargin
   }
 
+  // ------------------------------------------------------------ Heaps' law
+
+  /** x23: Heaps'-law fit — vocabulary growth V(N) ≈ K·N^β measured at
+    * `nBuckets` doc-id checkpoints and fitted in log-log space (β ≈ 0.5
+    * for natural text; β → 0 when the vocabulary saturates, β → 1 for
+    * id-like token streams). The companion to [[zipfSlope]]: Zipf reads
+    * the frequency table's shape, Heaps reads its growth.
+    *
+    * Scale shape: docs are assigned to `nBuckets` ordered id ranges with
+    * pure integer arithmetic (no sort); per-bucket token mass is one
+    * aggregate, per-bucket NEW vocabulary is min(doc_id) per word → one
+    * aggregate; both cumulative sums and the regression then run on an
+    * nBuckets-row frame — the only unpartitioned window is 32 rows of
+    * metadata, never the corpus. Same determinism discipline as x22:
+    * ln at 6-dp decimal birth, exact decimal regression sums,
+    * mirrored-order double closed form. */
+  def heapsLaw(docs: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val Out6 = DecimalType(18, 6)
+    val DecP = DecimalType(38, 12)
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val toks = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("w"))
+      .crossJoin(broadcast(maxId))
+      .select(expr(s"(doc_id * $nBuckets) div (max_id + 1)").as("bucket"), col("w"))
+      .localCheckpoint(true) // feeds the token mass AND first-occurrence aggs
+    val tokMass = toks.groupBy("bucket").agg(count(lit(1)).as("toks"))
+    val newVocab = toks.groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val xy = tokMass.join(newVocab, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("toks"), coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .select(
+        round(log(sum("toks").over(w).cast("double")), 6).cast(Out6).as("x"),
+        round(log(sum("vocab").over(w).cast("double")), 6).cast(Out6).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x") * col("y")).cast(DecP)).as("sxy"),
+      sum((col("x") * col("x")).cast(DecP)).as("sxx"))
+    val d = s.select(col("n"),
+      ((col("n").cast("double") * col("sxy").cast("double")) -
+        (col("sx").cast("double") * col("sy").cast("double"))).as("num"),
+      ((col("n").cast("double") * col("sxx").cast("double")) -
+        (col("sx").cast("double") * col("sx").cast("double"))).as("den"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .withColumn("beta", col("num") / col("den"))
+    d.select(col("n").as("n_points"),
+      round(col("beta"), 6).cast(Out6).as("beta"),
+      round((col("syd") - col("beta") * col("sxd")) / col("n").cast("double"), 6)
+        .cast(Out6).as("log_k"))
+  }
+
+  def heapsLawSql(nBuckets: Int = 32): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |tk AS (
+       |  SELECT (doc_id * $nBuckets) // (max_id + 1) AS bucket, u.w
+       |  FROM documents, mx, UNNEST($toks) AS u(w)
+       |), tm AS (
+       |  SELECT bucket, count(*) AS toks FROM tk GROUP BY bucket
+       |), nv AS (
+       |  SELECT bucket, count(*) AS vocab FROM (
+       |    SELECT w, min(bucket) AS bucket FROM tk GROUP BY w) GROUP BY bucket
+       |), b AS (
+       |  SELECT tm.bucket, tm.toks, COALESCE(nv.vocab, 0) AS vocab
+       |  FROM tm LEFT JOIN nv USING (bucket)
+       |), xy AS (
+       |  SELECT
+       |    CAST(round(ln(CAST(SUM(toks) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+       |    CAST(round(ln(CAST(SUM(vocab) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+       |  FROM b
+       |), s AS (
+       |  SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+       |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+       |  FROM xy
+       |), d AS (
+       |  SELECT n,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM s
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_points,
+       |  CAST(round(beta, 6) AS DECIMAL(18,6)) AS beta,
+       |  CAST(round((syd - beta * sxd) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS log_k
+       |FROM d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -1128,6 +1218,8 @@ object TextStats {
       cdcChunks(Tables.documents(s, dir))),
     "x22_zipf_slope" -> ((s: SparkSession, dir: String) =>
       zipfSlope(Tables.documents(s, dir))),
+    "x23_heaps_law" -> ((s: SparkSession, dir: String) =>
+      heapsLaw(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1152,5 +1244,6 @@ object TextStats {
     "x20_source_kl" -> sourceKlSql,
     "x21_cdc_chunks" -> cdcChunksSql(),
     "x22_zipf_slope" -> zipfSlopeSql(),
+    "x23_heaps_law" -> heapsLawSql(),
   )
 }

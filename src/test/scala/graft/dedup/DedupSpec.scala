@@ -235,6 +235,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 0.6), (0L, 3L, 1.0), (1L, 3L, 0.6)))
   }
 
+  test("dupRateBySource: exact and near flags aggregate per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "same text here", "web"),   // exact dup of 1
+      (1L, "same text here", "web"),
+      (2L, "unique text one", "web"),
+      (3L, "unique text two", "books"),
+      (4L, "unique text three", "books")
+    ).toDF("doc_id", "text", "source")
+    // near pairs supplied directly: docs 3 and 4 are near-dups
+    val pairs = Seq((3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupRateBySource(docs, pairs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDecimal(4).doubleValue, r.getDecimal(5).doubleValue)).toMap
+    assert(got("web") == ((3L, 2L, 0L, 0.666667, 0.0)))
+    assert(got("books") == ((2L, 0L, 2L, 0.0, 1.0)))
+  }
+
   test("prefixFilterPairs: prefix index is strictly smaller than full index") {
     val base = prefixBase(
       0L -> "a b c d e f g h i j",

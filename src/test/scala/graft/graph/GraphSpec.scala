@@ -202,4 +202,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
     assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("assortativity matches a driver-side Pearson over edge degree pairs") {
+    val es = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 3L, 3L -> 5L)
+    val outD = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val inD = es.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val (xs, ys) = es.map { case (s, d) => (outD(s), inD(d)) }.unzip
+    val n = xs.size
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = (n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      (n * ys.map(a => a * a).sum - ys.sum * ys.sum)
+    val expected = num / math.sqrt(den)
+    val row = Graph.assortativity(edges(es: _*)).collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDecimal(1).doubleValue - expected) < 1e-6)
+  }
+
+  test("assortativity: degree-regular edge set has zero-variance guard r = 0") {
+    // star: every edge pairs out-degree 3 with in-degree 1 — no variance
+    val row = Graph.assortativity(edges(1L -> 2L, 1L -> 3L, 1L -> 4L)).collect().head
+    assert(row.getDecimal(1).doubleValue == 0.0)
+  }
 }

@@ -103,4 +103,26 @@ class LogRegGdSpec extends SparkSpec {
     val correct = rows.map(_._2).sum
     assert(correct * 2 >= rows.length, s"$correct/${rows.length}")
   }
+
+  test("mcc matches the closed form on a known confusion matrix") {
+    import spark.implicits._
+    // tp=2, fp=1, fn=1, tn=2
+    val scored = Seq(
+      (0L, 0.9, 1L), (1L, 0.8, 1L), (2L, 0.7, 0L),
+      (3L, 0.3, 1L), (4L, 0.2, 0L), (5L, 0.1, 0L)).toDF("doc_id", "p", "y")
+    val r = LogRegGd.mcc(scored).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    val expected = (2.0 * 2 - 1.0 * 1) / math.sqrt(3.0 * 3 * 3 * 3)
+    assert(math.abs(r.getDecimal(4).doubleValue - expected) < 1e-6)
+  }
+
+  test("mcc: perfect prediction 1, inverted prediction −1, constant guard 0") {
+    import spark.implicits._
+    val perfect = Seq((0L, 0.9, 1L), (1L, 0.1, 0L)).toDF("doc_id", "p", "y")
+    assert(LogRegGd.mcc(perfect).collect().head.getDecimal(4).doubleValue == 1.0)
+    val inverted = Seq((0L, 0.9, 0L), (1L, 0.1, 1L)).toDF("doc_id", "p", "y")
+    assert(LogRegGd.mcc(inverted).collect().head.getDecimal(4).doubleValue == -1.0)
+    val constant = Seq((0L, 0.9, 1L), (1L, 0.8, 1L)).toDF("doc_id", "p", "y")
+    assert(LogRegGd.mcc(constant).collect().head.getDecimal(4).doubleValue == 0.0)
+  }
 }

@@ -328,6 +328,28 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDecimal(2).doubleValue - r6(intercept)) < 2e-6)
   }
 
+  test("heapsLaw: two-checkpoint fit matches the closed form") {
+    import spark.implicits._
+    // buckets (max_id=3, 2 buckets): docs {0,1} and {2,3}
+    // cumulative (toks, vocab): (4, 3) then (8, 4)
+    val docs = Seq(
+      (0L, "aa bb"), (1L, "aa cc"), (2L, "aa dd"), (3L, "aa bb")
+    ).toDF("doc_id", "text")
+    val r = TextStats.heapsLaw(docs, nBuckets = 2).collect().head
+    assert(r.getLong(0) == 2L)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val beta = (r6(math.log(4.0)) - r6(math.log(3.0))) /
+      (r6(math.log(8.0)) - r6(math.log(4.0)))
+    assert(math.abs(r.getDecimal(1).doubleValue - r6(beta)) < 2e-6)
+  }
+
+  test("heapsLaw: saturated vocabulary fits beta ≈ 0") {
+    import spark.implicits._
+    val docs = (0L to 3L).map(i => (i, "aa bb")).toDF("doc_id", "text")
+    val r = TextStats.heapsLaw(docs, nBuckets = 2).collect().head
+    assert(math.abs(r.getDecimal(1).doubleValue) < 1e-9) // vocab never grows
+  }
+
   test("zipfSlope: a perfect Zipf corpus fits slope ≈ −1") {
     import spark.implicits._
     // freq(rank r) = 60/r for r = 1..5 → exactly ln y = ln 60 − 1·ln x
