@@ -19,13 +19,28 @@ object Bench {
     // first. The subplan memo keys on the sf-dir, so the timed pass below
     // still pays its own shared builds at full scale — only compilation
     // is absorbed, never work.
+    // dev-only subset filter (comma-separated query names), mirroring
+    // Verify's — the driver never sets it, so the gate benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+      // Drop ALL warmup-phase state before timing: the warm-dir memo
+      // entries (keyed by sf-dir) are never reused at the target SF, but
+      // their eagerly-checkpointed blocks would sit in the BlockManager
+      // under the whole timed pass — measured cost: the mid-pass queries
+      // (the CV grid especially) degraded several× under that resident
+      // state. The timed pass still pays every shared build at the
+      // target SF; it just starts from a clean block store.
+      graft.plans.Materialized.clear()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val results = SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a bare count() would
       // let Catalyst prune unreferenced expressions and undercount work)
