@@ -306,4 +306,55 @@ class PlanAuditSpec extends SparkSpec {
     // both the scan-side partial and the final aggregate must be codegen'd
     assert("""\* HashAggregate""".r.findAllIn(p).size >= 2, p.take(800))
   }
+
+  test("t4_bm25: query-term set broadcast; top-k is TakeOrdered, no global sort") {
+    val p = plan("t4_bm25")
+    assert(p.contains("BroadcastHashJoin"), "query terms not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k planned as a global sort")
+  }
+
+  test("t5_phrase_search: pruned postings join as broadcast, agg partial-combines") {
+    // the two-term isin prune runs inside the localCheckpoint build (it
+    // IS the point: only those postings are materialized), so the final
+    // plan's join inputs are the tiny checkpointed frames — which must
+    // therefore plan as a broadcast hash join with a partial-combined
+    // count, never a shuffle join over position rows
+    val p = plan("t5_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), "phrase join not broadcast:\n" + p.take(600))
+    assert(p.contains("partial_count"), "hit count lacks map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d17_prefix_join: verify joins keyed on doc ids — no cartesian anywhere") {
+    // the prefix ranking window runs inside the localCheckpoint build;
+    // the visible plan is candidate-distinct + two verify joins, which
+    // must all be equi-joins
+    val df = graft.dedup.Dedup.prefixFilterPairs(
+      graft.dedup.Dedup.shingleBase(spark, sf("sf0.001")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "candidate join degenerated to cartesian")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "verify joins missing:\n" + p.take(600))
+  }
+
+  test("g14_hits: per-round normalizer is a broadcast, not a shuffle or cartesian") {
+    // audit one un-checkpointed half-step: the raw-sum frame crossJoined
+    // with its broadcast 1-row total (what hits() builds every round)
+    import org.apache.spark.sql.functions._
+    val e = graft.graph.Graph.cachedEdges(spark, sf("sf0.001"))
+    val hub = graft.graph.Graph.vertices(e).select(col("id"), lit(1.0).as("hub"))
+    val araw = e.join(hub, e("src") === hub("id"))
+      .groupBy("dst").agg(sum("hub").as("araw"))
+    val p = araw.crossJoin(broadcast(araw.agg(sum("araw").as("s"))))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "normalizer not broadcast:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), "normalizer crossJoin planned as cartesian")
+  }
+
+  test("x21_cdc_chunks: chunk-id window partitions by doc_id — no global sort") {
+    val p = plan("x21_cdc_chunks")
+    assert("""windowspecdefinition\(doc_id""".r.findFirstIn(p).isDefined,
+      "running-sum window not doc-partitioned:\n" + p.take(800))
+  }
 }
