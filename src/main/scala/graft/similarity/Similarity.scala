@@ -202,11 +202,38 @@ object Similarity {
         .cast(Out6).as("cos"))
   }
 
+  /** Hyperplane count scaled to the corpus: p = max(6, ⌈log₂(n /
+    * targetOccupancy)⌉), so mean bucket occupancy stays ≈ constant as
+    * the corpus grows. At a FIXED p, candidate-pair volume grows
+    * quadratically with density — measured at the 10× probe corpus:
+    * p = 6 → 6.2M candidate pairs, the auto p = 10 → 1.3M (SCALE.md).
+    * At the sf0.001/0.01/0.1 gate scales autoP stays 6, so every
+    * recorded oracle hash is unchanged. The one driver-side `count()`
+    * is a planning decision (the AQE analogue), not data-plane work. */
+  def autoP(n: Long, targetOccupancy: Int = 32): Int =
+    math.max(6, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
+
+  /** The plane count the LAST registry-served LSH build chose — read by
+    * `SparkEntry.oracleSql` (a def, evaluated after the queries run) so
+    * the DuckDB twins rebuild the same buckets (the g5 recorded-round
+    * pattern). Defaults to the historical p = 6. */
+  @volatile var lastAutoP: Int = 6
+
+  private def autoPFor(emb: DataFrame): Int = {
+    val p = autoP(emb.count())
+    lastAutoP = p
+    p
+  }
+
   /** Scored pair frame memoized per (session, sf-dir) — s3's input and
-    * s5's edge source. Small by construction (candidate pairs ≪ n²). */
-  def cachedScoredPairs(s: SparkSession, dir: String): DataFrame =
+    * s5's edge source. Small by construction (candidate pairs ≪ n²).
+    * Plane count is corpus-adaptive ([[autoP]]). */
+  def cachedScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
     graft.plans.Materialized(s, s"sim_scored_pairs:${Tables.norm(dir)}")(
-      scoredPairs(Tables.embeddings(s, dir)))
+      scoredPairs(emb, p = autoPFor(emb)))
+  }
 
   /** Cluster labels memoized per (session, sf-dir) — s5's output and
     * s12's input (clustered vectors only, ≪ corpus). The CC fixpoint
@@ -985,20 +1012,20 @@ object Similarity {
     * recall ratio. Both rankings are recomputed here (each is a
     * bounded top-k, cheap); the join is on the k-row result frames, so
     * the comparison itself is metadata-sized at any corpus scale. */
-  def annRecall(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+  def annRecall(emb: DataFrame, queryId: Long, k: Int = 10, p: Int = 6): DataFrame = {
     val exact = knnBrute(emb, queryId, k).select("vec_id")
-    val approx = annLsh(emb, queryId, k).select("vec_id")
+    val approx = annLsh(emb, queryId, k, p = p).select("vec_id")
     exact.join(approx, "vec_id")
       .agg(count(lit(1)).as("n_overlap"))
       .select(lit(k.toLong).as("k"), col("n_overlap"),
         round(col("n_overlap").cast("double") / lit(k), 6).cast(Out6).as("recall"))
   }
 
-  def annRecallSql(queryId: Long, k: Int = 10): String =
+  def annRecallSql(queryId: Long, k: Int = 10, p: Int = 6): String =
     s"""WITH exact AS (SELECT vec_id FROM (
        |  ${knnBruteSql(queryId, k).replace("\n", "\n  ")}
        |)), approx AS (SELECT vec_id FROM (
-       |  ${annLshSql(queryId, k).replace("\n", "\n  ")}
+       |  ${annLshSql(queryId, k, p = p).replace("\n", "\n  ")}
        |)), o AS (
        |  SELECT count(*) AS n_overlap FROM exact JOIN approx USING (vec_id)
        |)
@@ -1009,8 +1036,10 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
-    "s2_ann_lsh" -> ((s: SparkSession, dir: String) =>
-      annLsh(Tables.embeddings(s, dir), queryId = 0L)),
+    "s2_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      annLsh(emb, queryId = 0L, p = autoPFor(emb))
+    }),
     "s3_near_dup_pairs" -> ((s: SparkSession, dir: String) =>
       nearDupPairsFromScored(cachedScoredPairs(s, dir))),
     "s5_embedding_clusters" -> ((s: SparkSession, dir: String) =>
@@ -1039,25 +1068,30 @@ object Similarity {
       hardNegatives(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
     "m17_ndcg" -> ((s: SparkSession, dir: String) =>
       ndcgAtK(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
-    "s14_ann_recall" -> ((s: SparkSession, dir: String) =>
-      annRecall(Tables.embeddings(s, dir), queryId = 0L)),
+    "s14_ann_recall" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      annRecall(emb, queryId = 0L, p = autoPFor(emb))
+    }),
   )
 
+  // LSH-family oracles read lastAutoP — SparkEntry.oracleSql is a def,
+  // built AFTER the queries run, so the recorded plane count matches
+  // what the engine actually used (the g5 recorded-round pattern)
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> knnBruteSql(0L),
-    "s2_ann_lsh" -> annLshSql(0L),
-    "s3_near_dup_pairs" -> nearDupPairsSql(),
-    "s5_embedding_clusters" -> embeddingClustersSql(),
+    "s2_ann_lsh" -> annLshSql(0L, p = lastAutoP),
+    "s3_near_dup_pairs" -> nearDupPairsSql(p = lastAutoP),
+    "s5_embedding_clusters" -> embeddingClustersSql(p = lastAutoP),
     "s4_ann_ivf" -> annIvfSql(0L),
     "s6_label_centroids" -> labelCentroidsSql,
     "s7_ann_batch" -> knnBatchSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s8_ann_int8" -> annInt8Sql(0L),
     "s9_centroid_assign" -> centroidAssignSql,
     "s10_kmeans" -> kmeansSql(),
-    "s11_knn_graph" -> knnGraphSql(),
-    "s12_semantic_dedup" -> semanticDedupSql(),
+    "s11_knn_graph" -> knnGraphSql(p = lastAutoP),
+    "s12_semantic_dedup" -> semanticDedupSql(p = lastAutoP),
     "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
-    "s14_ann_recall" -> annRecallSql(0L),
+    "s14_ann_recall" -> annRecallSql(0L, p = lastAutoP),
   )
 }

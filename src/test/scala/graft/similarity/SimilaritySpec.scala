@@ -284,6 +284,17 @@ class SimilaritySpec extends SparkSpec {
     assert(acc > 1.5 / nLabels, s"accuracy $acc vs chance ${1.0 / nLabels}")
   }
 
+  test("autoP: 6 at every gate scale, grows log2 with the corpus") {
+    // gate scales must keep the historical plane count (oracle hashes)
+    assert(Similarity.autoP(200) == 6)   // sf0.01
+    assert(Similarity.autoP(2000) == 6)  // sf0.1
+    assert(Similarity.autoP(20000) == 10)  // the 10× probe corpus
+    assert(Similarity.autoP(20000000) == 20)
+    // monotone nondecreasing
+    val ps = Seq(1L, 100L, 10000L, 1000000L).map(Similarity.autoP(_))
+    assert(ps == ps.sorted)
+  }
+
   test("annRecall equals the direct overlap of the s1 and s2 top-k sets") {
     val exact = Similarity.knnBrute(emb, queryId = 0L).collect().map(_.getLong(0)).toSet
     val approx = Similarity.annLsh(emb, queryId = 0L).collect().map(_.getLong(0)).toSet
