@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.dedup.Dedup
 import graft.graph.Graph
@@ -38,7 +40,133 @@ object SparkEntry {
     graft.plans.Materialized(s, s"tfidf_postings:${Tables.norm(dir)}")(
       TfIdf.postings(Tables.documents(s, dir)))
 
+  // ------------------------------------------------------------------
+  // Hashed-output representation rule (round 6).
+  //
+  // The driver's comparator loads the Spark parquet via pandas/pyarrow
+  // (DECIMAL -> decimal.Decimal -> str "0.900000") but the DuckDB oracle
+  // via .df() (DECIMAL -> float64 -> str "0.9"), then hashes stringified
+  // sorted rows. Any decimal value whose 6-dp string has trailing zeros
+  // therefore hash-fails even when values are exact — that asymmetry
+  // was bisected against CORRECTNESS_r05.json (44/44 reds predicted,
+  // zero false or missed reds; see tools/check_local.py, which now
+  // reproduces the same asymmetric load).
+  //
+  // Fix: NO hashed output column is ever DECIMAL. Every rounded-ratio
+  // column (jaccard, cos, recall, logprob, KL, ...) is emitted as BIGINT
+  // micro-units — value ×1e6, exact by construction since every such
+  // column is round(x, 6)-quantized at birth — on BOTH the engine and
+  // the oracle side. Integer columns have hashed green in all five
+  // rounds. The library functions themselves still return DECIMAL(18,6)
+  // (the friendly API, spec-tested); only this registry projection and
+  // the oracle twins convert.
+  // ------------------------------------------------------------------
+
+  /** Decimal output columns per query — the single source of truth for
+    * both [[microize]] (engine side, drift-guarded against the actual
+    * schema) and [[microizeSql]] (oracle side). */
+  private[graft] val microCols: Map[String, Seq[String]] = Map(
+    "d3_lsh_near_dups" -> Seq("jaccard"),
+    "d4_ngram_jaccard" -> Seq("jaccard"),
+    "d9_decontaminate" -> Seq("overlap_frac"),
+    "d10_minhash_estimate" -> Seq("jaccard", "jaccard_est"),
+    "d12_repeated_spans" -> Seq("shared_frac"),
+    "d13_span_novelty" -> Seq("novel_frac"),
+    "d15_source_contamination" -> Seq("jaccard"),
+    "d16_lsh_tuning" -> Seq("s", "p_candidate"),
+    "d17_prefix_join" -> Seq("jaccard"),
+    "d18_dup_rate_by_source" -> Seq("exact_rate", "near_rate"),
+    "g10_clustering_coeff" -> Seq("coeff"),
+    "g13_item_jaccard" -> Seq("jaccard"),
+    "g15_assortativity" -> Seq("r"),
+    "m3_label_metrics" -> Seq("precision", "recall", "fpr", "f1"),
+    "m4_weighted_metrics" -> Seq("accuracy", "weighted_precision",
+      "weighted_recall", "weighted_f1", "weighted_fpr"),
+    "m8_w2v_knn" -> Seq("cos"),
+    "m9_cv_metrics" -> Seq("accuracy", "weighted_precision",
+      "weighted_recall", "weighted_f1", "weighted_fpr"),
+    "m12_logreg_gd" -> Seq("p"),
+    "m13_calibration" -> Seq("mean_p", "pos_rate"),
+    "m14_pr_curve" -> Seq("precision", "recall"),
+    "m15_auc" -> Seq("auc"),
+    "m16_chi2_features" -> Seq("chi2"),
+    "m17_ndcg" -> Seq("dcg", "idcg", "ndcg"),
+    "m18_mcc" -> Seq("mcc"),
+    "q37_kmv_distinct" -> Seq("kmv_est"),
+    "q40_grouped_corr" -> Seq("corr"),
+    "q49_histogram" -> Seq("cdf"),
+    "q53_hist_quantiles" -> Seq("q"),
+    "q56_ab_lift" -> Seq("rate_a", "rate_b", "lift", "z"),
+    "q57_volume_drift" -> Seq("cum_dev", "drawdown"),
+    "q59_markov_transitions" -> Seq("p"),
+    "q64_hll_distinct" -> Seq("hll_est", "rel_err"),
+    "s1_knn_brute" -> Seq("cos"),
+    "s2_ann_lsh" -> Seq("cos"),
+    "s3_near_dup_pairs" -> Seq("cos"),
+    "s4_ann_ivf" -> Seq("cos"),
+    "s6_label_centroids" -> Seq("centroid"),
+    "s7_ann_batch" -> Seq("cos"),
+    "s11_knn_graph" -> Seq("cos"),
+    "s13_hard_negatives" -> Seq("cos"),
+    "s14_ann_recall" -> Seq("recall"),
+    "t4_bm25" -> Seq("score"),
+    "t6_more_like_this" -> Seq("score"),
+    "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),
+    "x15_ppl_buckets" -> Seq("lo", "hi"),
+    "x16_bigram_logprob" -> Seq("sum_logp", "avg_logp"),
+    "x17_source_profile" -> Seq("en_frac"),
+    "x18_vocab_coverage" -> Seq("coverage"),
+    "x20_source_kl" -> Seq("kl"),
+    "x22_zipf_slope" -> Seq("slope", "intercept"),
+    "x23_heaps_law" -> Seq("beta", "log_k"),
+  )
+
+  /** Engine-side projection: every DECIMAL output column → BIGINT
+    * micro-units (×1e6, exact — all such columns are 6-dp-quantized at
+    * birth, scale ≤ 6). Fails LOUDLY if the actual decimal column set
+    * drifts from [[microCols]] (which the oracle wrapper consumes), so a
+    * drift can never surface as a silent hash mismatch. */
+  private def microize(name: String, df: DataFrame): DataFrame = {
+    val dec = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        val d = f.dataType.asInstanceOf[DecimalType]
+        require(d.scale <= 6,
+          s"$name.${f.name}: decimal scale ${d.scale} > 6 — ×1e6 would not be exact")
+        f.name
+    }.toSeq
+    val expected = microCols.getOrElse(name, Nil)
+    require(dec.sorted == expected.sorted,
+      s"$name: decimal output columns $dec drifted from SparkEntry.microCols " +
+        s"$expected — update the map and the oracle wrapper together")
+    if (dec.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType =>
+          (col(f.name) * lit(1000000)).cast(LongType).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Oracle-side twin of [[microize]]: wrap the SQL so the same columns
+    * come back as BIGINT micro-units (DuckDB decimal×int is exact; the
+    * cast of an integral decimal to BIGINT is exact). */
+  private def microizeSql(name: String, sql: String): String =
+    microCols.get(name).filter(_.nonEmpty).fold(sql) { cols =>
+      val rep = cols.map(c => s"""CAST("$c" * 1000000 AS BIGINT) AS "$c"""")
+        .mkString(", ")
+      s"SELECT * REPLACE ($rep) FROM (\n$sql\n) graft_micro"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (n, fn) =>
+      n -> ((s: SparkSession, d: String) => microize(n, fn(s, d)))
+    }
+
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (n, sql) => n -> microizeSql(n, sql) }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Layout.queries ++ Sketch.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
       Embed.queries ++ LogRegGd.queries ++ Multimodal.queries ++ Rank.queries ++
@@ -59,7 +187,7 @@ object SparkEntry {
       }),
     )
 
-  def oracleSql: Map[String, String] =
+  private def rawOracleSql: Map[String, String] =
     Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Layout.oracles ++ Sketch.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Classify.oracles ++
       Embed.oracles ++ LogRegGd.oracles ++ Multimodal.oracles ++ Rank.oracles ++ Map(

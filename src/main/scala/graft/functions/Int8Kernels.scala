@@ -65,6 +65,10 @@ object QuantizeInt8 {
     }
     val nrm = math.sqrt(acc.doubleValue())
     val out = new Array[Long](n)
+    // all-zero vector: x/nrm would be NaN and BigDecimal.valueOf(NaN)
+    // throws — emit the all-zero code vector instead (the Column
+    // formulation this kernel replaced degraded to NULL/NaN, never threw)
+    if (nrm == 0.0) return new GenericArrayData(out)
     i = 0
     while (i < n) {
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)

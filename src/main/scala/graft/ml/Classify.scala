@@ -302,10 +302,18 @@ object Classify {
        |tp AS (SELECT label, n AS tp FROM cm WHERE label = prediction),
        |tot AS (SELECT SUM(n) AS total FROM cm),
        |stats AS (
-       |  SELECT l.label, COALESCE(tp.tp, 0) AS tp, l.n_true,
-       |         COALESCE(p.n_pred, 0) AS n_pred, t.total
+       |  SELECT l.label, CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       |         CAST(l.n_true AS BIGINT) AS n_true,
+       |         CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+       |         CAST(t.total AS BIGINT) AS total
        |  FROM bylabel l LEFT JOIN tp USING (label)
        |  LEFT JOIN bypred p ON l.label = p.prediction CROSS JOIN tot t)""".stripMargin
+  // ^ the BIGINT casts above ended m3's three-round hash curse: SUM(n)
+  // is HUGEINT in DuckDB, which the driver's .df() load renders as
+  // float64 ("22.0") while Spark's long renders "22" — value-exact,
+  // byte-different. Misdiagnosed as double-bit-pattern drift in r3-r5;
+  // the round-6 driver-faithful gate (tools/check_local.py) showed the
+  // diff was on the COUNT columns, not the ratios.
 
   // round(quantize-to-DECIMAL(32,16)) emitted as DECIMAL(18,6) — see
   // [[metrics]]: exact decimal rounding agrees across engines where

@@ -104,17 +104,16 @@ object Similarity {
     }
 
   /** (vec_id, t, bucket): sign-bit buckets per LSH table, computed
-    * per-row against literal plane arrays — no joins, no shuffles. */
+    * per-row in ONE codegen'd kernel pass — no joins, no shuffles, and
+    * (round 6) no literal plane arrays: [[graft.functions.LshBucketsExact]]
+    * regenerates the LCG weights on the fly, so the compiled plan carries
+    * one expression instead of l·p 64-double literals (which cost
+    * s2_ann_lsh ~3.9 s of one-time codegen/JIT; NOTES.md backlog #3). */
   def buckets(emb: DataFrame, l: Int = 4, p: Int = 6): DataFrame = {
-    VectorDotExact.register(emb.sparkSession)
-    val bucketCols = (0 until l).map { t =>
-      (0 until p).map { pp =>
-        val w = array(planeWeights(t, pp, p).map(lit): _*)
-        when(dotCol(col("embedding"), w) >= 0, lit(1L << pp)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    graft.functions.LshBucketsExact.register(emb.sparkSession)
     emb.select(col("vec_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+      posexplode(graft.functions.LshBucketsExact(col("embedding"), l, p, Dims))
+        .as(Seq("t", "bucket")))
   }
 
   private def bucketsSql(l: Int, p: Int): String =
@@ -214,32 +213,50 @@ object Similarity {
     math.max(6, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
 
-  /** The plane count the LAST registry-served LSH build chose — read by
-    * `SparkEntry.oracleSql` (a def, evaluated after the queries run) so
-    * the DuckDB twins rebuild the same buckets (the g5 recorded-round
-    * pattern). Defaults to the historical p = 6. */
-  @volatile var lastAutoP: Int = 6
+  /** Corpus-adaptive plane count per sf-dir, DETERMINISTIC and
+    * order-independent (round-6 fix): computed once per dir from the
+    * embeddings row count (parquet-metadata-only) and cached by
+    * normalized dir, never recorded as a side effect of whichever query
+    * happened to run last. Every consumer — engine queries AND oracle
+    * builders — reads the same function, and the [[cachedScoredPairs]]
+    * memo key carries p, so a pair frame built under one p can never be
+    * served to a consumer expecting another. */
+  private val autoPByDir = scala.collection.concurrent.TrieMap.empty[String, Int]
 
-  private def autoPFor(emb: DataFrame): Int = {
-    val p = autoP(emb.count())
-    lastAutoP = p
-    p
+  def autoPForDir(s: SparkSession, dir: String): Int =
+    autoPByDir.getOrElseUpdate(Tables.norm(dir),
+      autoP(Tables.embeddings(s, dir).count()))
+
+  /** The plane count for the oracle twins. The LSH oracles are built by
+    * `SparkEntry.oracleSql` (no dir parameter), so this resolves from
+    * [[autoPByDir]]: a Verify/Bench run touches exactly one dir, whose p
+    * every LSH query resolved through [[autoPForDir]] — subset runs
+    * (SPARK_GRAFT_ONLY=s3) included, since the query itself populates
+    * the cache before any oracle is rendered. Ambiguity (two dirs with
+    * DIFFERENT p in one JVM) fails loudly rather than guessing. */
+  def oracleP: Int = {
+    val ps = autoPByDir.values.toSet
+    require(ps.size <= 1,
+      s"LSH oracle plane count ambiguous: autoP differs across dirs $autoPByDir")
+    ps.headOption.getOrElse(6)
   }
 
-  /** Scored pair frame memoized per (session, sf-dir) — s3's input and
-    * s5's edge source. Small by construction (candidate pairs ≪ n²).
+  /** Scored pair frame memoized per (session, sf-dir, p) — s3's input
+    * and s5's edge source. Small by construction (candidate pairs ≪ n²).
     * Plane count is corpus-adaptive ([[autoP]]). */
   def cachedScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    graft.plans.Materialized(s, s"sim_scored_pairs:${Tables.norm(dir)}")(
-      scoredPairs(emb, p = autoPFor(emb)))
+    val p = autoPForDir(s, dir)
+    graft.plans.Materialized(s, s"sim_scored_pairs:p$p:${Tables.norm(dir)}")(
+      scoredPairs(emb, p = p))
   }
 
-  /** Cluster labels memoized per (session, sf-dir) — s5's output and
+  /** Cluster labels memoized per (session, sf-dir, p) — s5's output and
     * s12's input (clustered vectors only, ≪ corpus). The CC fixpoint
     * runs once per session, not once per consumer. */
   def cachedClusters(s: SparkSession, dir: String): DataFrame =
-    graft.plans.Materialized(s, s"sim_clusters:${Tables.norm(dir)}")(
+    graft.plans.Materialized(s,
+      s"sim_clusters:p${autoPForDir(s, dir)}:${Tables.norm(dir)}")(
       embeddingClusters(cachedScoredPairs(s, dir)))
 
   /** Embedding near-dup pairs: bucket-mates in LSH table 0, exact cosine
@@ -1036,10 +1053,9 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
-    "s2_ann_lsh" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      annLsh(emb, queryId = 0L, p = autoPFor(emb))
-    }),
+    "s2_ann_lsh" -> ((s: SparkSession, dir: String) =>
+      annLsh(Tables.embeddings(s, dir), queryId = 0L,
+        p = autoPForDir(s, dir))),
     "s3_near_dup_pairs" -> ((s: SparkSession, dir: String) =>
       nearDupPairsFromScored(cachedScoredPairs(s, dir))),
     "s5_embedding_clusters" -> ((s: SparkSession, dir: String) =>
@@ -1068,30 +1084,29 @@ object Similarity {
       hardNegatives(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
     "m17_ndcg" -> ((s: SparkSession, dir: String) =>
       ndcgAtK(Tables.embeddings(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L))),
-    "s14_ann_recall" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      annRecall(emb, queryId = 0L, p = autoPFor(emb))
-    }),
+    "s14_ann_recall" -> ((s: SparkSession, dir: String) =>
+      annRecall(Tables.embeddings(s, dir), queryId = 0L,
+        p = autoPForDir(s, dir))),
   )
 
-  // LSH-family oracles read lastAutoP — SparkEntry.oracleSql is a def,
-  // built AFTER the queries run, so the recorded plane count matches
-  // what the engine actually used (the g5 recorded-round pattern)
+  // LSH-family oracles read oracleP — resolved from the per-dir autoP
+  // cache every query consults, so subset runs and execution order can
+  // never desynchronize oracle and engine (round-6 fix)
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> knnBruteSql(0L),
-    "s2_ann_lsh" -> annLshSql(0L, p = lastAutoP),
-    "s3_near_dup_pairs" -> nearDupPairsSql(p = lastAutoP),
-    "s5_embedding_clusters" -> embeddingClustersSql(p = lastAutoP),
+    "s2_ann_lsh" -> annLshSql(0L, p = oracleP),
+    "s3_near_dup_pairs" -> nearDupPairsSql(p = oracleP),
+    "s5_embedding_clusters" -> embeddingClustersSql(p = oracleP),
     "s4_ann_ivf" -> annIvfSql(0L),
     "s6_label_centroids" -> labelCentroidsSql,
     "s7_ann_batch" -> knnBatchSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s8_ann_int8" -> annInt8Sql(0L),
     "s9_centroid_assign" -> centroidAssignSql,
     "s10_kmeans" -> kmeansSql(),
-    "s11_knn_graph" -> knnGraphSql(p = lastAutoP),
-    "s12_semantic_dedup" -> semanticDedupSql(p = lastAutoP),
+    "s11_knn_graph" -> knnGraphSql(p = oracleP),
+    "s12_semantic_dedup" -> semanticDedupSql(p = oracleP),
     "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
-    "s14_ann_recall" -> annRecallSql(0L, p = lastAutoP),
+    "s14_ann_recall" -> annRecallSql(0L, p = oracleP),
   )
 }

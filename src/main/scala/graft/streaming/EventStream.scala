@@ -163,11 +163,10 @@ object EventStream {
       .start()
 
   /** Key-overwrite merge into a parquet store: anti-join the store
-    * against the incoming keys, union the new partials, localCheckpoint
-    * to cut the read lineage BEFORE overwriting the path being read
-    * (lazy reads + overwrite of the same files would otherwise race).
-    * At cluster scale the same merge is a partition-overwrite (day is
-    * the partition key) — identical semantics, no full-store rewrite. */
+    * against the incoming keys, union the new partials, and
+    * [[atomicSwap]] the result over the store. At cluster scale the same
+    * merge is a partition-overwrite (day is the partition key) —
+    * identical semantics, no full-store rewrite. */
   def upsertStore(batch: DataFrame, storePath: String): Unit = {
     val spark = batch.sparkSession
     val merged =
@@ -176,7 +175,30 @@ object EventStream {
           .join(batch.select("day", "event_type"), Seq("day", "event_type"), "left_anti")
           .unionByName(batch)
       else batch
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+    atomicSwap(merged, storePath)
+  }
+
+  /** Durable store replacement: write the merged frame to a temp path
+    * FIRST (the lazy read of the old store streams into the temp write —
+    * no eager localCheckpoint holding the whole store in executor block
+    * memory), then swap directories. The old store exists on disk until
+    * the fully-written replacement is in place, so an executor loss or
+    * crash mid-write can no longer lose it (the previous
+    * read-checkpoint-overwrite shape deleted the store before the write
+    * completed, with only non-fault-tolerant localCheckpoint blocks as
+    * lineage). Production twin: a table format's atomic commit
+    * (Delta/Iceberg) or dynamic partition overwrite. */
+  private def atomicSwap(merged: DataFrame, storePath: String): Unit = {
+    val conf = merged.sparkSession.sparkContext.hadoopConfiguration
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".swap")
+    val old = new org.apache.hadoop.fs.Path(storePath + ".old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(store)) fs.rename(store, old)
+    fs.rename(tmp, store)
+    fs.delete(old, true)
   }
 
   /** View→click attribution: clicks joined to the same user's views
@@ -241,7 +263,7 @@ object EventStream {
               .join(ranked.select("hour", "rk"), Seq("hour", "rk"), "left_anti")
               .unionByName(ranked)
           else ranked
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+        atomicSwap(merged, storePath)
       }
       .start()
 

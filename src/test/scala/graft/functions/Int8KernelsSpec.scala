@@ -30,6 +30,16 @@ class Int8KernelsSpec extends SparkSpec {
     assert(got == refRows)
   }
 
+  test("QuantizeInt8: all-zero vector quantizes to the zero code vector") {
+    QuantizeInt8.register(spark)
+    // norm 0 → x/nrm is NaN; the kernel must emit zeros, not throw
+    // (ADVICE r5: BigDecimal.valueOf(NaN) crashed the whole s8 query)
+    val got = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(QuantizeInt8(col("embedding")).as("q"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(0L, 0L, 0L))
+  }
+
   test("VectorDotLong: plain integer multiply-accumulate") {
     VectorDotLong.register(spark)
     val d = Seq((Array(1L, -2L, 3L), Array(4L, 5L, -6L)))
