@@ -25,14 +25,13 @@ object Sketch {
   /** 32-bit md5-derived hash: the first 8 hex digits of md5(key) as a
     * BIGINT — the [[graft.text.TextStats.hashBucket]] pattern widened
     * from 8 to 32 bits. Uniform over [0, 2³²), identical in both
-    * engines (md5 is the only shared hash primitive). */
-  def hash32(key: Column): Column = {
-    val hex = md5(key.cast("string").cast("binary"))
-    (1 to 8).map { pos =>
-      (instr(lit("0123456789abcdef"), substring(hex, pos, 1)) - 1).cast("long") *
-        lit(1L << ((8 - pos) * 4))
-    }.reduce(_ + _)
-  }
+    * engines (md5 is the only shared hash primitive). Since round 6 the
+    * engine side is the codegen'd [[graft.functions.Md5Hash32]] kernel
+    * (one digest per row; the Column formulation re-evaluated the md5
+    * subtree once per hex digit — 8×). Callers must have
+    * `Md5Hash32.register`ed the session. */
+  def hash32(key: Column): Column =
+    graft.functions.Md5Hash32(key.cast("string"))
 
   /** DuckDB twin of [[hash32]] over a key expression. */
   def hash32SqlExpr(key: String): String =
@@ -48,6 +47,7 @@ object Sketch {
     * here so the query itself exhibits the error being accepted. */
   def kmvDistinct(events: DataFrame, k: Int = K): DataFrame = {
     val spark = events.sparkSession
+    graft.functions.Md5Hash32.register(spark)
     import spark.implicits._
     val est = events.select(col("event_type"), hash32(col("user_id")).as("hv"))
       .as[(String, Long)]
@@ -157,12 +157,19 @@ object Sketch {
     * double SUM is exact under ANY aggregation order, no decimal
     * quantization needed (documented exception to the decimal-sum rule).
     *
-    * Scale shape: one map-side-combined (bucket → max ρ) aggregate —
-    * 256 rows reach the shuffle regardless of input size; the exact
-    * distinct count sits alongside as the calibration column (the q37
-    * pattern: the query exhibits the error the sketch accepts). */
+    * Scale shape (round 6): ONE scan, ONE key shuffle. The md5 hash runs
+    * over DISTINCT keys (map-side-combined distinct — ρ is a function of
+    * the key, so max-over-duplicates equals max-over-distinct), the
+    * (bucket → max ρ, count) aggregate reaches the shuffle at ≤ m rows,
+    * and the exact distinct count — the calibration column (the q37
+    * pattern: the query exhibits the error the sketch accepts) — is the
+    * SUM of the per-bucket distinct counts from the same pass, not a
+    * second count_distinct scan. Previously: md5 per input ROW (4× the
+    * hashing at lineitem's ~4 rows/order) plus a separate
+    * count_distinct scan+shuffle. */
   def hllDistinct(lineitem: DataFrame, b: Int = 8): DataFrame = {
     val spark = lineitem.sparkSession
+    graft.functions.Md5Hash32.register(spark)
     val m = 1 << b
     val wBits = 32 - b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -170,22 +177,24 @@ object Sketch {
     val powArr = array((0 to wBits + 1).map(r => lit(1.0 / (1L << r))): _*)
     val hv = hash32(col("l_orderkey"))
     val regs = lineitem
+      .select(col("l_orderkey")).distinct()
       .select((hv / lit(1L << wBits)).cast("long").as("bucket"),
         (hv % lit(1L << wBits)).as("w"))
       .select(col("bucket"),
         when(col("w") === 0, lit(wBits + 1))
           .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
-      .groupBy("bucket").agg(max("rho").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"), count(lit(1)).as("cnt"))
     val grid = spark.range(m).select(col("id").as("bucket"))
     val stats = grid.join(regs, Seq("bucket"), "left")
-      .select(coalesce(col("rho"), lit(0L)).as("rho"))
+      .select(coalesce(col("rho"), lit(0L)).as("rho"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
       .agg(sum(element_at(powArr, col("rho").cast("int") + 1)).as("harm"),
-        sum(when(col("rho") === 0, 1L).otherwise(0L)).cast("long").as("n_empty"))
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).cast("long").as("n_empty"),
+        sum(col("cnt")).cast("long").as("n_exact"))
     val raw = lit(alpha) * m * m / col("harm")
     val est = when(raw <= 2.5 * m && col("n_empty") > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty"))).otherwise(raw)
-    val exact = lineitem.agg(count_distinct(col("l_orderkey")).cast("long").as("n_exact"))
-    stats.crossJoin(broadcast(exact))
+    stats
       .select(col("n_exact"), col("n_empty"),
         round(est, 6).cast(Out6).as("hll_est"),
         round((est - col("n_exact")) / col("n_exact"), 6).cast(Out6).as("rel_err"))
@@ -247,18 +256,27 @@ object Sketch {
     * calibration pattern — the query exhibits the error being
     * accepted). The one-sided bound is spec-enforced, not assumed. */
   def cmsFreq(docs: DataFrame, d: Int = 4, w: Int = 256, topK: Int = 10): DataFrame = {
-    val toks = docs
+    // Round-6 shape: the counter position is a function of the WORD, so
+    // hash the distinct vocabulary weighted by its occurrence count —
+    // SUM(n) per (row, pos) equals the per-occurrence COUNT(*) exactly —
+    // instead of md5-hashing every token occurrence d times. One
+    // tokenize+count shuffle (map-side combined) feeds the counter
+    // build, the top-k, and the probes; sketch-build hashing is
+    // O(vocabulary), not O(corpus) — the shape that survives 100 TB.
+    graft.functions.Md5Hash32.register(docs.sparkSession)
+    val wordCounts = docs
       .select(explode(graft.text.Tokenize.rawTokens(col("text"))).as("word"))
-      .localCheckpoint(true) // consumed by the counter build AND the exact counts
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // vocab-sized; consumed by counters AND top-k
     val posFor = (i: Int, word: Column) =>
       (hash32(concat(lit(s"$i:"), word)) % w).cast("long")
-    val counters = toks
-      .select(posexplode(array((0 until d).map(i => posFor(i, col("word"))): _*))
-        .as(Seq("row", "pos")))
-      .groupBy("row", "pos").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
+    val counters = wordCounts
+      .select(col("n"),
+        posexplode(array((0 until d).map(i => posFor(i, col("word"))): _*))
+          .as(Seq("row", "pos")))
+      .groupBy("row", "pos").agg(sum("n").as("c"))
+    val top = wordCounts.withColumnRenamed("n", "n_exact")
       .orderBy(desc("n_exact"), asc("word")).limit(topK)
-      .localCheckpoint(true) // joined once per sketch row
     val probes = top
       .select(col("word"), col("n_exact"),
         posexplode(array((0 until d).map(i => posFor(i, col("word"))): _*))

@@ -357,4 +357,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("""windowspecdefinition\(doc_id""".r.findFirstIn(p).isDefined,
       "running-sum window not doc-partitioned:\n" + p.take(800))
   }
+
+  test("q64_hll_distinct: ONE corpus scan — regs and exact count share the distinct") {
+    val p = plan("q64_hll_distinct")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size == 1,
+      "q64 rescans lineitem (exact count must derive from the same distinct):\n" +
+        p.take(800))
+    // the md5 runs through the single-digest kernel, not the 8-reference
+    // hex-digit Column formulation
+    assert(p.contains("graft_md5_hash32") || p.toLowerCase.contains("md5hash32"),
+      "hash not via the Md5Hash32 kernel:\n" + p.take(800))
+  }
+
+  test("q65_cms_freq: sketch+probe phases never rescan the corpus") {
+    // wordCounts is an eager localCheckpoint: everything downstream —
+    // counters, top-k, probes — must read the vocab-sized checkpoint,
+    // not documents.parquet (sketch hashing is O(vocab), not O(corpus))
+    val p = plan("q65_cms_freq")
+    assert(!("Scan parquet|FileScan".r.findFirstIn(p).isDefined),
+      "q65 downstream phase rescans the corpus:\n" + p.take(800))
+  }
+
+  test("s2_ann_lsh: bucketing runs through the generated-weights kernel — no literal planes") {
+    val p = plan("s2_ann_lsh")
+    assert(p.toLowerCase.contains("lshbucketsexact"),
+      "LSH buckets not via LshBucketsExact:\n" + p.take(800))
+    // the old formulation inlined l·p 64-double literal arrays (~1500
+    // nodes, ~4 s one-time codegen); the kernel plan must stay compact
+    assert(!p.contains("0.25,"), "literal plane arrays back in the plan")
+  }
 }
