@@ -348,14 +348,21 @@ object Dedup {
 
   /** 32-bit SimHash per document as a BIGINT: bit j is the sign of
     * Σ_terms tf·(hexdigit_j(md5(term)) ≥ 8 ? +1 : −1). Explode + 32
-    * partially-aggregated sums — one shuffle on doc_id, integer-exact. */
+    * partially-aggregated sums — one shuffle on doc_id, integer-exact.
+    * The per-term hash runs through the single-digest
+    * [[graft.functions.Md5NibbleMsbs]] kernel (round 6 — the Column
+    * formulation did 32 substring + set-membership string probes per
+    * term-row; equivalence spec-pinned). The oracle keeps the
+    * per-hex-digit form ([[simhashSql]]) — md5 is the shared
+    * primitive, so the bits agree by construction. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.Md5NibbleMsbs.register(docs.sparkSession)
     val terms = docs
       .select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", md5(col("term").cast("binary")))
+      .withColumn("m", graft.functions.Md5NibbleMsbs(col("term")))
     val bitSums = (0 until 32).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+      sum(when(shiftright(col("m"), j).bitwiseAND(lit(1L)) === 1L,
         col("tf")).otherwise(-col("tf"))).as(s"s$j")
     }
     val sums = terms.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -422,7 +429,11 @@ object Dedup {
       .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"), lit(0).as("hamming"))
-    cross.union(within).orderBy("doc_a", "doc_b")
+    // no output sort: the pair list is the one corpus-scale output in the
+    // dedup family (411k rows at sf0.1, O(dup mass) at 100 TB) and the
+    // correctness comparator sorts rows itself — a global result sort
+    // here would be a pure extra exchange at every scale
+    cross.union(within)
   }
 
   def simhashPairsSql(maxDist: Int = 3): String =

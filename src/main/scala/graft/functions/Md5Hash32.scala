@@ -45,7 +45,7 @@ case class Md5Hash32(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hash32 {
-  private val digest = new ThreadLocal[MessageDigest] {
+  private[functions] val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
@@ -68,5 +68,63 @@ object Md5Hash32 {
       FnName, exprs => Md5Hash32(exprs.head), "built-in")
 
   /** Column-level entry point; caller must have [[register]]ed. */
+  def apply(key: Column): Column = call_function(FnName, key)
+}
+
+/** All 32 md5 nibble MSBs of a string packed into a LONG: bit j is set
+  * iff hex digit j of md5(key) is ≥ 8 (the sign convention SimHash
+  * hashes terms with). Bit-identical to 32 separate
+  * `substr(md5(key), j+1, 1) IN ('8'..'f')` probes — which is what the
+  * simhash Column formulation evaluated per term-row (32 substring +
+  * set-membership string ops); here it is one digest and 16 byte
+  * inspections. The DuckDB oracle keeps the per-digit form
+  * ([[graft.dedup.Dedup.simhashSql]]) — md5 is the shared primitive.
+  */
+case class Md5NibbleMsbs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_nibble_msbs expects a string key, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    Md5NibbleMsbs.msbs(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Md5NibbleMsbs.msbs($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5NibbleMsbs {
+  /** Bit j (0-based, hex-digit order) = MSB of md5 nibble j. Nibble 2b
+    * is byte b's HIGH nibble (hex renders high nibble first). */
+  def msbs(s: UTF8String): Long = {
+    val md = Md5Hash32.digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if ((d(b) & 0x80) != 0) out |= 1L << (2 * b)     // high nibble ≥ 8
+      if ((d(b) & 0x08) != 0) out |= 1L << (2 * b + 1) // low nibble ≥ 8
+      b += 1
+    }
+    out
+  }
+
+  private val FnName = "graft_md5_nibble_msbs"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => Md5NibbleMsbs(exprs.head), "built-in")
+
   def apply(key: Column): Column = call_function(FnName, key)
 }

@@ -28,6 +28,22 @@ class Md5Hash32Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  test("Md5NibbleMsbs equals the 32 per-hex-digit substring probes") {
+    Md5NibbleMsbs.register(spark)
+    val keys = (Seq("", "a", "the", "zebra", "中文 token") ++
+      (0 until 200).map(i => s"term_$i")).toDF("k")
+    val hex = md5(col("k").cast("binary"))
+    // the pre-round-6 simhash probe for hex digit j
+    val legacy = (0 until 32).map { j =>
+      when(substring(hex, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+        lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    keys.select(col("k"), Md5NibbleMsbs(col("k")).as("fast"), legacy.as("slow"))
+      .collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"mismatch for key '${r.getString(0)}'"))
+  }
+
   test("Md5Hash32 hashes non-string keys through their string form") {
     Md5Hash32.register(spark)
     val viaLong = Seq(12345L).toDF("k")
