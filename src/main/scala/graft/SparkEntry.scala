@@ -109,6 +109,7 @@ object SparkEntry {
     "s11_knn_graph" -> Seq("cos"),
     "s13_hard_negatives" -> Seq("cos"),
     "s14_ann_recall" -> Seq("recall"),
+    "s15_ann_pq" -> Seq("adc"),
     "t4_bm25" -> Seq("score"),
     "t6_more_like_this" -> Seq("score"),
     "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),

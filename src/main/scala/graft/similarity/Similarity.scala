@@ -1050,6 +1050,151 @@ object Similarity {
        |  CAST(round(CAST(n_overlap AS DOUBLE) / $k, 6) AS DECIMAL(18,6)) AS recall
        |FROM o""".stripMargin
 
+  // ------------------------------------------------ product quantization
+
+  /** s15: PQ-compressed ANN with asymmetric-distance (ADC) scoring —
+    * the compressed-domain retrieval path that completes the family
+    * (s1 exact, s2 LSH-pruned, s4 IVF-pruned, s8 int8, s15 PQ). Each
+    * vector is encoded as `m` sub-codebook ids (one per `Dims/m`-dim
+    * subspace); a query scores a candidate by summing `m` lookup-table
+    * entries instead of touching the raw floats.
+    *
+    * The per-subspace codebooks come from the s10 Lloyd discipline run
+    * on all `m` subspaces at once — one grouped fit keyed by subspace,
+    * init from the `kc` lowest vec_ids' slices, assignment via the s9
+    * exact dist² identity, decimal-quantized 6-dp mean updates — so
+    * both engines iterate on byte-identical centroids and the oracle
+    * re-derives the entire fit + encode + ADC ranking from raw parquet.
+    *
+    * 100 TB shape: the fit touches (n·m) subvector rows per round with
+    * k_c·m centroid rows broadcast; encode is one corpus scan; the
+    * query-time LUT is m·k_c rows (here 64) built from one broadcast
+    * row and the scoring join is broadcast too — the corpus-side cost
+    * per query is one scan over codes of m small ints per vector (the
+    * entire point of PQ: ~n·m bytes of index, no floats at query
+    * time). ADC scores are sums of m 6-dp decimals — exact under any
+    * aggregation order, so the ranking is cross-engine deterministic.
+    */
+  def annPq(emb: DataFrame, queryId: Long, k: Int = 10, m: Int = 8,
+            kc: Int = 8, iters: Int = 2): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val sw = Dims / m
+    val subs = (0 until m).map(j =>
+      struct(lit(j.toLong).as("sub"), slice(col("embedding"), j * sw + 1, sw).as("sv")))
+    val base = emb
+      .select(col("vec_id"), explode(array(subs: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .withColumn("norm2", norm2Col(col("sv")))
+      .localCheckpoint(true)
+    var cents = base.filter(col("vec_id") < kc)
+      .select(col("sub"), col("vec_id").as("cid"),
+        transform(col("sv"), x => x.cast("double")).as("ce"))
+      .select(col("sub"), col("cid"), col("ce"),
+        dotCol(col("ce"), col("ce")).as("cnorm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(asc("dist2"), asc("cid"))
+    def assign(c: DataFrame): DataFrame = base
+      .join(broadcast(c), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (col("norm2") - lit(2) * dotCol(col("sv"), col("ce")) +
+          col("cnorm2")).as("dist2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    for (_ <- 1 until iters) {
+      val a = assign(cents)
+      cents = base.join(a, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("sub", "cid", "d")
+        .agg(round((sum(col("x").cast("double").cast(Dec)).cast("double") /
+          count(lit(1))).cast(Dec), 6).cast(Out6).as("c"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c").cast("double")).as("ce"))
+        .select(col("sub"), col("cid"), col("ce"),
+          dotCol(col("ce"), col("ce")).as("cnorm2"))
+    }
+    val codes = assign(cents)
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("sub"), col("sv").as("qv"))
+    val lut = cents.join(broadcast(q), "sub")
+      .select(col("sub"), col("cid"),
+        round(dotCol(col("qv"), col("ce")).cast(Dec), 6).cast(Out6).as("lutq"))
+    codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("lutq")).cast(Out6).as("adc"))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle for [[annPq]]: the grouped-by-subspace Lloyd rounds unrolled
+    * as CTEs (cent/cn/dot/best per iteration, keys (sub, cid)), then
+    * the query LUT against the final centroids and the ADC sum over the
+    * final codes — the s10 oracle contract extended with the subspace
+    * dimension. */
+  def annPqSql(queryId: Long, k: Int = 10, m: Int = 8, kc: Int = 8,
+               iters: Int = 2): String = {
+    val sw = Dims / m
+    val sb = new StringBuilder
+    sb ++= s"""WITH ex AS (
+              |  SELECT vec_id, CAST(u.d // $sw AS BIGINT) AS sub, u.d % $sw AS dloc,
+              |    CAST(embedding[u.d + 1] AS DOUBLE) AS x
+              |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+              |), vn AS (
+              |  SELECT vec_id, sub, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+              |  FROM ex GROUP BY vec_id, sub
+              |), cent0 AS (
+              |  SELECT sub, vec_id AS cid, dloc, x AS c FROM ex WHERE vec_id < $kc
+              |)""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s""",
+                |cn$i AS (
+                |  SELECT sub, cid, CAST(SUM(CAST(c * c AS DECIMAL(32,16))) AS DOUBLE) AS cnorm2
+                |  FROM cent$i GROUP BY sub, cid
+                |), dot$i AS (
+                |  SELECT ex.vec_id, c.sub, c.cid,
+                |    CAST(SUM(CAST(ex.x * c.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+                |  FROM ex JOIN cent$i c ON ex.sub = c.sub AND ex.dloc = c.dloc
+                |  GROUP BY ex.vec_id, c.sub, c.cid
+                |), best$i AS (
+                |  SELECT vec_id, sub, cid FROM (
+                |    SELECT dt.vec_id, dt.sub, dt.cid,
+                |      row_number() OVER (PARTITION BY dt.vec_id, dt.sub
+                |        ORDER BY vn.norm2 - 2 * dt.dot + cn.cnorm2 ASC, dt.cid ASC) AS rk
+                |    FROM dot$i dt
+                |    JOIN vn ON vn.vec_id = dt.vec_id AND vn.sub = dt.sub
+                |    JOIN cn$i cn ON cn.sub = dt.sub AND cn.cid = dt.cid) t
+                |  WHERE rk = 1
+                |)""".stripMargin
+      if (i < iters - 1)
+        sb ++= s""",
+                  |cent${i + 1} AS (
+                  |  SELECT b.sub, b.cid, ex.dloc,
+                  |    CAST(CAST(round(CAST(CAST(SUM(CAST(ex.x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
+                  |      AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+                  |  FROM ex JOIN best$i b ON ex.vec_id = b.vec_id AND ex.sub = b.sub
+                  |  GROUP BY b.sub, b.cid, ex.dloc
+                  |)""".stripMargin
+    }
+    val last = iters - 1
+    sb ++= s""",
+              |q AS (SELECT sub, dloc, x AS qx FROM ex WHERE vec_id = $queryId),
+              |lut AS (
+              |  SELECT c.sub, c.cid,
+              |    CAST(round(CAST(CAST(SUM(CAST(q.qx * c.c AS DECIMAL(32,16))) AS DOUBLE)
+              |      AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS lutq
+              |  FROM cent$last c JOIN q ON q.sub = c.sub AND q.dloc = c.dloc
+              |  GROUP BY c.sub, c.cid
+              |)
+              |SELECT b.vec_id, CAST(SUM(l.lutq) AS DECIMAL(18,6)) AS adc
+              |FROM best$last b JOIN lut l ON l.sub = b.sub AND l.cid = b.cid
+              |WHERE b.vec_id != $queryId
+              |GROUP BY b.vec_id
+              |ORDER BY adc DESC, b.vec_id ASC LIMIT $k""".stripMargin
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
@@ -1087,6 +1232,8 @@ object Similarity {
     "s14_ann_recall" -> ((s: SparkSession, dir: String) =>
       annRecall(Tables.embeddings(s, dir), queryId = 0L,
         p = autoPForDir(s, dir))),
+    "s15_ann_pq" -> ((s: SparkSession, dir: String) =>
+      annPq(Tables.embeddings(s, dir), queryId = 0L)),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -1108,5 +1255,6 @@ object Similarity {
     "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s14_ann_recall" -> annRecallSql(0L, p = oracleP),
+    "s15_ann_pq" -> annPqSql(0L),
   )
 }

@@ -304,4 +304,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(row.getDecimal(2).doubleValue -
       (exact & approx).size.toDouble / 10) < 1e-9)
   }
+
+  test("annPq: k rows, never self, ADC within LUT quantization of true dot") {
+    val k = 10
+    val got = Similarity.annPq(emb, queryId = 0L, k = k).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue)
+    assert(got.length == k)
+    assert(!got.map(_._1).contains(0L))
+    // adc strictly ordered desc with vec_id tiebreak
+    val scores = got.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // ADC approximates the true dot product: each of the m=8 subspace
+    // dots is replaced by the dot against that subspace's centroid. On
+    // the real corpus the approximation must stay in the right range —
+    // every returned score within the observed spread of true dots.
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val trueDots = vecs.collect { case (id, v) if id != 0L => dot(q, v) }
+    val (lo, hi) = (trueDots.min - 1.0, trueDots.max + 1.0)
+    got.foreach { case (_, s) => assert(s > lo && s < hi, s"ADC $s out of range") }
+  }
+
+  test("annPq recall: compressed-domain top-10 overlaps exact dot top-10") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val exact = vecs.collect { case (id, v) if id != 0L => id -> dot(q, v) }
+      .toSeq.sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    val pq = Similarity.annPq(emb, queryId = 0L).collect().map(_.getLong(0)).toSet
+    assert((exact & pq).size >= 3, s"PQ recall too low: exact=$exact pq=$pq")
+  }
 }
