@@ -79,6 +79,7 @@ object SparkEntry {
     "g10_clustering_coeff" -> Seq("coeff"),
     "g13_item_jaccard" -> Seq("jaccard"),
     "g15_assortativity" -> Seq("r"),
+    "g16_reciprocity" -> Seq("reciprocity"),
     "m3_label_metrics" -> Seq("precision", "recall", "fpr", "f1"),
     "m4_weighted_metrics" -> Seq("accuracy", "weighted_precision",
       "weighted_recall", "weighted_f1", "weighted_fpr"),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q57_volume_drift" -> Seq("cum_dev", "drawdown"),
     "q59_markov_transitions" -> Seq("p"),
     "q64_hll_distinct" -> Seq("hll_est", "rel_err"),
+    "q66_kmv_setops" -> Seq("jaccard", "jaccard_est", "union_est"),
     "s1_knn_brute" -> Seq("cos"),
     "s2_ann_lsh" -> Seq("cos"),
     "s3_near_dup_pairs" -> Seq("cos"),

@@ -998,6 +998,45 @@ object Graph {
        |  CAST(CASE WHEN den > 0 THEN round(num / sqrt(den), 6) ELSE 0.0 END AS DECIMAL(18,6)) AS r
        |FROM d""".stripMargin
 
+  // --------------------------------------------------------- reciprocity
+
+  /** g16: edge reciprocity — the fraction of directed edges (u,v) whose
+    * reverse (v,u) also exists. With g15's assortativity it completes
+    * the one-row structural fingerprint pair (mutual-link density vs
+    * hub-to-hub mixing) that guides skew strategy for the heavier
+    * graph jobs.
+    *
+    * Shape: one semi-join of the edge list against its own reversal —
+    * a single shuffle on (src, dst), map-side combinable counts, two
+    * 1-row aggregates attached via the broadcast crossJoin idiom. At
+    * any corpus scale the output is one row and the only wide exchange
+    * is the self-semi-join on the composite key. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = edges.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip))
+      .select(col("n_edges"), col("n_recip"),
+        when(col("n_edges") > 0,
+          round(col("n_recip").cast("double") / col("n_edges"), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)).as("reciprocity"))
+  }
+
+  def reciprocitySql(m: Int = 2000): String =
+    s"""WITH edges_g AS (${edgesSql(m)}),
+       |r AS (
+       |  SELECT count(*) AS n_recip FROM edges_g e
+       |  WHERE EXISTS (SELECT 1 FROM edges_g x
+       |                WHERE x.src = e.dst AND x.dst = e.src)
+       |), t AS (SELECT count(*) AS n_edges FROM edges_g)
+       |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       |  CAST(n_recip AS BIGINT) AS n_recip,
+       |  CAST(CASE WHEN n_edges > 0
+       |    THEN round(CAST(n_recip AS DOUBLE) / n_edges, 6)
+       |    ELSE 0.0 END AS DECIMAL(18,6)) AS reciprocity
+       |FROM t, r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_degrees" -> ((s: SparkSession, dir: String) =>
       degrees(cachedEdges(s, dir)).orderBy("id")),
@@ -1031,6 +1070,8 @@ object Graph {
       hits(cachedEdges(s, dir))),
     "g15_assortativity" -> ((s: SparkSession, dir: String) =>
       assortativity(cachedEdges(s, dir))),
+    "g16_reciprocity" -> ((s: SparkSession, dir: String) =>
+      reciprocity(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1059,5 +1100,6 @@ object Graph {
     "g13_item_jaccard" -> itemJaccardSql(),
     "g14_hits" -> hitsSql(),
     "g15_assortativity" -> assortativitySql(),
+    "g16_reciprocity" -> reciprocitySql(),
   )
 }

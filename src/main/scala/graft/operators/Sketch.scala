@@ -315,6 +315,141 @@ object Sketch {
        |GROUP BY p.word ORDER BY n_exact DESC, word ASC""".stripMargin
   }
 
+  /** q66: KMV set operations — per-source vocabulary sketches merged
+    * pairwise into union-size and Jaccard estimates, NEXT TO the exact
+    * Jaccard (the q37/d10 calibration pattern). This is the sketch
+    * family's missing piece: KMV sketches are MERGEABLE, so pairwise
+    * overlap across S sources costs S sketches of k longs plus
+    * sketch-side merges — never a cross-source vocabulary join. At
+    * 100 TB the corpus-side cost is one distinct (source, hash) scan
+    * (O(per-source vocab), sublinear in corpus by Heaps' law — the
+    * x-family cost class); everything pairwise happens on S·k rows.
+    *
+    * Estimators (both engines recompute from the same md5 hashes):
+    * union size = (k−1)·2³²/h_k over the merged k-minimum; Jaccard =
+    * fraction of the merged k-minimum present in both sketches (the
+    * standard KMV coincidence estimator). */
+  def kmvSetOps(docs: DataFrame, k: Int = K): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Md5Hash32.register(spark)
+    // distinct (source, token-hash): the one corpus-scale aggregate
+    val h = docs
+      .select(col("source"),
+        explode(graft.text.Tokenize.rawTokens(col("text"))).as("tok"))
+      .select(col("source"), hash32(col("tok")).as("hv"))
+      .distinct()
+      .localCheckpoint(true)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(asc("hv"))
+    val sk = h.withColumn("rk", row_number().over(ws)).filter(col("rk") <= k)
+      .select(col("source"), col("hv"))
+      .localCheckpoint(true) // S·k rows — sketch-side from here on
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    // merged sketch per pair with per-side membership flags
+    val mem = pairs.join(broadcast(sk),
+        sk("source") === col("sa") || sk("source") === col("sb"))
+      .groupBy("sa", "sb", "hv")
+      .agg(max(when(col("source") === col("sa"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("sb"), 1L).otherwise(0L)).as("in_b"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy(asc("hv"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("sa", "sb")
+    val ranked = mem.withColumn("rk", row_number().over(wp))
+      .withColumn("n_h", count(lit(1)).over(wn))
+      .filter(col("rk") <= k)
+    val est = ranked.groupBy("sa", "sb")
+      .agg(sum(col("in_a") * col("in_b")).as("n_both"),
+        count(lit(1)).as("n_kmin"),
+        max(when(col("rk") === least(col("n_h"), lit(k.toLong)), col("hv"))).as("hk"),
+        max(col("n_h")).as("n_h"))
+      .select(col("sa"), col("sb"), col("n_both"),
+        round(when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("hk")), 6)
+          .cast(Out6).as("union_est"),
+        round(col("n_both").cast("double") / col("n_kmin"), 6)
+          .cast(Out6).as("jaccard_est"))
+    // exact hashed-vocab Jaccard — the cost the sketch replaces, kept
+    // as the calibration column
+    val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = h.select(col("source").as("sa"), col("hv"))
+      .join(h.select(col("source").as("sb"), col("hv")), Seq("hv"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(est, Seq("sa", "sb"))
+      .select(col("sa"), col("sb"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 6).cast(Out6).as("jaccard"),
+        col("jaccard_est"), col("union_est"))
+      .orderBy("sa", "sb")
+  }
+
+  /** Oracle for [[kmvSetOps]]: same sketches from the same md5 hashes
+    * via window order statistics, same estimators, same exact
+    * calibration join. */
+  def kmvSetOpsSql(k: Int = K): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT source, ${hash32SqlExpr("u.tok")} AS hv
+       |  FROM documents, UNNEST(${graft.text.Tokenize.rawTokensSql("text")}) AS u(tok)
+       |), sk AS (
+       |  SELECT source, hv FROM (
+       |    SELECT source, hv,
+       |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+       |    FROM h) t WHERE rk <= $k
+       |), srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |), mem AS (
+       |  SELECT p.sa, p.sb, s.hv,
+       |    MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY p.sa, p.sb, s.hv
+       |), ranked AS (
+       |  SELECT sa, sb, hv, in_a, in_b,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rk,
+       |    count(*) OVER (PARTITION BY sa, sb) AS n_h
+       |  FROM mem
+       |), est AS (
+       |  SELECT sa, sb,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+       |    count(*) AS n_kmin,
+       |    MAX(CASE WHEN rk = least(n_h, $k) THEN hv END) AS hk,
+       |    MAX(n_h) AS n_h
+       |  FROM ranked WHERE rk <= $k GROUP BY sa, sb
+       |), esti AS (
+       |  SELECT sa, sb, n_both,
+       |    round(CASE WHEN n_h < $k THEN CAST(n_h AS DOUBLE)
+       |          ELSE ${k - 1} * 4294967296.0 / hk END, 6) AS union_est,
+       |    round(CAST(n_both AS DOUBLE) / n_kmin, 6) AS jaccard_est
+       |  FROM est
+       |), sizes AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+       |  FROM h a JOIN h b ON a.hv = b.hv AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT p.sa, p.sb,
+       |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |  CAST(round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |    (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS DECIMAL(18,6)) AS jaccard,
+       |  CAST(e.jaccard_est AS DECIMAL(18,6)) AS jaccard_est,
+       |  CAST(e.union_est AS DECIMAL(18,6)) AS union_est
+       |FROM pairs p
+       |JOIN sizes za ON za.source = p.sa
+       |JOIN sizes zb ON zb.source = p.sb
+       |LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+       |JOIN esti e ON e.sa = p.sa AND e.sb = p.sb
+       |ORDER BY p.sa, p.sb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_kmv_distinct" -> ((s: SparkSession, dir: String) =>
       kmvDistinct(Tables.events(s, dir))),
@@ -324,6 +459,8 @@ object Sketch {
       hllDistinct(Tables.lineitem(s, dir))),
     "q65_cms_freq" -> ((s: SparkSession, dir: String) =>
       cmsFreq(Tables.documents(s, dir))),
+    "q66_kmv_setops" -> ((s: SparkSession, dir: String) =>
+      kmvSetOps(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -331,5 +468,6 @@ object Sketch {
     "q38_heavy_hitters" -> heavyHittersSql(),
     "q64_hll_distinct" -> hllDistinctSql(),
     "q65_cms_freq" -> cmsFreqSql(),
+    "q66_kmv_setops" -> kmvSetOpsSql(),
   )
 }

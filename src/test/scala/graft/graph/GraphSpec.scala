@@ -223,4 +223,20 @@ class GraphSpec extends SparkSpec {
     val row = Graph.assortativity(edges(1L -> 2L, 1L -> 3L, 1L -> 4L)).collect().head
     assert(row.getDecimal(1).doubleValue == 0.0)
   }
+
+  test("reciprocity: counts mutual edges exactly") {
+    // 1↔2 mutual (2 reciprocal edges), 1→3 and 3→2 one-way: 2/4
+    val row = Graph.reciprocity(
+      edges(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 2L)).collect().head
+    assert(row.getLong(0) == 4L)
+    assert(row.getLong(1) == 2L)
+    assert(math.abs(row.getDecimal(2).doubleValue - 0.5) < 1e-9)
+  }
+
+  test("reciprocity: fully one-way graph scores zero, fully mutual scores one") {
+    val oneWay = Graph.reciprocity(edges(1L -> 2L, 2L -> 3L)).collect().head
+    assert(oneWay.getLong(1) == 0L && oneWay.getDecimal(2).doubleValue == 0.0)
+    val mutual = Graph.reciprocity(edges(1L -> 2L, 2L -> 1L)).collect().head
+    assert(mutual.getLong(1) == 2L && mutual.getDecimal(2).doubleValue == 1.0)
+  }
 }

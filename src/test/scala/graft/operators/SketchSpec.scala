@@ -133,4 +133,32 @@ class SketchSpec extends SparkSpec {
     hs.foreach(h => assert(h >= 0L && h < 4294967296L))
     assert(hs.distinct.length == hs.length)
   }
+
+  test("kmvSetOps: estimates track exact jaccard on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val rows = Sketch.kmvSetOps(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(sa < sb, s"pair not canonical: $sa/$sb")
+      val exact = r.getDecimal(3).doubleValue
+      val est = r.getDecimal(4).doubleValue
+      // KMV coincidence estimator: both in [0,1], small-corpus sketches
+      // (vocab may be under k) must be near-exact; always within the
+      // k=64 estimator's coarse band otherwise
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(est - exact) < 0.35, s"$sa/$sb: est $est vs exact $exact")
+      assert(r.getDecimal(5).doubleValue > 0.0) // union estimate positive
+    }
+  }
+
+  test("kmvSetOps: identical vocabularies give jaccard_est 1") {
+    val docs = Seq(
+      ("a", 1L, "the quick brown fox jumps"),
+      ("b", 2L, "the quick brown fox jumps")).toDF("source", "doc_id", "text")
+    val r = Sketch.kmvSetOps(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getDecimal(3).doubleValue == 1.0) // exact
+    assert(r.head.getDecimal(4).doubleValue == 1.0) // estimator
+  }
 }
