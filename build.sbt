@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract needs the final JSON line to reach the
+// caller raw and LAST: StdoutOutput stops sbt prefixing forked-process
+// stdout with "[info] ", and showSuccess=false drops the trailing
+// "[success] Total time: ..." epilogue that otherwise becomes the last
+// line of output (both broke the caller's tail-parse in r1-r6).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,13 +31,22 @@ object Tables {
     * only read with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
     * Verify/Bench/test sessions) — the column then arrives as LongType
     * nanos and is converted here (lossless: the generator emits
-    * micro-precision values). Other SF dirs store micros directly. */
+    * micro-precision values). Other SF dirs store micros directly —
+    * either adjusted-to-UTC (TimestampType) or naive
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ), which is normalized to
+    * TimestampType here. The session time zone is pinned to UTC, so the
+    * NTZ→LTZ cast is value-preserving and agrees with DuckDB's naive
+    * read of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
