@@ -76,10 +76,12 @@ object SparkEntry {
     "d16_lsh_tuning" -> Seq("s", "p_candidate"),
     "d17_prefix_join" -> Seq("jaccard"),
     "d18_dup_rate_by_source" -> Seq("exact_rate", "near_rate"),
+    "d19_containment" -> Seq("containment"),
     "g10_clustering_coeff" -> Seq("coeff"),
     "g13_item_jaccard" -> Seq("jaccard"),
     "g15_assortativity" -> Seq("r"),
     "g16_reciprocity" -> Seq("reciprocity"),
+    "g17_adamic_adar" -> Seq("aa"),
     "m3_label_metrics" -> Seq("precision", "recall", "fpr", "f1"),
     "m4_weighted_metrics" -> Seq("accuracy", "weighted_precision",
       "weighted_recall", "weighted_f1", "weighted_fpr"),
@@ -102,6 +104,7 @@ object SparkEntry {
     "q59_markov_transitions" -> Seq("p"),
     "q64_hll_distinct" -> Seq("hll_est", "rel_err"),
     "q66_kmv_setops" -> Seq("jaccard", "jaccard_est", "union_est"),
+    "q67_ntile" -> Seq("pct_rank", "cume"),
     "s1_knn_brute" -> Seq("cos"),
     "s2_ann_lsh" -> Seq("cos"),
     "s3_near_dup_pairs" -> Seq("cos"),
@@ -112,6 +115,7 @@ object SparkEntry {
     "s13_hard_negatives" -> Seq("cos"),
     "s14_ann_recall" -> Seq("recall"),
     "s15_ann_pq" -> Seq("adc"),
+    "s16_mips" -> Seq("ip"),
     "t4_bm25" -> Seq("score"),
     "t6_more_like_this" -> Seq("score"),
     "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),

@@ -295,7 +295,19 @@ object Dedup {
     * ~#shingles²/2⁶⁵ ≈ 0), much narrower shuffle. Spark-side only — the
     * oracle's output is unchanged. */
   def ngramJaccardTopFromBase(base: DataFrame, topK: Int = 20,
-                              maxShingleDf: Int = 100): DataFrame = {
+                              maxShingleDf: Int = 100): DataFrame =
+    sharedShingleCounts(base, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
+          .cast(Out6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+      .limit(topK)
+
+  /** Shared-shingle pair counts over the df-capped inverted index —
+    * (doc_a, doc_b, shared, na, nb) with doc_a < doc_b — the common
+    * input of the d4 Jaccard and d19 containment scorers. */
+  private[dedup] def sharedShingleCounts(base: DataFrame,
+                                         maxShingleDf: Int): DataFrame = {
     val inv0 = base.select(col("doc_id"), explode(col("shh")).as("s"))
     // the hot (df > cap) set is tiny by construction → broadcast anti-join
     val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -313,11 +325,71 @@ object Dedup {
     shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
-          .cast(Out6).as("jaccard"))
-      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+  }
+
+  /** d19: directional containment top-k — containment(src→dst) =
+    * |shingles(src) ∩ shingles(dst)| / |shingles(src)| over the same
+    * df-capped shingle universe as d4. Jaccard misses subset
+    * duplication: a short document quoted whole inside a long one has
+    * low Jaccard (the union is large) but containment ≈ 1 from the
+    * short side — the signal a dedup pipeline needs to drop embedded
+    * copies and boilerplate inclusions. Each unordered pair from the
+    * inverted-index join emits both directions (explode of a 2-struct
+    * array — no second pair pass), then one TakeOrdered.
+    * Scale: identical to d4 — the df cap bounds the one quadratic term,
+    * everything else is linear. */
+  /** [[containmentTopFromBase]] over raw docs (test/API convenience —
+    * the registry serves the memoized [[shingleBase]]). */
+  def containmentTop(docs: DataFrame, topK: Int = 20,
+                     maxShingleDf: Int = 100): DataFrame =
+    containmentTopFromBase(
+      docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("shh"))
+        .localCheckpoint(true),
+      topK, maxShingleDf)
+
+  def containmentTopFromBase(base: DataFrame, topK: Int = 20,
+                             maxShingleDf: Int = 100): DataFrame =
+    sharedShingleCounts(base, maxShingleDf)
+      .select(explode(array(
+        struct(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+          round(col("shared").cast("double") / col("na"), 6)
+            .cast(Out6).as("containment")),
+        struct(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+          round(col("shared").cast("double") / col("nb"), 6)
+            .cast(Out6).as("containment")))).as("e"))
+      .select(col("e.src_doc").as("src_doc"), col("e.dst_doc").as("dst_doc"),
+        col("e.containment").as("containment"))
+      .orderBy(desc("containment"), asc("src_doc"), asc("dst_doc"))
       .limit(topK)
+
+  def containmentTopSql(topK: Int = 20, maxShingleDf: Int = 100): String = {
+    val sh = shinglesSql("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, $sh AS sh FROM documents
+       |), inv0 AS (
+       |  SELECT doc_id, u.s FROM base, UNNEST(sh) AS u(s)
+       |), hot AS (
+       |  SELECT s FROM inv0 GROUP BY s HAVING count(*) > $maxShingleDf
+       |), inv AS (
+       |  SELECT doc_id, s FROM inv0 WHERE s NOT IN (SELECT s FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT doc_a AS src_doc, doc_b AS dst_doc,
+       |         CAST(round(CAST(shared AS DOUBLE) / sa.n, 6) AS DECIMAL(18,6)) AS containment
+       |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+       |  UNION ALL
+       |  SELECT doc_b, doc_a,
+       |         CAST(round(CAST(shared AS DOUBLE) / sb.n, 6) AS DECIMAL(18,6))
+       |  FROM shared JOIN sizes sb ON doc_b = sb.doc_id
+       |)
+       |SELECT src_doc, dst_doc, containment FROM scored
+       |ORDER BY containment DESC, src_doc ASC, dst_doc ASC LIMIT $topK""".stripMargin
   }
 
   def ngramJaccardTopSql(topK: Int = 20, maxShingleDf: Int = 100): String = {
@@ -1111,6 +1183,8 @@ object Dedup {
       prefixFilterPairs(shingleBase(s, dir))),
     "d18_dup_rate_by_source" -> ((s: SparkSession, dir: String) =>
       dupRateBySource(Tables.documents(s, dir), cachedLshPairs(s, dir))),
+    "d19_containment" -> ((s: SparkSession, dir: String) =>
+      containmentTopFromBase(shingleBase(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1140,5 +1214,6 @@ object Dedup {
     "d16_lsh_tuning" -> lshTuningSql,
     "d17_prefix_join" -> prefixFilterPairsSql,
     "d18_dup_rate_by_source" -> dupRateBySourceSql(),
+    "d19_containment" -> containmentTopSql(),
   )
 }

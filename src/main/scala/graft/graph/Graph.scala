@@ -486,6 +486,62 @@ object Graph {
        |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri
        |FROM v LEFT JOIN cnt USING (id) ORDER BY id""".stripMargin
 
+  /** g17: Adamic-Adar link prediction — for every non-adjacent vertex
+    * pair (a, b) with at least one common neighbor in the undirected
+    * graph, score = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)), the classic
+    * common-neighbor index that downweights hub-mediated paths; top-k
+    * candidate edges by score. (A common neighbor necessarily has
+    * degree ≥ 2, so ln(deg) is never 0 — no ANSI division guard
+    * needed.)
+    *
+    * Scale shape: the wedge self-join is the one quadratic term
+    * (Σ_w deg(w)²), so wedge centers are capped at deg ≤ `maxHubDeg`
+    * BEFORE the join — the d4 df-cap discipline. A hub's AA
+    * contribution is ≤ 1/ln(cap) per pair (negligible signal, maximal
+    * cost), so the cap drops exactly the rows a power-law graph can't
+    * afford. Each wedge term is 6-dp-quantized before the decimal
+    * shuffle sum (order-independent); the existing-edge exclusion is a
+    * broadcast-able anti-join on the canonical pair. */
+  def adamicAdar(edges: DataFrame, topK: Int = 20,
+                 maxHubDeg: Int = 64): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused: degrees, both wedge sides, anti-join
+    val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxHubDeg)
+    val wedges = sym.select(col("src").as("w"), col("dst").as("a"))
+      .join(sym.select(col("src").as("w"), col("dst").as("b")), "w")
+      .filter(col("a") < col("b"))
+    val canon = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    wedges.join(deg, "w")
+      .select(col("a"), col("b"),
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .groupBy("a", "b")
+      .agg(sum(col("term")).cast(DecimalType(18, 6)).as("aa"))
+      .join(canon, Seq("a", "b"), "left_anti")
+      .orderBy(desc("aa"), asc("a"), asc("b"))
+      .limit(topK)
+  }
+
+  def adamicAdarSql(topK: Int = 20, maxHubDeg: Int = 64, m: Int = 2000): String =
+    s"""WITH edges_g AS (${edgesSql(m)}),
+       |sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
+       |deg AS (SELECT src AS w, count(*) AS deg FROM sym GROUP BY src HAVING count(*) <= $maxHubDeg),
+       |wedges AS (
+       |  SELECT x.src AS w, x.dst AS a, y.dst AS b
+       |  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst),
+       |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sym),
+       |scored AS (
+       |  SELECT a, b,
+       |    CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / ln(d.deg), 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS aa
+       |  FROM wedges JOIN deg d USING (w) GROUP BY a, b)
+       |SELECT s.a, s.b, s.aa FROM scored s
+       |WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = s.a AND c.b = s.b)
+       |ORDER BY aa DESC, a ASC, b ASC LIMIT $topK""".stripMargin
+
   // ------------------------------------------------------- shortest paths
 
   /** Converged round count per record key for [[shortestPaths]] — the
@@ -1072,6 +1128,8 @@ object Graph {
       assortativity(cachedEdges(s, dir))),
     "g16_reciprocity" -> ((s: SparkSession, dir: String) =>
       reciprocity(cachedEdges(s, dir))),
+    "g17_adamic_adar" -> ((s: SparkSession, dir: String) =>
+      adamicAdar(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1101,5 +1159,6 @@ object Graph {
     "g14_hits" -> hitsSql(),
     "g15_assortativity" -> assortativitySql(),
     "g16_reciprocity" -> reciprocitySql(),
+    "g17_adamic_adar" -> adamicAdarSql(),
   )
 }

@@ -1527,6 +1527,70 @@ object Relational {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** q67: distribution-rank windows — ntile decile, percent_rank and
+    * cume_dist of each order's total WITHIN its priority class, the
+    * relative-standing triple behind per-segment pricing tiers and
+    * SLA percentile reports (completes the ranking-window family next
+    * to q10's rank/lag and q32's row_number top-k).
+    *
+    * Determinism: the window orders by (o_totalprice, o_orderkey) — a
+    * total order — so ntile's row numbering and the rank ratios are
+    * identical cross-engine; both ratios are 6-dp-quantized. Scale: one
+    * shuffle on o_orderpriority, per-partition sorts only (no global
+    * sort in the computation; percentiles of a skewed partition would
+    * salt first at q26's discipline). */
+  def q67Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).cast(DecimalType(18, 6)).as("pct_rank"),
+        round(cume_dist().over(w), 6).cast(DecimalType(18, 6)).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  def q67NtileSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(10) OVER w AS decile,
+      |  CAST(round(percent_rank() OVER w, 6) AS DECIMAL(18,6)) AS pct_rank,
+      |  CAST(round(cume_dist() OVER w, 6) AS DECIMAL(18,6)) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q68: forward-fill imputation — carry each user's last observed
+    * purchase value forward across their subsequent events
+    * (last_value IGNORE NULLS over a running frame), the gap-fill
+    * shape for sparse sensor/price observations joined to a dense
+    * event stream; −1 marks rows before any observation. The filled
+    * values are raw parquet doubles copied, not recomputed, so they
+    * hash identically cross-engine. Scale: one shuffle on user_id,
+    * per-user ordered frames — state is one value per partition row,
+    * no global sort in the computation. */
+  def q68ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        coalesce(last("pv", ignoreNulls = true).over(w), lit(-1.0)).as("filled"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  def q68ForwardFillSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS pv
+      |  FROM events)
+      |SELECT user_id, event_id, us,
+      |  COALESCE(last_value(pv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    CAST(-1 AS DOUBLE)) AS filled
+      |FROM e ORDER BY user_id, us, event_id""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1581,6 +1645,8 @@ object Relational {
     "q56_ab_lift" -> q56AbLift _,
     "q57_volume_drift" -> q57VolumeDrift _,
     "q58_fuzzy_join" -> q58FuzzyJoin _,
+    "q67_ntile" -> q67Ntile _,
+    "q68_forward_fill" -> q68ForwardFill _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1636,5 +1702,7 @@ object Relational {
     "q56_ab_lift" -> q56AbLiftSql,
     "q57_volume_drift" -> q57VolumeDriftSql,
     "q58_fuzzy_join" -> q58FuzzyJoinSql,
+    "q67_ntile" -> q67NtileSql,
+    "q68_forward_fill" -> q68ForwardFillSql,
   )
 }

@@ -93,6 +93,41 @@ object Similarity {
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  /** s16: maximum-inner-product top-k (MIPS) — the retrieval scoring
+    * rule when embeddings are trained with dot-product relevance
+    * (recommender two-tower models, unnormalized retrieval heads), where
+    * vector MAGNITUDE is part of the signal and cosine's normalization
+    * would erase it. Same zero-wide-shuffle plan as [[knnBrute]]:
+    * broadcast the single query row, one codegen'd [[VectorDotExact]]
+    * per corpus row, TakeOrdered. At cluster scale the standard ANN
+    * reduction applies unchanged: augment each vector with
+    * sqrt(M²−|v|²) (M = max norm) and MIPS becomes cosine ANN over the
+    * augmented space, so [[annLsh]]/[[annIvf]] serve as the candidate
+    * generators with this exact scorer as the re-rank. */
+  def mipsBrute(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotCol(col("embedding"), col("qe")), 6).cast(Out6).as("ip"))
+      .orderBy(desc("ip"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def mipsBruteSql(queryId: Long, k: Int = 10): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), q AS (SELECT d, x AS qx FROM ex WHERE vec_id = $queryId),
+       |dots AS (
+       |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN q USING (d) WHERE ex.vec_id != $queryId GROUP BY ex.vec_id
+       |)
+       |SELECT vec_id, CAST(round(dot, 6) AS DECIMAL(18,6)) AS ip
+       |FROM dots ORDER BY ip DESC, vec_id ASC LIMIT $k""".stripMargin
+
   // ----------------------------------------------------------------- LSH
 
   /** Driver-side LCG hyperplane weights for (table, plane): exact dyadic
@@ -1234,6 +1269,8 @@ object Similarity {
         p = autoPForDir(s, dir))),
     "s15_ann_pq" -> ((s: SparkSession, dir: String) =>
       annPq(Tables.embeddings(s, dir), queryId = 0L)),
+    "s16_mips" -> ((s: SparkSession, dir: String) =>
+      mipsBrute(Tables.embeddings(s, dir), queryId = 0L)),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -1256,5 +1293,6 @@ object Similarity {
     "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s14_ann_recall" -> annRecallSql(0L, p = oracleP),
     "s15_ann_pq" -> annPqSql(0L),
+    "s16_mips" -> mipsBruteSql(0L),
   )
 }

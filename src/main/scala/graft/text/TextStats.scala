@@ -171,6 +171,26 @@ object TextStats {
     s"""SELECT doc_id, ${langIdSqlExpr(Tokenize.rawTokensSql("text"))} AS pred_lang
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** x24: language-label QA — the confusion matrix of the corpus's
+    * DECLARED `lang` column against the detector's prediction. In a
+    * curation pipeline this is the audit surface for upstream metadata:
+    * off-diagonal mass flags mislabeled sources (or detector blind
+    * spots) before the labels drive mixture weights or per-language
+    * filters. One extra |docs|-row join + a tiny (langs × langs)
+    * aggregate on top of [[xLangId]]'s corpus-scale detector plan —
+    * tokenize once, broadcast dictionary join, no per-language scans. */
+  def xLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    xLangId(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  def xLangConfusionSql: String =
+    s"""SELECT lang, ${langIdSqlExpr(Tokenize.rawTokensSql("text"))} AS pred_lang,
+       |  count(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
   def xQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id") +: qualityCols(col("text")): _*)
@@ -1220,6 +1240,7 @@ object TextStats {
       zipfSlope(Tables.documents(s, dir))),
     "x23_heaps_law" -> ((s: SparkSession, dir: String) =>
       heapsLaw(Tables.documents(s, dir))),
+    "x24_lang_confusion" -> xLangConfusion _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1245,5 +1266,6 @@ object TextStats {
     "x21_cdc_chunks" -> cdcChunksSql(),
     "x22_zipf_slope" -> zipfSlopeSql(),
     "x23_heaps_law" -> heapsLawSql(),
+    "x24_lang_confusion" -> xLangConfusionSql,
   )
 }

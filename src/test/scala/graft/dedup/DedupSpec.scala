@@ -45,6 +45,20 @@ class DedupSpec extends SparkSpec {
     assert(top.head == (1L, 3L, 1.0))
   }
 
+  test("containmentTop: embedded quote scores 1.0 from the short side only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta eta theta trailing words here"),
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentTop(docs, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
+    // all 6 trigrams of doc 1 appear contiguously inside doc 2
+    assert(rows.head == (1L, 2L, 1.0))
+    // the long side is NOT contained: 6 of its 11 trigrams are shared
+    val back = rows.find(r => r._1 == 2L && r._2 == 1L).get
+    assert(math.abs(back._3 - 6.0 / 11) < 1e-6)
+  }
+
   test("simhash: identical texts get identical hashes, near-dups close") {
     val sh = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

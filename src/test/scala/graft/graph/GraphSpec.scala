@@ -239,4 +239,28 @@ class GraphSpec extends SparkSpec {
     val mutual = Graph.reciprocity(edges(1L -> 2L, 2L -> 1L)).collect().head
     assert(mutual.getLong(1) == 2L && mutual.getDecimal(2).doubleValue == 1.0)
   }
+
+  test("adamicAdar: path endpoints score 1/ln(2) via the middle vertex") {
+    val r = Graph.adamicAdar(edges(1L -> 2L, 2L -> 3L)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDecimal(2).doubleValue))
+    // only non-adjacent pair is (1,3); common neighbor 2 has degree 2
+    assert(r.toSeq == Seq((1L, 3L, 1.442695))) // round(1/ln 2, 6)
+  }
+
+  test("adamicAdar: square doubles the score, adjacent pairs excluded") {
+    val sq = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val r = Graph.adamicAdar(sq).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDecimal(2).doubleValue))
+    // diagonals (1,3) and (2,4) each reached via TWO degree-2 neighbors
+    assert(r.toSeq.sortBy(p => (p._1, p._2)) ==
+      Seq((1L, 3L, 2.88539), (2L, 4L, 2.88539)))
+  }
+
+  test("adamicAdar: hub cap drops wedges centered on high-degree vertices") {
+    val star = edges((1L to 5L).map(i => 0L -> i): _*)
+    // center degree 5 > cap 4 → no wedge survives, no candidate pairs
+    assert(Graph.adamicAdar(star, maxHubDeg = 4).collect().isEmpty)
+    // with the cap lifted every leaf pair scores through the center
+    assert(Graph.adamicAdar(star, maxHubDeg = 64).collect().length == 10)
+  }
 }

@@ -463,4 +463,37 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(0)
     assert(d == 11.0)
   }
+
+  test("q67 ntile: deciles 1..10, rank ratios in [0,1], cume tops out at 1") {
+    val rows = Relational.q67Ntile(spark, dir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("decile"),
+        r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, d, pr, cd) =>
+      d >= 1 && d <= 10 && pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 })
+    rows.groupBy(_._1).foreach { case (prio, g) =>
+      assert(g.map(_._4).max == 1.0, s"$prio cume_dist never reaches 1")
+      // deciles within a priority are balanced to ±1 row
+      val sizes = g.groupBy(_._2).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"$prio deciles unbalanced: $sizes")
+    }
+  }
+
+  test("q68 forward fill matches a driver-side per-user replay") {
+    val got = Relational.q68ForwardFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val raw = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val expected = raw.groupBy(_._1).flatMap { case (_, evs) =>
+      var lastSeen = -1.0
+      evs.sortBy(e => (e._3, e._2)).map { e =>
+        if (e._4 == "purchase") lastSeen = e._5
+        (e._1, e._2, e._3, lastSeen)
+      }.toSeq
+    }.toSet
+    assert(got.length == raw.length && got.toSet == expected)
+  }
 }

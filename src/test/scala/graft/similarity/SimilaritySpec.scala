@@ -30,6 +30,20 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-6, s"cosine mismatch: $g vs $e") }
   }
 
+  test("mipsBrute matches a driver-side inner-product reference") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    val dots = vecs.collect { case (id, v) if id != 0L =>
+      id -> v.zip(q).map { case (x, y) => x * y }.sum }
+    val expected = dots.toSeq.sortBy { case (id, d) => (-d, id) }.take(5)
+    val got = Similarity.mipsBrute(emb, queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue))
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-4, s"inner product mismatch: $g vs $e") }
+  }
+
   test("annLsh recall: ANN top-5 overlaps brute-force top-5") {
     val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
     val ann = Similarity.annLsh(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet

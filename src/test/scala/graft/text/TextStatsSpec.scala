@@ -359,4 +359,19 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(0) == 5L)
     assert(math.abs(r.getDecimal(1).doubleValue - (-1.0)) < 1e-3)
   }
+
+  test("xLangConfusion: cells partition the corpus and agree with xLangId") {
+    val dir = sf("sf0.001")
+    val rows = TextStats.xLangConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum == nDocs) // every doc lands in exactly one cell
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+    // cells re-aggregate from the per-doc detector output
+    val perDoc = TextStats.xLangId(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.toSet == perDoc)
+  }
 }
