@@ -77,6 +77,7 @@ object SparkEntry {
     "d17_prefix_join" -> Seq("jaccard"),
     "d18_dup_rate_by_source" -> Seq("exact_rate", "near_rate"),
     "d19_containment" -> Seq("containment"),
+    "d20_threshold_curve" -> Seq("t"),
     "g10_clustering_coeff" -> Seq("coeff"),
     "g13_item_jaccard" -> Seq("jaccard"),
     "g15_assortativity" -> Seq("r"),
@@ -116,6 +117,7 @@ object SparkEntry {
     "s14_ann_recall" -> Seq("recall"),
     "s15_ann_pq" -> Seq("adc"),
     "s16_mips" -> Seq("ip"),
+    "s17_filtered_ann" -> Seq("cos"),
     "t4_bm25" -> Seq("score"),
     "t6_more_like_this" -> Seq("score"),
     "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),
@@ -126,6 +128,7 @@ object SparkEntry {
     "x20_source_kl" -> Seq("kl"),
     "x22_zipf_slope" -> Seq("slope", "intercept"),
     "x23_heaps_law" -> Seq("beta", "log_k"),
+    "x25_js_divergence" -> Seq("js"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

@@ -416,6 +416,41 @@ object Dedup {
        |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT $topK""".stripMargin
   }
 
+  /** d20: dedup threshold curve — pair count and would-drop document
+    * count at each candidate Jaccard threshold, the tuning surface for
+    * choosing the near-dup cutoff before a full-corpus dedup run (too
+    * low ablates content, too high leaves boilerplate; this query shows
+    * the knee). Dropped docs follow d7's keep-lower-id rule (distinct
+    * doc_b). Reads ONLY the session's LSH pair memo — a 5-threshold
+    * broadcast nested-loop over the pair list (pairs ≪ corpus by
+    * construction), zero new shingle/LSH work at any scale. Thresholds
+    * below the memo's minJaccard would undercount and are rejected. */
+  def thresholdCurve(pairs: DataFrame,
+                     thresholds: Seq[String] =
+                       Seq("0.1", "0.3", "0.5", "0.7", "0.9")): DataFrame = {
+    require(thresholds.forall(BigDecimal(_) >= 0.1),
+      "thresholds below the pair memo's minJaccard=0.1 would undercount")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val thr = broadcast(thresholds.toDF("ts")
+      .select(col("ts").cast(Out6).as("t")))
+    thr.join(pairs, col("jaccard") >= col("t"), "left_outer")
+      .groupBy("t")
+      .agg(count(col("doc_a")).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped"))
+      .orderBy("t")
+  }
+
+  def thresholdCurveSql(thresholds: Seq[String] =
+                          Seq("0.1", "0.3", "0.5", "0.7", "0.9")): String =
+    s"""WITH ${lshCtesSql("documents")},
+       |thr AS (SELECT CAST(u.ts AS DECIMAL(18,6)) AS t
+       |        FROM UNNEST([${thresholds.map(t => s"'$t'").mkString(", ")}]) AS u(ts)),
+       |f AS (SELECT thr.t, v.doc_a, v.doc_b
+       |      FROM thr LEFT JOIN verified v ON v.jaccard >= thr.t)
+       |SELECT t, COUNT(doc_a) AS n_pairs, COUNT(DISTINCT doc_b) AS n_dropped
+       |FROM f GROUP BY t ORDER BY t""".stripMargin
+
   // ------------------------------------------------------------- simhash
 
   /** 32-bit SimHash per document as a BIGINT: bit j is the sign of
@@ -1185,6 +1220,8 @@ object Dedup {
       dupRateBySource(Tables.documents(s, dir), cachedLshPairs(s, dir))),
     "d19_containment" -> ((s: SparkSession, dir: String) =>
       containmentTopFromBase(shingleBase(s, dir))),
+    "d20_threshold_curve" -> ((s: SparkSession, dir: String) =>
+      thresholdCurve(cachedLshPairs(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1215,5 +1252,6 @@ object Dedup {
     "d17_prefix_join" -> prefixFilterPairsSql,
     "d18_dup_rate_by_source" -> dupRateBySourceSql(),
     "d19_containment" -> containmentTopSql(),
+    "d20_threshold_curve" -> thresholdCurveSql(),
   )
 }

@@ -128,6 +128,50 @@ object Similarity {
        |SELECT vec_id, CAST(round(dot, 6) AS DECIMAL(18,6)) AS ip
        |FROM dots ORDER BY ip DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  /** s17: filtered vector search — exact cosine top-k restricted to a
+    * metadata predicate (here `label = …`), the production vector-store
+    * shape where every query carries a filter (tenant, language,
+    * freshness). PRE-filtering is the point: the predicate sits under
+    * the broadcast join, so at scale it pushes into the parquet scan
+    * (`PushedFilters`) and candidates shrink BEFORE any vector math —
+    * post-filtering an ANN result instead silently under-returns k when
+    * the filter is selective. Same zero-wide-shuffle skeleton as
+    * [[knnBrute]]. */
+  def filteredKnn(emb: DataFrame, queryId: Long, labelEq: Int,
+                  k: Int = 10): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    emb.filter(col("vec_id") =!= queryId && col("label") === labelEq)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def filteredKnnSql(queryId: Long, labelEq: Int, k: Int = 10): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), q AS (SELECT d, x AS qx FROM ex WHERE vec_id = $queryId),
+       |qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = $queryId),
+       |cands AS (SELECT vec_id, label FROM embeddings
+       |          WHERE label = $labelEq AND vec_id != $queryId),
+       |dots AS (
+       |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN cands USING (vec_id) JOIN q USING (d) GROUP BY ex.vec_id
+       |)
+       |SELECT d.vec_id, c.label,
+       |  CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
+       |FROM dots d JOIN cands c USING (vec_id) JOIN norms n USING (vec_id) CROSS JOIN qn
+       |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
+
   // ----------------------------------------------------------------- LSH
 
   /** Driver-side LCG hyperplane weights for (table, plane): exact dyadic
@@ -1271,6 +1315,8 @@ object Similarity {
       annPq(Tables.embeddings(s, dir), queryId = 0L)),
     "s16_mips" -> ((s: SparkSession, dir: String) =>
       mipsBrute(Tables.embeddings(s, dir), queryId = 0L)),
+    "s17_filtered_ann" -> ((s: SparkSession, dir: String) =>
+      filteredKnn(Tables.embeddings(s, dir), queryId = 0L, labelEq = 3)),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -1294,5 +1340,6 @@ object Similarity {
     "s14_ann_recall" -> annRecallSql(0L, p = oracleP),
     "s15_ann_pq" -> annPqSql(0L),
     "s16_mips" -> mipsBruteSql(0L),
+    "s17_filtered_ann" -> filteredKnnSql(0L, labelEq = 3),
   )
 }

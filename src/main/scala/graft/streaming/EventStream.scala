@@ -515,6 +515,40 @@ object EventStream {
       }
   }
 
+  // ----------------------------------------------- streaming forward fill
+
+  case class FillState(lastVal: Double)
+  case class FillOut(user_id: Long, event_id: Long, us: Long, filled: Double)
+
+  /** Streaming forward-fill — the incremental twin of q68's batch
+    * imputation ([[graft.operators.Relational.q68ForwardFill]]): each
+    * user's state is ONE double (the last observed purchase value;
+    * −1 sentinel before any observation — O(active users)·8 bytes, no
+    * buffered history), and every arriving event is emitted with the
+    * carried value. Within a micro-batch rows order by
+    * (event-time, event_id) — the batch window's total order — so
+    * in-order arrival reproduces the batch twin row for row
+    * (EventStreamSpec asserts equality across a batch-boundary split,
+    * where only the persisted state can carry the value forward). */
+  def forwardFillStream(events: Dataset[(Long, Long, Long, String, Double)])
+      : Dataset[FillOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FillState, FillOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[FillState]) =>
+          var lastVal = state.getOption.map(_.lastVal).getOrElse(-1.0)
+          val out = scala.collection.mutable.ListBuffer[FillOut]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, et, v) =>
+            if (et == "purchase") lastVal = v
+            out += FillOut(user, eid, us, lastVal)
+          }
+          state.update(FillState(lastVal))
+          out.iterator
+      }
+  }
+
   // -------------------------------------------------------------- registry
 
   // --------------------------------------- stream-static enrichment join

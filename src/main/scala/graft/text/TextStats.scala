@@ -970,6 +970,106 @@ object TextStats {
        |  CAST(round(CAST(sum_term AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6)) AS kl
        |FROM per ORDER BY source""".stripMargin
 
+  // ------------------------------------ pairwise source JS divergence
+
+  /** x25: pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the symmetric companion to x20's KL-vs-corpus: a
+    * low-JS pair is two sources drawing from the same distribution
+    * (candidates for merging or for dedup across them), a high-JS pair
+    * marks genuinely distinct domains. Feeds source clustering before
+    * mixture-weight assignment.
+    *
+    * Only SHARED words are joined: for p = a/A, q = b/B the JS halves
+    * over words missing from one source collapse to ln 2 · (missing
+    * mass), and missing mass = 1 − Σ_shared p — so
+    * JS = ½·[Σ_sh p·ln(2p/(p+q)) + Σ_sh q·ln(2q/(p+q))
+    *        + ln 2·((A−Σa)/A + (B−Σb)/B)],
+    * and the one word-keyed self-join of the (source, word, count)
+    * frame carries everything. Determinism is x20's discipline: each
+    * log ratio is ln of exact-BIGINT products (2aB vs aB+bA, one
+    * exact-operand IEEE division), 6-dp-quantized DECIMAL at birth,
+    * weighted by the exact integer count into a decimal sum; the ln 2
+    * missing-mass constant is the same 6-dp literal interpolated into
+    * both engines (g11 teleport rule). Scale: a hot word present in
+    * |S| sources emits |S|² join rows — at thousands of sources, cap
+    * by source-df or sample sources per the d4 df-cap discipline;
+    * pair count itself is |S|²/2 metadata rows. */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val Out6 = DecimalType(18, 6)
+    val tok = docs
+      .select(col("source"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // self-joined below — never tokenize twice
+    val totals = tok.groupBy("source").agg(sum("c").cast("long").as("n"))
+    val shared = tok.select(col("source").as("s1"), col("word"), col("c").as("ca"))
+      .join(tok.select(col("source").as("s2"), col("word"), col("c").as("cb")), "word")
+      .filter(col("s1") < col("s2"))
+      .join(broadcast(totals.select(col("source").as("s1"), col("n").as("na"))), "s1")
+      .join(broadcast(totals.select(col("source").as("s2"), col("n").as("nb"))), "s2")
+    val denom = (col("ca") * col("nb") + col("cb") * col("na")).cast("double")
+    val perPair = shared
+      .select(col("s1"), col("s2"), col("ca"), col("cb"),
+        (round(log((col("ca") * lit(2) * col("nb")).cast("double") / denom), 6)
+          .cast(Out6) * col("ca")).as("t1"),
+        (round(log((col("cb") * lit(2) * col("na")).cast("double") / denom), 6)
+          .cast(Out6) * col("cb")).as("t2"))
+      .groupBy("s1", "s2")
+      .agg(sum("t1").cast(Out6).as("t1s"), sum("t2").cast(Out6).as("t2s"),
+        sum("ca").cast("long").as("sa"), sum("cb").cast("long").as("sb"))
+    // every source pair (|S|² metadata rows), so zero-overlap pairs
+    // surface with JS = ln 2 instead of silently vanishing
+    val pairs = totals.select(col("source").as("s1"), col("n").as("na"))
+      .crossJoin(totals.select(col("source").as("s2"), col("n").as("nb")))
+      .filter(col("s1") < col("s2"))
+    pairs.join(perPair, Seq("s1", "s2"), "left_outer")
+      .select(col("s1"), col("s2"),
+        round((coalesce(col("t1s"), lit(0).cast(Out6)).cast("double") / col("na") +
+          coalesce(col("t2s"), lit(0).cast(Out6)).cast("double") / col("nb") +
+          lit(0.693147) *
+            ((col("na") - coalesce(col("sa"), lit(0L))).cast("double") / col("na") +
+             (col("nb") - coalesce(col("sb"), lit(0L))).cast("double") / col("nb"))) *
+          lit(0.5), 6)
+          .cast(Out6).as("js"))
+      .orderBy("s1", "s2")
+  }
+
+  def jsDivergenceSql: String =
+    s"""WITH tc AS (
+       |  SELECT source, u.word, count(*) AS c
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)
+       |  GROUP BY source, u.word
+       |), totals AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source
+       |), shared AS (
+       |  SELECT a.source AS s1, b.source AS s2, a.c AS ca, b.c AS cb,
+       |         ta.n AS na, tb.n AS nb
+       |  FROM tc a JOIN tc b ON a.word = b.word AND a.source < b.source
+       |  JOIN totals ta ON ta.source = a.source
+       |  JOIN totals tb ON tb.source = b.source
+       |), terms AS (
+       |  SELECT s1, s2, na, nb, ca, cb,
+       |    CAST(round(ln(CAST(ca * 2 * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) * ca AS t1,
+       |    CAST(round(ln(CAST(cb * 2 * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) * cb AS t2
+       |  FROM shared
+       |), per AS (
+       |  SELECT s1, s2,
+       |    CAST(SUM(t1) AS DECIMAL(18,6)) AS t1s, CAST(SUM(t2) AS DECIMAL(18,6)) AS t2s,
+       |    CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb
+       |  FROM terms GROUP BY s1, s2
+       |), pairs AS (
+       |  SELECT a.source AS s1, b.source AS s2, a.n AS na, b.n AS nb
+       |  FROM totals a JOIN totals b ON a.source < b.source
+       |)
+       |SELECT p.s1, p.s2,
+       |  CAST(round((CAST(COALESCE(t1s, 0) AS DOUBLE) / na +
+       |    CAST(COALESCE(t2s, 0) AS DOUBLE) / nb +
+       |    CAST(0.693147 AS DOUBLE) * (CAST(na - COALESCE(sa, 0) AS DOUBLE) / na +
+       |      CAST(nb - COALESCE(sb, 0) AS DOUBLE) / nb)) * CAST(0.5 AS DOUBLE), 6)
+       |    AS DECIMAL(18,6)) AS js
+       |FROM pairs p LEFT JOIN per USING (s1, s2) ORDER BY p.s1, p.s2""".stripMargin
+
   // ---------------------------------------- content-defined chunking (CDC)
 
   /** x21: content-defined chunking + cross-document chunk dedup. Chunk
@@ -1241,6 +1341,8 @@ object TextStats {
     "x23_heaps_law" -> ((s: SparkSession, dir: String) =>
       heapsLaw(Tables.documents(s, dir))),
     "x24_lang_confusion" -> xLangConfusion _,
+    "x25_js_divergence" -> ((s: SparkSession, dir: String) =>
+      jsDivergence(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1267,5 +1369,6 @@ object TextStats {
     "x22_zipf_slope" -> zipfSlopeSql(),
     "x23_heaps_law" -> heapsLawSql(),
     "x24_lang_confusion" -> xLangConfusionSql,
+    "x25_js_divergence" -> jsDivergenceSql,
   )
 }

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(back._3 - 6.0 / 11) < 1e-6)
   }
 
+  test("thresholdCurve: counts monotone non-increasing, exact dup survives 0.9") {
+    val pairs = Dedup.lshNearDups(corpus, minJaccard = 0.1).localCheckpoint(true)
+    val curve = Dedup.thresholdCurve(pairs).collect()
+      .map(r => (r.getDecimal(0).doubleValue, r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+    assert(curve.sliding(2).forall { case Array(lo, hi) =>
+      lo._2 >= hi._2 && lo._3 >= hi._3 })
+    // the (1,3) exact dup (jaccard 1.0) survives every threshold
+    assert(curve.last._2 >= 1 && curve.last._3 >= 1)
+    // thresholds below the memo's minJaccard are rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdCurve(pairs, thresholds = Seq("0.05"))
+    }
+  }
+
   test("simhash: identical texts get identical hashes, near-dups close") {
     val sh = Dedup.simhash(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

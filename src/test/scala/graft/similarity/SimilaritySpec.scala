@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-4, s"inner product mismatch: $g vs $e") }
   }
 
+  test("filteredKnn: label predicate restricts candidates, cosines exact") {
+    val got = Similarity.filteredKnn(emb, queryId = 0L, labelEq = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2).doubleValue))
+    assert(got.nonEmpty && got.forall(_._2 == 3))
+    // pre-filtered top-k = the label-3 slice of the full reference ranking
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val expected = reference.toSeq.filter(p => labels(p._1) == 3)
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.map(_._1).toSeq == expected)
+  }
+
   test("annLsh recall: ANN top-5 overlaps brute-force top-5") {
     val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
     val ann = Similarity.annLsh(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet

@@ -96,6 +96,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forwardFillStream carries purchase values across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = (h: Int) => ts(h).getTime * 1000L
+    val in = MemoryStream[(Long, Long, Long, String, Double)] // (user, us, eid, type, value)
+    val q = EventStream.forwardFillStream(in.toDS())
+      .writeStream.format("memory").queryName("fill_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, us(0), 1L, "view", 5.0), (1L, us(1), 2L, "purchase", 7.5),
+        (2L, us(0), 3L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1's fill value must come from persisted state
+      in.addData((1L, us(2), 4L, "click", 9.9), (2L, us(3), 5L, "purchase", 3.25),
+        (2L, us(4), 6L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("fill_test").as[EventStream.FillOut].collect()
+        .map(f => (f.user_id, f.event_id, f.filled)).sorted
+      assert(got.toSeq == Seq(
+        (1L, 1L, -1.0), // before any purchase → sentinel
+        (1L, 2L, 7.5), (1L, 4L, 7.5), // carried across the batch boundary
+        (2L, 3L, -1.0), (2L, 5L, 3.25), (2L, 6L, 3.25)))
+      // matches the batch twin's semantics replayed driver-side
+      val batchTwin = got.toSeq.map(_._3)
+      assert(batchTwin == Seq(-1.0, 7.5, 7.5, -1.0, 3.25, 3.25))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions at gap breaks, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val us = (h: Int) => ts(h).getTime * 1000L

@@ -360,6 +360,20 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getDecimal(1).doubleValue - (-1.0)) < 1e-3)
   }
 
+  test("jsDivergence: zero for identical sources, ln2 for disjoint, bounded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "srcA"),
+      (2L, "alpha beta gamma alpha", "srcB"),   // identical dist to srcA
+      (3L, "delta epsilon zeta eta", "srcC"),   // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val js = TextStats.jsDivergence(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDecimal(2).doubleValue)).toMap
+    assert(js(("srcA", "srcB")) == 0.0)
+    // disjoint vocab → JS = ln 2 (the 6-dp quantized constant)
+    assert(math.abs(js(("srcA", "srcC")) - 0.693147) < 1e-6)
+    assert(js.values.forall(v => v >= 0.0 && v <= 0.693148))
+  }
+
   test("xLangConfusion: cells partition the corpus and agree with xLangId") {
     val dir = sf("sf0.001")
     val rows = TextStats.xLangConfusion(spark, dir).collect()
