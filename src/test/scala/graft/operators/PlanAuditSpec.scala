@@ -386,4 +386,35 @@ class PlanAuditSpec extends SparkSpec {
     // nodes, ~4 s one-time codegen); the kernel plan must stay compact
     assert(!p.contains("0.25,"), "literal plane arrays back in the plan")
   }
+
+  test("s17_filtered_ann: label predicate pushes into the parquet scan") {
+    val p = plan("s17_filtered_ann")
+    // pre-filtering is the operator's whole point: the scan must carry
+    // the label pushdown so candidates shrink before any vector math
+    assert(p.contains("EqualTo(label,3)"), "label filter not pushed to scan:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+    assert(!p.contains("CartesianProduct"), "query row not broadcast")
+  }
+
+  test("g17_adamic_adar: candidate exclusion is a broadcast anti-join, top-k TakeOrdered") {
+    val p = plan("g17_adamic_adar")
+    assert(p.contains("LeftAnti"), "existing-edge exclusion not an anti-join:\n" + p.take(500))
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+  }
+
+  test("q68_forward_fill: one user-keyed exchange feeds the running window") {
+    val p = plan("q68_forward_fill")
+    // window partitioned by user_id: exactly one hash exchange for the
+    // fill + one range exchange for the deterministic output order
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx >= 1, "fill window not hash-partitioned by user_id:\n" + p.take(500))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "extra shuffles beyond the window + output sort:\n" + p.take(800))
+  }
+
+  test("d20_threshold_curve: threshold side broadcasts — no pair-list shuffle join") {
+    val p = plan("d20_threshold_curve")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "threshold grid not a broadcast nested-loop:\n" + p.take(500))
+  }
 }
