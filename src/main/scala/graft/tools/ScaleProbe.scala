@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fabricates an F× replica corpus for measured scale probes (SCALE.md
+  * "Measured 10× scale probe") so bench runs can compare a query's cost
+  * at two scales on the same host:
+  *
+  *   sbt "runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor>"
+  *   SPARK_GRAFT_SF_DIR=<outDir> SPARK_GRAFT_ONLY=... sbt "runMain graft.Bench"
+  *
+  * Fabrication rules (the round-5 probe's, now reproducible):
+  * - documents: replica i offsets doc_id by i·(max+1) and deterministically
+  *   RESHUFFLES each document's tokens (sort by md5(rep:pos:token)) — the
+  *   token/shingle DISTRIBUTION holds but no artificial exact-dup
+  *   structure is added (replica 0 is the original corpus verbatim).
+  * - embeddings: replica i offsets vec_id and perturbs every dimension by
+  *   a small deterministic lattice offset (±6e-3) — neighborhoods stay
+  *   realistic, no exact-duplicate vectors.
+  * - orders: id-offset replicas (graph probes: the derived mod-2000 edge
+  *   list DENSIFIES with F, which is exactly what stresses degree-capped
+  *   operators like g17).
+  *
+  * Writes only the tables the probe families read (documents, embeddings,
+  * orders); point probes at queries over those tables.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleProbe <srcSfDir> <outDir> <factor>")
+    val Array(src, out, fStr) = args
+    val f = fStr.toInt
+    require(f >= 1, s"factor must be >= 1, got $f")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = spark.range(f).toDF("rep")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(
+            transform(
+              array_sort(transform(split(col("text"), " "), (t, i) =>
+                struct(
+                  md5(concat_ws(":", col("rep"), i, t)).as("k"),
+                  t.as("t")))),
+              s => s.getField("t")),
+            " ")).as("text"),
+        col("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * maxVec).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, d) =>
+            (x + ((pmod(col("vec_id") * 31 + d * 7 + col("rep") * 13, lit(13)) - 6)
+              .cast("float") * lit(0.001f))).cast("float"))).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val maxOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxCust = orders.agg(max("o_custkey")).head().getLong(0) + 1
+    orders.crossJoin(reps)
+      .select(
+        (col("o_orderkey") + col("rep") * maxOrd).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * maxCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    println(s"[probe] wrote ${f}x corpus to $out " +
+      s"(docs=${maxDoc * f}, vecs=${maxVec * f}, orders≈${orders.count() * f})")
+    spark.stop()
+  }
+}
