@@ -106,6 +106,7 @@ object SparkEntry {
     "q64_hll_distinct" -> Seq("hll_est", "rel_err"),
     "q66_kmv_setops" -> Seq("jaccard", "jaccard_est", "union_est"),
     "q67_ntile" -> Seq("pct_rank", "cume"),
+    "q69_hll_windows" -> Seq("hll_est", "rel_err"),
     "s1_knn_brute" -> Seq("cos"),
     "s2_ann_lsh" -> Seq("cos"),
     "s3_near_dup_pairs" -> Seq("cos"),

@@ -83,9 +83,12 @@ object QuantizeInt8 {
 
   private val FnName = "graft_quantize_int8"
 
+  def injection: (String, Seq[Expression] => Expression) =
+    (FnName, exprs => QuantizeInt8(exprs.head))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => QuantizeInt8(exprs.head), "built-in")
+      FnName, injection._2, "built-in")
 
   def apply(a: Column): Column = call_function(FnName, a)
 }
@@ -119,9 +122,12 @@ object VectorDotLong {
 
   private val FnName = "graft_vector_dot_long"
 
+  def injection: (String, Seq[Expression] => Expression) =
+    (FnName, exprs => VectorDotLong(exprs.head, exprs(1)))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => VectorDotLong(exprs.head, exprs(1)), "built-in")
+      FnName, injection._2, "built-in")
 
   def apply(a: Column, b: Column): Column = call_function(FnName, a, b)
 }

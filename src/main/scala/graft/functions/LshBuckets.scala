@@ -87,13 +87,17 @@ object LshBucketsExact {
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  /** (name, builder) for session-registry or
+    * [[graft.GraftExtensions]] injection. */
+  def injection: (String, Seq[Expression] => Expression) =
+    (FnName, exprs => LshBucketsExact(
+      exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))))
+
   /** Register in the session's function registry (idempotent) — same
     * injection seam as [[VectorDotExact.register]]. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => LshBucketsExact(
-        exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))),
-      "built-in")
+      FnName, injection._2, "built-in")
 
   /** Column-level entry point; caller must have [[register]]ed. */
   def apply(a: Column, l: Int, p: Int, dims: Int): Column =

@@ -61,11 +61,16 @@ object Md5Hash32 {
 
   private val FnName = "graft_md5_hash32"
 
+  /** (name, builder) for session-registry or
+    * [[graft.GraftExtensions]] injection. */
+  def injection: (String, Seq[Expression] => Expression) =
+    (FnName, exprs => Md5Hash32(exprs.head))
+
   /** Register in the session's function registry (idempotent) — same
     * injection seam as [[VectorDotExact.register]]. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => Md5Hash32(exprs.head), "built-in")
+      FnName, injection._2, "built-in")
 
   /** Column-level entry point; caller must have [[register]]ed. */
   def apply(key: Column): Column = call_function(FnName, key)
@@ -122,9 +127,12 @@ object Md5NibbleMsbs {
 
   private val FnName = "graft_md5_nibble_msbs"
 
+  def injection: (String, Seq[Expression] => Expression) =
+    (FnName, exprs => Md5NibbleMsbs(exprs.head))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => Md5NibbleMsbs(exprs.head), "built-in")
+      FnName, injection._2, "built-in")
 
   def apply(key: Column): Column = call_function(FnName, key)
 }

@@ -73,9 +73,14 @@ object VectorDotExact {
     * public seam for injecting a custom Expression without touching
     * `private[sql]` Column internals; production deployments would use
     * `SparkSessionExtensions.injectFunction` at session build instead. */
+  /** (name, builder) for session-registry or
+    * [[graft.GraftExtensions]] injection. */
+  def injection: (String, Seq[Expression] => Expression) =
+    (FnName, exprs => VectorDotExact(exprs.head, exprs(1)))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => VectorDotExact(exprs.head, exprs(1)), "built-in")
+      FnName, injection._2, "built-in")
 
   /** Column-level entry point; caller must have [[register]]ed. */
   def apply(a: Column, b: Column): Column = call_function(FnName, a, b)

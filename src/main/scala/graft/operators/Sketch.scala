@@ -242,6 +242,89 @@ object Sketch {
        |FROM est s CROSS JOIN exact x""".stripMargin
   }
 
+  /** q69: windowed HyperLogLog — q64's register machinery GROUPED BY
+    * day, estimating distinct users per event-day next to the exact
+    * count. This is the canonical streaming-analytics shape (per-window
+    * approximate distinct: one mergeable m-register sketch per window
+    * instead of a per-window distinct-key shuffle) run as its batch
+    * twin over event time. Empty registers are closed-form — harm adds
+    * (m − present)·2⁻⁰ and n_empty = m − present — so no per-day
+    * register grid is materialized; the shuffle carries ≤ m rows per
+    * day. Same determinism argument as q64: exact-dyadic 2^−ρ table,
+    * per-day partial sums fit 33 mantissa bits, double SUM exact under
+    * any order. With ~10² users/day the small-range linear-counting
+    * branch is the one exercised — the calibration columns show it. */
+  def hllWindows(events: DataFrame, b: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    graft.functions.Md5Hash32.register(spark)
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val powArr = array((0 to wBits + 1).map(r => lit(1.0 / (1L << r))): _*)
+    val hv = hash32(col("user_id"))
+    val regs = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .select(col("day"), (hv / lit(1L << wBits)).cast("long").as("bucket"),
+        (hv % lit(1L << wBits)).as("w"))
+      .select(col("day"), col("bucket"),
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy("day", "bucket")
+      .agg(max("rho").as("rho"), count(lit(1)).as("cnt"))
+    val stats = regs.groupBy("day")
+      .agg(sum(element_at(powArr, col("rho").cast("int") + 1)).as("harm_present"),
+        count(lit(1)).as("n_present"),
+        sum("cnt").cast("long").as("n_exact"))
+      .select(col("day"), col("n_exact"),
+        (col("harm_present") + (lit(m) - col("n_present")).cast("double")).as("harm"),
+        (lit(m) - col("n_present")).cast("long").as("n_empty"))
+    val raw = lit(alpha) * m * m / col("harm")
+    val est = when(raw <= 2.5 * m && col("n_empty") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty"))).otherwise(raw)
+    stats
+      .select(col("day"), col("n_exact"), col("n_empty"),
+        round(est, 6).cast(Out6).as("hll_est"),
+        round((est - col("n_exact")) / col("n_exact"), 6).cast(Out6).as("rel_err"))
+      .orderBy("day")
+  }
+
+  def hllWindowsSql(b: Int = 8): String = {
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val pows = (0 to wBits + 1).map(r => s"CAST(${1.0 / (1L << r)} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |), h AS (
+       |  SELECT day, ${hash32SqlExpr("user_id")} AS hv FROM du
+       |), rw AS (
+       |  SELECT day, hv // ${1L << wBits} AS bucket, hv % ${1L << wBits} AS w FROM h
+       |), regs AS (
+       |  SELECT day, bucket,
+       |    MAX(CASE WHEN w = 0 THEN ${wBits + 1}
+       |        ELSE ${wBits + 1} - length(format('{:b}', w)) END) AS rho,
+       |    COUNT(*) AS cnt
+       |  FROM rw GROUP BY day, bucket
+       |), stats AS (
+       |  SELECT day, CAST(SUM(cnt) AS BIGINT) AS n_exact,
+       |    SUM(($pows)[rho + 1]) + CAST($m - COUNT(*) AS DOUBLE) AS harm,
+       |    CAST($m - COUNT(*) AS BIGINT) AS n_empty
+       |  FROM regs GROUP BY day
+       |), est AS (
+       |  SELECT day, n_exact, n_empty,
+       |    CASE WHEN CAST($alpha AS DOUBLE) * $m * $m / harm <= CAST(${2.5 * m} AS DOUBLE)
+       |              AND n_empty > 0
+       |         THEN CAST(${m.toDouble} AS DOUBLE) * ln(CAST(${m.toDouble} AS DOUBLE) / n_empty)
+       |         ELSE CAST($alpha AS DOUBLE) * $m * $m / harm END AS e
+       |  FROM stats
+       |)
+       |SELECT day, n_exact, n_empty,
+       |  CAST(round(e, 6) AS DECIMAL(18,6)) AS hll_est,
+       |  CAST(round((e - n_exact) / n_exact, 6) AS DECIMAL(18,6)) AS rel_err
+       |FROM est ORDER BY day""".stripMargin
+  }
+
   /** q65: Count-Min sketch frequency estimation — the bounded-memory
     * frequency table (d=4 rows × w=256 counters) that answers "how
     * often does key x occur" with a one-sided error: est ≥ exact
@@ -457,6 +540,8 @@ object Sketch {
       heavyHitters(Tables.documents(s, dir))),
     "q64_hll_distinct" -> ((s: SparkSession, dir: String) =>
       hllDistinct(Tables.lineitem(s, dir))),
+    "q69_hll_windows" -> ((s: SparkSession, dir: String) =>
+      hllWindows(Tables.events(s, dir))),
     "q65_cms_freq" -> ((s: SparkSession, dir: String) =>
       cmsFreq(Tables.documents(s, dir))),
     "q66_kmv_setops" -> ((s: SparkSession, dir: String) =>
@@ -467,6 +552,7 @@ object Sketch {
     "q37_kmv_distinct" -> kmvDistinctSql(),
     "q38_heavy_hitters" -> heavyHittersSql(),
     "q64_hll_distinct" -> hllDistinctSql(),
+    "q69_hll_windows" -> hllWindowsSql(),
     "q65_cms_freq" -> cmsFreqSql(),
     "q66_kmv_setops" -> kmvSetOpsSql(),
   )

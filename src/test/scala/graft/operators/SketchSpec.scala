@@ -94,6 +94,29 @@ class SketchSpec extends SparkSpec {
     assert(a.getLong(1) == b.getLong(1))
   }
 
+  test("hllWindows: per-day exact counts true, estimates in envelope, partition-independent") {
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val rows = Sketch.hllWindows(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDecimal(3).doubleValue,
+        r.getDecimal(4).doubleValue))
+    assert(rows.nonEmpty)
+    // per-day exact counts match an independent count_distinct
+    val exact = ev.select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"), org.apache.spark.sql.functions.col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { case (day, nExact, est, relErr) =>
+      assert(exact(day) == nExact, s"$day exact mismatch")
+      // small-n regime runs linear counting: generous 4-sigma envelope
+      assert(math.abs(relErr) < 0.26, s"$day HLL off by ${relErr * 100}%")
+      assert(math.abs(est / nExact - 1.0 - relErr) < 1e-5)
+    }
+    // register tables are partition-schedule independent
+    val a = Sketch.hllWindows(ev).collect().map(_.toString).sorted
+    val b = Sketch.hllWindows(ev.repartition(7)).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("cmsFreq: one-sided error, estimates equal a driver-side sketch recount") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val got = Sketch.cmsFreq(docs).collect()
