@@ -1591,6 +1591,84 @@ object Relational {
       |    CAST(-1 AS DOUBLE)) AS filled
       |FROM e ORDER BY user_id, us, event_id""".stripMargin
 
+  /** q70: TPC-H Q5-shaped regional local-supplier volume — revenue by
+    * nation for orders where the customer and the line's supplier sit in
+    * the SAME nation, restricted to one region and one order year. The
+    * classic 6-table join-reorder exercise: lineitem⋈orders⋈customer is
+    * the fact spine (two key shuffles Catalyst orders), supplier joins
+    * on l_suppkey with the c_nationkey = s_nationkey locality predicate
+    * INSIDE the join, and nation/region are broadcast dims whose region
+    * filter prunes before anything wide. Revenue terms are IEEE products
+    * quantized to DECIMAL(20,4) per row before the shuffle sum (the q1
+    * discipline; date restriction via year() — NTZ/LTZ-flavor safe). */
+  def q70RegionalRevenue(spark: SparkSession, dir: String,
+                         region: String = "ASIA", yr: Int = 1996): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).filter(year(col("o_orderdate")) === yr)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(D204)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  def q70RegionalRevenueSql(region: String = "ASIA", yr: Int = 1996): String =
+    s"""SELECT n_name,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$region' AND year(o_orderdate) = $yr
+       |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** q71: TPC-H Q3-shaped shipping priority — top-10 unshipped orders by
+    * revenue for one market segment: orders placed before the cutoff
+    * whose lines ship after it. Segment filter prunes customer before
+    * its join; the final top-k is TakeOrdered, never a global sort. */
+  def q71ShippingPriority(spark: SparkSession, dir: String,
+                          segment: String = "BUILDING",
+                          cutoff: String = "1998-06-30"): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === segment)
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < lit(cutoff))
+    val l = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > lit(cutoff))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(D204)).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  def q71ShippingPrioritySql(segment: String = "BUILDING",
+                             cutoff: String = "1998-06-30"): String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND CAST(o_orderdate AS DATE) < DATE '$cutoff'
+       |  AND CAST(l_shipdate AS DATE) > DATE '$cutoff'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1647,6 +1725,8 @@ object Relational {
     "q58_fuzzy_join" -> q58FuzzyJoin _,
     "q67_ntile" -> q67Ntile _,
     "q68_forward_fill" -> q68ForwardFill _,
+    "q70_regional_revenue" -> ((s: SparkSession, dir: String) => q70RegionalRevenue(s, dir)),
+    "q71_shipping_priority" -> ((s: SparkSession, dir: String) => q71ShippingPriority(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1704,5 +1784,7 @@ object Relational {
     "q58_fuzzy_join" -> q58FuzzyJoinSql,
     "q67_ntile" -> q67NtileSql,
     "q68_forward_fill" -> q68ForwardFillSql,
+    "q70_regional_revenue" -> q70RegionalRevenueSql(),
+    "q71_shipping_priority" -> q71ShippingPrioritySql(),
   )
 }

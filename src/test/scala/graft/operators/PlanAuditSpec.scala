@@ -417,4 +417,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "threshold grid not a broadcast nested-loop:\n" + p.take(500))
   }
+
+  test("q70_regional_revenue: dims broadcast, region/segment filters below the exchanges") {
+    val p = plan("q70_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation/region dims not broadcast:\n" + p.take(800))
+    // region filter pushes into the region scan, pruning before broadcast
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter not pushed to scan")
+  }
+
+  test("q71_shipping_priority: segment filter pushed, top-10 is TakeOrdered") {
+    val p = plan("q71_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter not pushed to the customer scan:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 not TakeOrdered")
+  }
 }

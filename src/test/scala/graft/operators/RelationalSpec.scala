@@ -464,6 +464,32 @@ class RelationalSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("q70 regional revenue: local-supplier predicate holds, revenue consistent") {
+    val rows = Relational.q70RegionalRevenue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, rev, n) => rev > 0 && n > 0 })
+    // sorted by revenue desc
+    val revs = rows.map(_._2)
+    assert(revs.sameElements(revs.sorted.reverse))
+    // every contributing nation must belong to the filtered region
+    val asiaNations = graft.sources.Tables.nation(spark, dir)
+      .join(graft.sources.Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).forall(asiaNations))
+  }
+
+  test("q71 shipping priority: 10 rows, orders straddle the cutoff") {
+    val rows = Relational.q71ShippingPriority(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    val revs = rows.map(_._3)
+    assert(revs.sameElements(revs.sorted.reverse))
+    assert(rows.forall(_._2.toString < "1998-06-30")) // ordered before cutoff
+  }
+
   test("q67 ntile: deciles 1..10, rank ratios in [0,1], cume tops out at 1") {
     val rows = Relational.q67Ntile(spark, dir).collect()
       .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("decile"),
