@@ -549,6 +549,61 @@ object EventStream {
       }
   }
 
+  // ------------------------------------------------ streaming window HLL
+
+  case class HllOut(day: String, n_empty: Long, hll_est: Double)
+
+  /** Streaming per-window HyperLogLog — the incremental twin of q69's
+    * batch windowed distinct ([[graft.operators.Sketch.hllWindows]]):
+    * each day's state is the raw m=256-byte REGISTER ARRAY (max ρ per
+    * bucket), updated in place per micro-batch and merged by max —
+    * constant state per window regardless of arrival volume or
+    * duplication, where exact streaming distinct would buffer every
+    * key. Emits the refreshed estimate for each day touched by the
+    * batch (Update-mode semantics). Hashing goes through the SAME
+    * [[graft.functions.Md5Hash32.hash]] primitive as the batch/oracle
+    * sides, so after all data is processed the estimates equal the
+    * batch twin's exactly (spec-asserted, including across a
+    * batch-boundary split of one day's users). */
+  def hllWindowsStream(events: Dataset[(String, Long)], b: Int = 8)
+      : Dataset[HllOut] = {
+    import events.sparkSession.implicits._
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], HllOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (day: String, rows: Iterator[(String, Long)],
+         state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { case (_, userId) =>
+            val hv = graft.functions.Md5Hash32.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(userId.toString))
+            val bucket = (hv >>> wBits).toInt
+            val w = hv & ((1L << wBits) - 1)
+            val rho =
+              if (w == 0) wBits + 1
+              else wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(bucket)) regs(bucket) = rho.toByte
+          }
+          state.update(regs)
+          var harm = 0.0
+          var nEmpty = 0L
+          var i = 0
+          while (i < m) {
+            harm += 1.0 / (1L << regs(i)); if (regs(i) == 0) nEmpty += 1
+            i += 1
+          }
+          val raw = alpha * m * m / harm
+          val est =
+            if (raw <= 2.5 * m && nEmpty > 0) m.toDouble * math.log(m.toDouble / nEmpty)
+            else raw
+          Iterator.single(HllOut(day, nEmpty,
+            BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+  }
+
   // -------------------------------------------------------------- registry
 
   // --------------------------------------- stream-static enrichment join

@@ -123,6 +123,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllWindowsStream: register state merges across batches, matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)] // (day, user_id)
+    val q = EventStream.hllWindowsStream(in.toDS())
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("update").start()
+    val data = Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 5L), // batch 1
+      ("2024-01-01", 2L), ("2024-01-01", 3L), ("2024-01-02", 6L)) // batch 2 (dup user 2)
+    try {
+      in.addData(data.take(3))
+      q.processAllAvailable()
+      in.addData(data.drop(3))
+      q.processAllAvailable()
+      // memory sink appends per batch; the last row per day is the
+      // latest register-state estimate
+      val streamed = spark.table("hll_stream_test").as[EventStream.HllOut]
+        .collect().groupBy(_.day).map { case (d, xs) => d -> xs.last }
+      // batch twin over the same multiset
+      val ev = data.toDF("d", "user_id")
+        .select(to_timestamp(col("d")).as("ts"), col("user_id"))
+      val batch = graft.operators.Sketch.hllWindows(ev).collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (day, out) =>
+        val (nEmpty, est) = batch(day)
+        assert(out.n_empty == nEmpty, s"$day register tables diverge")
+        assert(out.hll_est == est, s"$day estimate ${out.hll_est} != batch $est")
+      }
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions at gap breaks, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val us = (h: Int) => ts(h).getTime * 1000L
