@@ -119,6 +119,7 @@ object SparkEntry {
     "s15_ann_pq" -> Seq("adc"),
     "s16_mips" -> Seq("ip"),
     "s17_filtered_ann" -> Seq("cos"),
+    "s18_pca_power" -> Seq("loading"),
     "t4_bm25" -> Seq("score"),
     "t6_more_like_this" -> Seq("score"),
     "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),

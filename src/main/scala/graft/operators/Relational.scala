@@ -1669,6 +1669,73 @@ object Relational {
        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
 
+  /** q72: data-quality audit — the expectation-check stage (Deequ/
+    * dbt-test shape) every production pipeline runs before publishing a
+    * table: null keys, duplicate keys, out-of-range values, referential
+    * orphans, impossible dates, each as one named violation count.
+    * Shape: ONE aggregate pass per table (all of a table's checks are
+    * case-when sums inside a single scan — adding a check is free),
+    * plus one anti-join for referential integrity; the 1-row aggregate
+    * frames melt to (check_name, n_violations) rows via explode, so the
+    * output is metadata-sized at any corpus scale. */
+  def q72DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def melt(df: DataFrame): DataFrame = {
+      val cols = df.schema.fieldNames
+      df.select(explode(array(cols.map(n =>
+        struct(lit(n).as("check_name"), col(n).cast("long").as("n_violations"))): _*))
+        .as("e"))
+        .select(col("e.check_name").as("check_name"),
+          col("e.n_violations").as("n_violations"))
+    }
+    val ordersChecks = o.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("orders_null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_dup_orderkey"),
+      sum(when(year(col("o_orderdate")) > 2001, 1L).otherwise(0L)).as("orders_future_date"))
+    val lineChecks = l.agg(
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("lineitem_nonpositive_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+        .as("lineitem_discount_range"))
+    val custChecks = c.agg(
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("customer_dup_custkey"))
+    val orphans = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphan_orderkey"))
+    melt(ordersChecks).union(melt(lineChecks)).union(melt(custChecks))
+      .union(melt(orphans))
+      .orderBy("check_name")
+  }
+
+  def q72DqAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders_null_custkey' AS check_name,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_dup_orderkey',
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_future_date',
+      |    CAST(SUM(CASE WHEN year(o_orderdate) > 2001 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_nonpositive_qty',
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range',
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'customer_dup_custkey',
+      |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_orderkey',
+      |    CAST((SELECT count(*) FROM lineitem
+      |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |) ORDER BY check_name""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1727,6 +1794,7 @@ object Relational {
     "q68_forward_fill" -> q68ForwardFill _,
     "q70_regional_revenue" -> ((s: SparkSession, dir: String) => q70RegionalRevenue(s, dir)),
     "q71_shipping_priority" -> ((s: SparkSession, dir: String) => q71ShippingPriority(s, dir)),
+    "q72_dq_audit" -> q72DqAudit _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1786,5 +1854,6 @@ object Relational {
     "q68_forward_fill" -> q68ForwardFillSql,
     "q70_regional_revenue" -> q70RegionalRevenueSql(),
     "q71_shipping_priority" -> q71ShippingPrioritySql(),
+    "q72_dq_audit" -> q72DqAuditSql,
   )
 }

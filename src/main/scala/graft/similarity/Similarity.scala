@@ -618,6 +618,89 @@ object Similarity {
        |    AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS centroid
        |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin
 
+  // -------------------------------------------------------- PCA (power)
+
+  /** s18: principal direction of the embedding corpus by power
+    * iteration — the drift/collapse diagnostic an embedding pipeline
+    * monitors (a dominating first component means the space is
+    * collapsing; comparing directions across snapshots detects drift).
+    * Fully deterministic and oracle-checked: per-dim means are the s6
+    * exact-decimal discipline, the centered covariance accumulates
+    * IEEE products through DECIMAL(32,16) sums (order-independent),
+    * and each unrolled iteration is one 64×64 mat-vec (decimal sums,
+    * L1 normalization — no cross-engine sqrt) — the g14 loop shape on
+    * a matrix instead of a graph.
+    *
+    * Scale: the one corpus-sized stage is the covariance — the
+    * vec_id-keyed self-join emits dims² rows per vector but
+    * partial-aggregates to dims² totals map-side; everything after is
+    * a 64×64 metadata frame, so iterations cost nothing at any corpus
+    * size. (For dims ≫ 10³, switch to mat-vec-only iteration —
+    * Σ x·(x·v) — which never materializes C; at dims = 64, C is the
+    * simpler and fully-oracle-checkable shape.) */
+  def pcaPower(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val exId = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+      .localCheckpoint(true) // feeds mean, and both sides of the cov join
+    val mu = exId.groupBy("d")
+      .agg(round((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).cast(Dec), 6)
+        .cast(Out6).as("mu"))
+    val centered = exId.join(broadcast(mu), "d")
+      .select(col("vec_id"), col("d"),
+        (col("x") - col("mu").cast("double")).as("xc"))
+      .localCheckpoint(true) // self-joined below
+    val cov = centered.as("a").join(centered.as("b"), "vec_id")
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        (col("a.xc") * col("b.xc")).cast(Dec).as("p"))
+      .groupBy("d1", "d2").agg(sum("p").cast("double").as("c"))
+      .localCheckpoint(true) // reused every iteration
+    var v = spark.range(Dims).select(col("id").cast("int").as("d"),
+      lit(1.0 / Dims).as("v"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(broadcast(v), cov("d2") === v("d"))
+        .select(col("d1"), (col("c") * col("v")).cast(Dec).as("p"))
+        .groupBy("d1").agg(sum("p").cast("double").as("w"))
+      val n = w.agg(sum(abs(col("w")).cast(Dec)).cast("double").as("n"))
+      v = w.crossJoin(broadcast(n))
+        .select(col("d1").as("d"), (col("w") / col("n")).as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("d"), round(col("v"), 6).cast(Out6).as("loading"))
+      .orderBy("d")
+  }
+
+  def pcaPowerSql(iters: Int = 3): String = {
+    val base =
+      s"""WITH ex AS (
+         |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+         |), mu AS (
+         |  SELECT d, CAST(round(CAST(CAST(SUM(CAST(x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
+         |    AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS mu
+         |  FROM ex GROUP BY d
+         |), cen AS (
+         |  SELECT vec_id, ex.d, x - CAST(mu AS DOUBLE) AS xc FROM ex JOIN mu USING (d)
+         |), cov AS (
+         |  SELECT a.d AS d1, b.d AS d2,
+         |    CAST(SUM(CAST(a.xc * b.xc AS DECIMAL(32,16))) AS DOUBLE) AS c
+         |  FROM cen a JOIN cen b USING (vec_id) GROUP BY a.d, b.d
+         |), v0 AS (
+         |  SELECT u.d, CAST(${1.0 / Dims} AS DOUBLE) AS v FROM UNNEST(range($Dims)) AS u(d))""".stripMargin
+    val itersSql = (1 to iters).map { i =>
+      s"""w$i AS (
+         |  SELECT d1 AS d, CAST(SUM(CAST(c * v.v AS DECIMAL(32,16))) AS DOUBLE) AS w
+         |  FROM cov JOIN v${i - 1} v ON cov.d2 = v.d GROUP BY d1),
+         |n$i AS (SELECT CAST(SUM(CAST(ABS(w) AS DECIMAL(32,16))) AS DOUBLE) AS n FROM w$i),
+         |v$i AS (SELECT d, w / t.n AS v FROM w$i, n$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$itersSql
+       |SELECT d, CAST(round(v, 6) AS DECIMAL(18,6)) AS loading
+       |FROM v$iters ORDER BY d""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   // ------------------------------------------------------------ batch kNN
@@ -1317,6 +1400,8 @@ object Similarity {
       mipsBrute(Tables.embeddings(s, dir), queryId = 0L)),
     "s17_filtered_ann" -> ((s: SparkSession, dir: String) =>
       filteredKnn(Tables.embeddings(s, dir), queryId = 0L, labelEq = 3)),
+    "s18_pca_power" -> ((s: SparkSession, dir: String) =>
+      pcaPower(Tables.embeddings(s, dir))),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -1341,5 +1426,6 @@ object Similarity {
     "s15_ann_pq" -> annPqSql(0L),
     "s16_mips" -> mipsBruteSql(0L),
     "s17_filtered_ann" -> filteredKnnSql(0L, labelEq = 3),
+    "s18_pca_power" -> pcaPowerSql(),
   )
 }

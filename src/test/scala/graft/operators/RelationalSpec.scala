@@ -464,6 +464,22 @@ class RelationalSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("q72 dq audit: all seven checks present, counts match driver recounts") {
+    val rows = Relational.q72DqAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(
+      "orders_null_custkey", "orders_dup_orderkey", "orders_future_date",
+      "lineitem_nonpositive_qty", "lineitem_discount_range",
+      "customer_dup_custkey", "lineitem_orphan_orderkey"))
+    assert(rows.values.forall(_ >= 0))
+    // referential check agrees with an independent except-based recount
+    val l = graft.sources.Tables.lineitem(spark, dir).select("l_orderkey")
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val orphans = l.exceptAll(l.join(o, Seq("l_orderkey"), "left_semi")).count()
+    assert(rows("lineitem_orphan_orderkey") == orphans)
+  }
+
   test("q70 regional revenue: local-supplier predicate holds, revenue consistent") {
     val rows = Relational.q70RegionalRevenue(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))

@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == expected)
   }
 
+  test("pcaPower: L1-normalized direction matches a driver-side power iteration") {
+    val vecs = emb.collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    val dims = vecs.head.length
+    val mu = Array.tabulate(dims)(d =>
+      BigDecimal(vecs.map(_(d)).sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val cen = vecs.map(v => Array.tabulate(dims)(d => v(d) - mu(d)))
+    val cov = Array.tabulate(dims, dims)((i, j) => cen.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(dims)(1.0 / dims)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dims)(i => (0 until dims).map(j => cov(i)(j) * v(j)).sum)
+      val norm = w.map(math.abs).sum
+      v = w.map(_ / norm)
+    }
+    val got = Similarity.pcaPower(emb).collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).toMap
+    assert(got.size == dims)
+    assert(math.abs(got.values.map(math.abs).sum - 1.0) < 1e-3) // L1-normalized
+    (0 until dims).foreach { d =>
+      assert(math.abs(got(d) - v(d)) < 1e-4, s"dim $d: ${got(d)} vs ${v(d)}")
+    }
+  }
+
   test("annLsh recall: ANN top-5 overlaps brute-force top-5") {
     val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
     val ann = Similarity.annLsh(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
