@@ -627,17 +627,20 @@ object Similarity {
     * Fully deterministic and oracle-checked: per-dim means are the s6
     * exact-decimal discipline, the centered covariance accumulates
     * IEEE products through DECIMAL(32,16) sums (order-independent),
-    * and each unrolled iteration is one 64×64 mat-vec (decimal sums,
-    * L1 normalization — no cross-engine sqrt) — the g14 loop shape on
-    * a matrix instead of a graph.
+    * and each iteration is one 64×64 mat-vec with the same per-term
+    * decimal quantization (L1 normalization — no cross-engine sqrt).
     *
     * Scale: the one corpus-sized stage is the covariance — the
-    * vec_id-keyed self-join emits dims² rows per vector but
-    * partial-aggregates to dims² totals map-side; everything after is
-    * a 64×64 metadata frame, so iterations cost nothing at any corpus
-    * size. (For dims ≫ 10³, switch to mat-vec-only iteration —
-    * Σ x·(x·v) — which never materializes C; at dims = 64, C is the
-    * simpler and fully-oracle-checkable shape.) */
+    * vec_id-keyed self-join emits dims²/2 rows per vector (symmetric:
+    * only d1 ≤ d2 joins, the triangle mirrors after) but
+    * partial-aggregates to dims² totals map-side. C itself is a
+    * dims×dims METADATA frame, so the iterations run driver-side on
+    * the collected matrix — the clusterCenters precedent, with
+    * BigDecimal accumulation mirroring the oracle's decimal sums
+    * bit-exactly. (For dims ≫ 10³, switch to distributed
+    * mat-vec-only iteration — Σ x·(x·v) — which never materializes C;
+    * at dims = 64, C is the simpler and fully-oracle-checkable
+    * shape.) */
   def pcaPower(emb: DataFrame, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     val exId = emb
@@ -651,23 +654,44 @@ object Similarity {
       .select(col("vec_id"), col("d"),
         (col("x") - col("mu").cast("double")).as("xc"))
       .localCheckpoint(true) // self-joined below
-    val cov = centered.as("a").join(centered.as("b"), "vec_id")
+    // covariance is symmetric: join only d1 ≤ d2 (halves the one
+    // corpus-sized stage) and mirror the strict triangle after — the
+    // per-pair decimal sums are identical to the full join's
+    val covTri = centered.as("a").join(centered.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2"),
         (col("a.xc") * col("b.xc")).cast(Dec).as("p"))
       .groupBy("d1", "d2").agg(sum("p").cast("double").as("c"))
-      .localCheckpoint(true) // reused every iteration
-    var v = spark.range(Dims).select(col("id").cast("int").as("d"),
-      lit(1.0 / Dims).as("v"))
-    for (_ <- 1 to iters) {
-      val w = cov.join(broadcast(v), cov("d2") === v("d"))
-        .select(col("d1"), (col("c") * col("v")).cast(Dec).as("p"))
-        .groupBy("d1").agg(sum("p").cast("double").as("w"))
-      val n = w.agg(sum(abs(col("w")).cast(Dec)).cast("double").as("n"))
-      v = w.crossJoin(broadcast(n))
-        .select(col("d1").as("d"), (col("w") / col("n")).as("v"))
-        .localCheckpoint(true)
+    // C is a dims×dims METADATA frame (4096 doubles) — the iterations
+    // run driver-side on the collected matrix (the clusterCenters
+    // precedent; the distributed formulation spent ~5 s of pure 64-row
+    // job latency per bench run). Decimal accumulation mirrors the
+    // oracle's SUM(CAST(x AS DECIMAL(32,16))) exactly: BigDecimal
+    // valueOf + setScale(16, HALF_UP) per term, exact addition.
+    val cMat = Array.ofDim[Double](Dims, Dims)
+    covTri.collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cMat(i)(j) = c
+      cMat(j)(i) = c
     }
-    v.select(col("d"), round(col("v"), 6).cast(Out6).as("loading"))
+    def dec16(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(16, java.math.RoundingMode.HALF_UP)
+    var v = Array.fill(Dims)(1.0 / Dims)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(Dims) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < Dims) { acc = acc.add(dec16(cMat(i)(j) * v(j))); j += 1 }
+        acc.doubleValue()
+      }
+      var nAcc = java.math.BigDecimal.ZERO
+      w.foreach(x => nAcc = nAcc.add(dec16(math.abs(x))))
+      val n = nAcc.doubleValue()
+      v = w.map(_ / n)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, d) => (d, x) }.toSeq.toDF("d", "v")
+      .select(col("d"), round(col("v"), 6).cast(Out6).as("loading"))
       .orderBy("d")
   }
 
