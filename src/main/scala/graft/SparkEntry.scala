@@ -83,6 +83,7 @@ object SparkEntry {
     "g15_assortativity" -> Seq("r"),
     "g16_reciprocity" -> Seq("reciprocity"),
     "g17_adamic_adar" -> Seq("aa"),
+    "g18_degree_powerlaw" -> Seq("slope", "intercept"),
     "m3_label_metrics" -> Seq("precision", "recall", "fpr", "f1"),
     "m4_weighted_metrics" -> Seq("accuracy", "weighted_precision",
       "weighted_recall", "weighted_f1", "weighted_fpr"),

@@ -542,6 +542,73 @@ object Graph {
        |WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = s.a AND c.b = s.b)
        |ORDER BY aa DESC, a ASC, b ASC LIMIT $topK""".stripMargin
 
+  /** g18: degree-distribution power-law fit — ln(#nodes with degree k)
+    * regressed on ln(k) over the undirected degree histogram (slope ≈
+    * −α; real scale-free graphs fit α ∈ [2, 3], a flat slope means the
+    * graph is degree-regular and skew mitigations are unnecessary).
+    * The structural fingerprint read BEFORE choosing salting/cap
+    * strategies for the heavy graph jobs — pairs with g15's
+    * assortativity and the x22/x23 corpus fits.
+    *
+    * Shape: one degree aggregate (|V| rows), one histogram aggregate
+    * (≤ max-degree rows — metadata), then x22's closed-form
+    * least-squares discipline: ln points 6-dp decimal at birth, five
+    * decimal moment sums, slope/intercept assembled in mirrored-order
+    * doubles. */
+  def degreePowerlaw(edges: DataFrame): DataFrame = {
+    val Out6 = DecimalType(18, 6)
+    val DecP = DecimalType(38, 12)
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val xy = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .select(
+        round(log(col("deg").cast("double")), 6).cast(Out6).as("x"),
+        round(log(col("n_nodes").cast("double")), 6).cast(Out6).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x") * col("y")).cast(DecP)).as("sxy"),
+      sum((col("x") * col("x")).cast(DecP)).as("sxx"))
+    val d = s.select(col("n"),
+      ((col("n").cast("double") * col("sxy").cast("double")) -
+        (col("sx").cast("double") * col("sy").cast("double"))).as("num"),
+      ((col("n").cast("double") * col("sxx").cast("double")) -
+        (col("sx").cast("double") * col("sx").cast("double"))).as("den"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .withColumn("slope", col("num") / col("den"))
+    d.select(col("n").as("n_degrees"),
+      round(col("slope"), 6).cast(Out6).as("slope"),
+      round((col("syd") - col("slope") * col("sxd")) / col("n").cast("double"), 6)
+        .cast(Out6).as("intercept"))
+  }
+
+  def degreePowerlawSql(m: Int = 2000): String =
+    s"""WITH edges_g AS (${edgesSql(m)}),
+       |sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+       |hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg),
+       |xy AS (
+       |  SELECT CAST(round(ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+       |         CAST(round(ln(CAST(n_nodes AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+       |  FROM hist
+       |), s AS (
+       |  SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+       |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+       |  FROM xy
+       |), d AS (
+       |  SELECT n,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM s
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_degrees,
+       |  CAST(round(slope, 6) AS DECIMAL(18,6)) AS slope,
+       |  CAST(round((syd - slope * sxd) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS intercept
+       |FROM d""".stripMargin
+
   // ------------------------------------------------------- shortest paths
 
   /** Converged round count per record key for [[shortestPaths]] — the
@@ -1130,6 +1197,8 @@ object Graph {
       reciprocity(cachedEdges(s, dir))),
     "g17_adamic_adar" -> ((s: SparkSession, dir: String) =>
       adamicAdar(cachedEdges(s, dir))),
+    "g18_degree_powerlaw" -> ((s: SparkSession, dir: String) =>
+      degreePowerlaw(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1160,5 +1229,6 @@ object Graph {
     "g15_assortativity" -> assortativitySql(),
     "g16_reciprocity" -> reciprocitySql(),
     "g17_adamic_adar" -> adamicAdarSql(),
+    "g18_degree_powerlaw" -> degreePowerlawSql(),
   )
 }

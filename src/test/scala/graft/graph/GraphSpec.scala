@@ -256,6 +256,17 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 3L, 2.88539), (2L, 4L, 2.88539)))
   }
 
+  test("degreePowerlaw: exact slope on a constructed two-point histogram") {
+    // degree histogram with exactly two points: 8 nodes of degree 1
+    // (leaves), 2 nodes of degree 4 (two disjoint 4-stars) →
+    // slope = (ln 2 − ln 8) / (ln 4 − ln 1) = −1
+    val e = edges(
+      (1L to 4L).map(i => 100L -> i) ++ (5L to 8L).map(i => 200L -> i): _*)
+    val r = Graph.degreePowerlaw(e).collect().head
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDecimal(1).doubleValue - (-1.0)) < 1e-3)
+  }
+
   test("adamicAdar: hub cap drops wedges centered on high-degree vertices") {
     val star = edges((1L to 5L).map(i => 0L -> i): _*)
     // center degree 5 > cap 4 → no wedge survives, no candidate pairs
