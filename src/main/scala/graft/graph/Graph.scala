@@ -132,6 +132,81 @@ object Graph {
        |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
   }
 
+  /** g19: dangling-mass PageRank — the textbook-correct variant the
+    * reference deliberately does NOT implement (ref PageRank.scala:45-67
+    * drops the rank mass sitting on dangling vertices; [[pageRank]]
+    * reproduces that, and `refQuirks` reproduces the init quirk too).
+    * Here each iteration redistributes the dangling mass uniformly over
+    * ALL vertices, so Σrank ≡ 1 exactly instead of leaking per step —
+    * both semantics are now driver-oracled, not just spec-asserted.
+    *
+    * The dangling sum is the A7 scalar-attach idiom — a 1-row
+    * decimal-sum frame broadcast-crossJoined into the update, no driver
+    * action, so the loop stays fully distributed. Everything else
+    * (decimal-quantized contribution sums for order-independence, double
+    * teleport arithmetic mirrored op-for-op in the oracle, per-iteration
+    * `localCheckpoint`) matches [[pageRank]]. */
+  def pageRankDangling(edges: DataFrame, iterations: Int,
+                       alpha: Double = 0.15): DataFrame = {
+    val v = vertices(edges)
+    val n = v.count()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    var ranks = v.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    val contribs = edges.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
+    // out-degree-0 vertices, computed once (dst-only ids in this graph)
+    val danglingIds = v.join(edges.select(col("src").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").cast("double").as("mass"))
+      val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank").cast(Dec)), lit(0).cast(Dec))
+          .cast("double").as("dm"))
+      ranks = v.join(spread, v("id") === spread("dst"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(v("id"),
+          (lit(alpha / n) + lit(1.0 - alpha) *
+            (coalesce(col("mass"), lit(0.0)) + col("dm") / n)).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), round(col("rank"), 12).as("rank"))
+  }
+
+  /** DuckDB oracle for [[pageRankDangling]] — the [[pageRankSql]]
+    * unrolling plus a per-iteration dangling-sum CTE, mirroring the
+    * decimal/double dance exactly. */
+  def pageRankDanglingSql(iterations: Int, alpha: Double = 0.15,
+                          m: Int = 2000): String = {
+    val base =
+      s"""WITH edges_g AS (${edgesSql(m)}),
+         |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges_g GROUP BY src),
+         |contribs AS (SELECT e.src, e.dst, o.out_deg FROM edges_g e JOIN outdeg o USING (src)),
+         |dang AS (SELECT id FROM v WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = v.id)),
+         |r0 AS (SELECT id, 1.0 / n.n AS rank FROM v, n)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""m$i AS (
+         |  SELECT c.dst, CAST(SUM(CAST(r.rank / c.out_deg AS DECIMAL(32,16))) AS DOUBLE) AS mass
+         |  FROM contribs c JOIN r${i - 1} r ON c.src = r.id GROUP BY c.dst),
+         |d$i AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(32,16))), 0) AS DOUBLE) AS dm
+         |  FROM r${i - 1} r JOIN dang USING (id)),
+         |r$i AS (
+         |  SELECT v.id, $alpha / n.n + ${1.0 - alpha} * (COALESCE(m$i.mass, 0.0) + d$i.dm / n.n) AS rank
+         |  FROM v CROSS JOIN n CROSS JOIN d$i LEFT JOIN m$i ON v.id = m$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
+  }
+
   /** Personalized PageRank (the GraphFrames
     * `parallelPersonalizedPageRank` shape, single source set): teleport
     * mass lands uniformly on the `sources` set instead of all vertices,
@@ -576,7 +651,10 @@ object Graph {
       ((col("n").cast("double") * col("sxx").cast("double")) -
         (col("sx").cast("double") * col("sx").cast("double"))).as("den"),
       col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
-      .withColumn("slope", col("num") / col("den"))
+      // den = 0 on a degree-regular graph (single histogram point): both
+      // engines emit NULL slope/intercept instead of IEEE NaN/Inf vs a
+      // DuckDB error (ADVICE r7)
+      .withColumn("slope", when(col("den") =!= 0.0, col("num") / col("den")))
     d.select(col("n").as("n_degrees"),
       round(col("slope"), 6).cast(Out6).as("slope"),
       round((col("syd") - col("slope") * col("sxd")) / col("n").cast("double"), 6)
@@ -599,8 +677,10 @@ object Graph {
        |  FROM xy
        |), d AS (
        |  SELECT n,
-       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+       |      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    END AS slope,
        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
        |  FROM s
        |)
@@ -1199,6 +1279,8 @@ object Graph {
       adamicAdar(cachedEdges(s, dir))),
     "g18_degree_powerlaw" -> ((s: SparkSession, dir: String) =>
       degreePowerlaw(cachedEdges(s, dir))),
+    "g19_pagerank_dangling" -> ((s: SparkSession, dir: String) =>
+      pageRankDangling(cachedEdges(s, dir), iterations = 3).orderBy("id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1230,5 +1312,6 @@ object Graph {
     "g16_reciprocity" -> reciprocitySql(),
     "g17_adamic_adar" -> adamicAdarSql(),
     "g18_degree_powerlaw" -> degreePowerlawSql(),
+    "g19_pagerank_dangling" -> pageRankDanglingSql(iterations = 3),
   )
 }

@@ -1731,9 +1731,13 @@ object Relational {
       |  SELECT 'customer_dup_custkey',
       |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
       |  UNION ALL
+  -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and a
+  -- NULL o_orderkey would collapse NOT IN to 0 rows while the anti-join
+  -- (and NOT EXISTS) still returns the orphans (ADVICE r7)
       |  SELECT 'lineitem_orphan_orderkey',
-      |    CAST((SELECT count(*) FROM lineitem
-      |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |    CAST((SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
       |) ORDER BY check_name""".stripMargin
 
   /** All relational queries + oracles, for SparkEntry registration. */

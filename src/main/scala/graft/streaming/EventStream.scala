@@ -517,7 +517,7 @@ object EventStream {
 
   // ----------------------------------------------- streaming forward fill
 
-  case class FillState(lastVal: Double)
+  case class FillState(lastUs: Long, lastVal: Double)
   case class FillOut(user_id: Long, event_id: Long, us: Long, filled: Double)
 
   /** Streaming forward-fill — the incremental twin of q68's batch
@@ -529,7 +529,15 @@ object EventStream {
     * (event-time, event_id) — the batch window's total order — so
     * in-order arrival reproduces the batch twin row for row
     * (EventStreamSpec asserts equality across a batch-boundary split,
-    * where only the persisted state can carry the value forward). */
+    * where only the persisted state can carry the value forward).
+    *
+    * Late data: a row whose event time precedes the last emitted event
+    * time for its user cannot be filled correctly (its fill value was
+    * superseded by state the batch twin would not have seen yet) — such
+    * rows are DROPPED, the same contract as a watermarked stateful op,
+    * instead of silently emitting a value that diverges from the q68
+    * batch twin (ADVICE r7). State carries (lastUs, lastVal) to enforce
+    * the cutoff. */
   def forwardFillStream(events: Dataset[(Long, Long, Long, String, Double)])
       : Dataset[FillOut] = {
     import events.sparkSession.implicits._
@@ -538,20 +546,26 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
          state: GroupState[FillState]) =>
-          var lastVal = state.getOption.map(_.lastVal).getOrElse(-1.0)
+          var st = state.getOption.getOrElse(FillState(Long.MinValue, -1.0))
           val out = scala.collection.mutable.ListBuffer[FillOut]()
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, et, v) =>
-            if (et == "purchase") lastVal = v
-            out += FillOut(user, eid, us, lastVal)
+            if (us >= st.lastUs) { // late rows dropped, never mis-filled
+              val nv = if (et == "purchase") v else st.lastVal
+              st = FillState(us, nv)
+              out += FillOut(user, eid, us, nv)
+            }
           }
-          state.update(FillState(lastVal))
+          state.update(st)
           out.iterator
       }
   }
 
   // ------------------------------------------------ streaming window HLL
 
-  case class HllOut(day: String, n_empty: Long, hll_est: Double)
+  // ver = per-day state-update counter: the spec picks each day's LATEST
+  // estimate by max(ver) instead of relying on memory-sink row order,
+  // which is not a contract (ADVICE r7)
+  case class HllOut(day: String, ver: Long, n_empty: Long, hll_est: Double)
 
   /** Streaming per-window HyperLogLog — the incremental twin of q69's
     * batch windowed distinct ([[graft.operators.Sketch.hllWindows]]):
@@ -572,11 +586,11 @@ object EventStream {
     val wBits = 32 - b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Byte], HllOut](
+      .flatMapGroupsWithState[(Long, Array[Byte]), HllOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (day: String, rows: Iterator[(String, Long)],
-         state: GroupState[Array[Byte]]) =>
-          val regs = state.getOption.getOrElse(new Array[Byte](m))
+         state: GroupState[(Long, Array[Byte])]) =>
+          val (ver, regs) = state.getOption.getOrElse((0L, new Array[Byte](m)))
           rows.foreach { case (_, userId) =>
             val hv = graft.functions.Md5Hash32.hash(
               org.apache.spark.unsafe.types.UTF8String.fromString(userId.toString))
@@ -587,7 +601,7 @@ object EventStream {
               else wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
             if (rho > regs(bucket)) regs(bucket) = rho.toByte
           }
-          state.update(regs)
+          state.update((ver + 1, regs))
           var harm = 0.0
           var nEmpty = 0L
           var i = 0
@@ -599,7 +613,7 @@ object EventStream {
           val est =
             if (raw <= 2.5 * m && nEmpty > 0) m.toDouble * math.log(m.toDouble / nEmpty)
             else raw
-          Iterator.single(HllOut(day, nEmpty,
+          Iterator.single(HllOut(day, ver + 1, nEmpty,
             BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
   }

@@ -120,6 +120,13 @@ class EventStreamSpec extends SparkSpec {
       // matches the batch twin's semantics replayed driver-side
       val batchTwin = got.toSeq.map(_._3)
       assert(batchTwin == Seq(-1.0, 7.5, 7.5, -1.0, 3.25, 3.25))
+      // a LATE row (event time before user 1's last emitted us(2)) is
+      // dropped, not mis-filled from newer state (ADVICE r7)
+      in.addData((1L, us(1) + 1L, 7L, "view", 4.0))
+      q.processAllAvailable()
+      val after = spark.table("fill_test").as[EventStream.FillOut].collect()
+      assert(!after.exists(_.event_id == 7L), "late row must be dropped")
+      assert(after.length == got.length)
     } finally q.stop()
   }
 
@@ -138,10 +145,10 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(data.drop(3))
       q.processAllAvailable()
-      // memory sink appends per batch; the last row per day is the
-      // latest register-state estimate
+      // pick each day's LATEST estimate by the state-update counter —
+      // memory-sink row order is not a contract (ADVICE r7)
       val streamed = spark.table("hll_stream_test").as[EventStream.HllOut]
-        .collect().groupBy(_.day).map { case (d, xs) => d -> xs.last }
+        .collect().groupBy(_.day).map { case (d, xs) => d -> xs.maxBy(_.ver) }
       // batch twin over the same multiset
       val ev = data.toDF("d", "user_id")
         .select(to_timestamp(col("d")).as("ts"), col("user_id"))
