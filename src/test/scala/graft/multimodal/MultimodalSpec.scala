@@ -26,6 +26,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codecs: BMP round trip survives row padding and bottom-up order") {
+    // w=5 → rowBytes 16 (non-trivial padding); asymmetric pixel pattern
+    val w = 5; val h = 3
+    val px = Array.tabulate(3 * w * h)(j => (j * 17 % 256).toByte)
+    val (dw, dh, dpx) = Codecs.decodeBmp(Codecs.encodeBmp(w, h, px))
+    assert((dw, dh) == (w, h))
+    assert(dpx.toSeq == px.toSeq)
+    intercept[IllegalArgumentException](Codecs.decodeBmp("nope".getBytes))
+  }
+
+  test("codecs: PPM round trip, header comments, concatenated frames") {
+    val w = 4; val h = 2
+    val px = Array.tabulate(3 * w * h)(j => (j * 7 % 256).toByte)
+    val one = Codecs.decodePpm(Codecs.encodePpm(w, h, px))
+    assert((one.width, one.height) == (w, h) && one.pixels.toSeq == px.toSeq)
+    // a header with comment lines (spec-legal) parses identically
+    val commented = ("P6\n# a comment\n4 2\n# another\n255\n").getBytes("US-ASCII") ++ px
+    assert(Codecs.decodePpm(commented).pixels.toSeq == px.toSeq)
+    // concatenated frames split at REAL parsed boundaries
+    val f2 = Array.tabulate(3 * w * h)(j => (j * 11 % 256).toByte)
+    val frames = Codecs.decodePpmFrames(
+      Codecs.encodePpm(w, h, px) ++ Codecs.encodePpm(w, h, f2))
+    assert(frames.length == 2 && frames(1).pixels.toSeq == f2.toSeq)
+    intercept[IllegalArgumentException](Codecs.decodePpm("P5\n1 1\n255\n ".getBytes))
+  }
+
+  test("codecs: WAV round trip; chunk walk skips unknown chunks") {
+    val samples = Array.tabulate(33)(k => (k * 999 - 16000).toShort)
+    val wav = Codecs.encodeWav(22050, samples)
+    val (rate, got) = Codecs.decodeWav(wav)
+    assert(rate == 22050 && got.toSeq == samples.toSeq)
+    // splice an unknown LIST chunk between fmt and data — a real RIFF
+    // reader must skip it by size, not assume fixed offsets
+    val listChunk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    // patch the RIFF size field (+12)
+    val riffSize = (wav.length - 8) + listChunk.length
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    spliced(6) = (riffSize >> 16).toByte; spliced(7) = (riffSize >> 24).toByte
+    val (rate2, got2) = Codecs.decodeWav(spliced)
+    assert(rate2 == 22050 && got2.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException](Codecs.decodeWav("RIFFxxxxAVI ".getBytes))
+  }
+
+  test("synthAssets: real containers decode to the generative formulas") {
+    val some = Multimodal.synthAssets(spark, sf("sf0.001")).collect().take(30)
+    assert(some.map(_.meta.kind).toSet == Set("image", "audio", "video"))
+    some.foreach { a =>
+      a.meta.kind match {
+        case "image" =>
+          val (w, h, px) = Codecs.decodeBmp(a.bytes)
+          assert((w, h) == (Multimodal.imgW(a.asset_id), Multimodal.imgH(a.asset_id)))
+          px.zipWithIndex.foreach { case (b, j) =>
+            assert((b & 0xff) == ((a.asset_id * 7 + j) % 256).toInt)
+          }
+        case "audio" =>
+          val (rate, s) = Codecs.decodeWav(a.bytes)
+          assert(rate == Multimodal.wavRate(a.asset_id))
+          assert(s.length == Multimodal.wavN(a.asset_id))
+        case _ =>
+          val frames = Codecs.decodePpmFrames(a.bytes)
+          assert(frames.length == Multimodal.nFrames(a.asset_id))
+      }
+    }
+  }
+
   test("sampleFrames: strides cover the payload exactly, video only") {
     val frames = Multimodal.sampleFrames(assets, stride = 64).collect()
     assert(frames.nonEmpty)
