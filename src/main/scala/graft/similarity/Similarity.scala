@@ -725,6 +725,53 @@ object Similarity {
        |FROM v$iters ORDER BY d""".stripMargin
   }
 
+  /** Distributed mat-vec power iteration — the dims ≫ 10³ path the
+    * [[pcaPower]] scaladoc documents (VERDICT r7 #7), now implemented:
+    * C·v = Σ_rows xc·(xc·v), which never materializes the dims×dims
+    * covariance at all. Each iteration is two corpus-sized equi-joins
+    * with map-side partial aggregation — (1) per-row scalar
+    * s_r = Σ_d xc·v via a BROADCAST of v (dims rows), (2)
+    * w_d = Σ_r xc·s_r grouped by d — so cluster state per iteration is
+    * O(corpus), never O(dims²). Per-term decimal quantization keeps
+    * every shuffle sum order-independent, same as the collected-matrix
+    * path.
+    *
+    * s18 keeps [[pcaPower]] by default (at dims = 64 the collected
+    * 64×64 matrix is metadata and fully oracle-checkable); this variant
+    * is spec-pinned equivalent to it at dims = 64
+    * ([[graft.similarity.SimilaritySpec]]) and is the switch target
+    * when the embedding width makes dims² a real matrix. */
+  def pcaPowerMatVec(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val exId = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+      .localCheckpoint(true)
+    val mu = exId.groupBy("d")
+      .agg(round((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).cast(Dec), 6)
+        .cast(Out6).as("mu"))
+    val centered = exId.join(broadcast(mu), "d")
+      .select(col("vec_id"), col("d"),
+        (col("x") - col("mu").cast("double")).as("xc"))
+      .localCheckpoint(true) // reused twice per iteration
+    var v: DataFrame = (0 until Dims).map(d => (d, 1.0 / Dims)).toDF("d", "v")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val s = centered.join(broadcast(v), "d")
+        .select(col("vec_id"), (col("xc") * col("v")).cast(Dec).as("t"))
+        .groupBy("vec_id").agg(sum("t").cast("double").as("s"))
+      val w = centered.join(s, "vec_id")
+        .select(col("d"), (col("xc") * col("s")).cast(Dec).as("t"))
+        .groupBy("d").agg(sum("t").cast("double").as("w"))
+      val n = w.agg(sum(abs(col("w")).cast(Dec)).cast("double").as("n"))
+      v = w.crossJoin(broadcast(n))
+        .select(col("d"), (col("w") / col("n")).as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("d"), round(col("v"), 6).cast(Out6).as("loading")).orderBy("d")
+  }
+
   // ------------------------------------------------------------ registry
 
   // ------------------------------------------------------------ batch kNN

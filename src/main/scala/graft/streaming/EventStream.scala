@@ -153,14 +153,21 @@ object EventStream {
     * duplicate — the exactly-once tail of the incremental pipeline
     * (checkpoint + idempotent sink). */
   def mergeSink(df: DataFrame, storePath: String,
-                trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
-    df.writeStream
+                trigger: Trigger = Trigger.ProcessingTime(0),
+                checkpoint: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    // explicit checkpoint → the query can be killed and restarted and
+    // resumes from committed offsets + state; with the upsert (not
+    // append) store, a replayed partial lands on its key — the
+    // exactly-once pair (EventStreamSpec pins the recovery path)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
         upsertStore(batch, storePath)
       }
       .start()
+  }
 
   /** Key-overwrite merge into a parquet store: anti-join the store
     * against the incoming keys, union the new partials, and

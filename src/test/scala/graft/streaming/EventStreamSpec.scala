@@ -418,6 +418,47 @@ class EventStreamSpec extends SparkSpec {
     assert(after.contains((day(1, 0), "view", 99L, 123.0)), "replay did not overwrite")
   }
 
+  test("mergeSink: killed mid-stream, restarted from checkpoint — store equals batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$d%d $hour%02d:00:00")
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = root + "/store"
+    val ckpt = root + "/checkpoint"
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val phase1 = Seq((day(1, 1), "view", 1.5), (day(1, 2), "click", 2.0))
+    val phase2 = Seq((day(2, 3), "view", 4.0))
+    def start() = EventStream.mergeSink(
+      EventStream.dailyRollupStream(in.toDF().toDF("ts", "event_type", "value")),
+      store, checkpoint = Some(ckpt))
+    // phase 1, then KILL while day 1 is still open in the state store
+    // (append mode has emitted nothing yet — genuinely mid-stream)
+    val q1 = start()
+    try { in.addData(phase1: _*); q1.processAllAvailable() } finally q1.stop()
+    // data arrives while the query is down; restart resumes from the
+    // checkpoint's committed offsets + aggregate state
+    in.addData(phase2: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData((day(4, 1), "view", 0.5)) // advances watermark past days 1-2
+      q2.processAllAvailable()
+      in.addData((day(5, 1), "view", 0.5)) // one more batch so closed days emit
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(store)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val batch = EventStream.dailyRollup((phase1 ++ phase2).toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.subsetOf(rows.toSet),
+      s"recovered store missing closed-day partials:\ngot ${rows.toSet}\nwant ⊇ $batch")
+    // no key appears twice: recovery replays landed as upserts, never appends
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys.distinct.length == keys.length, s"duplicate keys after recovery: $keys")
+  }
+
   test("trendingStream + trendingSink: closed hours ranked top-k in the store") {
     implicit val sqlCtx = spark.sqlContext
     def at(hour: Int, min: Int): Timestamp =
