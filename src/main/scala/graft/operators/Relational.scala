@@ -1740,6 +1740,81 @@ object Relational {
       |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
       |) ORDER BY check_name""".stripMargin
 
+  /** q73: TPC-H Q18-shaped large-volume orders — the HAVING-subquery
+    * join shape. The per-order quantity aggregate (map-side combined)
+    * filters to the tiny qualifying-key set, which BROADCASTS into a
+    * semi-join that prunes lineitem BEFORE the orders/customer joins —
+    * lineitem is scanned exactly twice (aggregate + detail), never
+    * re-scanned per row the way a naive correlated HAVING would.
+    * Quantity sums ride DECIMAL(20,4) (exact, order-independent);
+    * `o_totalprice` is cast to DOUBLE on both sides (2-dp values ≪ 2⁵³
+    * — exact, and it keeps the driver's hash off raw DECIMAL bytes).
+    * Top-k is TakeOrdered on the broadcast-pruned aggregate. */
+  def q73BigOrders(spark: SparkSession, dir: String, minQty: Int = 300): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val keys = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(D204)).as("sq"))
+      .filter(col("sq") > minQty)
+      .select("l_orderkey")
+    l.join(broadcast(keys), Seq("l_orderkey"), "left_semi")
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_totalprice").cast("double").as("total_price"))
+      .agg(sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"))
+      .orderBy(desc("total_price"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  def q73BigOrdersSql(minQty: Int = 300): String =
+    s"""SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+       |  CAST(o_totalprice AS DOUBLE) AS total_price,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > $minQty)
+       |GROUP BY c_name, c_custkey, o_orderkey, odate, total_price
+       |ORDER BY total_price DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** q74: TPC-H Q10-shaped returned-item revenue — top-20 customers by
+    * lost revenue on returned lines in one year. Returnflag + year
+    * filters push to the scans; nation broadcasts; revenue is the q70
+    * per-row-rounded DECIMAL(20,4) sum (order-independent, exact both
+    * engines); top-k is TakeOrdered. */
+  def q74ReturnedRevenue(spark: SparkSession, dir: String, yr: Int = 1995): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir).filter(year(col("o_orderdate")) === yr)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(D204)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  def q74ReturnedRevenueSql(yr: Int = 1995): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R' AND year(o_orderdate) = $yr
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1799,6 +1874,8 @@ object Relational {
     "q70_regional_revenue" -> ((s: SparkSession, dir: String) => q70RegionalRevenue(s, dir)),
     "q71_shipping_priority" -> ((s: SparkSession, dir: String) => q71ShippingPriority(s, dir)),
     "q72_dq_audit" -> q72DqAudit _,
+    "q73_big_orders" -> ((s: SparkSession, dir: String) => q73BigOrders(s, dir)),
+    "q74_returned_revenue" -> ((s: SparkSession, dir: String) => q74ReturnedRevenue(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1859,5 +1936,7 @@ object Relational {
     "q70_regional_revenue" -> q70RegionalRevenueSql(),
     "q71_shipping_priority" -> q71ShippingPrioritySql(),
     "q72_dq_audit" -> q72DqAuditSql,
+    "q73_big_orders" -> q73BigOrdersSql(),
+    "q74_returned_revenue" -> q74ReturnedRevenueSql(),
   )
 }

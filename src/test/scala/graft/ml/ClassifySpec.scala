@@ -79,7 +79,9 @@ class ClassifySpec extends SparkSpec {
   test("crossValidate picks a model and scores the test half") {
     val (train, test) = Classify.split(Tables.documents(spark, sf("sf0.001")))
     val cv = Classify.crossValidate(train)
-    assert(cv.avgMetrics.length == 4) // 2 regParam × 2 numFeatures
+    // reference-shaped grid: 2 regParam × 2 elasticNet × 2 maxIter ×
+    // 2 numFeatures (all four of the reference's axes, scaled)
+    assert(cv.avgMetrics.length == 16)
     val scored = cv.transform(test)
     assert(scored.select("prediction").distinct().count() >= 1)
   }

@@ -432,4 +432,19 @@ class PlanAuditSpec extends SparkSpec {
       "segment filter not pushed to the customer scan:\n" + p.take(800))
     assert(p.contains("TakeOrderedAndProject"), "top-10 not TakeOrdered")
   }
+
+  test("q73_big_orders: qualifying keys broadcast into a semi-join below the detail joins") {
+    val p = plan("q73_big_orders")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "qualifying-key set not a broadcast semi-join:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 not TakeOrdered")
+  }
+
+  test("q74_returned_revenue: returnflag pushed to the lineitem scan, top-20 TakeOrdered") {
+    val p = plan("q74_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter not pushed to scan:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 not TakeOrdered")
+    assert(p.contains("BroadcastHashJoin"), "nation dim not broadcast")
+  }
 }
