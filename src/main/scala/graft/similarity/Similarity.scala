@@ -674,6 +674,16 @@ object Similarity {
       cMat(i)(j) = c
       cMat(j)(i) = c
     }
+    // valueOf (shortest-string repr) vs `new BigDecimal(x)` (exact binary
+    // expansion): DuckDB's CAST(x AS DECIMAL(32,16)) rounds the exact
+    // value, so a double whose 17th significant digit straddles a
+    // rounding boundary could differ by 1 ulp at scale 16 (ADVICE r7 —
+    // accepted). valueOf is kept deliberately: it matches SPARK's own
+    // double→decimal cast (Decimal.apply goes through the string repr),
+    // so the driver-checked engine/oracle pair (s18 vs its SQL) is the
+    // one place the discrepancy could surface — and it is hash-green at
+    // both SFs; covariance entries are sums of ≤1e4 products, far from
+    // the 17-digit boundary in practice.
     def dec16(x: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(x).setScale(16, java.math.RoundingMode.HALF_UP)
     var v = Array.fill(Dims)(1.0 / Dims)
