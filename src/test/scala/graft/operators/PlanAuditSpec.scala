@@ -440,6 +440,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-100 not TakeOrdered")
   }
 
+  test("d21_near_dup_ingest: candidate join consumes the PERSISTED band index") {
+    val p = plan("d21_near_dup_ingest")
+    // the between-runs artifact story is real only if the plan scans the
+    // read-back parquet, not the in-session frame it was derived from
+    assert(p.contains("d21_bands"), "band index not read back from the artifact store")
+    assert(p.contains("d21_sets"), "verify artifact not read back from the artifact store")
+  }
+
   test("q74_returned_revenue: returnflag pushed to the lineitem scan, top-20 TakeOrdered") {
     val p = plan("q74_returned_revenue")
     assert(p.contains("EqualTo(l_returnflag,R)"),
