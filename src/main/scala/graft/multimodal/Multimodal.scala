@@ -319,11 +319,63 @@ object Multimodal {
       |  CAST(SUM(s*s) AS BIGINT) AS sum_sq
       |FROM sm GROUP BY id, rate, n ORDER BY asset_id""".stripMargin
 
+  /** m20: decode-failure audit — proves the codec contract's
+    * per-record catchability END-TO-END: every 17th asset's payload is
+    * truncated to half its bytes, decode wraps in `Try`, and the query
+    * reports ok/bad counts per kind — malformed media become countable
+    * rows, never task poison. The oracle re-derives which truncations
+    * are detectable in closed form, including the honest edge case of a
+    * length-delimited container: a video whose (even) frame count makes
+    * half-truncation land EXACTLY on a frame boundary parses as a
+    * valid shorter video, so it counts ok. */
+  def mDecodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthAssets(spark, dir)
+      .map { a =>
+        val bytes =
+          if (a.asset_id % 17 == 0) a.bytes.take(a.bytes.length / 2) else a.bytes
+        val ok = scala.util.Try {
+          a.meta.kind match {
+            case "image" => Codecs.decodeBmp(bytes)
+            case "audio" => Codecs.decodeWav(bytes)
+            case _ => Codecs.decodePpmFrames(bytes)
+          }
+        }.isSuccess
+        (a.meta.kind, ok)
+      }
+      .toDF("kind", "ok")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("ok").cast("long")).as("n_ok"),
+        sum((!col("ok")).cast("long")).as("n_bad"))
+      .orderBy("kind")
+  }
+
+  def mDecodeAuditSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    doc_id % 17 = 0 AS trunc,
+      |    2 + (doc_id // 3) % 3 AS nf
+      |  FROM documents
+      |), f AS (
+      |  SELECT kind,
+      |    CASE WHEN NOT trunc THEN 1
+      |         WHEN kind = 'video' AND nf % 2 = 0 THEN 1  -- exact frame boundary
+      |         ELSE 0 END AS ok
+      |  FROM a
+      |)
+      |SELECT kind, count(*) AS n_assets,
+      |  CAST(SUM(ok) AS BIGINT) AS n_ok,
+      |  CAST(SUM(1 - ok) AS BIGINT) AS n_bad
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_multimodal_features" -> mFeatures _,
     "m6_resize_features" -> mResizeFeatures _,
     "m7_frame_sample" -> mFrameStats _,
     "m19_wav_stats" -> mWavStats _,
+    "m20_decode_audit" -> mDecodeAudit _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -331,5 +383,6 @@ object Multimodal {
     "m6_resize_features" -> mResizeFeaturesSql,
     "m7_frame_sample" -> mFrameStatsSql,
     "m19_wav_stats" -> mWavStatsSql,
+    "m20_decode_audit" -> mDecodeAuditSql,
   )
 }
