@@ -253,10 +253,15 @@ object EventStream {
     * window partitions by hour WITHIN the small closed-window batch —
     * state and ranking never touch more than the batch's hours. */
   def trendingSink(counts: DataFrame, storePath: String, k: Int = 3,
-                   trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
-    counts.writeStream
+                   trigger: Trigger = Trigger.ProcessingTime(0),
+                   checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = counts.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
+    // same kill/restart contract as mergeSink: checkpointed offsets +
+    // state, idempotent key-upsert store
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("hour").orderBy(col("n").desc, col("event_type").asc)
@@ -273,6 +278,7 @@ object EventStream {
         atomicSwap(merged, storePath)
       }
       .start()
+  }
 
   /** Left-outer attribution, batch twin: every view keeps a row whether
     * or not a click landed within the horizon, so the per-user rollup can
