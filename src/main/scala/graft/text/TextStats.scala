@@ -1302,6 +1302,57 @@ object TextStats {
        |FROM d""".stripMargin
   }
 
+  // ------------------------------------------- weighted sampling (A-ES)
+
+  /** x27: deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1] from its md5
+    * (48-bit uniform; v+1 over 2⁴⁸ is an exact dyadic, so the double is
+    * bit-identical on both engines) and the k SMALLEST exponential keys
+    * e/w win, where e = −ln(u) and w = n_chars — equivalent to
+    * weight-proportional sampling without replacement. No RNG, no
+    * global state: the key is a pure per-row expression (rerunnable,
+    * shard-order-independent) and the top-k is TakeOrdered — the
+    * mixture-sampling primitive x10's per-source budgets feed at
+    * 100 TB, where "sample 0.1% weighted by length" must not sort the
+    * corpus. ln is libm → 6-dp decimal at birth (the x14 rule); the
+    * key division then runs on identical doubles in both engines, and
+    * ordering uses the RAW key (the rounded value is output-only). */
+  def xWeightedSample(docs: DataFrame, k: Int = 25): DataFrame = {
+    val Out6 = DecimalType(18, 6)
+    val hex = md5(col("doc_id").cast("string").cast("binary"))
+    def digit(pos: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(hex, pos, 1)) - 1).cast("long")
+    val v = (1 to 12).foldLeft(lit(0L)) { (acc, i) => acc * 16 + digit(i) }
+    val u = (v + 1).cast("double") / lit(281474976710656.0) // (v+1)/2^48, exact
+    val e6 = round(log(u), 6).cast(Out6) // ≤ 0; libm output quantized at birth
+    docs.select(col("doc_id"), col("n_chars").as("w"),
+        (-e6.cast("double") / col("n_chars").cast("double")).as("kraw"))
+      .orderBy(asc("kraw"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w"),
+        round(col("kraw").cast(DecimalType(32, 16)), 6).cast(Out6).as("key"))
+  }
+
+  def xWeightedSampleSql(k: Int = 25): String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+      |), v AS (
+      |  SELECT doc_id, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 13), i ->
+      |        CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT))),
+      |      (acc, x) -> acc * 16 + x) AS hv
+      |  FROM b
+      |), keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    -CAST(CAST(round(ln((hv + 1) / 281474976710656.0), 6) AS DECIMAL(18,6)) AS DOUBLE)
+      |      / CAST(n_chars AS DOUBLE) AS kraw
+      |  FROM v
+      |)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |  CAST(round(CAST(kraw AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS key
+      |FROM keyed ORDER BY kraw ASC, doc_id ASC LIMIT """.stripMargin + k
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -1341,6 +1392,8 @@ object TextStats {
     "x23_heaps_law" -> ((s: SparkSession, dir: String) =>
       heapsLaw(Tables.documents(s, dir))),
     "x24_lang_confusion" -> xLangConfusion _,
+    "x27_weighted_sample" -> ((s: SparkSession, dir: String) =>
+      xWeightedSample(Tables.documents(s, dir))),
     "x25_js_divergence" -> ((s: SparkSession, dir: String) =>
       jsDivergence(Tables.documents(s, dir))),
   )
@@ -1370,5 +1423,6 @@ object TextStats {
     "x23_heaps_law" -> heapsLawSql(),
     "x24_lang_confusion" -> xLangConfusionSql,
     "x25_js_divergence" -> jsDivergenceSql,
+    "x27_weighted_sample" -> xWeightedSampleSql(),
   )
 }

@@ -70,6 +70,23 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Codecs.decodeWav("RIFFxxxxAVI ".getBytes))
   }
 
+  test("codecs: round trips hold at degenerate sizes (padding edges, empty audio)") {
+    // BMP row padding varies with w%4 — exercise every residue incl. w=1
+    for (w <- 1 to 9; h <- Seq(1, 2, 3)) {
+      val px = Array.tabulate(3 * w * h)(j => ((j * 31 + w * 7 + h) % 256).toByte)
+      val (dw, dh, dpx) = Codecs.decodeBmp(Codecs.encodeBmp(w, h, px))
+      assert((dw, dh) == (w, h) && dpx.toSeq == px.toSeq, s"BMP $w x $h")
+      val p = Codecs.decodePpm(Codecs.encodePpm(w, h, px))
+      assert((p.width, p.height) == (w, h) && p.pixels.toSeq == px.toSeq, s"PPM $w x $h")
+    }
+    // zero-sample WAV still round-trips (empty data chunk is legal)
+    val (rate, got) = Codecs.decodeWav(Codecs.encodeWav(44100, Array.empty[Short]))
+    assert(rate == 44100 && got.isEmpty)
+    // extreme sample values survive the 16-bit LE round trip
+    val ext = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
+    assert(Codecs.decodeWav(Codecs.encodeWav(8000, ext))._2.toSeq == ext.toSeq)
+  }
+
   test("synthAssets: real containers decode to the generative formulas") {
     val some = Multimodal.synthAssets(spark, sf("sf0.001")).collect().take(30)
     assert(some.map(_.meta.kind).toSet == Set("image", "audio", "video"))

@@ -487,6 +487,39 @@ class EventStreamSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("trendingSink: restart from checkpoint — closed hour ranked once, no dup keys") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+    val root = java.nio.file.Files.createTempDirectory("graft_trend_ckpt").toString
+    val store = root + "/store"
+    val ckpt = root + "/checkpoint"
+    val in = MemoryStream[(Timestamp, String)]
+    def start() = EventStream.trendingSink(
+      EventStream.trendingStream(in.toDF().toDF("ts", "event_type")), store,
+      checkpoint = Some(ckpt))
+    // hour 1 data arrives, then the query dies with the hour still open
+    val q1 = start()
+    try {
+      in.addData((at(1, 5), "view"), (at(1, 6), "view"), (at(1, 10), "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: watermark-advancing data closes hour 1 from recovered state
+    val q2 = start()
+    try {
+      in.addData((at(6, 0), "view"))
+      q2.processAllAvailable()
+      in.addData((at(7, 0), "view"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val h1 = spark.read.parquet(store)
+      .filter(org.apache.spark.sql.functions.col("hour") === at(1, 0))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("rk"))).sortBy(_._3)
+    assert(h1.toSeq == Seq(("view", 2L, 1L), ("click", 1L, 2L)),
+      s"recovered trending store wrong: ${h1.mkString(",")}")
+  }
+
   test("dedupDelivery restores exactly-once counts from at-least-once feed") {
     val events = graft.sources.Tables.events(spark, sf("sf0.001"))
     val got = EventStream.dedupDelivery(events).collect()

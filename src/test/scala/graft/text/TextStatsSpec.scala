@@ -388,4 +388,22 @@ class TextStatsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(rows.toSet == perDoc)
   }
+
+  test("xWeightedSample: deterministic, and selection is length-biased") {
+    val dir = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val sample = TextStats.xWeightedSample(docs, k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sample.length == 25)
+    // rerun → identical set (pure hash keys, no RNG)
+    val again = TextStats.xWeightedSample(docs, k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sample.toSeq == again.toSeq)
+    // A-ES with w = n_chars must over-select long docs: the sampled mean
+    // length exceeds the corpus mean (deterministic given the fixed hash)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: sample $sampleMean vs corpus $corpusMean")
+  }
 }
