@@ -206,6 +206,52 @@ object Dedup {
        |ORDER BY i.doc_id""".stripMargin
   }
 
+  /** d22: blocked fuzzy-match join — the entity-resolution shape exact
+    * and shingle dedup both miss: records that refer to the same entity
+    * through a TYPO (one or two character edits), which hash to
+    * different md5s and mostly different shingles. Standard two-stage
+    * plan: a cheap BLOCKING key (here the 16-char name prefix) turns
+    * the quadratic all-pairs problem into an equi-join with bounded
+    * blocks, then `levenshtein` verifies each candidate pair — the
+    * expensive O(len²) distance runs only inside blocks. Both engines
+    * implement classic unit-cost Levenshtein, so the verify is
+    * integer-exact cross-engine; the output is the per-distance pair
+    * census (the data-quality signal a dedup pipeline alerts on).
+    *
+    * 100 TB posture: the blocking join shuffles on the block key
+    * (AQE-splittable; a production blocker uses several redundant keys
+    * — prefix, phonetic, sorted-token — unioned, each with the same
+    * shape); distance never runs across blocks. */
+  def fuzzyNameMatch(customer: DataFrame, maxDist: Int = 2): DataFrame = {
+    val c = customer.select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      .localCheckpoint(true) // both sides of the blocking self-join
+    // levenshtein is the GROUP KEY, and the range filter runs on the
+    // CHECKPOINTED aggregate (≤ name-length rows): without the barrier
+    // the optimizer pushes `dist BETWEEN 1 AND 2` through the aggregate
+    // back into the JOIN CONDITION, where levenshtein evaluates 2×
+    // per block-pair row (before the cheap custkey check) plus once in
+    // the projection — measured 11.1 s; with the barrier one eval per
+    // pair, 2.9 s at sf0.1 (742 k pairs)
+    val census = c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+      .groupBy(levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true) // tiny: one row per distinct distance
+    census.filter(col("dist") >= 1 && col("dist") <= maxDist)
+      .orderBy("dist")
+  }
+
+  def fuzzyNameMatchSql(maxDist: Int = 2): String =
+    s"""SELECT dist, n_pairs FROM (
+       |  SELECT CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+       |    count(*) AS n_pairs
+       |  FROM (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) a
+       |  JOIN (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) b
+       |    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+       |  GROUP BY 1)
+       |WHERE dist BETWEEN 1 AND $maxDist ORDER BY dist""".stripMargin
+
   // ------------------------------------------------------------- minhash
 
   /** Word w-shingles (duplicates removed — shingle *sets* for Jaccard).
@@ -1330,6 +1376,8 @@ object Dedup {
       incrementalIngest(Tables.documents(s, dir))),
     "d21_near_dup_ingest" -> ((s: SparkSession, dir: String) =>
       nearDupIngest(s, dir)),
+    "d22_fuzzy_match" -> ((s: SparkSession, dir: String) =>
+      fuzzyNameMatch(Tables.customer(s, dir))),
     "d15_source_contamination" -> ((s: SparkSession, dir: String) =>
       crossSourceContamination(Tables.documents(s, dir), cachedSpans(s, dir))),
     "d16_lsh_tuning" -> ((s: SparkSession, _: String) => lshTuning(s)),
@@ -1367,6 +1415,7 @@ object Dedup {
     "d13_span_novelty" -> spanNoveltySql(),
     "d14_incremental_ingest" -> incrementalIngestSql,
     "d21_near_dup_ingest" -> nearDupIngestSql(),
+    "d22_fuzzy_match" -> fuzzyNameMatchSql(),
     "d15_source_contamination" -> crossSourceContaminationSql(),
     "d16_lsh_tuning" -> lshTuningSql,
     "d17_prefix_join" -> prefixFilterPairsSql,
