@@ -60,11 +60,11 @@ object LogRegGd {
   private def round6(d: Double): JBigDecimal =
     JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP)
 
-  /** Train `steps` full-batch GD steps, return per-doc final scores:
-    * (doc_id, p, pred, correct). */
-  def logregGd(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
-               steps: Int = 2): DataFrame = {
-    val f = features(docs).localCheckpoint(true)
+  /** Train `steps` full-batch GD steps over a (x1, x2, y) feature frame,
+    * returning the final 6-dp decimal weights (w1, w2, b). Extracted so
+    * [[learningCurve]] can train on subsets and score the full set. */
+  def trainWeights(f: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
+                   steps: Int = 2): (JBigDecimal, JBigDecimal, JBigDecimal) = {
     val n = f.count()
     var w1 = JBigDecimal.ZERO.setScale(6)
     var w2 = JBigDecimal.ZERO.setScale(6)
@@ -90,11 +90,55 @@ object LogRegGd {
       val (g1, g2, gb) = (grad(0), grad(1), grad(2))
       w1 = step(w1, g1); w2 = step(w2, g2); b = step(b, gb)
     }
+    (w1, w2, b)
+  }
+
+  /** Train `steps` full-batch GD steps, return per-doc final scores:
+    * (doc_id, p, pred, correct). */
+  def logregGd(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
+               steps: Int = 2): DataFrame = {
+    val f = features(docs).localCheckpoint(true)
+    val (w1, w2, b) = trainWeights(f, lr, steps)
     f.select(col("doc_id"), pCol(w1, w2, b).as("p"), col("y"))
       .select(col("doc_id"), col("p"),
         (col("p") >= 0.5).cast("long").as("pred"),
         ((col("p") >= 0.5).cast("long") === col("y")).cast("long").as("correct"))
       .orderBy("doc_id")
+  }
+
+  /** The unrolled GD-step CTE chain with a name suffix, training on the
+    * `featSrc` CTE — shared by [[logregGdSql]] (sfx = "", featSrc = "f")
+    * and [[learningCurveSql]] (one suffixed chain per training subset).
+    * Emits `,w0$sfx AS (...), p0$sfx ..., w$steps$sfx AS (...)`. */
+  private def gdChainSql(sfx: String, featSrc: String, lr: String,
+                         steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s""", w0$sfx AS (
+              |  SELECT CAST(0 AS DECIMAL(18,6)) AS w1, CAST(0 AS DECIMAL(18,6)) AS w2,
+              |    CAST(0 AS DECIMAL(18,6)) AS b
+              |)""".stripMargin
+    for (i <- 0 until steps) {
+      sb ++= s""",
+                |p$i$sfx AS (
+                |  SELECT f.x1, f.x2, f.y,
+                |    CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
+                |      AS DECIMAL(18,6)) AS p
+                |  FROM $featSrc f, w$i$sfx w
+                |), g$i$sfx AS (
+                |  SELECT
+                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(x1 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS g1,
+                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(x2 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS g2,
+                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS gb
+                |  FROM p$i$sfx
+                |), w${i + 1}$sfx AS (
+                |  SELECT
+                |    CAST(round(CAST(w.w1 - $lr * g.g1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS w1,
+                |    CAST(round(CAST(w.w2 - $lr * g.g2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS w2,
+                |    CAST(round(CAST(w.b - $lr * g.gb AS DOUBLE), 6) AS DECIMAL(18,6)) AS b
+                |  FROM w$i$sfx w, g$i$sfx g
+                |)""".stripMargin
+    }
+    sb.toString
   }
 
   /** Oracle: the GD steps unrolled as CTEs — each step's gradient CTE
@@ -104,31 +148,8 @@ object LogRegGd {
     val sb = new StringBuilder
     sb ++= s"""WITH f AS (
               |  ${featuresSql.replace("\n", "\n  ")}
-              |), w0 AS (
-              |  SELECT CAST(0 AS DECIMAL(18,6)) AS w1, CAST(0 AS DECIMAL(18,6)) AS w2,
-              |    CAST(0 AS DECIMAL(18,6)) AS b
               |)""".stripMargin
-    for (i <- 0 until steps) {
-      sb ++= s""",
-                |p$i AS (
-                |  SELECT f.x1, f.x2, f.y,
-                |    CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
-                |      AS DECIMAL(18,6)) AS p
-                |  FROM f, w$i w
-                |), g$i AS (
-                |  SELECT
-                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(x1 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS g1,
-                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6)) * CAST(x2 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS g2,
-                |    CAST(round(CAST(SUM(CAST(p - y AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS gb
-                |  FROM p$i
-                |), w${i + 1} AS (
-                |  SELECT
-                |    CAST(round(CAST(w.w1 - $lr * g.g1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS w1,
-                |    CAST(round(CAST(w.w2 - $lr * g.g2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS w2,
-                |    CAST(round(CAST(w.b - $lr * g.gb AS DOUBLE), 6) AS DECIMAL(18,6)) AS b
-                |  FROM w$i w, g$i g
-                |)""".stripMargin
-    }
+    sb ++= gdChainSql("", "f", lr, steps)
     sb ++= s"""
               |SELECT f.doc_id,
               |  CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
@@ -333,6 +354,95 @@ object LogRegGd {
        |  CAST(CASE WHEN den > 0 THEN round(num / sqrt(den), 6) ELSE 0.0 END AS DECIMAL(18,6)) AS mcc
        |FROM d""".stripMargin
 
+  /** m21: learning curve — retrain the GD model on nested hash-split
+    * subsets (doc_id % 4 < {1, 2, 4} → 25 / 50 / 100 % of the corpus,
+    * the x6 split discipline: membership is a pure function of the key,
+    * stable under any repartitioning, and each subset contains the
+    * previous one, so the curve isolates data volume from data mix) and
+    * evaluate EVERY model on the full corpus. The answer to "is this
+    * pipeline data-bound or model-bound" — the first question before
+    * paying for more training data.
+    *
+    * Scale shape: the feature frame is built and checkpointed ONCE; each
+    * of the 3 trainings is the m12 loop (per step: one scan, three
+    * partial-aggregated decimal sums) over a filtered view, and each
+    * evaluation is one more scan into a 4-integer confusion aggregate
+    * plus an exact-decimal log-loss sum. Everything cross-engine-exact:
+    * weights are 6-dp decimals by the m12 proof, confusion cells are
+    * integers, accuracy is one double division of exact integers,
+    * per-row log terms are round(ln, 6) decimals at birth (the x14
+    * precedent) with probabilities clamped to [1e-6, 1−1e-6].
+    *
+    * On THIS synthetic corpus the accuracy column is flat at the
+    * majority-class rate — the lang label is uncorrelated with every
+    * text statistic (verified: the de/fr/es stopword dictionaries get
+    * zero hits; token pools are shared across declared langs). That
+    * flat curve is the correct reading, and mean_logloss still moves
+    * with the training subset, which is why it is part of the output. */
+  def learningCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
+                    steps: Int = 2): DataFrame = {
+    val f = features(docs).localCheckpoint(true)
+    val n = f.count()
+    val frames = Seq(1 -> 25, 2 -> 50, 4 -> 100).map { case (m, pct) =>
+      val tr = if (m == 4) f else f.filter(col("doc_id") % 4 < m)
+      val nTrain = tr.count()
+      val (w1, w2, b) = trainWeights(tr, lr, steps)
+      val pred = (col("p") >= 0.5).cast("long")
+      val pd = least(greatest(col("p").cast("double"), lit(0.000001)),
+        lit(0.999999))
+      val term = when(col("y") === 1, -round(log(pd), 6).cast(Out6))
+        .otherwise(-round(log(lit(1.0) - pd), 6).cast(Out6))
+      f.select(pCol(w1, w2, b).as("p"), col("y"))
+        .agg(sum(pred * col("y")).cast("long").as("tp"),
+          sum(pred * (lit(1) - col("y"))).cast("long").as("fp"),
+          sum((lit(1) - pred) * col("y")).cast("long").as("fn"),
+          sum((lit(1) - pred) * (lit(1) - col("y"))).cast("long").as("tn"),
+          sum(term).as("sll"))
+        .select(lit(pct).cast("long").as("train_pct"),
+          lit(nTrain).as("n_train"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp") + col("tn")).cast("double") / lit(n.toDouble), 6)
+            .as("accuracy"),
+          round(col("sll").cast("double") / lit(n.toDouble), 6)
+            .as("mean_logloss"))
+    }
+    frames.reduce(_.union(_)).orderBy("train_pct")
+  }
+
+  def learningCurveSql(lr: String = "0.5", steps: Int = 2): String = {
+    val subsets = Seq(("_25", "tr25", 25, "doc_id % 4 < 1"),
+      ("_50", "tr50", 50, "doc_id % 4 < 2"), ("_100", "f", 100, ""))
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS (
+              |  ${featuresSql.replace("\n", "\n  ")}
+              |), tr25 AS (SELECT * FROM f WHERE doc_id % 4 < 1
+              |), tr50 AS (SELECT * FROM f WHERE doc_id % 4 < 2
+              |)""".stripMargin
+    for ((sfx, src, _, _) <- subsets) sb ++= gdChainSql(sfx, src, lr, steps)
+    val selects = subsets.map { case (sfx, src, pct, _) =>
+      s"""SELECT CAST($pct AS BIGINT) AS train_pct,
+         |  (SELECT count(*) FROM $src) AS n_train,
+         |  CAST(SUM(CASE WHEN p >= 0.5 THEN y ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN p >= 0.5 THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN p >= 0.5 THEN 0 ELSE y END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN p >= 0.5 THEN 0 ELSE 1 - y END) AS BIGINT) AS tn,
+         |  round(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS accuracy,
+         |  round(CAST(SUM(CASE WHEN y = 1
+         |      THEN -CAST(round(ln(least(greatest(CAST(p AS DOUBLE), 0.000001), 0.999999)), 6) AS DECIMAL(18,6))
+         |      ELSE -CAST(round(ln(1.0 - least(greatest(CAST(p AS DOUBLE), 0.000001), 0.999999)), 6) AS DECIMAL(18,6))
+         |    END) AS DOUBLE) / count(*), 6) AS mean_logloss
+         |FROM (
+         |  SELECT f.y,
+         |    CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE)))), 6)
+         |      AS DECIMAL(18,6)) AS p
+         |  FROM f, w$steps$sfx w)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n" + selects.mkString("\nUNION ALL\n") +
+      "\n) ORDER BY train_pct"
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
       cachedScores(s, dir).orderBy("doc_id")),
@@ -360,6 +470,8 @@ object LogRegGd {
         .join(f.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("p"), col("y")))
     }),
+    "m21_learning_curve" -> ((s: SparkSession, dir: String) =>
+      learningCurve(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -368,5 +480,6 @@ object LogRegGd {
     "m14_pr_curve" -> prCurveSql(),
     "m15_auc" -> aucSql(),
     "m18_mcc" -> mccSql(),
+    "m21_learning_curve" -> learningCurveSql(),
   )
 }

@@ -1815,6 +1815,103 @@ object Relational {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  /** q75: TPC-H Q7-shaped two-nation shipping volume — revenue between a
+    * nation pair by ship year. The scale move is dimension-side pruning
+    * BEFORE the fact joins: supplier and customer each broadcast-join
+    * nation and filter to the two nations of interest, so the shuffled
+    * join inputs are ~2/25 of the raw tables; lineitem's ship-date
+    * window is a RANGE predicate on the scan (parquet pushdown — a
+    * `year()` wrapper would not push). The cross-pair requirement
+    * (supp_nation ≠ cust_nation) filters before the aggregate. Revenue
+    * rides the q70 discipline: per-row round → DECIMAL(20,4) exact sum →
+    * double at the end. Output is a handful of (nation, nation, year)
+    * rows — metadata-sized. */
+  def q75VolumeShipping(spark: SparkSession, dir: String,
+                        natA: String = "NATION_1", natB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(natA, natB))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(natA, natB))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(D204)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  def q75VolumeShippingSql(natA: String = "NATION_1", natB: String = "NATION_2"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND ((n1.n_name = '$natA' AND n2.n_name = '$natB')
+       |    OR (n1.n_name = '$natB' AND n2.n_name = '$natA'))
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q76: TPC-H Q14-shaped promo revenue share — the conditional-
+    * aggregate ratio over one ship month. The month window is a range
+    * predicate on the scan (pushdown); the part join shuffles on partkey
+    * with only (p_partkey, p_type) read (column pruning — at 100 TB part
+    * is fact-sized, not broadcastable, but two columns of it shuffle
+    * cheaply). Numerator and denominator are exact DECIMAL(20,4) sums in
+    * ONE aggregate pass; the share is a single double division of two
+    * exact-valued doubles (identical IEEE on both engines), rounded to
+    * 6 dp. */
+  def q76PromoShare(spark: SparkSession, dir: String,
+                    from: String = "1995-09-01", until: String = "1995-10-01"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast(D204)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev)
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast(D204))).as("promo_dec"),
+        sum(rev).as("total_dec"), count(lit(1)).as("n_lines"))
+      .select(col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        col("n_lines"),
+        round(lit(100.0) * col("promo_dec").cast("double") /
+          col("total_dec").cast("double"), 6).as("promo_share"))
+  }
+
+  def q76PromoShareSql(from: String = "1995-09-01", until: String = "1995-10-01"): String =
+    s"""WITH agg AS (
+       |  SELECT
+       |    SUM(CASE WHEN p_type = 'PROMO'
+       |        THEN CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))
+       |        ELSE CAST(0 AS DECIMAL(20,4)) END) AS promo_dec,
+       |    SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS total_dec,
+       |    COUNT(*) AS n_lines
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$until'
+       |)
+       |SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+       |  CAST(total_dec AS DOUBLE) AS total_revenue, n_lines,
+       |  round(100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS promo_share
+       |FROM agg""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1876,6 +1973,8 @@ object Relational {
     "q72_dq_audit" -> q72DqAudit _,
     "q73_big_orders" -> ((s: SparkSession, dir: String) => q73BigOrders(s, dir)),
     "q74_returned_revenue" -> ((s: SparkSession, dir: String) => q74ReturnedRevenue(s, dir)),
+    "q75_volume_shipping" -> ((s: SparkSession, dir: String) => q75VolumeShipping(s, dir)),
+    "q76_promo_share" -> ((s: SparkSession, dir: String) => q76PromoShare(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1938,5 +2037,7 @@ object Relational {
     "q72_dq_audit" -> q72DqAuditSql,
     "q73_big_orders" -> q73BigOrdersSql(),
     "q74_returned_revenue" -> q74ReturnedRevenueSql(),
+    "q75_volume_shipping" -> q75VolumeShippingSql(),
+    "q76_promo_share" -> q76PromoShareSql(),
   )
 }

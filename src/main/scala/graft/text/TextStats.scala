@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1353,6 +1354,85 @@ object TextStats {
       |  CAST(round(CAST(kraw AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS key
       |FROM keyed ORDER BY kraw ASC, doc_id ASC LIMIT """.stripMargin + k
 
+  // ------------------------------------------------------- filter funnel
+
+  /** x26: quality-filter funnel — the gating stage a curation pipeline
+    * runs between signal computation (x3) and training-mix assembly
+    * (x10), with per-rule drop attribution. Rules apply in a FIXED order
+    * and each document is charged to the FIRST rule it fails (CASE
+    * short-circuit — both engines guarantee it), so the funnel rows sum
+    * exactly to the corpus and the per-rule counts answer "which rule
+    * costs us the most data", the question that decides threshold
+    * tuning. One corpus scan computes all signals (the x3 expressions,
+    * tokenize once per row), one tiny 6-row aggregate, and a running-
+    * remaining window over those 6 metadata rows — nothing corpus-sized
+    * shuffles. All outputs are exact integers. Thresholds are calibrated
+    * to the synthetic corpus (each rule fires on real rows at sf0.01);
+    * ratio compares run on the 6-dp-rounded doubles (identical IEEE on
+    * both engines — the x3 discipline). Rule 1 catches n_tokens = 0, so
+    * later ratio branches never see a zero denominator. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val raw = Tokenize.rawTokens(col("text"))
+    val nTok = size(raw)
+    val nChars = length(col("text"))
+    val nStop = size(filter(raw, t => t.isin(Tokenize.stopwords: _*)))
+    val nAlnum = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val stopRatio = round(nStop.cast("double") / nTok, 6)
+    val distinctRatio = round(size(array_distinct(raw)).cast("double") / nTok, 6)
+    val meanTokLen = round((nAlnum - nTok + 1).cast("double") / nTok, 6)
+    val rule = when(nTok < 16, "1_too_short")
+      .when(nChars > 513, "2_too_long")
+      .when(stopRatio < 0.02, "3_low_stopword")
+      .when(distinctRatio < 0.29, "4_repetitive")
+      .when(meanTokLen < 4.0 || meanTokLen > 5.0, "5_token_shape")
+      .otherwise("6_retained")
+    val counts = docs.select(rule.as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_docs"))
+    // 6 metadata rows: the single-partition window is deliberate
+    val w = Window.orderBy("rule")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    counts
+      .select(col("rule"), col("n_docs"),
+        when(col("rule") === "6_retained", col("n_docs"))
+          .otherwise(sum(col("n_docs")).over(tot) - sum(col("n_docs")).over(w))
+          .cast("long").as("n_remaining"))
+      .orderBy("rule")
+  }
+
+  def filterFunnelSql: String = {
+    val toks = Tokenize.rawTokensSql("text")
+    val stops = Tokenize.stopwordsSql
+    s"""WITH s AS (
+       |  SELECT
+       |    len($toks) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    round(CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE)
+       |      / len($toks), 6) AS stop_ratio,
+       |    round(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks), 6) AS distinct_ratio,
+       |    round(CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) - len($toks) + 1 AS DOUBLE)
+       |      / len($toks), 6) AS mean_tok_len
+       |  FROM documents
+       |), labeled AS (
+       |  SELECT CASE
+       |    WHEN n_tokens < 16 THEN '1_too_short'
+       |    WHEN n_chars > 513 THEN '2_too_long'
+       |    WHEN stop_ratio < 0.02 THEN '3_low_stopword'
+       |    WHEN distinct_ratio < 0.29 THEN '4_repetitive'
+       |    WHEN mean_tok_len < 4.0 OR mean_tok_len > 5.0 THEN '5_token_shape'
+       |    ELSE '6_retained' END AS rule
+       |  FROM s
+       |), counts AS (
+       |  SELECT rule, count(*) AS n_docs FROM labeled GROUP BY rule
+       |)
+       |SELECT rule, n_docs,
+       |  CAST(CASE WHEN rule = '6_retained' THEN n_docs
+       |    ELSE SUM(n_docs) OVER () - SUM(n_docs) OVER (ORDER BY rule
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS BIGINT)
+       |    AS n_remaining
+       |FROM counts ORDER BY rule""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -1396,6 +1476,8 @@ object TextStats {
       xWeightedSample(Tables.documents(s, dir))),
     "x25_js_divergence" -> ((s: SparkSession, dir: String) =>
       jsDivergence(Tables.documents(s, dir))),
+    "x26_filter_funnel" -> ((s: SparkSession, dir: String) =>
+      filterFunnel(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1424,5 +1506,6 @@ object TextStats {
     "x24_lang_confusion" -> xLangConfusionSql,
     "x25_js_divergence" -> jsDivergenceSql,
     "x27_weighted_sample" -> xWeightedSampleSql(),
+    "x26_filter_funnel" -> filterFunnelSql,
   )
 }

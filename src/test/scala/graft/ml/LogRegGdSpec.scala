@@ -125,4 +125,26 @@ class LogRegGdSpec extends SparkSpec {
     val constant = Seq((0L, 0.9, 1L), (1L, 0.8, 1L)).toDF("doc_id", "p", "y")
     assert(LogRegGd.mcc(constant).collect().head.getDecimal(4).doubleValue == 0.0)
   }
+
+  test("learningCurve: nested subsets, telescoping cells, perfect at full data") {
+    // same separable toy corpus as the logregGd spec: long docs en,
+    // short docs de — every nested subset contains both clusters, so
+    // with enough steps each curve point separates perfectly
+    val docs = (0L to 11L).map { i =>
+      if (i % 2 == 0) (i, "w " * 2000, "en", 4000L)
+      else (i, "w " * 10, "de", 20L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val rows = LogRegGd.learningCurve(docs, steps = 12).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 100L))
+    // nested hash splits: doc_id % 4 < 1 (3 docs), < 2 (6), all (12)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 6L, 12L))
+    // every evaluation covers the FULL corpus: cells sum to 12 per row
+    rows.foreach { r =>
+      assert((2 to 5).map(r.getLong).sum == 12L, r.toString)
+    }
+    // full-data model separates perfectly; log-loss finite and positive
+    val full = rows.last
+    assert(full.getDouble(6) == 1.0, s"accuracy ${full.getDouble(6)}")
+    rows.foreach(r => assert(r.getDouble(7) > 0.0 && !r.getDouble(7).isInfinite))
+  }
 }

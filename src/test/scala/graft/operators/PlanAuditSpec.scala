@@ -466,4 +466,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 not TakeOrdered")
     assert(p.contains("BroadcastHashJoin"), "nation dim not broadcast")
   }
+
+  test("q75_volume_shipping: ship-date RANGE pushed to scan, nation dims broadcast") {
+    val p = plan("q75_volume_shipping")
+    // the range form pushes into parquet; a year() wrapper would not
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date lower bound not pushed to the lineitem scan:\n" + p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation dims not broadcast on both the supplier and customer side")
+    assert(!p.contains("CartesianProduct"), "cartesian in the pair filter")
+  }
+
+  test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
+    val p = plan("q76_promo_share")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "month lower bound not pushed to the lineitem scan:\n" + p.take(800))
+    // the part scan must read only the join key and p_type
+    val partSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("p_type")).getOrElse("")
+    assert(partSchema.nonEmpty && !partSchema.contains("p_name"),
+      s"part scan reads unreferenced columns: $partSchema")
+  }
 }

@@ -406,4 +406,40 @@ class TextStatsSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"weighted sample not length-biased: sample $sampleMean vs corpus $corpusMean")
   }
+
+  test("filterFunnel: first-fail attribution and telescoping remainders") {
+    import spark.implicits._
+    // one doc per rule plus survivors; the "shortnostop" doc fails BOTH
+    // rule 1 (too short) and rule 3 (no stopwords) — it must be charged
+    // to rule 1 only (first-fail)
+    val survivorText = ("the and of to " + (1 to 12).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (0L, "tiny doc", "en", "s"),                         // 1_too_short (and no stopwords)
+      (1L, survivorText, "en", "s"),
+      (2L, survivorText + " " + "x" * 540, "en", "s"),     // 2_too_long (>513 chars)
+      (3L, (1 to 20).map(i => s"tok$i").mkString(" "), "en", "s"), // 3_low_stopword
+      (4L, "the and of to " + ("dup " * 16), "en", "s"),   // 4_repetitive
+      (5L, "the and of to " + ("abcdefghijkl " * 12), "en", "s"), // 5_token_shape (long tokens)
+      (6L, survivorText, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = TextStats.filterFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byRule = rows.map(t => t._1 -> t).toMap
+    assert(rows.map(_._2).sum == 7, s"funnel rows must sum to the corpus: $rows")
+    assert(byRule("1_too_short")._2 == 1, s"first-fail violated: $rows")
+    assert(byRule("2_too_long")._2 == 1)
+    assert(byRule("3_low_stopword")._2 == 1)
+    assert(byRule("4_repetitive")._2 == 1)
+    assert(byRule("5_token_shape")._2 == 1)
+    // remainders telescope in rule order; retained row repeats its count
+    val ordered = rows.sortBy(_._1)
+    var remaining = 7L
+    ordered.dropRight(1).foreach { case (rule, n, rem) =>
+      remaining -= n
+      assert(rem == remaining, s"$rule: expected $remaining got $rem")
+    }
+    val retained = ordered.last
+    assert(retained._1 == "6_retained" && retained._2 == retained._3)
+    assert(retained._3 == remaining)
+  }
 }
