@@ -119,6 +119,7 @@ object SparkEntry {
     "s13_hard_negatives" -> Seq("cos"),
     "s14_ann_recall" -> Seq("recall"),
     "s15_ann_pq" -> Seq("adc"),
+    "s19_ann_twostage" -> Seq("adc", "cos"),
     "s16_mips" -> Seq("ip"),
     "s17_filtered_ann" -> Seq("cos"),
     "s18_pca_power" -> Seq("loading"),

@@ -1318,8 +1318,11 @@ object Similarity {
     * time). ADC scores are sums of m 6-dp decimals — exact under any
     * aggregation order, so the ranking is cross-engine deterministic.
     */
-  def annPq(emb: DataFrame, queryId: Long, k: Int = 10, m: Int = 8,
-            kc: Int = 8, iters: Int = 2): DataFrame = {
+  /** The PQ fit shared by [[annPq]] and [[annTwoStage]]: subspace
+    * explode → grouped Lloyd rounds → final codes. Returns (base
+    * subvector frame, final centroids, per-vector codes). */
+  private def pqFit(emb: DataFrame, m: Int, kc: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     VectorDotExact.register(emb.sparkSession)
     val sw = Dims / m
     val subs = (0 until m).map(j =>
@@ -1358,11 +1361,23 @@ object Similarity {
           dotCol(col("ce"), col("ce")).as("cnorm2"))
     }
     val codes = assign(cents)
+    (base, cents, codes)
+  }
+
+  /** Query-time ADC lookup table: per-(subspace, code) dot of the query
+    * subvector against the final centroids — m·k_c tiny rows. */
+  private def pqLut(base: DataFrame, cents: DataFrame, queryId: Long): DataFrame = {
     val q = base.filter(col("vec_id") === queryId)
       .select(col("sub"), col("sv").as("qv"))
-    val lut = cents.join(broadcast(q), "sub")
+    cents.join(broadcast(q), "sub")
       .select(col("sub"), col("cid"),
         round(dotCol(col("qv"), col("ce")).cast(Dec), 6).cast(Out6).as("lutq"))
+  }
+
+  def annPq(emb: DataFrame, queryId: Long, k: Int = 10, m: Int = 8,
+            kc: Int = 8, iters: Int = 2): DataFrame = {
+    val (base, cents, codes) = pqFit(emb, m, kc, iters)
+    val lut = pqLut(base, cents, queryId)
     codes.filter(col("vec_id") =!= queryId)
       .join(broadcast(lut), Seq("sub", "cid"))
       .groupBy("vec_id")
@@ -1376,8 +1391,9 @@ object Similarity {
     * the query LUT against the final centroids and the ADC sum over the
     * final codes — the s10 oracle contract extended with the subspace
     * dimension. */
-  def annPqSql(queryId: Long, k: Int = 10, m: Int = 8, kc: Int = 8,
-               iters: Int = 2): String = {
+  /** The PQ fit as SQL CTEs (`ex`, `vn`, `cent0`, per-round `cn/dot/
+    * best/cent`), shared by [[annPqSql]] and [[annTwoStageSql]]. */
+  private def pqFitCtesSql(m: Int, kc: Int, iters: Int): String = {
     val sw = Dims / m
     val sb = new StringBuilder
     sb ++= s"""WITH ex AS (
@@ -1420,6 +1436,13 @@ object Similarity {
                   |  GROUP BY b.sub, b.cid, ex.dloc
                   |)""".stripMargin
     }
+    sb.toString
+  }
+
+  def annPqSql(queryId: Long, k: Int = 10, m: Int = 8, kc: Int = 8,
+               iters: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= pqFitCtesSql(m, kc, iters)
     val last = iters - 1
     sb ++= s""",
               |q AS (SELECT sub, dloc, x AS qx FROM ex WHERE vec_id = $queryId),
@@ -1436,6 +1459,103 @@ object Similarity {
               |GROUP BY b.vec_id
               |ORDER BY adc DESC, b.vec_id ASC LIMIT $k""".stripMargin
     sb.toString
+  }
+
+  // -------------------------------------------------- two-stage pipeline
+
+  private def ivf2sBase: String = graft.sources.Artifacts.path("ivf2s")
+
+  /** s19: the production two-stage retrieval stack — IVF coarse probe →
+    * PQ/ADC shortlist → exact re-rank — composed end-to-end from the
+    * family's own stages (s4's coarse quantizer, s15's compressed-domain
+    * scorer, s1's exact kernel). This is how a billion-vector serving
+    * path actually runs: the coarse probe cuts the corpus to
+    * n·nprobe/k_centroids candidates WITHOUT touching floats (centroid
+    * id equi-join on the persisted assignment index), ADC scores those
+    * candidates from m small code ids + an m·k_c lookup table (no
+    * corpus floats at this stage either), and only the top-`shortlist`
+    * survivors pay the exact 64-dim cosine. Raw vectors are touched for
+    * exactly `shortlist` rows per query.
+    *
+    * Oracle contract: the spark.ml KMeans fit is a persisted FACT (s4
+    * pattern — assignments + probe list land in parquet and DuckDB reads
+    * them back); the PQ fit, ADC scoring, shortlist cut and exact
+    * re-rank are all re-derived from raw parquet by [[annTwoStageSql]].
+    * Every ranking key is an exact decimal (ADC sums of 6-dp decimals,
+    * 6-dp cosine), ties broken by vec_id — cross-engine total order.
+    * Output carries BOTH scores so the compressed-vs-exact gap per hit
+    * is visible (the number a recall dashboard tracks). */
+  def annTwoStage(emb: DataFrame, queryId: Long, k: Int = 10,
+                  shortlist: Int = 50, m: Int = 8, kc: Int = 8,
+                  iters: Int = 2, nCentroids: Int = 16,
+                  nprobe: Int = 4): DataFrame = {
+    val (assigned, probes, _) = ivfFit(emb, queryId, nCentroids, nprobe, 4)
+    assigned.select("vec_id", "centroid")
+      .write.mode("overwrite").parquet(s"$ivf2sBase/assign")
+    probes.write.mode("overwrite").parquet(s"$ivf2sBase/probes")
+    val spark2 = emb.sparkSession
+    val a = spark2.read.parquet(s"$ivf2sBase/assign")
+    val p = spark2.read.parquet(s"$ivf2sBase/probes")
+    val cands = a.join(broadcast(p), "centroid").select("vec_id")
+    val (base, cents, codes) = pqFit(emb, m, kc, iters)
+    val lut = pqLut(base, cents, queryId)
+    val short = codes.join(cands, "vec_id")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("lutq")).cast(Out6).as("adc"))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(shortlist)
+    val qrow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    emb.join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("adc"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle for [[annTwoStage]]: persisted IVF candidates ∩ the
+    * re-derived PQ codes → ADC shortlist → exact cosine top-k. */
+  def annTwoStageSql(queryId: Long, k: Int = 10, shortlist: Int = 50,
+                     m: Int = 8, kc: Int = 8, iters: Int = 2): String = {
+    val last = iters - 1
+    s"""${pqFitCtesSql(m, kc, iters)},
+       |assigned AS (SELECT * FROM '$ivf2sBase/assign/*.parquet'),
+       |probes AS (SELECT * FROM '$ivf2sBase/probes/*.parquet'),
+       |cands AS (
+       |  SELECT vec_id FROM assigned JOIN probes USING (centroid)
+       |  WHERE vec_id != $queryId
+       |), q AS (SELECT sub, dloc, x AS qx FROM ex WHERE vec_id = $queryId),
+       |lut AS (
+       |  SELECT c.sub, c.cid,
+       |    CAST(round(CAST(CAST(SUM(CAST(q.qx * c.c AS DECIMAL(32,16))) AS DOUBLE)
+       |      AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS lutq
+       |  FROM cent$last c JOIN q ON q.sub = c.sub AND q.dloc = c.dloc
+       |  GROUP BY c.sub, c.cid
+       |), short AS (
+       |  SELECT b.vec_id, CAST(SUM(l.lutq) AS DECIMAL(18,6)) AS adc
+       |  FROM best$last b JOIN cands USING (vec_id)
+       |  JOIN lut l ON l.sub = b.sub AND l.cid = b.cid
+       |  GROUP BY b.vec_id
+       |  ORDER BY adc DESC, b.vec_id ASC LIMIT $shortlist
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = $queryId),
+       |dots AS (
+       |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN short USING (vec_id)
+       |  JOIN q ON q.sub = ex.sub AND q.dloc = ex.dloc
+       |  GROUP BY ex.vec_id
+       |)
+       |SELECT s.vec_id, s.adc,
+       |  CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
+       |FROM short s JOIN dots d USING (vec_id) JOIN norms n USING (vec_id) CROSS JOIN qn
+       |ORDER BY cos DESC, s.vec_id ASC LIMIT $k""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1477,6 +1597,8 @@ object Similarity {
         p = autoPForDir(s, dir))),
     "s15_ann_pq" -> ((s: SparkSession, dir: String) =>
       annPq(Tables.embeddings(s, dir), queryId = 0L)),
+    "s19_ann_twostage" -> ((s: SparkSession, dir: String) =>
+      annTwoStage(Tables.embeddings(s, dir), queryId = 0L)),
     "s16_mips" -> ((s: SparkSession, dir: String) =>
       mipsBrute(Tables.embeddings(s, dir), queryId = 0L)),
     "s17_filtered_ann" -> ((s: SparkSession, dir: String) =>
@@ -1505,6 +1627,7 @@ object Similarity {
     "m17_ndcg" -> ndcgAtKSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "s14_ann_recall" -> annRecallSql(0L, p = oracleP),
     "s15_ann_pq" -> annPqSql(0L),
+    "s19_ann_twostage" -> annTwoStageSql(0L),
     "s16_mips" -> mipsBruteSql(0L),
     "s17_filtered_ann" -> filteredKnnSql(0L, labelEq = 3),
     "s18_pca_power" -> pcaPowerSql(),

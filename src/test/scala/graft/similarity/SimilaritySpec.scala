@@ -401,4 +401,29 @@ class SimilaritySpec extends SparkSpec {
     val pq = Similarity.annPq(emb, queryId = 0L).collect().map(_.getLong(0)).toSet
     assert((exact & pq).size >= 3, s"PQ recall too low: exact=$exact pq=$pq")
   }
+
+  test("annTwoStage: exact cosines on returned rows, recall over the pipeline") {
+    val k = 10
+    val got = Similarity.annTwoStage(emb, queryId = 0L, k = k).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getDecimal(2).doubleValue))
+    assert(got.length == k)
+    assert(!got.map(_._1).contains(0L))
+    // the cos column is the EXACT cosine — it must match the driver-side
+    // reference for every returned id (the re-rank stage touches raw
+    // floats; ADC error must not leak into the final score)
+    got.foreach { case (id, _, c) =>
+      assert(math.abs(c - reference(id)) < 1e-6,
+        s"re-ranked cosine for $id diverges from brute force: $c vs ${reference(id)}")
+    }
+    // ordered by exact cosine desc with vec_id tiebreak
+    val cosSeq = got.map(_._3)
+    assert(cosSeq.zip(cosSeq.tail).forall { case (a, b) => a >= b })
+    // end-to-end recall vs brute-force cosine top-k: the IVF probe and
+    // ADC shortlist each lose a little; the composition must still
+    // surface a meaningful share of the true top-k
+    val exact = reference.toSeq.sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1).toSet
+    val overlap = (exact & got.map(_._1).toSet).size
+    assert(overlap >= 3, s"two-stage recall too low: $overlap/$k")
+  }
 }
