@@ -1896,6 +1896,83 @@ object Relational {
           col("total_dec").cast("double"), 6).as("promo_share"))
   }
 
+  /** q77: TPC-H Q8-shaped national market share — one supplier nation's
+    * share of a region's revenue in one part type, by order year. The
+    * two fact-reducing filters (p_type on part, the 2-year order-date
+    * range on orders) push into their scans BEFORE any join; the
+    * customer-side region restriction flows through a broadcast
+    * nation⋈region dim (region is 5 rows, nation 25 — the classic
+    * snowflake collapse), and the supplier side broadcasts nation the
+    * same way. The share is a conditional aggregate over ONE pass:
+    * numerator and denominator ride exact DECIMAL(20,4) sums, one
+    * double division per year row at the end. */
+  def q77MarketShare(spark: SparkSession, dir: String, region: String = "ASIA",
+                     nation: String = "NATION_2", ptype: String = "STANDARD"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val custRegion = Tables.customer(spark, dir)
+      .join(broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === region).select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast(D204)
+    Tables.lineitem(spark, dir)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === nation, rev)
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast(D204))).as("nat_dec"),
+        sum(rev).as("tot_dec"), count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        col("nat_dec").cast("double").as("nation_revenue"),
+        col("tot_dec").cast("double").as("total_revenue"),
+        col("n_lines"),
+        round(col("nat_dec").cast("double") / col("tot_dec").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  def q77MarketShareSql(region: String = "ASIA", nation: String = "NATION_2",
+                        ptype: String = "STANDARD"): String =
+    s"""WITH agg AS (
+       |  SELECT year(o_orderdate) AS yr,
+       |    SUM(CASE WHEN sn.n_name = '$nation'
+       |        THEN CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))
+       |        ELSE CAST(0 AS DECIMAL(20,4)) END) AS nat_dec,
+       |    SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS tot_dec,
+       |    COUNT(*) AS n_lines
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  WHERE p_type = '$ptype' AND r_name = '$region'
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  GROUP BY yr
+       |)
+       |SELECT CAST(yr AS BIGINT) AS o_year,
+       |  CAST(nat_dec AS DOUBLE) AS nation_revenue,
+       |  CAST(tot_dec AS DOUBLE) AS total_revenue, n_lines,
+       |  round(CAST(nat_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6) AS mkt_share
+       |FROM agg ORDER BY o_year""".stripMargin
+
   def q76PromoShareSql(from: String = "1995-09-01", until: String = "1995-10-01"): String =
     s"""WITH agg AS (
        |  SELECT
@@ -1975,6 +2052,7 @@ object Relational {
     "q74_returned_revenue" -> ((s: SparkSession, dir: String) => q74ReturnedRevenue(s, dir)),
     "q75_volume_shipping" -> ((s: SparkSession, dir: String) => q75VolumeShipping(s, dir)),
     "q76_promo_share" -> ((s: SparkSession, dir: String) => q76PromoShare(s, dir)),
+    "q77_market_share" -> ((s: SparkSession, dir: String) => q77MarketShare(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2039,5 +2117,6 @@ object Relational {
     "q74_returned_revenue" -> q74ReturnedRevenueSql(),
     "q75_volume_shipping" -> q75VolumeShippingSql(),
     "q76_promo_share" -> q76PromoShareSql(),
+    "q77_market_share" -> q77MarketShareSql(),
   )
 }

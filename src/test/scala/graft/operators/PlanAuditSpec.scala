@@ -477,6 +477,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian in the pair filter")
   }
 
+  test("q77_market_share: both fact-reducing filters pushed, snowflake dims broadcast") {
+    val p = plan("q77_market_share")
+    assert(p.contains("EqualTo(p_type,STANDARD)"),
+      "part-type filter not pushed to the part scan:\n" + p.take(800))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date range not pushed to the orders scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation/region snowflake not broadcast on both sides")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
