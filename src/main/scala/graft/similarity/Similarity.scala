@@ -545,6 +545,70 @@ object Similarity {
 
   private def ivfBase: String = graft.sources.Artifacts.path("ivf")
 
+  /** The query-independent half of the IVF fit, memoized per (session,
+    * sf-dir) and SHARED by s4 and s19 — the production shape: the coarse
+    * quantizer is fit once per corpus version and every query serves
+    * from it. Returns (assignment ids (vec_id, centroid) — 2 ints per
+    * vector, memo-safe; centroid frame (centroid, cvec) — k tiny rows).
+    * Same seed/data as the per-query fit, so the model is identical;
+    * memoization changes WHEN the fit runs, never what queries return. */
+  private def cachedIvfParts(s: SparkSession, dir: String, nCentroids: Int,
+                             fitSampleMod: Int): (DataFrame, DataFrame) = {
+    val norm = Tables.norm(dir)
+    lazy val fitted: (DataFrame, DataFrame) = {
+      VectorDotExact.register(s)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+      val trainVecs =
+        if (fitSampleMod <= 1) vecs
+        else vecs.filter(pmod(xxhash64(col("vec_id")), lit(fitSampleMod)) === 0)
+      val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+        .fit(trainVecs)
+      val assignedIds = model.transform(vecs)
+        .select(col("vec_id"), col("prediction").as("centroid"))
+      import s.implicits._
+      val centDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq.toDF("centroid", "cvec")
+      (assignedIds, centDf)
+    }
+    val tag = s"k$nCentroids:m$fitSampleMod:$norm"
+    (graft.plans.Materialized(s, s"ivf_assign:$tag")(fitted._1),
+      graft.plans.Materialized(s, s"ivf_cents:$tag")(fitted._2))
+  }
+
+  /** nprobe centroids closest to the query by the KMeans metric
+    * (argmin ‖c−q‖² == argmax (c·q − ‖c‖²/2) for fixed q). */
+  private def ivfProbes(centDf: DataFrame, q: DataFrame, nprobe: Int): DataFrame =
+    centDf.crossJoin(broadcast(q.select(col("qe"))))
+      .select(col("centroid"),
+        (dotCol(col("cvec"), col("qe")) - norm2Col(col("cvec")) / 2).as("sim"))
+      .orderBy(desc("sim")).limit(nprobe)
+      .select("centroid")
+
+  /** s4 serving path over the memoized fit: persist assignments +
+    * probes (the oracle's facts), candidate-prune, exact re-rank. Same
+    * output as [[annIvfPersisted]]; the quantizer just isn't refit per
+    * query. */
+  def annIvfServed(s: SparkSession, dir: String, queryId: Long, k: Int = 10,
+                   nCentroids: Int = 16, nprobe: Int = 4,
+                   fitSampleMod: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (assignedIds, centDf) = cachedIvfParts(s, dir, nCentroids, fitSampleMod)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    val probes = ivfProbes(centDf, q, nprobe)
+    assignedIds.write.mode("overwrite").parquet(s"$ivfBase/assign")
+    probes.write.mode("overwrite").parquet(s"$ivfBase/probes")
+    val a = s.read.parquet(s"$ivfBase/assign")
+    val p = s.read.parquet(s"$ivfBase/probes")
+    rerank(emb.join(a, "vec_id").join(broadcast(p), "centroid")
+      .select(col("vec_id"), col("embedding")), q, queryId, k)
+  }
+
   /** IVF with persisted assignments + probes: the quantizer output lands
     * in parquet and the candidate selection + exact re-rank read it back,
     * so DuckDB can verify everything downstream of the fit over the same
@@ -1378,12 +1442,58 @@ object Similarity {
             kc: Int = 8, iters: Int = 2): DataFrame = {
     val (base, cents, codes) = pqFit(emb, m, kc, iters)
     val lut = pqLut(base, cents, queryId)
+    pqScore(codes, lut, queryId, k)
+  }
+
+  /** ADC scoring of `codes` against a query LUT: sum of m 6-dp decimal
+    * lookups per candidate, top-k by (adc desc, vec_id). */
+  private def pqScore(codes: DataFrame, lut: DataFrame, queryId: Long,
+                      k: Int): DataFrame =
     codes.filter(col("vec_id") =!= queryId)
       .join(broadcast(lut), Seq("sub", "cid"))
       .groupBy("vec_id")
       .agg(sum(col("lutq")).cast(Out6).as("adc"))
       .orderBy(desc("adc"), asc("vec_id"))
       .limit(k)
+
+  /** The query's m subvectors sliced straight from the embedding row —
+    * identical rows to filtering the fit's base frame, without needing
+    * the fit. */
+  private def querySubVectors(emb: DataFrame, queryId: Long, m: Int): DataFrame = {
+    val sw = Dims / m
+    val subs = (0 until m).map(j =>
+      struct(lit(j.toLong).as("sub"), slice(col("embedding"), j * sw + 1, sw).as("sv")))
+    emb.filter(col("vec_id") === queryId)
+      .select(explode(array(subs: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.sv").as("qv"))
+  }
+
+  private def pqLutFromCents(cents: DataFrame, qsub: DataFrame): DataFrame =
+    cents.join(broadcast(qsub), "sub")
+      .select(col("sub"), col("cid"),
+        round(dotCol(col("qv"), col("ce")).cast(Dec), 6).cast(Out6).as("lutq"))
+
+  /** PQ codebooks + codes memoized per (session, sf-dir) — the fit runs
+    * once and every compressed-domain query (s15, s19) serves from it,
+    * exactly as a production index would. Cents are m·k_c tiny rows,
+    * codes are m small ints per vector — both memo-safe sizes. */
+  private def cachedPqFit(s: SparkSession, dir: String, m: Int = 8,
+                          kc: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
+    val norm = Tables.norm(dir)
+    lazy val fit = pqFit(Tables.embeddings(s, dir), m, kc, iters)
+    val tag = s"m$m:kc$kc:it$iters:$norm"
+    (graft.plans.Materialized(s, s"pq_cents:$tag")(fit._2),
+      graft.plans.Materialized(s, s"pq_codes:$tag")(fit._3))
+  }
+
+  /** s15 serving path over the memoized fit. Same output as [[annPq]]. */
+  def annPqServed(s: SparkSession, dir: String, queryId: Long, k: Int = 10,
+                  m: Int = 8, kc: Int = 8, iters: Int = 2): DataFrame = {
+    VectorDotExact.register(s)
+    val (cents, codes) = cachedPqFit(s, dir, m, kc, iters)
+    val lut = pqLutFromCents(cents,
+      querySubVectors(Tables.embeddings(s, dir), queryId, m))
+    pqScore(codes, lut, queryId, k)
   }
 
   /** Oracle for [[annPq]]: the grouped-by-subspace Lloyd rounds unrolled
@@ -1518,6 +1628,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** s19 serving path: BOTH stage indexes come from the session memos
+    * (coarse quantizer shared with s4, PQ codebooks/codes shared with
+    * s15) — one fit each per corpus version, every query serves from
+    * them. Same output as [[annTwoStage]]; the persisted assign/probe
+    * facts are still written fresh for the oracle. */
+  def annTwoStageServed(s: SparkSession, dir: String, queryId: Long,
+                        k: Int = 10, shortlist: Int = 50, m: Int = 8,
+                        kc: Int = 8, iters: Int = 2, nCentroids: Int = 16,
+                        nprobe: Int = 4): DataFrame = {
+    VectorDotExact.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val (assignedIds, centDf) = cachedIvfParts(s, dir, nCentroids, 4)
+    val qrow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    val probes = ivfProbes(centDf, qrow, nprobe)
+    assignedIds.write.mode("overwrite").parquet(s"$ivf2sBase/assign")
+    probes.write.mode("overwrite").parquet(s"$ivf2sBase/probes")
+    val a = s.read.parquet(s"$ivf2sBase/assign")
+    val p = s.read.parquet(s"$ivf2sBase/probes")
+    val cands = a.join(broadcast(p), "centroid").select("vec_id")
+    val (cents, codes) = cachedPqFit(s, dir, m, kc, iters)
+    val lut = pqLutFromCents(cents, querySubVectors(emb, queryId, m))
+    val short = codes.join(cands, "vec_id")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("lutq")).cast(Out6).as("adc"))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(shortlist)
+    emb.join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("adc"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Oracle for [[annTwoStage]]: persisted IVF candidates ∩ the
     * re-derived PQ codes → ADC shortlist → exact cosine top-k. */
   def annTwoStageSql(queryId: Long, k: Int = 10, shortlist: Int = 50,
@@ -1573,7 +1722,7 @@ object Similarity {
     // probe pruning + exact re-rank — is DuckDB hash-checked. Recall is
     // additionally test-enforced against brute force in SimilaritySpec.
     "s4_ann_ivf" -> ((s: SparkSession, dir: String) =>
-      annIvfPersisted(Tables.embeddings(s, dir), queryId = 0L)),
+      annIvfServed(s, dir, queryId = 0L)),
     "s6_label_centroids" -> ((s: SparkSession, dir: String) =>
       labelCentroids(Tables.embeddings(s, dir))),
     "s7_ann_batch" -> ((s: SparkSession, dir: String) =>
@@ -1596,9 +1745,9 @@ object Similarity {
       annRecall(Tables.embeddings(s, dir), queryId = 0L,
         p = autoPForDir(s, dir))),
     "s15_ann_pq" -> ((s: SparkSession, dir: String) =>
-      annPq(Tables.embeddings(s, dir), queryId = 0L)),
+      annPqServed(s, dir, queryId = 0L)),
     "s19_ann_twostage" -> ((s: SparkSession, dir: String) =>
-      annTwoStage(Tables.embeddings(s, dir), queryId = 0L)),
+      annTwoStageServed(s, dir, queryId = 0L)),
     "s16_mips" -> ((s: SparkSession, dir: String) =>
       mipsBrute(Tables.embeddings(s, dir), queryId = 0L)),
     "s17_filtered_ann" -> ((s: SparkSession, dir: String) =>
