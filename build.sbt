@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (host has 125 GiB): a 200-query Verify/Bench session
+  // retains per-family memo blocks (localCheckpoint) for its whole
+  // lifetime, and at 8g the tail of a full pass ran under GC pressure —
+  // single-query in-run readings degraded up to 5× vs isolation
+  // (q46_unpivot 39 s in-run / 1.5 s isolated, round 8).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -79,4 +79,23 @@ class PropertiesSpec extends SparkSpec {
       sh(0).toSet == sh(1).toSet && sh(0).length <= math.max(0, nTok - 2)
     })
   }
+
+  test("filterFunnel: partitions any corpus — counts sum, remainders telescope") {
+    check(Prop.forAll(Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, doc))) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val rows = graft.text.TextStats.filterFunnel(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = docs.length.toLong
+      val sumOk = rows.map(_._2).sum == total
+      // telescoping in rule order; the retained row repeats its count
+      var remaining = total
+      val teleOk = rows.sortBy(_._1).forall { case (rule, n, rem) =>
+        if (rule == "6_retained") rem == n && rem == remaining
+        else { remaining -= n; rem == remaining }
+      }
+      sumOk && teleOk
+    }, n = 10)
+  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity: the driver's correctness gate hash-compares only
+  * queries that have BOTH a `queries` entry and an `oracleSql` entry —
+  * a missing oracle silently downgrades that query to a weaker
+  * rows-only check. This spec makes the promise "every registered query
+  * is oracle-checked" a CI failure instead of a silent downgrade.
+  * (Pure map checks — no SparkSession needed.)
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every registered query has an oracle, and no oracle is orphaned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("microCols names only registered queries") {
+    val stale = SparkEntry.microCols.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"microCols entries for unregistered queries: ${stale.toSeq.sorted}")
+  }
+
+  test("query names follow the family naming convention") {
+    val pat = "^(q|t|d|s|g|m|x|st)\\d+_[a-z0-9_]+$".r
+    val bad = SparkEntry.queries.keySet.filterNot(n => pat.matches(n))
+    assert(bad.isEmpty, s"non-conventional query names: ${bad.toSeq.sorted}")
+  }
+}
