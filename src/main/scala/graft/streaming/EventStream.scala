@@ -662,6 +662,21 @@ object EventStream {
     stream.join(broadcast(customer.select(col("c_custkey").as("user_id"),
       col("c_mktsegment").as("segment"))), "user_id")
 
+  /** Streaming quality gate: the x26 funnel applied to a DOCUMENT
+    * stream. Per-doc labeling is the same stateless first-fail Column
+    * as the batch funnel (pure expressions — streams through whole-stage
+    * codegen, no state); the per-rule tally is a streaming aggregate
+    * whose state is at most 6 rows by construction, so it runs in
+    * complete mode forever without a watermark. The telescoping
+    * `n_remaining` derivation stays on the read side (it needs the
+    * whole 6-row frame) — a stream maintains counts, the serving layer
+    * derives the funnel. Ingest-side gating at 100 TB: label at the
+    * edge, route drops to quarantine, and this 6-row aggregate IS the
+    * funnel dashboard. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    docs.select(graft.text.TextStats.funnelRule.as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_docs"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_enriched_segments" -> ((s: SparkSession, dir: String) =>
       enrichedSegmentCounts(Tables.events(s, dir), Tables.customer(s, dir))

@@ -1371,7 +1371,10 @@ object TextStats {
     * ratio compares run on the 6-dp-rounded doubles (identical IEEE on
     * both engines — the x3 discipline). Rule 1 catches n_tokens = 0, so
     * later ratio branches never see a zero denominator. */
-  def filterFunnel(docs: DataFrame): DataFrame = {
+  /** The funnel's first-fail rule label as a pure (stateless) Column
+    * over `text` — shared by the batch funnel and the streaming quality
+    * gate ([[graft.streaming.EventStream.qualityGateStream]]). */
+  def funnelRule: Column = {
     val raw = Tokenize.rawTokens(col("text"))
     val nTok = size(raw)
     val nChars = length(col("text"))
@@ -1380,13 +1383,16 @@ object TextStats {
     val stopRatio = round(nStop.cast("double") / nTok, 6)
     val distinctRatio = round(size(array_distinct(raw)).cast("double") / nTok, 6)
     val meanTokLen = round((nAlnum - nTok + 1).cast("double") / nTok, 6)
-    val rule = when(nTok < 16, "1_too_short")
+    when(nTok < 16, "1_too_short")
       .when(nChars > 513, "2_too_long")
       .when(stopRatio < 0.02, "3_low_stopword")
       .when(distinctRatio < 0.29, "4_repetitive")
       .when(meanTokLen < 4.0 || meanTokLen > 5.0, "5_token_shape")
       .otherwise("6_retained")
-    val counts = docs.select(rule.as("rule"))
+  }
+
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val counts = docs.select(funnelRule.as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_docs"))
     // 6 metadata rows: the single-partition window is deliberate
     val w = Window.orderBy("rule")

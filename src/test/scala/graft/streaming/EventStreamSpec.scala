@@ -34,6 +34,32 @@ class EventStreamSpec extends SparkSpec {
       (ts(1), "POS", 1L), (ts(1), "NEG", 1L)))
   }
 
+  test("qualityGateStream: per-rule tally equals the batch funnel across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // real sf0.001 documents split across two micro-batches — the
+    // stateless labeling must not care where the batch boundary falls
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val sdf = in.toDF().toDF("doc_id", "text")
+    val q = EventStream.qualityGateStream(sdf)
+      .writeStream.format("memory").queryName("quality_gate_test")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("quality_gate_test")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.text.TextStats.filterFunnel(
+      graft.sources.Tables.documents(spark, sf("sf0.001")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(_._2).sum == docs.length.toLong)
+  }
+
   test("stream-static enrichment join matches the batch twin, drops unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val customer = Seq((1L, "AUTO"), (2L, "BIKE")).toDF("c_custkey", "c_mktsegment")
