@@ -488,6 +488,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s19_ann_twostage: no cartesian anywhere; shortlist and LUT broadcast") {
+    val p = plan("s19_ann_twostage")
+    assert(!p.contains("CartesianProduct"),
+      "cartesian in the two-stage pipeline:\n" + p.take(800))
+    // the ADC lookup table and the shortlist both ride broadcast joins —
+    // corpus-side rows never shuffle for the scoring or the re-rank
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "LUT/shortlist joins not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
