@@ -1439,6 +1439,91 @@ object TextStats {
        |FROM counts ORDER BY rule""".stripMargin
   }
 
+  // ----------------------------------------------------- token waterfill
+
+  /** x28: exact equal-share token waterfilling — allocate a global token
+    * budget B across sources at a common fill level θ, capping each
+    * source at its availability: alloc_s = min(avail_s, θ) with θ chosen
+    * so Σ alloc = B (the classical waterfilling solution, solved EXACTLY
+    * in one pass, not iterated). This is the allocation step between
+    * x10's per-source weights and actual sampling: it answers "at this
+    * budget, which sources saturate and where does the waterline sit".
+    *
+    * Closed form over the sorted source list (avail asc, source asc):
+    * source at rank k is exhausted iff prefix_{k-1} + avail_k·(S−k+1) ≤ B
+    * — the exhausted set is a prefix of the sort order; the rest get
+    * base = ⌊(B − Σ_exhausted)/free⌋ tokens, with the remainder handed
+    * one token each to the lexicographically first non-exhausted
+    * sources, so Σ alloc == min(B, Σ avail) EXACTLY (ScalaCheck-pinned).
+    * If B covers the corpus, every source is exhausted and alloc=avail.
+    *
+    * Shapes: one corpus scan → |S| metadata rows; the rank/prefix
+    * windows and the 1-row exhausted-set aggregate (broadcast crossJoin,
+    * the A7 scalar-attach idiom) all run on those |S| rows. Every value
+    * is an exact BIGINT. */
+  def tokenWaterfill(docs: DataFrame, budget: Long = 26000L): DataFrame = {
+    val stats = docs
+      .select(col("source"), size(Tokenize.rawTokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").cast("long").as("avail"))
+    val wOrd = Window.orderBy(asc("avail"), asc("source"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = stats.select(col("source"), col("avail"),
+      row_number().over(wOrd).cast("long").as("k"),
+      (sum("avail").over(cum) - col("avail")).cast("long").as("prefix"),
+      count(lit(1)).over(Window.partitionBy()).cast("long").as("s_n"))
+    val e = ranked.withColumn("exhausted",
+      (col("prefix") + col("avail") * (col("s_n") - col("k") + 1) <= budget)
+        .cast("long"))
+    val agg = broadcast(e.agg(
+      sum(when(col("exhausted") === 1, col("avail")).otherwise(0L)).cast("long").as("sum_e"),
+      sum(col("exhausted")).cast("long").as("n_e"),
+      count(lit(1)).cast("long").as("s_all")))
+    val srcOrd = Window.orderBy(asc("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("free_pos", sum(lit(1) - col("exhausted")).over(srcOrd))
+      .crossJoin(agg)
+      .select(col("source"), col("avail"), col("exhausted"),
+        when(col("exhausted") === 1, col("avail"))
+          .otherwise(
+            floor((lit(budget) - col("sum_e")) / (col("s_all") - col("n_e"))).cast("long") +
+              when(col("free_pos") <= (lit(budget) - col("sum_e")) % (col("s_all") - col("n_e")),
+                1L).otherwise(0L))
+          .cast("long").as("alloc"))
+      .orderBy("source")
+  }
+
+  def tokenWaterfillSql(budget: Long = 26000L): String = {
+    val toks = Tokenize.rawTokensSql("text")
+    s"""WITH stats AS (
+       |  SELECT source, CAST(SUM(len($toks)) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source
+       |), ranked AS (
+       |  SELECT source, avail,
+       |    CAST(row_number() OVER (ORDER BY avail ASC, source ASC) AS BIGINT) AS k,
+       |    CAST(SUM(avail) OVER (ORDER BY avail ASC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - avail AS BIGINT) AS prefix,
+       |    CAST(count(*) OVER () AS BIGINT) AS s_n
+       |  FROM stats
+       |), e AS (
+       |  SELECT *, CAST(prefix + avail * (s_n - k + 1) <= $budget AS BIGINT) AS exhausted
+       |  FROM ranked
+       |), agg AS (
+       |  SELECT CAST(SUM(CASE WHEN exhausted = 1 THEN avail ELSE 0 END) AS BIGINT) AS sum_e,
+       |    CAST(SUM(exhausted) AS BIGINT) AS n_e, CAST(count(*) AS BIGINT) AS s_all
+       |  FROM e
+       |), pos AS (
+       |  SELECT *, CAST(SUM(1 - exhausted) OVER (ORDER BY source ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS free_pos
+       |  FROM e
+       |)
+       |SELECT source, avail, exhausted,
+       |  CAST(CASE WHEN exhausted = 1 THEN avail
+       |    ELSE ($budget - sum_e) // (s_all - n_e)
+       |      + (CASE WHEN free_pos <= ($budget - sum_e) % (s_all - n_e) THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS alloc
+       |FROM pos, agg ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -1484,6 +1569,8 @@ object TextStats {
       jsDivergence(Tables.documents(s, dir))),
     "x26_filter_funnel" -> ((s: SparkSession, dir: String) =>
       filterFunnel(Tables.documents(s, dir))),
+    "x28_token_waterfill" -> ((s: SparkSession, dir: String) =>
+      tokenWaterfill(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1513,5 +1600,6 @@ object TextStats {
     "x25_js_divergence" -> jsDivergenceSql,
     "x27_weighted_sample" -> xWeightedSampleSql(),
     "x26_filter_funnel" -> filterFunnelSql,
+    "x28_token_waterfill" -> tokenWaterfillSql(),
   )
 }

@@ -98,4 +98,26 @@ class PropertiesSpec extends SparkSpec {
       sumOk && teleOk
     }, n = 10)
   }
+
+  test("tokenWaterfill: exact budget, per-source cap, single waterline") {
+    // synthetic corpora with controlled availabilities: each source gets
+    // `a` single-token docs, so avail == a exactly
+    val avails = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.choose(1L, 60L)))
+    check(Prop.forAll(Gen.zip(avails, Gen.choose(1L, 300L))) { case (as, budget) =>
+      val docs = as.zipWithIndex.flatMap { case (a, s) =>
+        (0L until a).map(i => (s * 1000L + i, "tok", "en", f"src$s%02d"))
+      }.toDF("doc_id", "text", "lang", "source")
+      val rows = graft.text.TextStats.tokenWaterfill(docs, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val total = as.sum
+      val sumOk = rows.map(_._4).sum == math.min(budget, total)
+      val capOk = rows.forall { case (_, avail, _, alloc) => alloc <= avail }
+      val exhOk = rows.forall { case (_, avail, ex, alloc) => ex == 0L || alloc == avail }
+      // all non-exhausted sources sit on one waterline (within the ±1
+      // remainder distribution)
+      val free = rows.filter(_._3 == 0L).map(_._4)
+      val lineOk = free.isEmpty || free.max - free.min <= 1
+      sumOk && capOk && exhOk && lineOk
+    }, n = 12)
+  }
 }
