@@ -1973,6 +1973,90 @@ object Relational {
        |  round(CAST(nat_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6) AS mkt_share
        |FROM agg ORDER BY o_year""".stripMargin
 
+  /** q78: malformed-record resilience — the m20 principle (bad input is
+    * countable rows, never task poison) applied to the JSON ingest path.
+    * A JSONL artifact is generated from events with a deterministic
+    * corruption rule (event_id % 37 → the line is truncated mid-object),
+    * read back under PERMISSIVE mode with a corrupt-record column, and
+    * summarized per kind with corrupt rows in their own bucket. The
+    * oracle recomputes the counts/sums closed-form from the generative
+    * rule (the m6/m7 codec-oracle pattern), so the driver gate IS the
+    * write→corrupt→parse round trip: every valid line must survive with
+    * its exact double value (JSON shortest-repr round trip), every
+    * corrupt line must land in `_corrupt`, none may kill the task. At
+    * scale this is one scan to write, one to parse — both pipelined,
+    * no shuffle beyond the 6-row aggregate. */
+  def q78BadRecords(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.sources.Artifacts.path(s"jsonl_events_${Tables.norm(dir)}")
+    val line = when(col("event_id") % 37 === 0,
+        concat(lit("{\"event_id\":"), col("event_id"), lit(",\"event_type\":")))
+      .otherwise(concat(lit("{\"event_id\":"), col("event_id"),
+        lit(",\"event_type\":\""), col("event_type"),
+        lit("\",\"value\":"), col("value").cast("string"), lit("}")))
+    Tables.events(spark, dir).select(line.as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE, _bad STRING")
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .json(tmp)
+      .groupBy(when(col("_bad").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("kind"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(round(col("value"), 4).cast(D204)).cast("double"), lit(0.0))
+          .as("sum_value"))
+      .orderBy("kind")
+  }
+
+  def q78BadRecordsSql: String =
+    """SELECT * FROM (
+      |  SELECT event_type AS kind, count(*) AS n_rows,
+      |    CAST(SUM(CAST(round(value, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |  FROM events WHERE event_id % 37 != 0 GROUP BY event_type
+      |  UNION ALL
+      |  SELECT '_corrupt', count(*), 0.0 FROM events WHERE event_id % 37 = 0
+      |) ORDER BY kind""".stripMargin
+
+  /** q79: dynamic-partition-overwrite backfill — the idempotent
+    * reprocessing primitive of a partitioned lake: rewrite ONE day's
+    * partition (here: the earliest day, re-emitted without its 'view'
+    * events) and prove every other partition is untouched. With
+    * `partitionOverwriteMode=dynamic`, an overwrite replaces exactly
+    * the partitions present in the written frame — the 100 TB backfill
+    * contract (static overwrite would truncate the whole table; append
+    * would double-count). The backfill target day is selected with a
+    * broadcast 1-row min-day frame (no driver action), and the final
+    * per-day counts come from reading the artifact back, so the driver
+    * gate verifies the on-disk partition state, not the plan's
+    * intention. Oracle recomputes the expected per-day counts closed
+    * form from the same rule. */
+  def q79DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.sources.Artifacts.path(s"day_events_${Tables.norm(dir)}")
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_id"), col("event_type"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val minDay = ev.agg(min(col("day")).as("d"))
+    val backfill = ev.join(broadcast(minDay), col("day") === col("d"))
+      .filter(col("event_type") =!= "view")
+      .select("day", "event_id", "event_type")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try backfill.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(tmp)
+      .groupBy("day").agg(count(lit(1)).as("n_rows"))
+      .orderBy("day")
+  }
+
+  def q79DynamicOverwriteSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |md AS (SELECT min(day) AS d FROM ev)
+      |SELECT day, count(*) AS n_rows FROM ev, md
+      |WHERE day != d OR event_type != 'view'
+      |GROUP BY day ORDER BY day""".stripMargin
+
   def q76PromoShareSql(from: String = "1995-09-01", until: String = "1995-10-01"): String =
     s"""WITH agg AS (
        |  SELECT
@@ -2053,6 +2137,8 @@ object Relational {
     "q75_volume_shipping" -> ((s: SparkSession, dir: String) => q75VolumeShipping(s, dir)),
     "q76_promo_share" -> ((s: SparkSession, dir: String) => q76PromoShare(s, dir)),
     "q77_market_share" -> ((s: SparkSession, dir: String) => q77MarketShare(s, dir)),
+    "q78_bad_records" -> q78BadRecords _,
+    "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2118,5 +2204,7 @@ object Relational {
     "q75_volume_shipping" -> q75VolumeShippingSql(),
     "q76_promo_share" -> q76PromoShareSql(),
     "q77_market_share" -> q77MarketShareSql(),
+    "q78_bad_records" -> q78BadRecordsSql,
+    "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )
 }

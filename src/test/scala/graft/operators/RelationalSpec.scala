@@ -538,4 +538,38 @@ class RelationalSpec extends SparkSpec {
     }.toSet
     assert(got.length == raw.length && got.toSet == expected)
   }
+
+  test("q79 dynamic overwrite replaces ONLY the backfilled partition's files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def partFiles(base: String, day: String): Set[String] = {
+      val p = Paths.get(base, s"day=$day")
+      if (!Files.isDirectory(p)) Set.empty
+      else Files.list(p).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        col("event_id"), col("event_type"))
+    val days = ev.select("day").distinct().collect().map(_.getDate(0).toString).sorted
+    val (minDay, otherDay) = (days.head, days.last)
+    val tmp = graft.sources.Artifacts.path("q79_spec")
+    ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val beforeOther = partFiles(tmp, otherDay)
+    val beforeMin = partFiles(tmp, minDay)
+    assert(beforeOther.nonEmpty && beforeMin.nonEmpty)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try ev.filter(col("day") === minDay && col("event_type") =!= "view")
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // untouched partition: byte-identical file set; backfilled: new files
+    assert(partFiles(tmp, otherDay) == beforeOther,
+      "non-target partition files changed under dynamic overwrite")
+    assert(partFiles(tmp, minDay) != beforeMin, "target partition not rewritten")
+    // and the readback sees the reduced day
+    val n = spark.read.parquet(tmp).filter(col("day") === minDay).count()
+    val expected = ev.filter(col("day") === minDay &&
+      col("event_type") =!= "view").count()
+    assert(n == expected)
+  }
 }
