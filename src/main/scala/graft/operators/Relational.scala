@@ -2014,6 +2014,7 @@ object Relational {
       |  FROM events WHERE event_id % 37 != 0 GROUP BY event_type
       |  UNION ALL
       |  SELECT '_corrupt', count(*), 0.0 FROM events WHERE event_id % 37 = 0
+      |  HAVING count(*) > 0
       |) ORDER BY kind""".stripMargin
 
   /** q79: dynamic-partition-overwrite backfill — the idempotent
@@ -2051,10 +2052,17 @@ object Relational {
   }
 
   def q79DynamicOverwriteSql: String =
+    // the trailing NOT EXISTS mirrors dynamic overwrite's no-op edge: if
+    // the target day has ONLY view rows, the backfill frame is empty,
+    // the overwrite writes no partitions, and the stale day survives —
+    // so the oracle must keep it too (latent-fixture guard; current
+    // test dirs always have non-view rows on the min day)
     """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
       |md AS (SELECT min(day) AS d FROM ev)
       |SELECT day, count(*) AS n_rows FROM ev, md
       |WHERE day != d OR event_type != 'view'
+      |   OR NOT EXISTS (SELECT 1 FROM ev e2, md m2
+      |                  WHERE e2.day = m2.d AND e2.event_type != 'view')
       |GROUP BY day ORDER BY day""".stripMargin
 
   def q76PromoShareSql(from: String = "1995-09-01", until: String = "1995-10-01"): String =

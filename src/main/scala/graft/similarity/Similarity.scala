@@ -589,6 +589,22 @@ object Similarity {
       .orderBy(desc("sim")).limit(nprobe)
       .select("centroid")
 
+  /** The persisted-fact tail shared by the refit and served IVF paths:
+    * write assignments + probes under `base` (the oracle's facts), read
+    * them back, candidate-prune, exact re-rank. A fix to the fact
+    * columns or the prune must land in both paths by construction. */
+  private def persistProbeRerank(emb: DataFrame, assignedIds: DataFrame,
+                                 probes: DataFrame, q: DataFrame, base: String,
+                                 queryId: Long, k: Int): DataFrame = {
+    assignedIds.write.mode("overwrite").parquet(s"$base/assign")
+    probes.write.mode("overwrite").parquet(s"$base/probes")
+    val s = emb.sparkSession
+    val a = s.read.parquet(s"$base/assign")
+    val p = s.read.parquet(s"$base/probes")
+    rerank(emb.join(a, "vec_id").join(broadcast(p), "centroid")
+      .select(col("vec_id"), col("embedding")), q, queryId, k)
+  }
+
   /** s4 serving path over the memoized fit: persist assignments +
     * probes (the oracle's facts), candidate-prune, exact re-rank. Same
     * output as [[annIvfPersisted]]; the quantizer just isn't refit per
@@ -600,13 +616,8 @@ object Similarity {
     val (assignedIds, centDf) = cachedIvfParts(s, dir, nCentroids, fitSampleMod)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
-    val probes = ivfProbes(centDf, q, nprobe)
-    assignedIds.write.mode("overwrite").parquet(s"$ivfBase/assign")
-    probes.write.mode("overwrite").parquet(s"$ivfBase/probes")
-    val a = s.read.parquet(s"$ivfBase/assign")
-    val p = s.read.parquet(s"$ivfBase/probes")
-    rerank(emb.join(a, "vec_id").join(broadcast(p), "centroid")
-      .select(col("vec_id"), col("embedding")), q, queryId, k)
+    persistProbeRerank(emb, assignedIds, ivfProbes(centDf, q, nprobe), q,
+      ivfBase, queryId, k)
   }
 
   /** IVF with persisted assignments + probes: the quantizer output lands
@@ -618,14 +629,8 @@ object Similarity {
                       nCentroids: Int = 16, nprobe: Int = 4,
                       fitSampleMod: Int = 4): DataFrame = {
     val (assigned, probes, q) = ivfFit(emb, queryId, nCentroids, nprobe, fitSampleMod)
-    assigned.select("vec_id", "centroid")
-      .write.mode("overwrite").parquet(s"$ivfBase/assign")
-    probes.write.mode("overwrite").parquet(s"$ivfBase/probes")
-    val spark2 = emb.sparkSession
-    val a = spark2.read.parquet(s"$ivfBase/assign")
-    val p = spark2.read.parquet(s"$ivfBase/probes")
-    rerank(emb.join(a, "vec_id").join(broadcast(p), "centroid")
-      .select(col("vec_id"), col("embedding")), q, queryId, k)
+    persistProbeRerank(emb, assigned.select("vec_id", "centroid"), probes, q,
+      ivfBase, queryId, k)
   }
 
   /** Oracle for [[annIvfPersisted]]: candidates from the persisted
@@ -1600,22 +1605,27 @@ object Similarity {
                   iters: Int = 2, nCentroids: Int = 16,
                   nprobe: Int = 4): DataFrame = {
     val (assigned, probes, _) = ivfFit(emb, queryId, nCentroids, nprobe, 4)
-    assigned.select("vec_id", "centroid")
-      .write.mode("overwrite").parquet(s"$ivf2sBase/assign")
-    probes.write.mode("overwrite").parquet(s"$ivf2sBase/probes")
-    val spark2 = emb.sparkSession
-    val a = spark2.read.parquet(s"$ivf2sBase/assign")
-    val p = spark2.read.parquet(s"$ivf2sBase/probes")
-    val cands = a.join(broadcast(p), "centroid").select("vec_id")
     val (base, cents, codes) = pqFit(emb, m, kc, iters)
-    val lut = pqLut(base, cents, queryId)
-    val short = codes.join(cands, "vec_id")
-      .filter(col("vec_id") =!= queryId)
-      .join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy("vec_id")
-      .agg(sum(col("lutq")).cast(Out6).as("adc"))
-      .orderBy(desc("adc"), asc("vec_id"))
-      .limit(shortlist)
+    twoStageTail(emb, assigned.select("vec_id", "centroid"), probes, codes,
+      pqLut(base, cents, queryId), queryId, shortlist, k)
+  }
+
+  /** Stages 2+3 shared by the refit and served two-stage paths: persist
+    * the coarse facts under the s19 namespace, read them back, ADC-score
+    * the candidates to a `shortlist` (via [[pqScore]] — one scoring
+    * implementation for the whole PQ family), then exact cosine re-rank
+    * carrying both scores. The twin contract "served == refit" holds by
+    * construction because this IS both paths' tail. */
+  private def twoStageTail(emb: DataFrame, assignedIds: DataFrame,
+                           probes: DataFrame, codes: DataFrame, lut: DataFrame,
+                           queryId: Long, shortlist: Int, k: Int): DataFrame = {
+    assignedIds.write.mode("overwrite").parquet(s"$ivf2sBase/assign")
+    probes.write.mode("overwrite").parquet(s"$ivf2sBase/probes")
+    val s = emb.sparkSession
+    val a = s.read.parquet(s"$ivf2sBase/assign")
+    val p = s.read.parquet(s"$ivf2sBase/probes")
+    val cands = a.join(broadcast(p), "centroid").select("vec_id")
+    val short = pqScore(codes.join(cands, "vec_id"), lut, queryId, shortlist)
     val qrow = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
     emb.join(broadcast(short), "vec_id")
@@ -1631,8 +1641,9 @@ object Similarity {
   /** s19 serving path: BOTH stage indexes come from the session memos
     * (coarse quantizer shared with s4, PQ codebooks/codes shared with
     * s15) — one fit each per corpus version, every query serves from
-    * them. Same output as [[annTwoStage]]; the persisted assign/probe
-    * facts are still written fresh for the oracle. */
+    * them. Same output as [[annTwoStage]] (shared [[twoStageTail]]);
+    * the persisted assign/probe facts are still written fresh for the
+    * oracle. */
   def annTwoStageServed(s: SparkSession, dir: String, queryId: Long,
                         k: Int = 10, shortlist: Int = 50, m: Int = 8,
                         kc: Int = 8, iters: Int = 2, nCentroids: Int = 16,
@@ -1642,29 +1653,10 @@ object Similarity {
     val (assignedIds, centDf) = cachedIvfParts(s, dir, nCentroids, 4)
     val qrow = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
-    val probes = ivfProbes(centDf, qrow, nprobe)
-    assignedIds.write.mode("overwrite").parquet(s"$ivf2sBase/assign")
-    probes.write.mode("overwrite").parquet(s"$ivf2sBase/probes")
-    val a = s.read.parquet(s"$ivf2sBase/assign")
-    val p = s.read.parquet(s"$ivf2sBase/probes")
-    val cands = a.join(broadcast(p), "centroid").select("vec_id")
     val (cents, codes) = cachedPqFit(s, dir, m, kc, iters)
-    val lut = pqLutFromCents(cents, querySubVectors(emb, queryId, m))
-    val short = codes.join(cands, "vec_id")
-      .filter(col("vec_id") =!= queryId)
-      .join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy("vec_id")
-      .agg(sum(col("lutq")).cast(Out6).as("adc"))
-      .orderBy(desc("adc"), asc("vec_id"))
-      .limit(shortlist)
-    emb.join(broadcast(short), "vec_id")
-      .crossJoin(broadcast(qrow))
-      .select(col("vec_id"), col("adc"),
-        round(dotCol(col("embedding"), col("qe")) /
-          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
-          .cast(Out6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_id"))
-      .limit(k)
+    twoStageTail(emb, assignedIds, ivfProbes(centDf, qrow, nprobe), codes,
+      pqLutFromCents(cents, querySubVectors(emb, queryId, m)),
+      queryId, shortlist, k)
   }
 
   /** Oracle for [[annTwoStage]]: persisted IVF candidates ∩ the

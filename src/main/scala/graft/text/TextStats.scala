@@ -1356,24 +1356,15 @@ object TextStats {
 
   // ------------------------------------------------------- filter funnel
 
-  /** x26: quality-filter funnel — the gating stage a curation pipeline
-    * runs between signal computation (x3) and training-mix assembly
-    * (x10), with per-rule drop attribution. Rules apply in a FIXED order
-    * and each document is charged to the FIRST rule it fails (CASE
-    * short-circuit — both engines guarantee it), so the funnel rows sum
-    * exactly to the corpus and the per-rule counts answer "which rule
-    * costs us the most data", the question that decides threshold
-    * tuning. One corpus scan computes all signals (the x3 expressions,
-    * tokenize once per row), one tiny 6-row aggregate, and a running-
-    * remaining window over those 6 metadata rows — nothing corpus-sized
-    * shuffles. All outputs are exact integers. Thresholds are calibrated
-    * to the synthetic corpus (each rule fires on real rows at sf0.01);
-    * ratio compares run on the 6-dp-rounded doubles (identical IEEE on
-    * both engines — the x3 discipline). Rule 1 catches n_tokens = 0, so
-    * later ratio branches never see a zero denominator. */
   /** The funnel's first-fail rule label as a pure (stateless) Column
     * over `text` — shared by the batch funnel and the streaming quality
-    * gate ([[graft.streaming.EventStream.qualityGateStream]]). */
+    * gate ([[graft.streaming.EventStream.qualityGateStream]]). Rules
+    * apply in a FIXED order with CASE short-circuit (both engines
+    * guarantee it); rule 1 catches n_tokens = 0, so later ratio
+    * branches never see a zero denominator. Thresholds are calibrated
+    * to the synthetic corpus (each rule fires on real rows at sf0.01);
+    * ratio compares run on 6-dp-rounded doubles (identical IEEE on
+    * both engines — the x3 discipline). */
   def funnelRule: Column = {
     val raw = Tokenize.rawTokens(col("text"))
     val nTok = size(raw)
@@ -1391,6 +1382,16 @@ object TextStats {
       .otherwise("6_retained")
   }
 
+  /** x26: quality-filter funnel — the gating stage a curation pipeline
+    * runs between signal computation (x3) and training-mix assembly
+    * (x10), with per-rule drop attribution. Each document is charged to
+    * the FIRST rule it fails ([[funnelRule]]), so the funnel rows sum
+    * exactly to the corpus and the per-rule counts answer "which rule
+    * costs us the most data", the question that decides threshold
+    * tuning. One corpus scan computes all signals (tokenize once per
+    * row), one tiny 6-row aggregate, and a running-remaining window
+    * over those 6 metadata rows — nothing corpus-sized shuffles. All
+    * outputs are exact integers. */
   def filterFunnel(docs: DataFrame): DataFrame = {
     val counts = docs.select(funnelRule.as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_docs"))
@@ -1485,7 +1486,10 @@ object TextStats {
       .select(col("source"), col("avail"), col("exhausted"),
         when(col("exhausted") === 1, col("avail"))
           .otherwise(
-            floor((lit(budget) - col("sum_e")) / (col("s_all") - col("n_e"))).cast("long") +
+            // integral DIV, not double division + floor: past 2^53 the
+            // double rounds before the floor and can land one off from
+            // the oracle's exact `//`
+            expr(s"(${budget}L - sum_e) DIV (s_all - n_e)") +
               when(col("free_pos") <= (lit(budget) - col("sum_e")) % (col("s_all") - col("n_e")),
                 1L).otherwise(0L))
           .cast("long").as("alloc"))

@@ -13,8 +13,14 @@ import graft.{SparkEntry, SparkSpec}
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // suites share one SparkSession per JVM; another suite's .cache()
+    // of the same scan would substitute an InMemoryRelation into this
+    // plan and hide the PushedFilters being audited — clear first so
+    // the audits are suite-order-independent
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+  }
 
   test("q6_filter: predicates and projection push into the parquet scan") {
     val p = plan("q6_filter")

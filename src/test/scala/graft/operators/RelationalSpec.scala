@@ -552,16 +552,21 @@ class RelationalSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
         col("event_id"), col("event_type"))
     val days = ev.select("day").distinct().collect().map(_.getDate(0).toString).sorted
+    assume(days.length >= 2, "needs >= 2 day partitions for a control day")
     val (minDay, otherDay) = (days.head, days.last)
     val tmp = graft.sources.Artifacts.path("q79_spec")
     ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
     val beforeOther = partFiles(tmp, otherDay)
     val beforeMin = partFiles(tmp, minDay)
     assert(beforeOther.nonEmpty && beforeMin.nonEmpty)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try ev.filter(col("day") === minDay && col("event_type") =!= "view")
       .write.mode("overwrite").partitionBy("day").parquet(tmp)
-    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     // untouched partition: byte-identical file set; backfilled: new files
     assert(partFiles(tmp, otherDay) == beforeOther,
       "non-target partition files changed under dynamic overwrite")
