@@ -1988,11 +1988,21 @@ object Relational {
     * no shuffle beyond the 6-row aggregate. */
   def q78BadRecords(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.sources.Artifacts.path(s"jsonl_events_${Tables.norm(dir)}")
+    // null / NaN / ±Inf values serialize as JSON null (a double's string
+    // cast would emit invalid JSON for non-finite values, silently
+    // reclassifying the row as corrupt; a null would null the whole line
+    // and kill the text write) — the row stays VALID with a null value,
+    // and the oracle's CASE mirrors the same rule. Current fixtures are
+    // all-finite (verified); this pins the contract for ones that aren't.
+    val valJson = when(col("value").isNull || isnan(col("value")) ||
+        col("value") === Double.PositiveInfinity ||
+        col("value") === Double.NegativeInfinity, lit("null"))
+      .otherwise(col("value").cast("string"))
     val line = when(col("event_id") % 37 === 0,
         concat(lit("{\"event_id\":"), col("event_id"), lit(",\"event_type\":")))
       .otherwise(concat(lit("{\"event_id\":"), col("event_id"),
         lit(",\"event_type\":\""), col("event_type"),
-        lit("\",\"value\":"), col("value").cast("string"), lit("}")))
+        lit("\",\"value\":"), valJson, lit("}")))
     Tables.events(spark, dir).select(line.as("value"))
       .write.mode("overwrite").text(tmp)
     spark.read
@@ -2010,7 +2020,8 @@ object Relational {
   def q78BadRecordsSql: String =
     """SELECT * FROM (
       |  SELECT event_type AS kind, count(*) AS n_rows,
-      |    CAST(SUM(CAST(round(value, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |    CAST(COALESCE(SUM(CAST(round(CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+      |      THEN NULL ELSE value END, 4) AS DECIMAL(20,4))), 0) AS DOUBLE) AS sum_value
       |  FROM events WHERE event_id % 37 != 0 GROUP BY event_type
       |  UNION ALL
       |  SELECT '_corrupt', count(*), 0.0 FROM events WHERE event_id % 37 = 0
@@ -2039,16 +2050,26 @@ object Relational {
     val backfill = ev.join(broadcast(minDay), col("day") === col("d"))
       .filter(col("event_type") =!= "view")
       .select("day", "event_id", "event_type")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try backfill.write.mode("overwrite").partitionBy("day").parquet(tmp)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicPartitionOverwrite(spark) {
+      backfill.write.mode("overwrite").partitionBy("day").parquet(tmp)
     }
     spark.read.parquet(tmp)
       .groupBy("day").agg(count(lit(1)).as("n_rows"))
       .orderBy("day")
+  }
+
+  /** Run `body` under `partitionOverwriteMode=dynamic`, restoring the
+    * previous session setting afterwards — shared by [[q79DynamicOverwrite]]
+    * and its spec so both exercise the same save/restore semantics. */
+  def withDynamicPartitionOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   def q79DynamicOverwriteSql: String =

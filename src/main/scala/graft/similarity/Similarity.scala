@@ -1604,21 +1604,24 @@ object Similarity {
                   shortlist: Int = 50, m: Int = 8, kc: Int = 8,
                   iters: Int = 2, nCentroids: Int = 16,
                   nprobe: Int = 4): DataFrame = {
-    val (assigned, probes, _) = ivfFit(emb, queryId, nCentroids, nprobe, 4)
+    val (assigned, probes, q) = ivfFit(emb, queryId, nCentroids, nprobe, 4)
     val (base, cents, codes) = pqFit(emb, m, kc, iters)
     twoStageTail(emb, assigned.select("vec_id", "centroid"), probes, codes,
-      pqLut(base, cents, queryId), queryId, shortlist, k)
+      pqLut(base, cents, queryId), q, queryId, shortlist, k)
   }
 
   /** Stages 2+3 shared by the refit and served two-stage paths: persist
     * the coarse facts under the s19 namespace, read them back, ADC-score
     * the candidates to a `shortlist` (via [[pqScore]] — one scoring
     * implementation for the whole PQ family), then exact cosine re-rank
-    * carrying both scores. The twin contract "served == refit" holds by
+    * carrying both scores. `q` is the caller's 1-row (qe, qnorm2) query
+    * frame (both callers already have one — the [[persistProbeRerank]]
+    * convention). The twin contract "served == refit" holds by
     * construction because this IS both paths' tail. */
   private def twoStageTail(emb: DataFrame, assignedIds: DataFrame,
                            probes: DataFrame, codes: DataFrame, lut: DataFrame,
-                           queryId: Long, shortlist: Int, k: Int): DataFrame = {
+                           q: DataFrame, queryId: Long, shortlist: Int,
+                           k: Int): DataFrame = {
     assignedIds.write.mode("overwrite").parquet(s"$ivf2sBase/assign")
     probes.write.mode("overwrite").parquet(s"$ivf2sBase/probes")
     val s = emb.sparkSession
@@ -1626,10 +1629,8 @@ object Similarity {
     val p = s.read.parquet(s"$ivf2sBase/probes")
     val cands = a.join(broadcast(p), "centroid").select("vec_id")
     val short = pqScore(codes.join(cands, "vec_id"), lut, queryId, shortlist)
-    val qrow = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
     emb.join(broadcast(short), "vec_id")
-      .crossJoin(broadcast(qrow))
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("adc"),
         round(dotCol(col("embedding"), col("qe")) /
           (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
@@ -1656,7 +1657,7 @@ object Similarity {
     val (cents, codes) = cachedPqFit(s, dir, m, kc, iters)
     twoStageTail(emb, assignedIds, ivfProbes(centDf, qrow, nprobe), codes,
       pqLutFromCents(cents, querySubVectors(emb, queryId, m)),
-      queryId, shortlist, k)
+      qrow, queryId, shortlist, k)
   }
 
   /** Oracle for [[annTwoStage]]: persisted IVF candidates ∩ the

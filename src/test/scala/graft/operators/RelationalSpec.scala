@@ -545,8 +545,12 @@ class RelationalSpec extends SparkSpec {
     def partFiles(base: String, day: String): Set[String] = {
       val p = Paths.get(base, s"day=$day")
       if (!Files.isDirectory(p)) Set.empty
-      else Files.list(p).iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toSet
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally st.close()
+      }
     }
     val ev = graft.sources.Tables.events(spark, dir)
       .select(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
@@ -559,13 +563,9 @@ class RelationalSpec extends SparkSpec {
     val beforeOther = partFiles(tmp, otherDay)
     val beforeMin = partFiles(tmp, minDay)
     assert(beforeOther.nonEmpty && beforeMin.nonEmpty)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try ev.filter(col("day") === minDay && col("event_type") =!= "view")
-      .write.mode("overwrite").partitionBy("day").parquet(tmp)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    Relational.withDynamicPartitionOverwrite(spark) {
+      ev.filter(col("day") === minDay && col("event_type") =!= "view")
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
     }
     // untouched partition: byte-identical file set; backfilled: new files
     assert(partFiles(tmp, otherDay) == beforeOther,
