@@ -91,6 +91,7 @@ object SparkEntry {
     "m9_cv_metrics" -> Seq("accuracy", "weighted_precision",
       "weighted_recall", "weighted_f1", "weighted_fpr"),
     "m12_logreg_gd" -> Seq("p"),
+    "m22_model_weights" -> Seq("w1", "w2", "b"),
     "x27_weighted_sample" -> Seq("key"),
     "m13_calibration" -> Seq("mean_p", "pos_rate"),
     "m14_pr_curve" -> Seq("precision", "recall"),

@@ -443,6 +443,30 @@ object LogRegGd {
     sb.toString
   }
 
+  /** m22: the trained model itself as a 1-row frame (w1, w2, b) — the
+    * model-registry export a serving layer consumes (score = σ(w·x+b)
+    * anywhere, no Spark needed). The weights are 6-dp decimals by the
+    * m12 determinism proof, so the export is byte-stable across runs
+    * and engines; the oracle re-derives the same weights through the
+    * unrolled GD CTE chain. */
+  def modelWeights(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
+                   steps: Int = 2): DataFrame = {
+    val f = features(docs).localCheckpoint(true)
+    val (w1, w2, b) = trainWeights(f, lr, steps)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((w1.toPlainString, w2.toPlainString, b.toPlainString))
+      .toDF("w1s", "w2s", "bs")
+      .select(col("w1s").cast(Out6).as("w1"), col("w2s").cast(Out6).as("w2"),
+        col("bs").cast(Out6).as("b"))
+  }
+
+  def modelWeightsSql(lr: String = "0.5", steps: Int = 2): String =
+    s"""WITH f AS (
+       |  ${featuresSql.replace("\n", "\n  ")}
+       |)${gdChainSql("", "f", lr, steps).replace("\n", "\n")}
+       |SELECT w1, w2, b FROM w$steps""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_logreg_gd" -> ((s: SparkSession, dir: String) =>
       cachedScores(s, dir).orderBy("doc_id")),
@@ -472,6 +496,8 @@ object LogRegGd {
     }),
     "m21_learning_curve" -> ((s: SparkSession, dir: String) =>
       learningCurve(Tables.documents(s, dir))),
+    "m22_model_weights" -> ((s: SparkSession, dir: String) =>
+      modelWeights(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -481,5 +507,6 @@ object LogRegGd {
     "m15_auc" -> aucSql(),
     "m18_mcc" -> mccSql(),
     "m21_learning_curve" -> learningCurveSql(),
+    "m22_model_weights" -> modelWeightsSql(),
   )
 }

@@ -126,6 +126,27 @@ class LogRegGdSpec extends SparkSpec {
     assert(LogRegGd.mcc(constant).collect().head.getDecimal(4).doubleValue == 0.0)
   }
 
+  test("modelWeights: exported weights reproduce the scorer outside Spark") {
+    val docs = (0L to 9L).map { i =>
+      if (i % 2 == 0) (i, "w " * 2000, "en", 4000L)
+      else (i, "w " * 10, "de", 20L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val w = LogRegGd.modelWeights(docs, steps = 12).collect().head
+    val (w1, w2, b) = (w.getDecimal(0).doubleValue, w.getDecimal(1).doubleValue,
+      w.getDecimal(2).doubleValue)
+    // serving-layer replay: sigma(w*x + b) with the exported weights must
+    // match the engine's own per-doc scores at 6 dp
+    val scored = LogRegGd.logregGd(docs, steps = 12).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
+    val feats = Map(true -> (4.0, 20.0), false -> (0.02, 0.1)) // (kchars, htokens)
+    (0L to 9L).foreach { i =>
+      val (x1, x2) = feats(i % 2 == 0)
+      val p = BigDecimal(1.0 / (1.0 + math.exp(-(w1 * x1 + w2 * x2 + b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(p - scored(i)) < 1e-9, s"doc $i: replay $p vs engine ${scored(i)}")
+    }
+  }
+
   test("learningCurve: nested subsets, telescoping cells, perfect at full data") {
     // same separable toy corpus as the logregGd spec: long docs en,
     // short docs de — every nested subset contains both clusters, so
