@@ -771,6 +771,33 @@ object Graph {
        |FROM walk GROUP BY id, landmark ORDER BY landmark, id""".stripMargin
   }
 
+  /** g20: landmark distance histogram with cumulative pair counts — the
+    * effective-diameter read-off (smallest d whose cum_pairs covers 90 %
+    * of reached pairs) plus the full reachability profile, from the SAME
+    * BFS g7 runs (shared session memo — one BFS serves both). The output
+    * is ≤ diameter+1 integer rows; the window runs on those metadata
+    * rows. Landmark sampling is the standard scale answer for diameter
+    * estimation (exact all-pairs is O(V·E)); the histogram is exact FOR
+    * THE SAMPLED LANDMARKS, which is the honest contract at any size. */
+  def distanceHistogram(paths: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    paths.groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      .select(col("dist"), col("n_pairs"),
+        sum("n_pairs").over(w).cast("long").as("cum_pairs"))
+      .orderBy("dist")
+  }
+
+  def distanceHistogramSql(landmarks: Seq[Long], m: Int = 2000): String =
+    s"""WITH paths AS (
+       |  ${shortestPathsSql(landmarks, m).replace("\n", "\n  ")}
+       |)
+       |SELECT dist, count(*) AS n_pairs,
+       |  CAST(SUM(count(*)) OVER (ORDER BY dist
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
+       |FROM paths GROUP BY dist ORDER BY dist""".stripMargin
+
   // ---------------------------------------------------- label propagation
 
   /** Synchronous label propagation (the GraphFrames `labelPropagation`
@@ -922,6 +949,14 @@ object Graph {
   def cachedEdges(s: SparkSession, dir: String): DataFrame =
     graft.plans.Materialized(s, s"graph_edges:${Tables.norm(dir)}")(
       edgesFromOrders(s, dir))
+
+  /** Landmark BFS distances memoized per (session, sf-dir) — g7's
+    * output and g20's input (one BFS serves both; the recorded round
+    * count feeds both oracles, identical by determinism). */
+  def cachedPaths(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"graph_paths:${Tables.norm(dir)}")(
+      shortestPaths(cachedEdges(s, dir), landmarks = Seq(0L, 1L, 2L, 3L, 4L),
+        recordKey = Some(Tables.norm(dir))))
 
   /** Component labels memoized per (session, sf-dir) — g3's output and
     * g6's input. */
@@ -1255,8 +1290,9 @@ object Graph {
     "g6_community_sizes" -> ((s: SparkSession, dir: String) =>
       communitySizesFromLabels(cachedComponents(s, dir))),
     "g7_shortest_paths" -> ((s: SparkSession, dir: String) =>
-      shortestPaths(cachedEdges(s, dir), landmarks = Seq(0L, 1L, 2L, 3L, 4L),
-        recordKey = Some(Tables.norm(dir)))),
+      cachedPaths(s, dir).orderBy("landmark", "id")),
+    "g20_distance_histogram" -> ((s: SparkSession, dir: String) =>
+      distanceHistogram(cachedPaths(s, dir))),
     "g8_label_propagation" -> ((s: SparkSession, dir: String) =>
       labelPropagation(cachedEdges(s, dir))),
     "g9_kcore" -> ((s: SparkSession, dir: String) =>
@@ -1300,6 +1336,7 @@ object Graph {
     // built after the queries run (oracles is a def): caps the recursive
     // walk at the round count recorded by shortestPaths
     "g7_shortest_paths" -> shortestPathsSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    "g20_distance_histogram" -> distanceHistogramSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "g8_label_propagation" -> labelPropagationSql(),
     // built after the queries run: unrolls the recorded peel count
     "g9_kcore" -> kCoreSql(),

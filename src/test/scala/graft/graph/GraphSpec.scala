@@ -267,6 +267,18 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.getDecimal(1).doubleValue - (-1.0)) < 1e-3)
   }
 
+  test("distanceHistogram: cum telescopes to the path count, dist 0 = landmarks") {
+    // chain 3<-2<-1 plus an unreachable island 9: BFS from {1} reaches
+    // dist 0 (itself via landmark init)... edges point src->dst with BFS
+    // walking dst->src, matching shortestPaths' direction convention
+    val e = edges(2L -> 1L, 3L -> 2L, 9L -> 8L)
+    val paths = Graph.shortestPaths(e, landmarks = Seq(1L))
+    val h = Graph.distanceHistogram(paths).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L)))
+    assert(h.last._3 == paths.count())
+  }
+
   test("adamicAdar: hub cap drops wedges centered on high-degree vertices") {
     val star = edges((1L to 5L).map(i => 0L -> i): _*)
     // center degree 5 > cap 4 → no wedge survives, no candidate pairs
