@@ -129,6 +129,93 @@ object Rank {
       .limit(k)
   }
 
+  // ----------------------------------------------------- batched queries
+
+  /** Batched multi-query TF-IDF search — N queries served from ONE
+    * postings pass (ref: ScalaNotebooks/MovieSearchEngine.scala:244,268
+    * drives a FILE of search terms through a driver-side foreach, one
+    * Spark job per term; at 100 TB that plan reads the index N times).
+    * Here the whole query batch becomes a tiny (qid, term, q_tfidf)
+    * frame broadcast into a single postings join; per-doc dots aggregate
+    * by (qid, doc_id) in one shuffle, and each query ranks its own
+    * candidates via a row_number window PARTITIONED BY qid — no global
+    * sort, no per-query job. The same skeleton as the vector batch path
+    * ([[graft.similarity.Similarity.knnBatch]]).
+    *
+    * Scoring is per-slice IDENTICAL to [[TfIdf.searchMulti]] (including
+    * the reference's squared-norm denominator quirk at its :304, and the
+    * corrected `trueCosine` variant) — spec-pinned: slicing the batch
+    * output at one qid equals the single-query call. */
+  def searchBatch(postings: DataFrame, norms: DataFrame,
+                  queries: Seq[(Long, Seq[String])], k: Int = 10,
+                  trueCosine: Boolean = false): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    // query term frequencies per query id (duplicate terms counted, the
+    // searchMulti qtf rule)
+    val qtf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val idf = postings.select("term", "idf").groupBy("term").agg(first("idf").as("idf"))
+    val qvec = qtf.join(idf, "term")
+      .withColumn("q_tfidf", col("qtf").cast("double") * col("idf"))
+    // per-query squared norms: |Q| metadata rows, broadcast after the dot agg
+    val qnorms = qvec.groupBy("qid")
+      .agg(sum((col("q_tfidf") * col("q_tfidf")).cast(Dec)).cast("double").as("qnorm2"))
+    val dot = postings.join(broadcast(qvec.select("qid", "term", "q_tfidf")), "term")
+      .withColumn("mult", col("tfidf") * col("q_tfidf"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("mult").cast(Dec)).cast("double").as("dot"))
+    val denom: org.apache.spark.sql.Column =
+      if (trueCosine) sqrt(col("norm2")) * sqrt(col("qnorm2"))
+      else col("norm2") * col("qnorm2") // ref :304 quirk, as searchMulti
+    val scored = dot.join(norms, "doc_id")
+      .join(broadcast(qnorms), "qid")
+      .select(col("qid"), col("doc_id"), round(col("dot") / denom, 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(asc("qid"), desc("score"), asc("doc_id"))
+  }
+
+  /** Batched BM25 — the same one-postings-pass batch plan as
+    * [[searchBatch]] with the [[bm25]] scorer: per-(qid, doc) partial
+    * scores aggregate in one shuffle, per-query top-k via the qid rank
+    * window. Per-slice identical to the single-query [[bm25]]
+    * (spec-pinned); dl/avgdl/N come from the same postings-derived
+    * doc-length frame, computed once for the whole batch. */
+  def bm25Batch(postings: DataFrame, queries: Seq[(Long, Seq[String])],
+                k: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true) // feeds both the scalar stats and the score join
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val qpost = postings.join(broadcast(qterms), "term")
+      .select("qid", "term", "doc_id", "tf", "df")
+    val scored = qpost.crossJoin(broadcast(stats))
+      .withColumn("idf6",
+        round(log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).cast(Out6))
+      .join(dl, "doc_id")
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("score_t",
+        ((col("idf6").cast("double") * (col("tf").cast("double") * lit(2.2))) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .cast(Dec))
+    val perDoc = scored.groupBy("qid", "doc_id")
+      .agg(round(sum("score_t").cast("double"), 6).cast(Out6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(asc("qid"), desc("score"), asc("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   def bm25Sql(terms: Seq[String], k: Int = 10): String = {
