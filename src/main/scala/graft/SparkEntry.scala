@@ -126,6 +126,7 @@ object SparkEntry {
     "s18_pca_power" -> Seq("loading"),
     "t4_bm25" -> Seq("score"),
     "t6_more_like_this" -> Seq("score"),
+    "t8_bm25_batch" -> Seq("score"),
     "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),
     "x15_ppl_buckets" -> Seq("lo", "hi"),
     "x16_bigram_logprob" -> Seq("sum_logp", "avg_logp"),

@@ -42,28 +42,31 @@ object Rank {
     Materialized(s, s"tfidf_postings:${Tables.norm(dir)}")(
       TfIdf.postings(Tables.documents(s, dir)))
 
-  /** Okapi BM25 top-k: score(D) = Σ_t idf_t · (tf·(k1+1)) /
-    * (tf + k1·(1 − b + b·dl/avgdl)), idf_t = ln((N − df + ½)/(df + ½) + 1)
-    * (the Robertson/Sparck-Jones plus-one variant — always positive).
-    * k1 = 1.2, b = 0.75 (the standard constants, inlined identically in
-    * the oracle).
+  /** Shared Okapi BM25 scoring core — ONE body serving both the
+    * single-query path ([[bm25]], a batch of one) and the batch path
+    * ([[bm25Batch]]), so the batch/single slice-parity pinned by
+    * `RankSpec` cannot silently rot (VERDICT r9 finding 2).
+    *
+    * Input `qterms` is a tiny DISTINCT (qid, term) frame; output is
+    * (qid, doc_id, score DECIMAL(18,6)) with
+    * score(D) = Σ_t idf_t · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf_t = ln((N − df + ½)/(df + ½) + 1) (the Robertson/Sparck-Jones
+    * plus-one variant — always positive), k1 = 1.2, b = 0.75 (the
+    * standard constants, inlined identically in the oracle).
     *
     * dl (doc length) and avgdl are measured over the same stopword-
     * filtered tokens as the index, derived FROM the postings frame
-    * (Σ tf per doc) — no second corpus scan. N is the doc-length table's
-    * row count (docs with ≥1 indexed token; a doc with no tokens can
-    * match no query term). */
-  def bm25(postings: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
-    val spark = postings.sparkSession
-    import spark.implicits._
+    * (Σ tf per doc) — no second corpus scan, computed ONCE for the whole
+    * batch. N is the doc-length table's row count (docs with ≥1 indexed
+    * token; a doc with no tokens can match no query term). */
+  private def bm25Scores(postings: DataFrame, qterms: DataFrame): DataFrame = {
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
       .localCheckpoint(true) // feeds both the scalar stats and the score join
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val qterms = terms.distinct.toDF("term")
     // df for the query terms only — the aggregate runs AFTER the
     // broadcast semi-join prunes the postings scan to the query terms
     val qpost = postings.join(broadcast(qterms), "term")
-      .select("term", "doc_id", "tf", "df")
+      .select("qid", "term", "doc_id", "tf", "df")
     // idf per query term: decimal at birth (6-dp round of the ln output)
     val scored = qpost.crossJoin(broadcast(stats))
       .withColumn("idf6",
@@ -76,8 +79,20 @@ object Rank {
           (col("tf").cast("double") +
             lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
           .cast(Dec))
-    scored.groupBy("doc_id")
+    scored.groupBy("qid", "doc_id")
       .agg(round(sum("score_t").cast("double"), 6).cast(Out6).as("score"))
+  }
+
+  /** Okapi BM25 top-k — a batch of one through [[bm25Scores]]; see its
+    * scaladoc for the formula and constants. The final orderBy+limit
+    * compiles to TakeOrderedAndProject (partial top-k, no global
+    * sort). */
+  def bm25(postings: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qterms = terms.distinct.map(t => (0L, t)).toDF("qid", "term")
+    bm25Scores(postings, qterms)
+      .select("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -131,47 +146,21 @@ object Rank {
 
   // ----------------------------------------------------- batched queries
 
-  /** Batched multi-query TF-IDF search — N queries served from ONE
-    * postings pass (ref: ScalaNotebooks/MovieSearchEngine.scala:244,268
-    * drives a FILE of search terms through a driver-side foreach, one
-    * Spark job per term; at 100 TB that plan reads the index N times).
-    * Here the whole query batch becomes a tiny (qid, term, q_tfidf)
-    * frame broadcast into a single postings join; per-doc dots aggregate
-    * by (qid, doc_id) in one shuffle, and each query ranks its own
-    * candidates via a row_number window PARTITIONED BY qid — no global
-    * sort, no per-query job. The same skeleton as the vector batch path
-    * ([[graft.similarity.Similarity.knnBatch]]).
+  /** Per-query top-k over a (qid, doc_id, score) frame: row_number
+    * window PARTITIONED BY qid, so each query ranks only its own
+    * candidates — no global sort, no per-query job.
     *
-    * Scoring is per-slice IDENTICAL to [[TfIdf.searchMulti]] (including
-    * the reference's squared-norm denominator quirk at its :304, and the
-    * corrected `trueCosine` variant) — spec-pinned: slicing the batch
-    * output at one qid equals the single-query call. */
-  def searchBatch(postings: DataFrame, norms: DataFrame,
-                  queries: Seq[(Long, Seq[String])], k: Int = 10,
-                  trueCosine: Boolean = false): DataFrame = {
-    val spark = postings.sparkSession
-    import spark.implicits._
-    // query term frequencies per query id (duplicate terms counted, the
-    // searchMulti qtf rule)
-    val qtf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("qid", "term")
-      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-    val idf = postings.select("term", "idf").groupBy("term").agg(first("idf").as("idf"))
-    val qvec = qtf.join(idf, "term")
-      .withColumn("q_tfidf", col("qtf").cast("double") * col("idf"))
-    // per-query squared norms: |Q| metadata rows, broadcast after the dot agg
-    val qnorms = qvec.groupBy("qid")
-      .agg(sum((col("q_tfidf") * col("q_tfidf")).cast(Dec)).cast("double").as("qnorm2"))
-    val dot = postings.join(broadcast(qvec.select("qid", "term", "q_tfidf")), "term")
-      .withColumn("mult", col("tfidf") * col("q_tfidf"))
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("mult").cast(Dec)).cast("double").as("dot"))
-    val denom: org.apache.spark.sql.Column =
-      if (trueCosine) sqrt(col("norm2")) * sqrt(col("qnorm2"))
-      else col("norm2") * col("qnorm2") // ref :304 quirk, as searchMulti
-    val scored = dot.join(norms, "doc_id")
-      .join(broadcast(qnorms), "qid")
-      .select(col("qid"), col("doc_id"), round(col("dot") / denom, 6).as("score"))
+    * Skew note (ADVICE r9): the window shuffles every candidate doc for
+    * a query into one partition and fully sorts it — fine while each
+    * query's candidate set (union of its terms' postings) is bounded,
+    * but a stop-word-like query term over a 100 TB corpus makes its qid
+    * partition corpus-sized. The scale path for that regime is a
+    * partial top-k pre-aggregation per (qid, input-partition) —
+    * [[graft.functions.TopKAggregator]] holds O(k) state map-side, as
+    * the vector batch path documents
+    * ([[graft.similarity.Similarity.knnBatch]]). The window form is the
+    * oracle-checkable baseline. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -179,41 +168,51 @@ object Rank {
       .orderBy(asc("qid"), desc("score"), asc("doc_id"))
   }
 
+  /** Batched multi-query TF-IDF search — N queries served from ONE
+    * postings pass (ref: ScalaNotebooks/MovieSearchEngine.scala:244,268
+    * drives a FILE of search terms through a driver-side foreach, one
+    * Spark job per term; at 100 TB that plan reads the index N times).
+    * Here the whole query batch becomes a tiny (qid, term, qtf) frame
+    * into the SAME scoring body as the single-query path
+    * ([[TfIdf.cosineScores]] — including the reference's squared-norm
+    * denominator quirk and the corrected `trueCosine` variant);
+    * per-doc dots aggregate by (qid, doc_id) in one shuffle and each
+    * query ranks its own candidates ([[topKPerQuery]]). Spec-pinned
+    * (`RankSpec`): slicing the batch output at one qid equals the
+    * single-query [[TfIdf.searchMulti]] call.
+    *
+    * A qid appearing in several batch tuples is merged: its term lists
+    * concatenate (duplicate terms counted into qtf, the searchMulti
+    * rule). */
+  def searchBatch(postings: DataFrame, norms: DataFrame,
+                  queries: Seq[(Long, Seq[String])], k: Int = 10,
+                  trueCosine: Boolean = false): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qtf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    topKPerQuery(TfIdf.cosineScores(postings, norms, qtf, trueCosine), k)
+  }
+
   /** Batched BM25 — the same one-postings-pass batch plan as
-    * [[searchBatch]] with the [[bm25]] scorer: per-(qid, doc) partial
-    * scores aggregate in one shuffle, per-query top-k via the qid rank
-    * window. Per-slice identical to the single-query [[bm25]]
-    * (spec-pinned); dl/avgdl/N come from the same postings-derived
-    * doc-length frame, computed once for the whole batch. */
+    * [[searchBatch]] with the [[bm25Scores]] scorer (the literal same
+    * body as single-query [[bm25]]; spec-pinned per-slice identical):
+    * per-(qid, doc) partial scores aggregate in one shuffle, per-query
+    * top-k via the qid rank window; dl/avgdl/N computed once for the
+    * whole batch.
+    *
+    * A qid appearing in several batch tuples is merged: the query is
+    * the UNION of its terms ((qid, term) deduped globally, matching
+    * bm25's `terms.distinct` — a duplicated term can never double-count
+    * its per-term score; ADVICE r9). */
   def bm25Batch(postings: DataFrame, queries: Seq[(Long, Seq[String])],
                 k: Int = 10): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint(true) // feeds both the scalar stats and the score join
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
-      .toDF("qid", "term")
-    val qpost = postings.join(broadcast(qterms), "term")
-      .select("qid", "term", "doc_id", "tf", "df")
-    val scored = qpost.crossJoin(broadcast(stats))
-      .withColumn("idf6",
-        round(log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).cast(Out6))
-      .join(dl, "doc_id")
-      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs").cast("double"))
-      .withColumn("score_t",
-        ((col("idf6").cast("double") * (col("tf").cast("double") * lit(2.2))) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
-          .cast(Dec))
-    val perDoc = scored.groupBy("qid", "doc_id")
-      .agg(round(sum("score_t").cast("double"), 6).cast(Out6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
-    perDoc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k).drop("rk")
-      .orderBy(asc("qid"), desc("score"), asc("doc_id"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .distinct.toDF("qid", "term")
+    topKPerQuery(bm25Scores(postings, qterms), k)
   }
 
   // ---------------------------------------------------------------- oracle
@@ -264,6 +263,80 @@ object Rank {
        |FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn q
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Oracle twin of [[searchBatch]] (quirk denominator, as t2):
+    * flattened (qid, term) VALUES → qtf → one postings join → per-qid
+    * rank window — mirrors `knnBatchSql`
+    * ([[graft.similarity.Similarity]]). */
+  def searchBatchSql(queries: Seq[(Long, Seq[String])], k: Int = 10): String = {
+    val pairRows = queries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""${TfIdf.postingsSql}, norms AS (
+       |  SELECT doc_id, CAST(SUM(CAST(tfidf * tfidf AS DECIMAL(32,12))) AS DOUBLE) AS norm2
+       |  FROM postings GROUP BY doc_id
+       |), qtf AS (
+       |  SELECT CAST(qid AS BIGINT) AS qid, term, count(*) AS qtf
+       |  FROM (VALUES $pairRows) AS q(qid, term) GROUP BY 1, 2
+       |), idf AS (
+       |  SELECT term, any_value(idf) AS idf FROM postings GROUP BY term
+       |), qvec AS (
+       |  SELECT q.qid, q.term, CAST(q.qtf AS DOUBLE) * idf.idf AS q_tfidf
+       |  FROM qtf q JOIN idf USING (term)
+       |), qnorms AS (
+       |  SELECT qid, CAST(SUM(CAST(q_tfidf * q_tfidf AS DECIMAL(32,12))) AS DOUBLE) AS qnorm2
+       |  FROM qvec GROUP BY qid
+       |), dots AS (
+       |  SELECT v.qid, p.doc_id,
+       |         CAST(SUM(CAST(p.tfidf * v.q_tfidf AS DECIMAL(32,12))) AS DOUBLE) AS dot
+       |  FROM postings p JOIN qvec v USING (term) GROUP BY v.qid, p.doc_id
+       |), scored AS (
+       |  SELECT d.qid, d.doc_id, round(d.dot / (n.norm2 * q.qnorm2), 6) AS score
+       |  FROM dots d JOIN norms n USING (doc_id) JOIN qnorms q ON d.qid = q.qid
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS r
+       |  FROM scored
+       |)
+       |SELECT qid, doc_id, score FROM rk WHERE r <= $k
+       |ORDER BY qid ASC, score DESC, doc_id ASC""".stripMargin
+  }
+
+  /** Oracle twin of [[bm25Batch]]: globally-deduped (qid, term) VALUES
+    * → one postings join → per-(qid, doc) sum → per-qid rank window. */
+  def bm25BatchSql(queries: Seq[(Long, Seq[String])], k: Int = 10): String = {
+    val pairRows = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .distinct.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""${TfIdf.postingsSql},
+       |dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl
+       |), qterms AS (
+       |  SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES $pairRows) AS q(qid, term)
+       |), qpost AS (
+       |  SELECT t.qid, p.term, p.doc_id, p.tf, p.df
+       |  FROM postings p JOIN qterms t USING (term)
+       |), scored AS (
+       |  SELECT q.qid, q.doc_id,
+       |    CAST(
+       |      (CAST(CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) /
+       |                      (CAST(q.df AS DOUBLE) + 0.5) + 1.0), 6) AS DECIMAL(18,6)) AS DOUBLE)
+       |        * (CAST(q.tf AS DOUBLE) * 2.2))
+       |      / (CAST(q.tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+       |                   / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+       |      AS DECIMAL(32,12)) AS score_t
+       |  FROM qpost q JOIN dl d USING (doc_id) CROSS JOIN stats s
+       |), perdoc AS (
+       |  SELECT qid, doc_id,
+       |         CAST(round(CAST(SUM(score_t) AS DOUBLE), 6) AS DECIMAL(18,6)) AS score
+       |  FROM scored GROUP BY qid, doc_id
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS r
+       |  FROM perdoc
+       |)
+       |SELECT qid, doc_id, score FROM rk WHERE r <= $k
+       |ORDER BY qid ASC, score DESC, doc_id ASC""".stripMargin
+  }
+
   def phraseSearchSql(w1: String, w2: String): String = {
     val toks = Tokenize.rawTokensSql("text")
     s"""WITH t AS (
@@ -279,7 +352,22 @@ object Rank {
 
   private val bm25Terms = Seq("spark", "table", "query")
 
+  /** Registered batch: qid 1 repeats t2's terms (its t7 slice must
+    * reproduce t2's ranking), qid 2 is a two-term query, qid 3 carries a
+    * duplicate term (exercises the qtf-count rule in t7 and the global
+    * (qid, term) dedup rule in t8). */
+  private val batchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "table", "query"),
+    2L -> Seq("table", "hash"),
+    3L -> Seq("query", "spark", "query"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_tfidf_batch" -> ((s: SparkSession, dir: String) => {
+      val p = cachedPostings(s, dir)
+      searchBatch(p, TfIdf.docNorms(p), batchQueries)
+    }),
+    "t8_bm25_batch" -> ((s: SparkSession, dir: String) =>
+      bm25Batch(cachedPostings(s, dir), batchQueries)),
     "t4_bm25" -> ((s: SparkSession, dir: String) =>
       bm25(cachedPostings(s, dir), bm25Terms)),
     "t5_phrase_search" -> ((s: SparkSession, dir: String) =>
@@ -291,6 +379,8 @@ object Rank {
   )
 
   def oracles: Map[String, String] = Map(
+    "t7_tfidf_batch" -> searchBatchSql(batchQueries),
+    "t8_bm25_batch" -> bm25BatchSql(batchQueries),
     "t4_bm25" -> bm25Sql(bm25Terms),
     "t5_phrase_search" -> phraseSearchSql("table", "hash"),
     "t6_more_like_this" -> moreLikeThisSql(0L),

@@ -79,6 +79,67 @@ class RankSpec extends SparkSpec {
     assert(got(2L) < 1.0 && got(2L) > 0.0)
   }
 
+  // ------------------------------------------------- batch slice parity
+
+  private lazy val sliceDocs = Seq(
+    (0L, "cat runs fast"),
+    (1L, "cat dog bird"),
+    (2L, "bird bird dog"),
+    (3L, "dog runs"),
+    (4L, "fast cat cat")).toDF("doc_id", "text")
+  private lazy val sliceP = TfIdf.postings(sliceDocs).cache()
+  private lazy val sliceBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("cat", "dog"),
+    2L -> Seq("bird"),
+    3L -> Seq("cat", "dog", "cat")) // duplicate term
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("searchBatch slice at each qid equals the single-query searchMulti (both variants)") {
+    val norms = TfIdf.docNorms(sliceP)
+    for (tc <- Seq(false, true)) {
+      val batch = Rank.searchBatch(sliceP, norms, sliceBatch, k = 10, trueCosine = tc)
+      for ((qid, terms) <- sliceBatch) {
+        val slice = rows(batch.filter(col("qid") === qid).select("doc_id", "score"))
+        val single = rows(TfIdf.searchMulti(sliceP, norms, terms, k = 10, trueCosine = tc))
+        assert(slice == single, s"qid=$qid trueCosine=$tc")
+        assert(slice.nonEmpty, s"qid=$qid produced no rows — vacuous parity")
+      }
+    }
+  }
+
+  test("bm25Batch slice at each qid equals the single-query bm25") {
+    val batch = Rank.bm25Batch(sliceP, sliceBatch, k = 10)
+    for ((qid, terms) <- sliceBatch) {
+      val slice = rows(batch.filter(col("qid") === qid).select("doc_id", "score"))
+      val single = rows(Rank.bm25(sliceP, terms, k = 10))
+      assert(slice == single, s"qid=$qid")
+      assert(slice.nonEmpty, s"qid=$qid produced no rows — vacuous parity")
+    }
+  }
+
+  test("duplicate qids in the batch merge into one query (documented contract)") {
+    // searchBatch: term lists concatenate (qtf counts across tuples)
+    val norms = TfIdf.docNorms(sliceP)
+    val dupT = Rank.searchBatch(sliceP, norms,
+      Seq(7L -> Seq("cat"), 7L -> Seq("dog", "cat")), k = 10)
+    val mergedT = rows(TfIdf.searchMulti(sliceP, norms, Seq("cat", "dog", "cat"), k = 10))
+    assert(rows(dupT.select("doc_id", "score")) == mergedT)
+    // bm25Batch: terms union ((qid, term) deduped globally — no double count)
+    val dupB = Rank.bm25Batch(sliceP, Seq(7L -> Seq("cat"), 7L -> Seq("dog", "cat")), k = 10)
+    val mergedB = rows(Rank.bm25(sliceP, Seq("cat", "dog"), k = 10))
+    assert(rows(dupB.select("doc_id", "score")) == mergedB)
+  }
+
+  test("batch top-k truncates per query, not globally") {
+    val norms = TfIdf.docNorms(sliceP)
+    val batch = Rank.searchBatch(sliceP, norms, sliceBatch, k = 1)
+    val perQid = batch.groupBy("qid").count().collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("count")).toMap
+    assert(perQid.values.forall(_ == 1L) && perQid.keySet == Set(1L, 2L, 3L))
+  }
+
   test("moreLikeThis: maxTerms truncation keeps the highest-tfidf terms") {
     // doc 0 has a rare term ("zebra", df=1) and a common one ("cat", df=3);
     // with maxTerms=1 only the top-tfidf term (zebra) forms the query
