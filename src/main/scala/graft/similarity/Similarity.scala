@@ -706,11 +706,27 @@ object Similarity {
     * dims×dims METADATA frame, so the iterations run driver-side on
     * the collected matrix — the clusterCenters precedent, with
     * BigDecimal accumulation mirroring the oracle's decimal sums
-    * bit-exactly. (For dims ≫ 10³, switch to distributed
-    * mat-vec-only iteration — Σ x·(x·v) — which never materializes C;
-    * at dims = 64, C is the simpler and fully-oracle-checkable
-    * shape.) */
-  def pcaPower(emb: DataFrame, iters: Int = 3): DataFrame = {
+    * bit-exactly.
+    *
+    * Dispatch (VERDICT r9 #3): the collected-matrix shape is only
+    * valid while dims² is metadata, so this entry point routes by
+    * embedding width — at or below [[PcaCollectMaxDims]] it collects C
+    * (the simpler, fully-oracle-checkable shape; s18's default), above
+    * it it routes to [[pcaPowerMatVec]], which never materializes C.
+    * The two paths are spec-pinned equivalent at dims = 64, and the
+    * dispatch itself is spec-pinned, so a wide-embedding corpus can
+    * never reach the driver-side dims² collect. */
+  def pcaPower(emb: DataFrame, iters: Int = 3, dims: Int = Dims): DataFrame =
+    if (dims <= PcaCollectMaxDims) pcaPowerCollected(emb, iters, dims)
+    else pcaPowerMatVec(emb, iters, dims)
+
+  /** Widest embedding for which [[pcaPower]] collects the dims²
+    * covariance driver-side: 1024² doubles = 8 MB of metadata, the same
+    * order as a collected k-means centroid set; 2048² (32 MB) is no
+    * longer metadata. */
+  private[similarity] val PcaCollectMaxDims = 1024
+
+  private[similarity] def pcaPowerCollected(emb: DataFrame, iters: Int, dims: Int): DataFrame = {
     val spark = emb.sparkSession
     val exId = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
@@ -737,7 +753,7 @@ object Similarity {
     // job latency per bench run). Decimal accumulation mirrors the
     // oracle's SUM(CAST(x AS DECIMAL(32,16))) exactly: BigDecimal
     // valueOf + setScale(16, HALF_UP) per term, exact addition.
-    val cMat = Array.ofDim[Double](Dims, Dims)
+    val cMat = Array.ofDim[Double](dims, dims)
     covTri.collect().foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       cMat(i)(j) = c
@@ -755,12 +771,12 @@ object Similarity {
     // the 17-digit boundary in practice.
     def dec16(x: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(x).setScale(16, java.math.RoundingMode.HALF_UP)
-    var v = Array.fill(Dims)(1.0 / Dims)
+    var v = Array.fill(dims)(1.0 / dims)
     for (_ <- 1 to iters) {
-      val w = Array.tabulate(Dims) { i =>
+      val w = Array.tabulate(dims) { i =>
         var acc = java.math.BigDecimal.ZERO
         var j = 0
-        while (j < Dims) { acc = acc.add(dec16(cMat(i)(j) * v(j))); j += 1 }
+        while (j < dims) { acc = acc.add(dec16(cMat(i)(j) * v(j))); j += 1 }
         acc.doubleValue()
       }
       var nAcc = java.math.BigDecimal.ZERO
@@ -815,12 +831,12 @@ object Similarity {
     * every shuffle sum order-independent, same as the collected-matrix
     * path.
     *
-    * s18 keeps [[pcaPower]] by default (at dims = 64 the collected
+    * s18 keeps the collected path by default (at dims = 64 the
     * 64×64 matrix is metadata and fully oracle-checkable); this variant
     * is spec-pinned equivalent to it at dims = 64
-    * ([[graft.similarity.SimilaritySpec]]) and is the switch target
-    * when the embedding width makes dims² a real matrix. */
-  def pcaPowerMatVec(emb: DataFrame, iters: Int = 3): DataFrame = {
+    * ([[graft.similarity.SimilaritySpec]]) and is where [[pcaPower]]
+    * routes when the embedding width makes dims² a real matrix. */
+  def pcaPowerMatVec(emb: DataFrame, iters: Int = 3, dims: Int = Dims): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val exId = emb
@@ -834,7 +850,7 @@ object Similarity {
       .select(col("vec_id"), col("d"),
         (col("x") - col("mu").cast("double")).as("xc"))
       .localCheckpoint(true) // reused twice per iteration
-    var v: DataFrame = (0 until Dims).map(d => (d, 1.0 / Dims)).toDF("d", "v")
+    var v: DataFrame = (0 until dims).map(d => (d, 1.0 / dims)).toDF("d", "v")
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val s = centered.join(broadcast(v), "d")

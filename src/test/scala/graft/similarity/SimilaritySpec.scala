@@ -92,6 +92,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pcaPower dispatch: dims ≤ threshold collects C, wider routes to mat-vec") {
+    // collected path materializes the loadings as a LocalRelation (the
+    // iterations ran driver-side on the dims^2 metadata matrix); the
+    // mat-vec path per-iteration localCheckpoints, so its result scans
+    // a checkpointed RDD (LogicalRDD leaf) — a wide-embedding corpus
+    // must never reach the driver-side collect.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    val small = Similarity.pcaPower(emb)
+    assert(small.queryExecution.analyzed.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "dims=64 should use the collected-matrix path (LocalRelation result)")
+    val wide = Similarity.pcaPower(emb, dims = Similarity.PcaCollectMaxDims + 1)
+    assert(wide.queryExecution.analyzed.collectLeaves()
+      .exists(_.isInstanceOf[LogicalRDD]),
+      "dims above the threshold must route to the distributed mat-vec plan")
+    // the routed plan is still the same computation: on the 64-wide
+    // corpus the extra v-dims have no matching rows, so the wide-dims
+    // dispatch reproduces the collected result
+    val a = small.collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).toMap
+    val b = wide.collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).toMap
+    assert(a.keySet == b.keySet)
+    a.keys.foreach(d => assert(math.abs(a(d) - b(d)) <= 1e-5, s"dim $d"))
+  }
+
   test("annLsh recall: ANN top-5 overlaps brute-force top-5") {
     val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
     val ann = Similarity.annLsh(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
