@@ -550,8 +550,17 @@ object EventStream {
     * rows are DROPPED, the same contract as a watermarked stateful op,
     * instead of silently emitting a value that diverges from the q68
     * batch twin (ADVICE r7). State carries (lastUs, lastVal) to enforce
-    * the cutoff. */
-  def forwardFillStream(events: Dataset[(Long, Long, Long, String, Double)])
+    * the cutoff.
+    *
+    * Dropped rows are VISIBLE, not silent (VERDICT r9 #4): pass a
+    * `droppedCounter` (a driver-registered LongAccumulator) and every
+    * dropped row increments it — the monitoring hook a production
+    * pipeline alerts on (a rising drop rate means upstream reordering
+    * exceeds the state contract). Accumulator caveat applies as for any
+    * Spark action-side metric: task retries can overcount, so it is a
+    * monitoring signal, not an exact ledger. */
+  def forwardFillStream(events: Dataset[(Long, Long, Long, String, Double)],
+                        droppedCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[FillOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
@@ -566,7 +575,7 @@ object EventStream {
               val nv = if (et == "purchase") v else st.lastVal
               st = FillState(us, nv)
               out += FillOut(user, eid, us, nv)
-            }
+            } else droppedCounter.foreach(_.add(1L))
           }
           state.update(st)
           out.iterator

@@ -86,6 +86,23 @@ class ClassifySpec extends SparkSpec {
     assert(scored.select("prediction").distinct().count() >= 1)
   }
 
+  test("fullGrid opt-in runs the reference's exact 36-combo grid (3x2x2x3)") {
+    // ref AirlineSentimentAnalysis.scala:72-85: maxIter{5,10,20} x
+    // elasticNet{.1,.01} x regParam{.1,.01} x numFeatures{10,100,1000};
+    // default m9 stays on the 16-combo scaled grid (previous test)
+    val full = Classify.buildCrossValidator(fullGrid = true)
+    assert(full.getEstimatorParamMaps.length == 36)
+    // distinct memo key from the default grid — the two variants can
+    // never collide in the per-session fit cache
+    assert(Classify.cvFitKey(full) != Classify.cvFitKey(Classify.buildCrossValidator()))
+    val (train, test) = Classify.split(Tables.documents(spark, sf("sf0.001")))
+    val cv = Classify.crossValidate(train, fullGrid = true)
+    assert(cv.avgMetrics.length == 36)
+    assert(cv.avgMetrics.forall(m => !m.isNaN && m >= 0.0 && m <= 1.0))
+    val scored = cv.transform(test)
+    assert(scored.select("prediction").distinct().count() >= 1)
+  }
+
   test("fitKey is stable across fresh pipeline instances (memo hit)") {
     // array-valued params (StopWordsRemover.stopWords) must render
     // element-wise, not as per-instance identity-hash strings

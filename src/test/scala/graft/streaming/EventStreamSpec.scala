@@ -126,7 +126,8 @@ class EventStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val us = (h: Int) => ts(h).getTime * 1000L
     val in = MemoryStream[(Long, Long, Long, String, Double)] // (user, us, eid, type, value)
-    val q = EventStream.forwardFillStream(in.toDS())
+    val dropped = spark.sparkContext.longAccumulator("graft_fill_dropped")
+    val q = EventStream.forwardFillStream(in.toDS(), Some(dropped))
       .writeStream.format("memory").queryName("fill_test")
       .outputMode("append").start()
     try {
@@ -153,6 +154,9 @@ class EventStreamSpec extends SparkSpec {
       val after = spark.table("fill_test").as[EventStream.FillOut].collect()
       assert(!after.exists(_.event_id == 7L), "late row must be dropped")
       assert(after.length == got.length)
+      // the drop is visible, not silent: the counter saw exactly the
+      // late row (VERDICT r9 #4)
+      assert(dropped.value == 1L, s"dropped counter = ${dropped.value}, want 1")
     } finally q.stop()
   }
 
