@@ -378,10 +378,48 @@ object LogRegGd {
     * text statistic (verified: the de/fr/es stopword dictionaries get
     * zero hits; token pools are shared across declared langs). That
     * flat curve is the correct reading, and mean_logloss still moves
-    * with the training subset, which is why it is part of the output. */
+    * with the training subset, which is why it is part of the output.
+    * [[learnableCurve]] (m23) is the companion on a derived label that
+    * IS correlated with the features, where the curve visibly bends. */
   def learningCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
-                    steps: Int = 2): DataFrame = {
-    val f = features(docs).localCheckpoint(true)
+                    steps: Int = 2): DataFrame =
+    curveFrames(features(docs).localCheckpoint(true), lr, steps)
+
+  /** m23 features: the m21 feature pair recentred (x1 = kilo-chars
+    * MINUS 0.3, so the class boundary sits near z = 0 and is reachable
+    * by a from-zero GD) and a DERIVED learnable label (VERDICT r9 #7):
+    * y = [n_chars > 310] ⊕ [md5 bucket(doc_id) < 26] — the true class
+    * is a pure x1 threshold, flipped for a deterministic ~10% of docs
+    * ([[graft.text.TextStats.hashBucket]], the x6 split discipline:
+    * cross-engine, RNG-free, stable under repartitioning). The label is
+    * correlated with the features BY CONSTRUCTION, so unlike m21's
+    * signal-free lang label the learning curve bends: more training
+    * data averages out the label noise and accuracy rises toward the
+    * ~90% ceiling (spec-asserted monotone on sf0.001). */
+  private def learnableFeatures(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      round((col("n_chars") - 300.0) / 1000.0, 6).cast(Out6).as("x1"),
+      round(size(Tokenize.rawTokens(col("text"))) / 100.0, 6).cast(Out6).as("x2"),
+      ((col("n_chars") > 310) =!=
+        (graft.text.TextStats.hashBucket(col("doc_id")) < 26)).cast("long").as("y"))
+
+  private def learnableFeaturesSql: String =
+    s"""SELECT doc_id,
+       |  CAST(round((n_chars - 300.0) / 1000.0, 6) AS DECIMAL(18,6)) AS x1,
+       |  CAST(round(len(${Tokenize.rawTokensSql("text")}) / 100.0, 6) AS DECIMAL(18,6)) AS x2,
+       |  CAST((n_chars > 310) != (${graft.text.TextStats.hashBucketSqlExpr("doc_id")} < 26) AS BIGINT) AS y
+       |FROM documents""".stripMargin
+
+  /** m23: the m21 learning curve on the learnable derived label —
+    * lr = 2.0 / 10 steps so the from-zero GD actually converges per
+    * subset (at m21's 2 steps every subset is equally underfit and the
+    * curve cannot separate them). Same output schema, same unrolled-CTE
+    * oracle, same one-checkpoint/3-trainings scale shape as m21. */
+  def learnableCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("2.0"),
+                     steps: Int = 10): DataFrame =
+    curveFrames(learnableFeatures(docs).localCheckpoint(true), lr, steps)
+
+  private def curveFrames(f: DataFrame, lr: JBigDecimal, steps: Int): DataFrame = {
     val n = f.count()
     val frames = Seq(1 -> 25, 2 -> 50, 4 -> 100).map { case (m, pct) =>
       val tr = if (m == 4) f else f.filter(col("doc_id") % 4 < m)
@@ -409,12 +447,18 @@ object LogRegGd {
     frames.reduce(_.union(_)).orderBy("train_pct")
   }
 
-  def learningCurveSql(lr: String = "0.5", steps: Int = 2): String = {
+  def learningCurveSql(lr: String = "0.5", steps: Int = 2): String =
+    curveSql(featuresSql, lr, steps)
+
+  def learnableCurveSql(lr: String = "2.0", steps: Int = 10): String =
+    curveSql(learnableFeaturesSql, lr, steps)
+
+  private def curveSql(featsSql: String, lr: String, steps: Int): String = {
     val subsets = Seq(("_25", "tr25", 25, "doc_id % 4 < 1"),
       ("_50", "tr50", 50, "doc_id % 4 < 2"), ("_100", "f", 100, ""))
     val sb = new StringBuilder
     sb ++= s"""WITH f AS (
-              |  ${featuresSql.replace("\n", "\n  ")}
+              |  ${featsSql.replace("\n", "\n  ")}
               |), tr25 AS (SELECT * FROM f WHERE doc_id % 4 < 1
               |), tr50 AS (SELECT * FROM f WHERE doc_id % 4 < 2
               |)""".stripMargin
@@ -498,6 +542,8 @@ object LogRegGd {
       learningCurve(Tables.documents(s, dir))),
     "m22_model_weights" -> ((s: SparkSession, dir: String) =>
       modelWeights(Tables.documents(s, dir))),
+    "m23_learnable_curve" -> ((s: SparkSession, dir: String) =>
+      learnableCurve(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -508,5 +554,6 @@ object LogRegGd {
     "m18_mcc" -> mccSql(),
     "m21_learning_curve" -> learningCurveSql(),
     "m22_model_weights" -> modelWeightsSql(),
+    "m23_learnable_curve" -> learnableCurveSql(),
   )
 }

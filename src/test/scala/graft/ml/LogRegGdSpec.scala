@@ -168,4 +168,20 @@ class LogRegGdSpec extends SparkSpec {
     assert(full.getDouble(6) == 1.0, s"accuracy ${full.getDouble(6)}")
     rows.foreach(r => assert(r.getDouble(7) > 0.0 && !r.getDouble(7).isInfinite))
   }
+
+  test("learnableCurve bends: accuracy strictly rises with training data (m23)") {
+    // real sf0.001 docs, derived label = [n_chars > 310] with ~10%
+    // deterministic hash-flip noise — correlated with x1 by
+    // construction, so more training data averages the noise out and
+    // the curve MUST bend (VERDICT r9 #7); expected ~[0.70, 0.77, 0.81]
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val rows = LogRegGd.learnableCurve(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 100L))
+    val acc = rows.map(_.getDouble(6)).toSeq
+    assert(acc(0) < acc(1) && acc(1) < acc(2),
+      s"learning curve did not bend monotonically: $acc")
+    // a real bend, not ulp noise — and capped below the noise ceiling
+    assert(acc(2) - acc(0) > 0.02, s"bend too shallow: $acc")
+    assert(acc(2) > 0.75 && acc(2) < 1.0, s"full-data accuracy out of band: $acc")
+  }
 }
