@@ -682,8 +682,10 @@ object EventStream {
     * derives the funnel. Ingest-side gating at 100 TB: label at the
     * edge, route drops to quarantine, and this 6-row aggregate IS the
     * funnel dashboard. */
-  def qualityGateStream(docs: DataFrame): DataFrame =
-    docs.select(graft.text.TextStats.funnelRule.as("rule"))
+  def qualityGateStream(docs: DataFrame,
+                        cfg: graft.text.TextStats.FunnelConfig =
+                          graft.text.TextStats.FunnelConfig()): DataFrame =
+    docs.select(graft.text.TextStats.funnelRule(cfg).as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_docs"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

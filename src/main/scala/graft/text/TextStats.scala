@@ -1365,7 +1365,21 @@ object TextStats {
     * to the synthetic corpus (each rule fires on real rows at sf0.01);
     * ratio compares run on 6-dp-rounded doubles (identical IEEE on
     * both engines — the x3 discipline). */
-  def funnelRule: Column = {
+  /** Config surface for the x26 quality gate (VERDICT r9 #9): every
+    * threshold the funnel applies, tunable per corpus without touching
+    * the operator — the engine side ([[funnelRule]]) and the oracle
+    * twin ([[filterFunnelSql]]) both render from the SAME instance, so
+    * a tuned gate stays oracle-checkable. Defaults are the registered
+    * x26 values. */
+  case class FunnelConfig(
+      minTokens: Int = 16,
+      maxChars: Int = 513,
+      minStopRatio: Double = 0.02,
+      minDistinctRatio: Double = 0.29,
+      minMeanTokLen: Double = 4.0,
+      maxMeanTokLen: Double = 5.0)
+
+  def funnelRule(cfg: FunnelConfig = FunnelConfig()): Column = {
     val raw = Tokenize.rawTokens(col("text"))
     val nTok = size(raw)
     val nChars = length(col("text"))
@@ -1374,11 +1388,12 @@ object TextStats {
     val stopRatio = round(nStop.cast("double") / nTok, 6)
     val distinctRatio = round(size(array_distinct(raw)).cast("double") / nTok, 6)
     val meanTokLen = round((nAlnum - nTok + 1).cast("double") / nTok, 6)
-    when(nTok < 16, "1_too_short")
-      .when(nChars > 513, "2_too_long")
-      .when(stopRatio < 0.02, "3_low_stopword")
-      .when(distinctRatio < 0.29, "4_repetitive")
-      .when(meanTokLen < 4.0 || meanTokLen > 5.0, "5_token_shape")
+    when(nTok < cfg.minTokens, "1_too_short")
+      .when(nChars > cfg.maxChars, "2_too_long")
+      .when(stopRatio < cfg.minStopRatio, "3_low_stopword")
+      .when(distinctRatio < cfg.minDistinctRatio, "4_repetitive")
+      .when(meanTokLen < cfg.minMeanTokLen || meanTokLen > cfg.maxMeanTokLen,
+        "5_token_shape")
       .otherwise("6_retained")
   }
 
@@ -1392,8 +1407,8 @@ object TextStats {
     * row), one tiny 6-row aggregate, and a running-remaining window
     * over those 6 metadata rows — nothing corpus-sized shuffles. All
     * outputs are exact integers. */
-  def filterFunnel(docs: DataFrame): DataFrame = {
-    val counts = docs.select(funnelRule.as("rule"))
+  def filterFunnel(docs: DataFrame, cfg: FunnelConfig = FunnelConfig()): DataFrame = {
+    val counts = docs.select(funnelRule(cfg).as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_docs"))
     // 6 metadata rows: the single-partition window is deliberate
     val w = Window.orderBy("rule")
@@ -1407,7 +1422,9 @@ object TextStats {
       .orderBy("rule")
   }
 
-  def filterFunnelSql: String = {
+  def filterFunnelSql: String = filterFunnelSql(FunnelConfig())
+
+  def filterFunnelSql(cfg: FunnelConfig): String = {
     val toks = Tokenize.rawTokensSql("text")
     val stops = Tokenize.stopwordsSql
     s"""WITH s AS (
@@ -1422,11 +1439,11 @@ object TextStats {
        |  FROM documents
        |), labeled AS (
        |  SELECT CASE
-       |    WHEN n_tokens < 16 THEN '1_too_short'
-       |    WHEN n_chars > 513 THEN '2_too_long'
-       |    WHEN stop_ratio < 0.02 THEN '3_low_stopword'
-       |    WHEN distinct_ratio < 0.29 THEN '4_repetitive'
-       |    WHEN mean_tok_len < 4.0 OR mean_tok_len > 5.0 THEN '5_token_shape'
+       |    WHEN n_tokens < ${cfg.minTokens} THEN '1_too_short'
+       |    WHEN n_chars > ${cfg.maxChars} THEN '2_too_long'
+       |    WHEN stop_ratio < ${cfg.minStopRatio} THEN '3_low_stopword'
+       |    WHEN distinct_ratio < ${cfg.minDistinctRatio} THEN '4_repetitive'
+       |    WHEN mean_tok_len < ${cfg.minMeanTokLen} OR mean_tok_len > ${cfg.maxMeanTokLen} THEN '5_token_shape'
        |    ELSE '6_retained' END AS rule
        |  FROM s
        |), counts AS (
@@ -1462,6 +1479,17 @@ object TextStats {
     * windows and the 1-row exhausted-set aggregate (broadcast crossJoin,
     * the A7 scalar-attach idiom) all run on those |S| rows. Every value
     * is an exact BIGINT. */
+  /** Config surface for the x28 allocation (VERDICT r9 #9): the global
+    * token budget, renderable into both the engine call and the oracle
+    * twin ([[tokenWaterfillSql]]) from one instance. Default is the
+    * registered x28 value. */
+  case class WaterfillConfig(budget: Long = 26000L)
+
+  def tokenWaterfill(docs: DataFrame, cfg: WaterfillConfig): DataFrame =
+    tokenWaterfill(docs, cfg.budget)
+
+  def tokenWaterfillSql(cfg: WaterfillConfig): String = tokenWaterfillSql(cfg.budget)
+
   def tokenWaterfill(docs: DataFrame, budget: Long = 26000L): DataFrame = {
     val stats = docs
       .select(col("source"), size(Tokenize.rawTokens(col("text"))).cast("long").as("t"))

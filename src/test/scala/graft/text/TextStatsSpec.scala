@@ -407,6 +407,29 @@ class TextStatsSpec extends SparkSpec {
       s"weighted sample not length-biased: sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("FunnelConfig tunes every threshold; engine and oracle SQL render from one instance") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the and of to " + (1 to 12).map(i => s"word$i").mkString(" "), "en", "s"),
+      (1L, "short one", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    // default config: doc 0 retained, doc 1 too short
+    val d = TextStats.filterFunnel(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d.get("6_retained").contains(1L) && d.get("1_too_short").contains(1L))
+    // raised minTokens: everything is too short — API-only retune
+    val strict = TextStats.FunnelConfig(minTokens = 100)
+    val s2 = TextStats.filterFunnel(docs, strict).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("1_too_short" -> 2L))
+    // oracle twin renders the SAME instance's thresholds
+    val sql = TextStats.filterFunnelSql(strict)
+    assert(sql.contains("n_tokens < 100"))
+    assert(TextStats.filterFunnelSql(TextStats.FunnelConfig()) == TextStats.filterFunnelSql)
+    // waterfill config: one instance drives both sides
+    val wf = TextStats.WaterfillConfig(budget = 5L)
+    val alloc = TextStats.tokenWaterfill(docs, wf).agg(sum("alloc")).head().getLong(0)
+    assert(alloc == 5L, s"budget-capped total alloc, got $alloc")
+    assert(TextStats.tokenWaterfillSql(wf).contains("5"))
+  }
+
   test("filterFunnel: first-fail attribution and telescoping remainders") {
     import spark.implicits._
     // one doc per rule plus survivors; the "shortnostop" doc fails BOTH
