@@ -1676,6 +1676,56 @@ object Similarity {
       qrow, queryId, shortlist, k)
   }
 
+  /** One-time index build for the serve-only path: fits (or memo-hits)
+    * the coarse quantizer and PQ codebooks and persists the
+    * corpus-sized assignment index to parquet — everything
+    * query-INDEPENDENT. After this, [[annTwoStageServeOnly]] serves any
+    * query without touching a fit or writing a corpus-sized fact. This
+    * split is the probe boundary `tools.ServeProbe` measures (SCALE.md:
+    * the serve path's cost must stay near-flat as the corpus grows,
+    * because raw floats are only read for `shortlist` rows/query). */
+  def warmTwoStageIndex(s: SparkSession, dir: String, m: Int = 8, kc: Int = 8,
+                        iters: Int = 2, nCentroids: Int = 16): Unit = {
+    VectorDotExact.register(s)
+    val (assignedIds, _) = cachedIvfParts(s, dir, nCentroids, 4)
+    assignedIds.write.mode("overwrite").parquet(s"$ivf2sBase/assign")
+    cachedPqFit(s, dir, m, kc, iters) // warm the codebook/codes memo
+    ()
+  }
+
+  /** Pure serving: the [[annTwoStageServed]] dataflow minus every
+    * index-build and oracle-fact write — reads the assignment index
+    * [[warmTwoStageIndex]] persisted, computes the query's nprobe list
+    * in memory (nprobe rows, broadcast), ADC-scores the candidate ids
+    * from the memoized codes, and pays raw floats for `shortlist` rows
+    * only. This is the steady-state cost per query on a static corpus;
+    * the registered s19 additionally rewrites the oracle facts so
+    * DuckDB can check it. */
+  def annTwoStageServeOnly(s: SparkSession, dir: String, queryId: Long,
+                           k: Int = 10, shortlist: Int = 50, m: Int = 8,
+                           kc: Int = 8, iters: Int = 2, nCentroids: Int = 16,
+                           nprobe: Int = 4): DataFrame = {
+    VectorDotExact.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val (_, centDf) = cachedIvfParts(s, dir, nCentroids, 4)
+    val qrow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    val (cents, codes) = cachedPqFit(s, dir, m, kc, iters)
+    val a = s.read.parquet(s"$ivf2sBase/assign")
+    val cands = a.join(broadcast(ivfProbes(centDf, qrow, nprobe)), "centroid")
+      .select("vec_id")
+    val short = pqScore(codes.join(cands, "vec_id"),
+      pqLutFromCents(cents, querySubVectors(emb, queryId, m)), queryId, shortlist)
+    emb.join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("adc"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Oracle for [[annTwoStage]]: persisted IVF candidates ∩ the
     * re-derived PQ codes → ADC shortlist → exact cosine top-k. */
   def annTwoStageSql(queryId: Long, k: Int = 10, shortlist: Int = 50,

@@ -117,6 +117,19 @@ class SimilaritySpec extends SparkSpec {
     a.keys.foreach(d => assert(math.abs(a(d) - b(d)) <= 1e-5, s"dim $d"))
   }
 
+  test("annTwoStageServeOnly: pure serving equals the registered served path") {
+    // warm builds the index once; the serve-only path must then return
+    // the exact same ranking as s19's served path (which also rewrites
+    // the oracle facts) — the probe boundary measures cost, not a
+    // different algorithm
+    Similarity.warmTwoStageIndex(spark, sf("sf0.001"))
+    val served = Similarity.annTwoStageServed(spark, sf("sf0.001"), queryId = 3L)
+      .collect().map(_.toSeq).toSeq
+    val serveOnly = Similarity.annTwoStageServeOnly(spark, sf("sf0.001"), queryId = 3L)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == serveOnly)
+  }
+
   test("annLsh recall: ANN top-5 overlaps brute-force top-5") {
     val brute = Similarity.knnBrute(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
     val ann = Similarity.annLsh(emb, 0L, k = 5).collect().map(_.getLong(0)).toSet
