@@ -154,17 +154,45 @@ object Rank {
     * a query into one partition and fully sorts it — fine while each
     * query's candidate set (union of its terms' postings) is bounded,
     * but a stop-word-like query term over a 100 TB corpus makes its qid
-    * partition corpus-sized. The scale path for that regime is a
-    * partial top-k pre-aggregation per (qid, input-partition) —
-    * [[graft.functions.TopKAggregator]] holds O(k) state map-side, as
-    * the vector batch path documents
-    * ([[graft.similarity.Similarity.knnBatch]]). The window form is the
-    * oracle-checkable baseline. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    * partition corpus-sized. [[topKPerQueryAgg]] is the scale path for
+    * that regime and the REGISTERED one; this window form is the
+    * oracle-matching baseline it is spec-pinned against (`RankSpec`). */
+  private[search] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k).drop("rk")
+      .orderBy(asc("qid"), desc("score"), asc("doc_id"))
+  }
+
+  /** Skew-proof per-query top-k: the bounded typed
+    * [[graft.functions.TopKAggregator]] keyed by qid. Each input
+    * partition keeps O(k) state per query map-side and ships only k
+    * (score, doc_id) pairs per (qid, partition) into the shuffle — a
+    * stop-word query whose candidate set is corpus-sized costs its
+    * partitions a running bounded selection instead of materializing
+    * and sorting the whole set in one reducer (the row_number failure
+    * mode above). Tie order matches the window form exactly (score
+    * desc, doc_id asc — the aggregator's comparator).
+    *
+    * Score values survive the double round-trip exactly: every score
+    * here is a 6-dp-rounded value of magnitude « 2^53/1e6, so
+    * decimal→double→decimal is lossless and the output is row-identical
+    * to [[topKPerQuery]] (spec-pinned on both the t7 and t8 shapes,
+    * plus the registered queries' oracle hash at the driver gate). */
+  private[search] def topKPerQueryAgg(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val scoreType = scored.schema("score").dataType
+    scored.select(col("qid").cast("long"), col("doc_id").cast("long"),
+        col("score").cast("double")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, d, s) => (d, s) }
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("p"))
+      .select(col("qid"), col("p._2").as("doc_id"),
+        col("p._1").cast(scoreType).as("score"))
       .orderBy(asc("qid"), desc("score"), asc("doc_id"))
   }
 
@@ -177,7 +205,8 @@ object Rank {
     * ([[TfIdf.cosineScores]] — including the reference's squared-norm
     * denominator quirk and the corrected `trueCosine` variant);
     * per-doc dots aggregate by (qid, doc_id) in one shuffle and each
-    * query ranks its own candidates ([[topKPerQuery]]). Spec-pinned
+    * query ranks its own candidates through the bounded map-side
+    * selection ([[topKPerQueryAgg]]). Spec-pinned
     * (`RankSpec`): slicing the batch output at one qid equals the
     * single-query [[TfIdf.searchMulti]] call.
     *
@@ -192,15 +221,15 @@ object Rank {
     val qtf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-    topKPerQuery(TfIdf.cosineScores(postings, norms, qtf, trueCosine), k)
+    topKPerQueryAgg(TfIdf.cosineScores(postings, norms, qtf, trueCosine), k)
   }
 
   /** Batched BM25 — the same one-postings-pass batch plan as
     * [[searchBatch]] with the [[bm25Scores]] scorer (the literal same
     * body as single-query [[bm25]]; spec-pinned per-slice identical):
     * per-(qid, doc) partial scores aggregate in one shuffle, per-query
-    * top-k via the qid rank window; dl/avgdl/N computed once for the
-    * whole batch.
+    * top-k via the bounded map-side selection ([[topKPerQueryAgg]]);
+    * dl/avgdl/N computed once for the whole batch.
     *
     * A qid appearing in several batch tuples is merged: the query is
     * the UNION of its terms ((qid, term) deduped globally, matching
@@ -212,7 +241,7 @@ object Rank {
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .distinct.toDF("qid", "term")
-    topKPerQuery(bm25Scores(postings, qterms), k)
+    topKPerQueryAgg(bm25Scores(postings, qterms), k)
   }
 
   // ---------------------------------------------------------------- oracle

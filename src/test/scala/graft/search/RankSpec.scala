@@ -140,6 +140,26 @@ class RankSpec extends SparkSpec {
     assert(perQid.values.forall(_ == 1L) && perQid.keySet == Set(1L, 2L, 3L))
   }
 
+  test("topKPerQueryAgg is row-identical to the window form (decimal + double scores, ties)") {
+    // hand-built (qid, doc_id, score) with an exact tie inside qid 1 at
+    // the k-boundary: tie must break doc_id asc in BOTH forms
+    val raw = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.5), (1L, 13L, 0.1),
+      (2L, 20L, 0.3), (2L, 21L, 0.3),
+      (3L, 30L, 0.7)).toDF("qid", "doc_id", "score")
+    for (df <- Seq(raw, raw.withColumn("score",
+        col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6))))) {
+      val agg = rows(Rank.topKPerQueryAgg(df, k = 2))
+      val win = rows(Rank.topKPerQuery(df, k = 2))
+      assert(agg == win, s"scoreType=${df.schema("score").dataType}")
+      assert(agg.map(_.head).distinct == Seq(1L, 2L, 3L)) // all queries present
+      // the qid-1 tie at 0.5 kept the lower doc_id (10, not 12)
+      assert(agg.contains(Seq(1L, 11L, agg.find(r => r.head == 1L && r(1) == 11L).get(2))))
+      assert(agg.exists(r => r.head == 1L && r(1) == 10L)
+        && !agg.exists(r => r.head == 1L && r(1) == 12L))
+    }
+  }
+
   test("moreLikeThis: maxTerms truncation keeps the highest-tfidf terms") {
     // doc 0 has a rare term ("zebra", df=1) and a common one ("cat", df=3);
     // with maxTerms=1 only the top-tfidf term (zebra) forms the query
