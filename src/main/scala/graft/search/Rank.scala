@@ -157,7 +157,7 @@ object Rank {
     * partition corpus-sized. [[topKPerQueryAgg]] is the scale path for
     * that regime and the REGISTERED one; this window form is the
     * oracle-matching baseline it is spec-pinned against (`RankSpec`). */
-  private[search] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -180,7 +180,7 @@ object Rank {
     * decimal→double→decimal is lossless and the output is row-identical
     * to [[topKPerQuery]] (spec-pinned on both the t7 and t8 shapes,
     * plus the registered queries' oracle hash at the driver gate). */
-  private[search] def topKPerQueryAgg(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQueryAgg(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val scoreType = scored.schema("score").dataType
@@ -194,6 +194,37 @@ object Rank {
       .select(col("qid"), col("p._2").as("doc_id"),
         col("p._1").cast(scoreType).as("score"))
       .orderBy(asc("qid"), desc("score"), asc("doc_id"))
+  }
+
+  /** Skew-proof per-query top-k, codegen form: a salted two-phase rank
+    * window. Phase 1 ranks within (qid, salt = hash(doc_id) mod S) — a
+    * hot query's candidate set splits across S reducer partitions, so
+    * no reducer ever materializes more than |candidates|/S rows — and
+    * keeps k rows per salt; phase 2 ranks the surviving k·S rows per
+    * qid ([[topKPerQuery]]). Exact: every global top-k row is top-k
+    * within its salt, and both phases order by (score desc, doc_id asc),
+    * so the output is row-identical to the unsalted window (spec-pinned
+    * alongside [[topKPerQueryAgg]]).
+    *
+    * Versus [[topKPerQueryAgg]] (the REGISTERED t7/t8 form): same
+    * bounded-memory property and the path stays inside whole-stage
+    * codegen (no typed encoder per row), but it pays a SECOND exchange
+    * (qid,salt then qid) — measured ~1.4× slower at 1.4M candidates in
+    * quiet-period medians, while agg and the plain window read the same
+    * within noise (SCALE.md "batched search skew probe"). Kept as the
+    * codegen alternative for regimes where per-row typed-encoder CPU
+    * dominates the extra shuffle (very wide fan-in per query). S
+    * defaults to 32 (the shuffle-partition count here); at 1000
+    * executors raise S toward the cluster's parallelism. */
+  private[graft] def topKPerQuerySalted(scored: DataFrame, k: Int,
+                                        salts: Int = 32): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "salt").orderBy(desc("score"), asc("doc_id"))
+    val pre = scored
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= k).drop("rk", "salt")
+    topKPerQuery(pre, k)
   }
 
   /** Batched multi-query TF-IDF search — N queries served from ONE

@@ -84,7 +84,7 @@ object TfIdf {
     * `trueCosine=false` preserves the reference quirk at its :304: the
     * score divides by the SQUARED norms (`size * querySize`, no sqrt) —
     * monotonic per query w.r.t. the doc ranking but not true cosine. */
-  private[search] def cosineScores(postings: DataFrame, norms: DataFrame,
+  private[graft] def cosineScores(postings: DataFrame, norms: DataFrame,
                                    qtf: DataFrame, trueCosine: Boolean): DataFrame = {
     // attach corpus idf (ref :284); idf is doc-independent so dedup postings
     val idf = postings.select("term", "idf").groupBy("term").agg(first("idf").as("idf"))

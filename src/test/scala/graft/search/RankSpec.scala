@@ -151,7 +151,9 @@ class RankSpec extends SparkSpec {
         col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6))))) {
       val agg = rows(Rank.topKPerQueryAgg(df, k = 2))
       val win = rows(Rank.topKPerQuery(df, k = 2))
+      val salted = rows(Rank.topKPerQuerySalted(df, k = 2, salts = 3))
       assert(agg == win, s"scoreType=${df.schema("score").dataType}")
+      assert(salted == win, s"salted, scoreType=${df.schema("score").dataType}")
       assert(agg.map(_.head).distinct == Seq(1L, 2L, 3L)) // all queries present
       // the qid-1 tie at 0.5 kept the lower doc_id (10, not 12)
       assert(agg.contains(Seq(1L, 11L, agg.find(r => r.head == 1L && r(1) == 11L).get(2))))
