@@ -42,6 +42,14 @@ object Rank {
     Materialized(s, s"tfidf_postings:${Tables.norm(dir)}")(
       TfIdf.postings(Tables.documents(s, dir)))
 
+  /** Memoized BM25 doc-length table (Σ tf per doc, derived from the
+    * postings memo — no corpus scan): t4 and t8 share ONE build per
+    * (session, sf-dir) instead of each re-aggregating and eagerly
+    * checkpointing it per call. */
+  private def cachedDl(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, s"bm25_dl:${Tables.norm(dir)}")(
+      cachedPostings(s, dir).groupBy("doc_id").agg(sum("tf").as("dl")))
+
   /** Shared Okapi BM25 scoring core — ONE body serving both the
     * single-query path ([[bm25]], a batch of one) and the batch path
     * ([[bm25Batch]]), so the batch/single slice-parity pinned by
@@ -58,10 +66,13 @@ object Rank {
     * filtered tokens as the index, derived FROM the postings frame
     * (Σ tf per doc) — no second corpus scan, computed ONCE for the whole
     * batch. N is the doc-length table's row count (docs with ≥1 indexed
-    * token; a doc with no tokens can match no query term). */
-  private def bm25Scores(postings: DataFrame, qterms: DataFrame): DataFrame = {
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint(true) // feeds both the scalar stats and the score join
+    * token; a doc with no tokens can match no query term). Callers that
+    * already hold a memoized dl table (the registry: [[cachedDl]]) pass
+    * it via `dlOpt` so repeated queries share one build per session. */
+  private def bm25Scores(postings: DataFrame, qterms: DataFrame,
+                         dlOpt: Option[DataFrame] = None): DataFrame = {
+    val dl = dlOpt.getOrElse(postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true)) // feeds both the scalar stats and the score join
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     // df for the query terms only — the aggregate runs AFTER the
     // broadcast semi-join prunes the postings scan to the query terms
@@ -87,11 +98,12 @@ object Rank {
     * scaladoc for the formula and constants. The final orderBy+limit
     * compiles to TakeOrderedAndProject (partial top-k, no global
     * sort). */
-  def bm25(postings: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+  def bm25(postings: DataFrame, terms: Seq[String], k: Int = 10,
+           dlOpt: Option[DataFrame] = None): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     val qterms = terms.distinct.map(t => (0L, t)).toDF("qid", "term")
-    bm25Scores(postings, qterms)
+    bm25Scores(postings, qterms, dlOpt)
       .select("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
@@ -267,12 +279,12 @@ object Rank {
     * bm25's `terms.distinct` — a duplicated term can never double-count
     * its per-term score; ADVICE r9). */
   def bm25Batch(postings: DataFrame, queries: Seq[(Long, Seq[String])],
-                k: Int = 10): DataFrame = {
+                k: Int = 10, dlOpt: Option[DataFrame] = None): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .distinct.toDF("qid", "term")
-    topKPerQueryAgg(bm25Scores(postings, qterms), k)
+    topKPerQueryAgg(bm25Scores(postings, qterms, dlOpt), k)
   }
 
   // ---------------------------------------------------------------- oracle
@@ -427,9 +439,10 @@ object Rank {
       searchBatch(p, TfIdf.docNorms(p), batchQueries)
     }),
     "t8_bm25_batch" -> ((s: SparkSession, dir: String) =>
-      bm25Batch(cachedPostings(s, dir), batchQueries)),
+      bm25Batch(cachedPostings(s, dir), batchQueries,
+        dlOpt = Some(cachedDl(s, dir)))),
     "t4_bm25" -> ((s: SparkSession, dir: String) =>
-      bm25(cachedPostings(s, dir), bm25Terms)),
+      bm25(cachedPostings(s, dir), bm25Terms, dlOpt = Some(cachedDl(s, dir)))),
     "t5_phrase_search" -> ((s: SparkSession, dir: String) =>
       phraseSearch(Tables.documents(s, dir), "table", "hash")),
     "t6_more_like_this" -> ((s: SparkSession, dir: String) => {

@@ -1347,6 +1347,217 @@ object Similarity {
     sb.toString
   }
 
+  // ------------------------------------------- incremental assignment
+
+  /** s20: incremental vector-assignment ingest — d21's between-runs
+    * discipline at the embedding layer. The corpus side (vec_id % 5 ≠ 0)
+    * PERSISTS its coarse-quantizer state to the Artifacts namespace: the
+    * Lloyd centroid frame ([[kmeans]]'s deterministic recipe restricted
+    * to corpus rows, init = the k lowest corpus vec_ids) and the
+    * assignment-partitioned vector index (vec_id, cid, embedding, norm2
+    * — exactly what an IVF shard stores between runs, laid out
+    * partitionBy(cid) so per-cell reads partition-prune). The delta
+    * (vec_id % 5 = 0 — the nightly embedding batch) then:
+    *
+    *  1. assigns each new vector to its nearest persisted centroid
+    *     (broadcast k-row centroid frame, s9's exact-decimal dist²
+    *     identity, argmin rank window) — never refits;
+    *  2. near-dup-checks each new vector ONLY against corpus vectors in
+    *     its own cell (the cid equi-join bounds candidates to one cell's
+    *     population, never delta × corpus), flagging exact cosine ≥ tau;
+    *  3. emits (vec_id, centroid, fate admitted | near_dup_of_corpus).
+    *
+    * 100 TB posture: the only corpus-sized work happened once at
+    * fit/index time; each ingest run reads the tiny centroid frame, the
+    * delta, and only the index cells the delta actually maps to. The
+    * oracle re-derives EVERYTHING — corpus Lloyd rounds, delta
+    * assignment, cell-bounded cosine — from the raw table
+    * ([[incrementalAssignSql]]), so the driver gate certifies the
+    * persisted state end to end. */
+  def incrementalAssign(s: SparkSession, dir: String, k: Int = 4,
+                        iters: Int = 2, tau: Double = 0.4): DataFrame = {
+    VectorDotExact.register(s)
+    val (cents, index) = s20Index(s, dir, k, iters)
+    val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"),
+        norm2Col(col("embedding")).as("norm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("dist2"), asc("cid"))
+    val assigned = delta.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("cid"),
+        (col("norm2") - lit(2) * dotCol(col("embedding"), col("ce")) +
+          col("cnorm2")).as("dist2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("vec_id", "embedding", "norm2", "cid")
+      .localCheckpoint(true) // delta-sized; feeds the near join AND the output
+    val near = assigned.as("a")
+      .join(index.as("b"), Seq("cid"))
+      .filter(round(dotCol(col("a.embedding"), col("b.embedding")) /
+        (sqrt(col("a.norm2")) * sqrt(col("b.norm2"))), 6).cast(Out6) >= lit(tau))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("near", lit(1L))
+    assigned.select("vec_id", "cid")
+      .join(near, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid").as("centroid"),
+        when(col("near").isNotNull, lit("near_dup_of_corpus"))
+          .otherwise(lit("admitted")).as("fate"))
+      .orderBy("vec_id")
+  }
+
+  /** The persisted corpus-side quantizer state for
+    * [[incrementalAssign]]: centroid frame (cid, ce, cnorm2 — k tiny
+    * rows) and the cid-partitioned vector index, written once per
+    * (session, sf-dir) and served READ-BACK (d21's artifact discipline:
+    * the memoized token only gates the writes; consumers scan the
+    * parquet files, so the persisted bytes are what downstream plans —
+    * and the driver gate — actually consume). */
+  private def s20Index(s: SparkSession, dir: String, k: Int,
+                       iters: Int): (DataFrame, DataFrame) = {
+    val centsPath = graft.sources.Artifacts.path(s"s20_cents_${Tables.norm(dir)}")
+    val indexPath = graft.sources.Artifacts.path(s"s20_index_${Tables.norm(dir)}")
+    graft.plans.Materialized(s, s"s20_artifact:${Tables.norm(dir)}") {
+      VectorDotExact.register(s)
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          norm2Col(col("embedding")).as("norm2"))
+        .localCheckpoint(true)
+      // init: the k lowest CORPUS vec_ids' raw vectors (kmeans's rule,
+      // restated for a corpus that excludes the delta ids)
+      val initIds = base.select("vec_id").orderBy("vec_id").limit(k)
+      var cents = base.join(initIds, "vec_id")
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("ce"))
+        .select(col("cid"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(asc("dist2"), asc("cid"))
+      def assign(c: DataFrame): DataFrame = base
+        .crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cid"),
+          (col("norm2") - lit(2) * dotCol(col("embedding"), col("ce")) +
+            col("cnorm2")).as("dist2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("vec_id", "cid")
+      for (_ <- 1 until iters) {
+        val a = assign(cents)
+        cents = base.join(a, "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+          .groupBy("cid", "d")
+          .agg(round((sum(col("x").cast("double").cast(Dec)).cast("double") /
+            count(lit(1))).cast(Dec), 6).cast(Out6).as("c"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+            st => st.getField("c").cast("double")).as("ce"))
+          .select(col("cid"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
+      }
+      cents.write.mode("overwrite").parquet(centsPath)
+      base.join(assign(cents), "vec_id")
+        .select("vec_id", "cid", "embedding", "norm2")
+        .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
+      s.range(1).toDF("ok")
+    }
+    // partition-column type inference reads cid back as INT — restate
+    // the long the engine wrote so downstream plans see one type
+    (s.read.parquet(centsPath),
+      s.read.parquet(indexPath).select(col("vec_id"),
+        col("cid").cast("long").as("cid"), col("embedding"), col("norm2")))
+  }
+
+  /** Oracle for [[incrementalAssign]]: corpus-restricted Lloyd rounds
+    * (the [[kmeansSql]] CTE chain over c_ex), final-centroid assignment
+    * of BOTH sides, the cell-bounded pair cosine, and the fate CASE —
+    * all from the raw embeddings table. */
+  def incrementalAssignSql(k: Int = 4, iters: Int = 2,
+                           tau: Double = 0.4): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ex AS (
+              |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+              |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+              |), c_ex AS (SELECT * FROM ex WHERE vec_id % 5 != 0),
+              |d_ex AS (SELECT * FROM ex WHERE vec_id % 5 = 0),
+              |c_vn AS (
+              |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+              |  FROM c_ex GROUP BY vec_id
+              |), d_vn AS (
+              |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+              |  FROM d_ex GROUP BY vec_id
+              |), init AS (
+              |  SELECT DISTINCT vec_id FROM c_ex ORDER BY vec_id LIMIT $k
+              |), cent0 AS (
+              |  SELECT vec_id AS cid, d, x AS c FROM c_ex
+              |  WHERE vec_id IN (SELECT vec_id FROM init)
+              |)""".stripMargin
+    for (i <- 0 until iters - 1) {
+      sb ++= s""",
+                |cn$i AS (
+                |  SELECT cid, CAST(SUM(CAST(c * c AS DECIMAL(32,16))) AS DOUBLE) AS cnorm2
+                |  FROM cent$i GROUP BY cid
+                |), dot$i AS (
+                |  SELECT c_ex.vec_id, c.cid,
+                |    CAST(SUM(CAST(c_ex.x * c.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+                |  FROM c_ex JOIN cent$i c USING (d) GROUP BY c_ex.vec_id, c.cid
+                |), best$i AS (
+                |  SELECT vec_id, cid FROM (
+                |    SELECT dt.vec_id, dt.cid,
+                |      row_number() OVER (PARTITION BY dt.vec_id
+                |        ORDER BY vn.norm2 - 2 * dt.dot + cn.cnorm2 ASC, dt.cid ASC) AS rk
+                |    FROM dot$i dt JOIN c_vn vn USING (vec_id) JOIN cn$i cn USING (cid)) t
+                |  WHERE rk = 1
+                |), cent${i + 1} AS (
+                |  SELECT b.cid, c_ex.d,
+                |    CAST(CAST(round(CAST(CAST(SUM(CAST(c_ex.x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
+                |      AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+                |  FROM c_ex JOIN best$i b USING (vec_id) GROUP BY b.cid, c_ex.d
+                |)""".stripMargin
+    }
+    val fc = s"cent${iters - 1}"
+    sb ++= s""",
+              |fcn AS (
+              |  SELECT cid, CAST(SUM(CAST(c * c AS DECIMAL(32,16))) AS DOUBLE) AS cnorm2
+              |  FROM $fc GROUP BY cid
+              |), c_dot AS (
+              |  SELECT c_ex.vec_id, c.cid,
+              |    CAST(SUM(CAST(c_ex.x * c.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+              |  FROM c_ex JOIN $fc c USING (d) GROUP BY c_ex.vec_id, c.cid
+              |), c_assign AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT dt.vec_id, dt.cid,
+              |      row_number() OVER (PARTITION BY dt.vec_id
+              |        ORDER BY vn.norm2 - 2 * dt.dot + cn.cnorm2 ASC, dt.cid ASC) AS rk
+              |    FROM c_dot dt JOIN c_vn vn USING (vec_id) JOIN fcn cn USING (cid)) t
+              |  WHERE rk = 1
+              |), d_dot AS (
+              |  SELECT d_ex.vec_id, c.cid,
+              |    CAST(SUM(CAST(d_ex.x * c.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+              |  FROM d_ex JOIN $fc c USING (d) GROUP BY d_ex.vec_id, c.cid
+              |), d_assign AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT dt.vec_id, dt.cid,
+              |      row_number() OVER (PARTITION BY dt.vec_id
+              |        ORDER BY vn.norm2 - 2 * dt.dot + cn.cnorm2 ASC, dt.cid ASC) AS rk
+              |    FROM d_dot dt JOIN d_vn vn USING (vec_id) JOIN fcn cn USING (cid)) t
+              |  WHERE rk = 1
+              |), pair_dot AS (
+              |  SELECT a.vec_id AS av, b.vec_id AS bv,
+              |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(32,16))) AS DOUBLE) AS dot
+              |  FROM d_ex a JOIN c_ex b USING (d)
+              |  JOIN d_assign da ON da.vec_id = a.vec_id
+              |  JOIN c_assign ca ON ca.vec_id = b.vec_id AND ca.cid = da.cid
+              |  GROUP BY a.vec_id, b.vec_id
+              |), near AS (
+              |  SELECT DISTINCT p.av AS vec_id FROM pair_dot p
+              |  JOIN d_vn dn ON dn.vec_id = p.av
+              |  JOIN c_vn cn2 ON cn2.vec_id = p.bv
+              |  WHERE CAST(round(p.dot / (sqrt(dn.norm2) * sqrt(cn2.norm2)), 6)
+              |        AS DECIMAL(18,6)) >= $tau
+              |)
+              |SELECT d.vec_id, d.cid AS centroid,
+              |  CASE WHEN n.vec_id IS NOT NULL THEN 'near_dup_of_corpus'
+              |       ELSE 'admitted' END AS fate
+              |FROM d_assign d LEFT JOIN near n USING (vec_id)
+              |ORDER BY d.vec_id""".stripMargin
+    sb.toString
+  }
+
   // ------------------------------------------------------------ ANN recall
 
   /** s14: recall@k of the LSH-bucketed ANN (s2) against the exact
@@ -1813,6 +2024,8 @@ object Similarity {
       filteredKnn(Tables.embeddings(s, dir), queryId = 0L, labelEq = 3)),
     "s18_pca_power" -> ((s: SparkSession, dir: String) =>
       pcaPower(Tables.embeddings(s, dir))),
+    "s20_incremental_assign" -> ((s: SparkSession, dir: String) =>
+      incrementalAssign(s, dir)),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -1839,5 +2052,6 @@ object Similarity {
     "s16_mips" -> mipsBruteSql(0L),
     "s17_filtered_ann" -> filteredKnnSql(0L, labelEq = 3),
     "s18_pca_power" -> pcaPowerSql(),
+    "s20_incremental_assign" -> incrementalAssignSql(),
   )
 }
