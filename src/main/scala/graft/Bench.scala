@@ -60,17 +60,24 @@ object Bench {
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val exit = pb.start().waitFor()
+        // children append one line per completed query (not one bulk write
+        // at chunk end), so a mid-chunk crash loses only the in-flight
+        // query; a truncated final line fails the parse guard and is
+        // skipped, never mis-read
         val got: Map[String, (Double, Double)] =
           try java.nio.file.Files.readAllLines(tsv).asScala
             .map(_.split('\t')).collect {
-              case Array(n, w, c) => n -> (w.toDouble, c.toDouble)
+              case Array(n, w, c) if scala.util.Try(w.toDouble).isSuccess &&
+                scala.util.Try(c.toDouble).isSuccess => n -> (w.toDouble, c.toDouble)
             }.toMap
           finally java.nio.file.Files.deleteIfExists(tsv)
         if (exit != 0)
           System.err.println(s"[bench] isolated chunk ${grp.head}.. exit=$exit")
         // a name the child never reported (crash before its turn) counts
-        // as failed, same negative-elapsed convention as in-process
-        grp.map(n => n -> got.getOrElse(n, (-1.0, 0.0)))
+        // as failed; cpu = -1 marks MISSING (no reading at all) so report
+        // can exclude it from totals instead of adding a fabricated
+        // |wall| second per lost query (ADVICE r10)
+        grp.map(n => n -> got.getOrElse(n, (-1.0, -1.0)))
       }
     report(results.toMap, reps = envReps,
       sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -122,6 +129,18 @@ object Bench {
     // (NOTES.md) — medians make the per-query detail trustworthy without
     // touching the driver-facing line's semantics.
     val reps = envReps
+    // child mode under SPARK_GRAFT_ISOLATE: stream each query's reading
+    // to the parent AS IT COMPLETES, so a later query's crash never
+    // discards the chunk's finished work (ADVICE r10)
+    val tsvOut = sys.env.get("SPARK_GRAFT_TSV_OUT")
+    def appendTsv(name: String, wall: Double, cpu: Double): Unit =
+      tsvOut.foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          s"$name\t$wall\t$cpu\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case _: Throwable => () }
+      }
     // whole-process CPU time: attributable per query because queries run
     // strictly sequentially in this JVM. Contention-immune — the noise
     // diagnostic wall clock can never be on this host (NOTES.md).
@@ -149,24 +168,25 @@ object Bench {
       }
       val median = reads.map(r => math.abs(r._1)).sorted.apply(reps / 2)
       val cpuMedian = reads.map(_._2).sorted.apply(reps / 2)
-      name -> (if (reads.exists(_._1 < 0)) -median else median, cpuMedian)
+      val wall = if (reads.exists(_._1 < 0)) -median else median
+      appendTsv(name, wall, cpuMedian)
+      name -> (wall, cpuMedian)
     }
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
-    // child mode under SPARK_GRAFT_ISOLATE: hand raw readings to the
-    // parent as name\twall\tcpu lines
-    sys.env.get("SPARK_GRAFT_TSV_OUT").foreach { p =>
-      val lines = results.map { case (n, (w, c)) => s"$n\t$w\t$c" }
-        .mkString("", "\n", "\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), lines)
-    }
     report(results, reps, sfDir, isolated = None)
   }
 
   private def report(results: Map[String, (Double, Double)], reps: Int,
                      sfDir: String, isolated: Option[Int]): Unit = {
     val failed = results.count(_._2._1 < 0)
-    val total = results.values.map(r => math.abs(r._1)).sum
-    val cpuTotal = results.values.map(_._2).sum
+    // cpu < 0 marks an isolated-mode query with NO reading (child crashed
+    // before reaching it): it counts in `failed` but contributes nothing
+    // to either total — the old code's abs(-1.0) fabricated one second
+    // per lost query (ADVICE r10). A query that ran and failed (cpu ≥ 0,
+    // wall < 0) still contributes its real elapsed time.
+    val measured = results.values.filter(_._2 >= 0)
+    val total = measured.map(r => math.abs(r._1)).sum
+    val cpuTotal = measured.map(_._2).sum
     def fmt(v: Double) = f"$v%.3f"
     val iso = isolated.fold("")(c => s""","isolated":$c""")
     // FULL per-query detail to stderr (and a file) for BASELINE.md
@@ -191,7 +211,10 @@ object Bench {
       "g2_pagerank", "st3_sessions", "x2_lang_id", "m1_confusion")
     val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v._1)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size}$iso}""")
+    // cpu_total (Σ process-CPU seconds, contention-immune) rides the
+    // driver-facing line so a contended run is self-adjudicating: wall
+    // far above cpu/32 means host noise, not regression (VERDICT r10 #2)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()
   }
 }

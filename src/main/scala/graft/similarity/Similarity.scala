@@ -320,6 +320,45 @@ object Similarity {
     ps.headOption.getOrElse(6)
   }
 
+  /** Coarse-quantizer cell count scaled to the corpus: k = max(4, ⌈√n⌉)
+    * (the standard IVF guidance — with √n cells, a cell holds ≈ √n
+    * vectors, so the s20 cell-bounded near-dup probe touches O(√n)
+    * candidates per delta row instead of the n/k ≈ n/4 a FIXED k=4
+    * degenerates to at scale; VERDICT r10 finding 2). Same planning
+    * posture as [[autoP]]: one driver-side corpus count per dir is the
+    * AQE-style planning decision, never data-plane work. At the
+    * sf0.001/0.01 gate scales (400 corpus vectors) k = 20; at sf0.1
+    * (1600) k = 40. */
+  def autoCells(nCorpus: Long): Int = {
+    val sqrtK = math.max(4L,
+      math.ceil(math.sqrt(math.max(0L, nCorpus).toDouble)).toLong)
+    math.max(1L, math.min(math.max(1L, nCorpus), sqrtK)).toInt
+  }
+
+  /** Corpus-adaptive s20 cell count per sf-dir — deterministic and
+    * order-independent, cached by normalized dir exactly like
+    * [[autoPByDir]] so engine query and oracle builder always read the
+    * same k. The count is corpus-side rows only (vec_id % 5 ≠ 0, the
+    * s20 corpus/delta split). */
+  private val autoCellsByDir = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  def autoCellsForDir(s: SparkSession, dir: String): Int =
+    autoCellsByDir.getOrElseUpdate(Tables.norm(dir),
+      autoCells(Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 5 =!= 0).count()))
+
+  /** The s20 cell count for the oracle twin — resolved from
+    * [[autoCellsByDir]] after the query populated it (Verify renders
+    * oracles after the queries run; the SPARK_GRAFT_ONLY filter selects
+    * query and oracle together, so a rendered s20 oracle always follows
+    * an s20 run). Ambiguity across dirs fails loudly, as [[oracleP]]. */
+  def oracleCells: Int = {
+    val ks = autoCellsByDir.values.toSet
+    require(ks.size <= 1,
+      s"s20 oracle cell count ambiguous: autoCells differs across dirs $autoCellsByDir")
+    ks.headOption.getOrElse(4)
+  }
+
   /** Scored pair frame memoized per (session, sf-dir, p) — s3's input
     * and s5's edge source. Small by construction (candidate pairs ≪ n²).
     * Plane count is corpus-adaptive ([[autoP]]). */
@@ -1370,17 +1409,40 @@ object Similarity {
     * 100 TB posture: the only corpus-sized work happened once at
     * fit/index time; each ingest run reads the tiny centroid frame, the
     * delta, and only the index cells the delta actually maps to. The
+    * cell count defaults to the corpus-derived ⌈√n⌉ ([[autoCells]]) so
+    * a cell holds O(√n) vectors — the near-dup probe's per-delta-row
+    * candidate bound — instead of the n/4 a fixed k=4 would leave. The
     * oracle re-derives EVERYTHING — corpus Lloyd rounds, delta
     * assignment, cell-bounded cosine — from the raw table
     * ([[incrementalAssignSql]]), so the driver gate certifies the
     * persisted state end to end. */
-  def incrementalAssign(s: SparkSession, dir: String, k: Int = 4,
+  def incrementalAssign(s: SparkSession, dir: String, k: Int = -1,
                         iters: Int = 2, tau: Double = 0.4): DataFrame = {
     VectorDotExact.register(s)
-    val (cents, index) = s20Index(s, dir, k, iters)
+    // k ≤ 0 → corpus-derived ⌈√n⌉ cells (VERDICT r10: a fixed k=4 makes
+    // the "cell-bounded" probe ~n/4 of the corpus per delta row at scale)
+    val cells = if (k > 0) k else autoCellsForDir(s, dir)
+    val (cents, index) = s20Index(s, dir, cells, iters)
     val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"),
         norm2Col(col("embedding")).as("norm2"))
+    assignDelta(cents, index, delta, tau)
+  }
+
+  /** The s20 serve-path core, factored over its three input frames so a
+    * literal-fixture spec can pin the semantics without the persisted
+    * artifacts ([[incrementalAssign]] is this over the read-back state):
+    *
+    *  - nearest-centroid assignment: broadcast k-row `cents`
+    *    (cid, ce, cnorm2), exact-decimal dist² = norm2 − 2·⟨e,ce⟩ +
+    *    cnorm2, argmin with tie-break asc(cid);
+    *  - cell-bounded near-dup: equi-join on cid against `index`
+    *    (vec_id, cid, embedding, norm2), exact cosine rounded 6 dp,
+    *    flagged when ≥ tau;
+    *  - fate: near_dup_of_corpus if any cell neighbor qualifies, else
+    *    admitted. Output (vec_id, centroid, fate) ordered by vec_id. */
+  private[graft] def assignDelta(cents: DataFrame, index: DataFrame,
+                                 delta: DataFrame, tau: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(asc("dist2"), asc("cid"))
     val assigned = delta.crossJoin(broadcast(cents))
@@ -1411,11 +1473,13 @@ object Similarity {
     * the memoized token only gates the writes; consumers scan the
     * parquet files, so the persisted bytes are what downstream plans —
     * and the driver gate — actually consume). */
-  private def s20Index(s: SparkSession, dir: String, k: Int,
-                       iters: Int): (DataFrame, DataFrame) = {
-    val centsPath = graft.sources.Artifacts.path(s"s20_cents_${Tables.norm(dir)}")
-    val indexPath = graft.sources.Artifacts.path(s"s20_index_${Tables.norm(dir)}")
-    graft.plans.Materialized(s, s"s20_artifact:${Tables.norm(dir)}") {
+  private[graft] def s20Index(s: SparkSession, dir: String, k: Int,
+                              iters: Int): (DataFrame, DataFrame) = {
+    // k is part of the artifact identity: a corpus-rederived cell count
+    // (autoCells) can never be served a stale index fit under another k
+    val centsPath = graft.sources.Artifacts.path(s"s20_cents_k${k}_${Tables.norm(dir)}")
+    val indexPath = graft.sources.Artifacts.path(s"s20_index_k${k}_${Tables.norm(dir)}")
+    graft.plans.Materialized(s, s"s20_artifact:k$k:${Tables.norm(dir)}") {
       VectorDotExact.register(s)
       val base = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
         .select(col("vec_id"), col("embedding"),
@@ -1466,8 +1530,11 @@ object Similarity {
     * (the [[kmeansSql]] CTE chain over c_ex), final-centroid assignment
     * of BOTH sides, the cell-bounded pair cosine, and the fate CASE —
     * all from the raw embeddings table. */
-  def incrementalAssignSql(k: Int = 4, iters: Int = 2,
+  def incrementalAssignSql(k: Int = -1, iters: Int = 2,
                            tau: Double = 0.4): String = {
+    // k ≤ 0 → the corpus-derived cell count the engine query resolved
+    // ([[oracleCells]]; rendered after the query ran, the autoP pattern)
+    val kk = if (k > 0) k else oracleCells
     val sb = new StringBuilder
     sb ++= s"""WITH ex AS (
               |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
@@ -1481,7 +1548,7 @@ object Similarity {
               |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
               |  FROM d_ex GROUP BY vec_id
               |), init AS (
-              |  SELECT DISTINCT vec_id FROM c_ex ORDER BY vec_id LIMIT $k
+              |  SELECT DISTINCT vec_id FROM c_ex ORDER BY vec_id LIMIT $kk
               |), cent0 AS (
               |  SELECT vec_id AS cid, d, x AS c FROM c_ex
               |  WHERE vec_id IN (SELECT vec_id FROM init)
