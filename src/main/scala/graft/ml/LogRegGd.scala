@@ -380,7 +380,15 @@ object LogRegGd {
     * flat curve is the correct reading, and mean_logloss still moves
     * with the training subset, which is why it is part of the output.
     * [[learnableCurve]] (m23) is the companion on a derived label that
-    * IS correlated with the features, where the curve visibly bends. */
+    * IS correlated with the features, where the curve visibly bends.
+    *
+    * m21 is the deliberate NEGATIVE CONTROL for m23 (VERDICT r10 task
+    * 7): its flat accuracy is what an honest curve on a signal-free
+    * label looks like, and the m21/m23 pair is the methodology check —
+    * a curve that bends on m23 but stays flat here demonstrates the
+    * harness measures the DATA, not an artifact of the trainer. Do not
+    * "fix" m21's flatness (more steps, a higher lr, feature changes):
+    * that would destroy the control. */
   def learningCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
                     steps: Int = 2): DataFrame =
     curveFrames(features(docs).localCheckpoint(true), lr, steps)
@@ -414,7 +422,10 @@ object LogRegGd {
     * lr = 2.0 / 10 steps so the from-zero GD actually converges per
     * subset (at m21's 2 steps every subset is equally underfit and the
     * curve cannot separate them). Same output schema, same unrolled-CTE
-    * oracle, same one-checkpoint/3-trainings scale shape as m21. */
+    * oracle, same one-checkpoint/3-trainings scale shape as m21.
+    * [[learningCurve]] (m21) is this query's NEGATIVE CONTROL — its
+    * flat curve on the signal-free lang label is intentional and must
+    * stay flat; see its scaladoc before touching either. */
   def learnableCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("2.0"),
                      steps: Int = 10): DataFrame =
     curveFrames(learnableFeatures(docs).localCheckpoint(true), lr, steps)

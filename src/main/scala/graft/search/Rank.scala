@@ -38,7 +38,7 @@ object Rank {
 
   /** Same memo key as SparkEntry's postings cache — t1/t2/t3/t4 all
     * share one index build per (session, sf-dir). */
-  private def cachedPostings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedPostings(s: SparkSession, dir: String): DataFrame =
     Materialized(s, s"tfidf_postings:${Tables.norm(dir)}")(
       TfIdf.postings(Tables.documents(s, dir)))
 
@@ -46,7 +46,7 @@ object Rank {
     * postings memo — no corpus scan): t4 and t8 share ONE build per
     * (session, sf-dir) instead of each re-aggregating and eagerly
     * checkpointing it per call. */
-  private def cachedDl(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedDl(s: SparkSession, dir: String): DataFrame =
     Materialized(s, s"bm25_dl:${Tables.norm(dir)}")(
       cachedPostings(s, dir).groupBy("doc_id").agg(sum("tf").as("dl")))
 
@@ -191,13 +191,38 @@ object Rank {
     * here is a 6-dp-rounded value of magnitude « 2^53/1e6, so
     * decimal→double→decimal is lossless and the output is row-identical
     * to [[topKPerQuery]] (spec-pinned on both the t7 and t8 shapes,
-    * plus the registered queries' oracle hash at the driver gate). */
+    * plus the registered queries' oracle hash at the driver gate).
+    *
+    * Contract guards (ADVICE r10): the row-identity claim only holds
+    * for an exact (qid, doc_id, score) frame — extra columns would be
+    * silently projected away where the window form keeps them, so the
+    * shape is require()d at plan-build time; and the lossless
+    * round-trip precondition |score| < 2^33 (where double ulp ≤ 1e-6,
+    * strictly tighter than the naive 2^53/1e6) is enforced per row by
+    * a codegen'd assert (one comparison — a future caller feeding wide
+    * decimals fails loudly instead of silently diverging). */
   private[graft] def topKPerQueryAgg(scored: DataFrame, k: Int): DataFrame = {
+    require(scored.columns.sorted.sameElements(Array("doc_id", "qid", "score")),
+      s"topKPerQueryAgg needs exactly (qid, doc_id, score); got " +
+        scored.columns.mkString("(", ", ", ")") +
+        " — extra columns would silently drop (use topKPerQuery)")
     val spark = scored.sparkSession
     import spark.implicits._
     val scoreType = scored.schema("score").dataType
+    // |v| < 2^33: there ulp(double(v)) ≤ 2^-20 < 1e-6, so the nearest
+    // double sits within half a 6-dp grid step of v and HALF_UP rounding
+    // recovers v exactly — the row-identity precondition. (The naive
+    // 2^53/1e6 ≈ 9.0e9 bound is WRONG: it only makes v·1e6 an exact
+    // integer, but the double nearest to v can still miss the grid by a
+    // full step — measured: 8999999999.123456 round-trips to ...123455.)
+    val maxLossless = 8589934592.0 // 2^33
     scored.select(col("qid").cast("long"), col("doc_id").cast("long"),
-        col("score").cast("double")).as[(Long, Long, Double)]
+        when(abs(col("score").cast("double")) < lit(maxLossless),
+            col("score").cast("double"))
+          .otherwise(raise_error(concat(
+            lit("topKPerQueryAgg: |score| breaks the lossless double round-trip: "),
+            col("score").cast("string")))).as("score"))
+      .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, d, s) => (d, s) }
       .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
@@ -226,14 +251,22 @@ object Rank {
     * within noise (SCALE.md "batched search skew probe"). Kept as the
     * codegen alternative for regimes where per-row typed-encoder CPU
     * dominates the extra shuffle (very wide fan-in per query). S
-    * defaults to 32 (the shuffle-partition count here); at 1000
-    * executors raise S toward the cluster's parallelism. */
+    * defaults to the session's `spark.sql.shuffle.partitions` (VERDICT
+    * r10 #3 — the literal 32 needed hand-raising at cluster scale;
+    * the conf already IS the cluster's configured reduce parallelism,
+    * so a 1000-executor session salts 1000 ways with no code change).
+    * Pass `salts` explicitly to override. */
+  private[graft] def saltCount(scored: DataFrame, salts: Int): Int =
+    if (salts > 0) salts
+    else scored.sparkSession.sessionState.conf.numShufflePartitions
+
   private[graft] def topKPerQuerySalted(scored: DataFrame, k: Int,
-                                        salts: Int = 32): DataFrame = {
+                                        salts: Int = -1): DataFrame = {
+    val s = saltCount(scored, salts)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy("qid", "salt").orderBy(desc("score"), asc("doc_id"))
     val pre = scored
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(s)))
       .withColumn("rk", row_number().over(w1))
       .filter(col("rk") <= k).drop("rk", "salt")
     topKPerQuery(pre, k)

@@ -558,29 +558,65 @@ object EventStream {
     * pipeline alerts on (a rising drop rate means upstream reordering
     * exceeds the state contract). Accumulator caveat applies as for any
     * Spark action-side metric: task retries can overcount, so it is a
-    * monitoring signal, not an exact ledger. */
+    * monitoring signal, not an exact ledger. For an exact, QUERYABLE
+    * ledger use [[forwardFillAudited]] + [[fillFunnel]] instead. */
   def forwardFillStream(events: Dataset[(Long, Long, Long, String, Double)],
                         droppedCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[FillOut] = {
     import events.sparkSession.implicits._
+    forwardFillAudited(events, droppedCounter)
+      .filter(_.fate == "filled")
+      .map(a => FillOut(a.user_id, a.event_id, a.us, a.filled))
+  }
+
+  /** Every row's fate from the fill state machine: `filled` rows carry
+    * the fill value, `dropped_late` rows carry their own RAW value
+    * (never a fill — the state that would fill them was superseded),
+    * so the stream doubles as the quarantine route for late data. */
+  case class FillAudit(user_id: Long, event_id: Long, us: Long,
+                       filled: Double, fate: String)
+
+  /** Audited forward-fill: the SAME state machine as
+    * [[forwardFillStream]] (that function is this one filtered to
+    * `filled`), but late rows are EMITTED with fate `dropped_late`
+    * instead of vanishing into a driver-side counter — downstream can
+    * route them to quarantine and [[fillFunnel]] can tally them
+    * exactly, retries notwithstanding (VERDICT r10 task 6). */
+  def forwardFillAudited(events: Dataset[(Long, Long, Long, String, Double)],
+                         droppedCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[FillAudit] = {
+    import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[FillState, FillOut](
+      .flatMapGroupsWithState[FillState, FillAudit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
          state: GroupState[FillState]) =>
           var st = state.getOption.getOrElse(FillState(Long.MinValue, -1.0))
-          val out = scala.collection.mutable.ListBuffer[FillOut]()
+          val out = scala.collection.mutable.ListBuffer[FillAudit]()
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, et, v) =>
             if (us >= st.lastUs) { // late rows dropped, never mis-filled
               val nv = if (et == "purchase") v else st.lastVal
               st = FillState(us, nv)
-              out += FillOut(user, eid, us, nv)
-            } else droppedCounter.foreach(_.add(1L))
+              out += FillAudit(user, eid, us, nv, "filled")
+            } else {
+              droppedCounter.foreach(_.add(1L))
+              out += FillAudit(user, eid, us, v, "dropped_late")
+            }
           }
           state.update(st)
           out.iterator
       }
   }
+
+  /** The x26-style funnel over the audited fill stream: per-fate row
+    * counts (≤ 2 rows of state by construction — `filled` /
+    * `dropped_late` — so it runs in complete mode forever without a
+    * watermark, exactly like [[qualityGateStream]]). Late-data loss is
+    * a row on the funnel dashboard, not a test-only accumulator
+    * (VERDICT r10 task 6); a fate with no rows yet has no row, as any
+    * streaming aggregate. */
+  def fillFunnel(audited: Dataset[FillAudit]): DataFrame =
+    audited.groupBy("fate").agg(count(lit(1)).as("n_rows"))
 
   // ------------------------------------------------ streaming window HLL
 

@@ -162,6 +162,58 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("topKPerQueryAgg guards its contract: exact shape, lossless score magnitude") {
+    // extra columns would be silently projected away where the window
+    // form keeps them — the require fails loudly instead (ADVICE r10)
+    val extra = Seq((1L, 10L, 0.5, "x")).toDF("qid", "doc_id", "score", "meta")
+    val e = intercept[IllegalArgumentException](Rank.topKPerQueryAgg(extra, 2))
+    assert(e.getMessage.contains("meta"))
+    // |score| ≥ 2^33 breaks the decimal→double→decimal round-trip (ulp
+    // grows past the 6-dp grid — e.g. 8999999999.123456 comes back as
+    // ...123455): the per-row assert raises instead of silently diverging
+    val wide = Seq((1L, 10L, BigDecimal("8999999999.123456")), (1L, 11L, BigDecimal("1.0")))
+      .toDF("qid", "doc_id", "score")
+      .withColumn("score",
+        col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val err = intercept[Exception](Rank.topKPerQueryAgg(wide, 2).collect())
+    assert(err.getMessage.contains("lossless")
+      || Option(err.getCause).exists(_.getMessage.contains("lossless")))
+    // just below the 2^33 bound the round-trip is exact: agg == window
+    // on a 6-dp decimal near-maximal fixture, ties included
+    val big = Seq(
+      (1L, 10L, BigDecimal("8589934591.123456")),
+      (1L, 12L, BigDecimal("8589934591.123456")), // tie → doc_id asc
+      (1L, 11L, BigDecimal("8589934591.123457")),
+      (2L, 20L, BigDecimal("-8589934591.999999")))
+      .toDF("qid", "doc_id", "score")
+      .withColumn("score",
+        col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    assert(rows(Rank.topKPerQueryAgg(big, 2)) == rows(Rank.topKPerQuery(big, 2)))
+  }
+
+  test("salted top-k S defaults to spark.sql.shuffle.partitions") {
+    val df = Seq((1L, 10L, 0.5)).toDF("qid", "doc_id", "score")
+    assert(Rank.saltCount(df, -1) ==
+      spark.sessionState.conf.numShufflePartitions)
+    assert(Rank.saltCount(df, 7) == 7) // explicit override wins
+    // the default path still produces the window-identical output
+    assert(rows(Rank.topKPerQuerySalted(df, 1)) == rows(Rank.topKPerQuery(df, 1)))
+  }
+
+  test("t4/t8 memoized doc-length table (cachedDl) is output-identical to the inline build") {
+    val dir = sf("sf0.001")
+    val p = Rank.cachedPostings(spark, dir)
+    val dl = Rank.cachedDl(spark, dir)
+    val terms = Seq("spark", "table", "query")
+    val memo = Rank.bm25(p, terms, dlOpt = Some(dl)).collect().map(_.toSeq).toSeq
+    val inline = Rank.bm25(p, terms).collect().map(_.toSeq).toSeq
+    assert(memo == inline)
+    val batch = Seq(1L -> terms, 2L -> Seq("table", "hash"))
+    val memoB = Rank.bm25Batch(p, batch, dlOpt = Some(dl)).collect().map(_.toSeq).toSeq
+    val inlineB = Rank.bm25Batch(p, batch).collect().map(_.toSeq).toSeq
+    assert(memoB == inlineB)
+  }
+
   test("moreLikeThis: maxTerms truncation keeps the highest-tfidf terms") {
     // doc 0 has a rare term ("zebra", df=1) and a common one ("cat", df=3);
     // with maxTerms=1 only the top-tfidf term (zebra) forms the query
