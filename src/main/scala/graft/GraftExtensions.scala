@@ -37,5 +37,6 @@ object GraftExtensions {
     functions.Md5NibbleMsbs.injection,
     functions.QuantizeInt8.injection,
     functions.VectorDotLong.injection,
+    functions.VectorDotRaw.injection,
   )
 }

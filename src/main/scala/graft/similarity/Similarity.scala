@@ -1423,7 +1423,14 @@ object Similarity {
     // the "cell-bounded" probe ~n/4 of the corpus per delta row at scale)
     val cells = if (k > 0) k else autoCellsForDir(s, dir)
     val (cents, index) = s20Index(s, dir, cells, iters)
+    // spread the delta across the session's full parallelism BEFORE the
+    // exact-decimal assignment kernel: a small parquet delta arrives as
+    // 1-2 input partitions, which would serialize the broadcast-assign
+    // dot products onto as many threads (measured at the 10× probe:
+    // cpu_total ≈ wall — ~1 thread busy of 32). The shuffle moves only
+    // the delta (tiny); the dot-product compute it unlocks is the cost.
     val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("embedding"),
         norm2Col(col("embedding")).as("norm2"))
     assignDelta(cents, index, delta, tau)
@@ -1440,9 +1447,21 @@ object Similarity {
     *    (vec_id, cid, embedding, norm2), exact cosine rounded 6 dp,
     *    flagged when ≥ tau;
     *  - fate: near_dup_of_corpus if any cell neighbor qualifies, else
-    *    admitted. Output (vec_id, centroid, fate) ordered by vec_id. */
+    *    admitted. Output (vec_id, centroid, fate) ordered by vec_id.
+    *
+    * The near-dup predicate is band-gated: the cheap codegen'd plain-
+    * double dot ([[graft.functions.VectorDotRaw]]) decides every pair
+    * whose approximate cosine clears tau ± `band`, and only the band
+    * interior pays the exact-decimal kernel. Sound because the raw/
+    * exact gap (double summation error + 16-dp quantization, ≲ 1e-12
+    * for unit-scale 64-dim vectors) is orders of magnitude below the
+    * 1e-3 band — spec-pinned equal to the all-exact path (`band = 0`)
+    * on real data and on fixture cosines AT the band edges. */
   private[graft] def assignDelta(cents: DataFrame, index: DataFrame,
-                                 delta: DataFrame, tau: Double): DataFrame = {
+                                 delta: DataFrame, tau: Double,
+                                 band: Double = 1e-3): DataFrame = {
+    VectorDotExact.register(delta.sparkSession)
+    graft.functions.VectorDotRaw.register(delta.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(asc("dist2"), asc("cid"))
     val assigned = delta.crossJoin(broadcast(cents))
@@ -1452,10 +1471,21 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select("vec_id", "embedding", "norm2", "cid")
       .localCheckpoint(true) // delta-sized; feeds the near join AND the output
+    val denom = sqrt(col("a.norm2")) * sqrt(col("b.norm2"))
+    val exactHit = round(dotCol(col("a.embedding"), col("b.embedding")) /
+      denom, 6).cast(Out6) >= lit(tau)
+    val hit =
+      if (band <= 0) exactHit
+      else {
+        val approx = graft.functions.VectorDotRaw(
+          col("a.embedding"), col("b.embedding")) / denom
+        when(approx >= lit(tau + band), lit(true))
+          .when(approx <= lit(tau - band), lit(false))
+          .otherwise(exactHit) // CaseWhen: exact kernel runs ONLY here
+      }
     val near = assigned.as("a")
       .join(index.as("b"), Seq("cid"))
-      .filter(round(dotCol(col("a.embedding"), col("b.embedding")) /
-        (sqrt(col("a.norm2")) * sqrt(col("b.norm2"))), 6).cast(Out6) >= lit(tau))
+      .filter(hit)
       .select(col("a.vec_id").as("vec_id")).distinct()
       .withColumn("near", lit(1L))
     assigned.select("vec_id", "cid")
@@ -1481,7 +1511,13 @@ object Similarity {
     val indexPath = graft.sources.Artifacts.path(s"s20_index_k${k}_${Tables.norm(dir)}")
     graft.plans.Materialized(s, s"s20_artifact:k$k:${Tables.norm(dir)}") {
       VectorDotExact.register(s)
+      // repartition for the same reason as the delta side: the Lloyd
+      // assignment is n·k exact-decimal dots and the corpus arrives as
+      // 1-2 file partitions — localCheckpoint pins whatever layout it
+      // sees, so spread FIRST (results are partitioning-independent:
+      // decimal-quantized sums, total-ordered argmin)
       val base = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("vec_id"), col("embedding"),
           norm2Col(col("embedding")).as("norm2"))
         .localCheckpoint(true)

@@ -121,6 +121,50 @@ class IncrementalAssignSpec extends SparkSpec {
     }
   }
 
+  test("band-gated near-dup equals the all-exact path at and around the band edges") {
+    VectorDotExact.register(spark)
+    // one unit centroid / one corpus vector on the x-axis: a delta
+    // vector's cosine against the corpus is its x-component over its
+    // norm, so fixture cosines land where we put them. tau = 0.5,
+    // band = 0.1 → clear-accept ≥ 0.6, clear-reject ≤ 0.4, interior
+    // pays the exact kernel.
+    val cents = Seq((0L, Array(1.0, 0.0), 1.0)).toDF("cid", "ce", "cnorm2")
+    val index = Seq((100L, 0L, Array(1.0f, 0.0f), 1.0))
+      .toDF("vec_id", "cid", "embedding", "norm2")
+    val delta = Seq(
+      (0L, Array(0.65f, 0.7599342f)),  // clear accept (above band)
+      (1L, Array(0.6f, 0.8f)),         // AT the accept edge
+      (2L, Array(0.55f, 0.8351646f)),  // interior → exact accepts
+      (3L, Array(0.5f, 0.8660254f)),   // exactly tau → exact accepts
+      (4L, Array(0.45f, 0.8930286f)),  // interior → exact rejects
+      (5L, Array(0.4f, 0.9165151f)),   // AT the reject edge
+      (6L, Array(0.3f, 0.9539392f)))   // clear reject (below band)
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        VectorDotExact(col("embedding"), col("embedding")).as("norm2"))
+    def fates(band: Double) =
+      Similarity.assignDelta(cents, index, delta, tau = 0.5, band = band)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val banded = fates(0.1)
+    assert(banded == fates(0.0), "band gate must never change a fate")
+    assert(Seq(0L, 1L, 2L, 3L).forall(banded(_) == "near_dup_of_corpus"))
+    assert(Seq(4L, 5L, 6L).forall(banded(_) == "admitted"))
+  }
+
+  test("s20 band parity on real embeddings: default band == all-exact") {
+    val dir = sf("sf0.001")
+    val k = Similarity.autoCellsForDir(spark, dir)
+    val (cents, index) = Similarity.s20Index(spark, dir, k, iters = 2)
+    val delta = Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"),
+        VectorDotExact(col("embedding"), col("embedding")).as("norm2"))
+    val banded = Similarity.assignDelta(cents, index, delta, tau = 0.4)
+      .collect().map(_.toSeq).toSeq
+    val exact = Similarity.assignDelta(cents, index, delta, tau = 0.4, band = 0.0)
+      .collect().map(_.toSeq).toSeq
+    assert(banded == exact)
+  }
+
   test("s20 index read partition-prunes on cid") {
     val dir = sf("sf0.001")
     val k = Similarity.autoCellsForDir(spark, dir)
