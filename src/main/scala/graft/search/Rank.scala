@@ -320,6 +320,86 @@ object Rank {
     topKPerQueryAgg(bm25Scores(postings, qterms, dlOpt), k)
   }
 
+  /** t9: hybrid retrieval fusion — reciprocal-rank fusion (the standard
+    * RRF rule, constant c = 60) of the lexical TF-IDF ranking (t2's
+    * scorer, the reference-quirk denominator — RRF consumes RANKS, and
+    * the quirk is rank-preserving per query) and the embedding cosine
+    * ranking (s1's exact top-k) over the shared doc/vec id space. The
+    * shape every modern curation/retrieval stack runs: lexical recall +
+    * semantic recall, fused without score calibration because ranks,
+    * not scores, are combined.
+    *
+    * Each leg is an independent bounded top-`n` (TakeOrderedAndProject
+    * on its own plan — the corpus is scanned once per leg, candidates
+    * never exceed n rows per leg); the fusion is a FULL OUTER join of
+    * two ≤ n-row frames plus one arithmetic projection — metadata-sized
+    * work regardless of corpus scale. A ranker that misses a doc
+    * contributes rank 0 (emitted as 0, never NULL — cross-engine null
+    * representation is the one asymmetry the driver comparator
+    * punishes), and rrf = Σ 1/(c + rank) over the rankers that saw it,
+    * rounded to 6 dp (identical IEEE association on both engines). */
+  def hybridRrf(postings: DataFrame, norms: DataFrame, emb: DataFrame,
+                terms: Seq[String], queryVec: Long, n: Int = 20,
+                k: Int = 10, c: Int = 60): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val qtf = terms.toDF("term").groupBy("term").agg(count(lit(1)).as("qtf"))
+      .withColumn("qid", lit(0L))
+    // each leg: bounded top-n FIRST (partial top-k, no global sort),
+    // then a row_number over the surviving ≤ n rows
+    val text = TfIdf.cosineScores(postings, norms, qtf, trueCosine = false)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(n)
+      .withColumn("text_rank",
+        row_number().over(w.orderBy(desc("score"), asc("doc_id"))))
+      .select("doc_id", "text_rank")
+    val vec = graft.similarity.Similarity.knnBrute(emb, queryVec, n)
+      .withColumn("vec_rank",
+        row_number().over(w.orderBy(desc("cos"), asc("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_rank"), lit(0)).cast("long").as("text_rank"),
+        coalesce(col("vec_rank"), lit(0)).cast("long").as("vec_rank"))
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        round(
+          when(col("text_rank") > 0,
+            lit(1.0) / (lit(c).cast("double") + col("text_rank").cast("double")))
+            .otherwise(lit(0.0)) +
+          when(col("vec_rank") > 0,
+            lit(1.0) / (lit(c).cast("double") + col("vec_rank").cast("double")))
+            .otherwise(lit(0.0)), 6).cast(Out6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[hybridRrf]]: each leg's existing oracle SQL as a
+    * ranked derived table (CTEs nest inside derived tables, the
+    * annRecallSql pattern), 0-filled ranks, the same IEEE sum. */
+  def hybridRrfSql(terms: Seq[String], queryVec: Long, n: Int = 20,
+                   k: Int = 10, c: Int = 60): String =
+    s"""WITH txt AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS text_rank
+       |  FROM (
+       |  ${TfIdf.searchMultiSql(terms, n).replace("\n", "\n  ")}
+       |  )
+       |), vec AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vec_rank
+       |  FROM (
+       |  ${graft.similarity.Similarity.knnBruteSql(queryVec, n).replace("\n", "\n  ")}
+       |  )
+       |)
+       |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       |  CAST(COALESCE(t.text_rank, 0) AS BIGINT) AS text_rank,
+       |  CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+       |  CAST(round(
+       |    (CASE WHEN t.text_rank IS NOT NULL THEN 1.0 / ($c + t.text_rank) ELSE 0.0 END)
+       |    + (CASE WHEN v.vec_rank IS NOT NULL THEN 1.0 / ($c + v.vec_rank) ELSE 0.0 END),
+       |    6) AS DECIMAL(18,6)) AS rrf
+       |FROM txt t FULL OUTER JOIN vec v ON t.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT $k""".stripMargin
+
   // ---------------------------------------------------------------- oracle
 
   def bm25Sql(terms: Seq[String], k: Int = 10): String = {
@@ -482,6 +562,11 @@ object Rank {
       val p = cachedPostings(s, dir)
       moreLikeThis(p, TfIdf.docNorms(p), docId = 0L)
     }),
+    "t9_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      val p = cachedPostings(s, dir)
+      hybridRrf(p, TfIdf.docNorms(p), Tables.embeddings(s, dir),
+        bm25Terms, queryVec = 0L)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -490,5 +575,6 @@ object Rank {
     "t4_bm25" -> bm25Sql(bm25Terms),
     "t5_phrase_search" -> phraseSearchSql("table", "hash"),
     "t6_more_like_this" -> moreLikeThisSql(0L),
+    "t9_hybrid_rrf" -> hybridRrfSql(bm25Terms, queryVec = 0L),
   )
 }

@@ -1562,15 +1562,15 @@ object Similarity {
         col("cid").cast("long").as("cid"), col("embedding"), col("norm2")))
   }
 
-  /** Oracle for [[incrementalAssign]]: corpus-restricted Lloyd rounds
-    * (the [[kmeansSql]] CTE chain over c_ex), final-centroid assignment
-    * of BOTH sides, the cell-bounded pair cosine, and the fate CASE —
-    * all from the raw embeddings table. */
-  def incrementalAssignSql(k: Int = -1, iters: Int = 2,
-                           tau: Double = 0.4): String = {
-    // k ≤ 0 → the corpus-derived cell count the engine query resolved
-    // ([[oracleCells]]; rendered after the query ran, the autoP pattern)
-    val kk = if (k > 0) k else oracleCells
+  /** Shared oracle CTE chain for the s20 ingest family (s20/s21/s22):
+    * corpus-restricted Lloyd rounds (the [[kmeansSql]] chain over
+    * c_ex), final-centroid assignment of BOTH sides (`c_assign` /
+    * `d_assign`), the cell-bounded pair cosine and the `near` set — all
+    * from the raw embeddings table, so every consumer certifies the
+    * persisted engine state end to end. DuckDB prunes unreferenced
+    * CTEs, so a consumer reading only `c_assign` pays only that
+    * subtree. */
+  private def s20OracleCtes(kk: Int, iters: Int, tau: Double): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH ex AS (
               |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
@@ -1652,13 +1652,88 @@ object Similarity {
               |  JOIN c_vn cn2 ON cn2.vec_id = p.bv
               |  WHERE CAST(round(p.dot / (sqrt(dn.norm2) * sqrt(cn2.norm2)), 6)
               |        AS DECIMAL(18,6)) >= $tau
-              |)
-              |SELECT d.vec_id, d.cid AS centroid,
-              |  CASE WHEN n.vec_id IS NOT NULL THEN 'near_dup_of_corpus'
-              |       ELSE 'admitted' END AS fate
-              |FROM d_assign d LEFT JOIN near n USING (vec_id)
-              |ORDER BY d.vec_id""".stripMargin
+              |)""".stripMargin
     sb.toString
+  }
+
+  /** Oracle for [[incrementalAssign]]: the shared [[s20OracleCtes]]
+    * chain plus the fate CASE. k ≤ 0 resolves the corpus-derived cell
+    * count the engine query cached ([[oracleCells]]; rendered after
+    * the query ran — the autoP pattern). */
+  def incrementalAssignSql(k: Int = -1, iters: Int = 2,
+                           tau: Double = 0.4): String = {
+    val kk = if (k > 0) k else oracleCells
+    s"""${s20OracleCtes(kk, iters, tau)}
+       |SELECT d.vec_id, d.cid AS centroid,
+       |  CASE WHEN n.vec_id IS NOT NULL THEN 'near_dup_of_corpus'
+       |       ELSE 'admitted' END AS fate
+       |FROM d_assign d LEFT JOIN near n USING (vec_id)
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
+  /** s21: quantizer-health audit — per-cell population of the PERSISTED
+    * s20 index (the operational metric every IVF deployment watches: a
+    * draining or ballooning cell means the coarse quantizer no longer
+    * fits the data and the ⌈√n⌉ contract ([[autoCells]]) is eroding).
+    *
+    * Scale shape: `cid` is the index's PARTITION column, so the count
+    * never touches a data page — the scan's ReadSchema is empty and the
+    * work is proportional to file metadata, not vectors (the same
+    * reason HMS-style partition stats are free). The oracle re-derives
+    * the populations from the raw table through the full Lloyd chain,
+    * so this also certifies the persisted index's cell sizes end to
+    * end. */
+  def cellOccupancy(s: SparkSession, dir: String, k: Int = -1,
+                    iters: Int = 2): DataFrame = {
+    VectorDotExact.register(s)
+    val cells = if (k > 0) k else autoCellsForDir(s, dir)
+    val (_, index) = s20Index(s, dir, cells, iters)
+    index.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cid")
+  }
+
+  def cellOccupancySql(k: Int = -1, iters: Int = 2): String = {
+    val kk = if (k > 0) k else oracleCells
+    s"""${s20OracleCtes(kk, iters, tau = 0.4)}
+       |SELECT cid, count(*) AS n_vectors FROM c_assign
+       |GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  /** s22: ingest merge — the write-back step that completes the s20
+    * lifecycle (fit → serve → MERGE): corpus index rows keep their
+    * cells (gen 0) and the delta's `admitted` rows enter the index
+    * under their assigned cell (gen 1); near-dups never merge. Output
+    * is the second-generation index membership (vec_id, cid, gen) —
+    * exactly what the next nightly ingest would serve from.
+    *
+    * Scale shape: the corpus side is the persisted index read (no
+    * recompute); the delta side reuses [[incrementalAssign]]'s
+    * cell-bounded serve plan; the merge itself is a union — no
+    * shuffle beyond the final presentation sort. The oracle re-derives
+    * both generations from the raw table. */
+  def ingestMerge(s: SparkSession, dir: String, k: Int = -1,
+                  iters: Int = 2, tau: Double = 0.4): DataFrame = {
+    VectorDotExact.register(s)
+    val cells = if (k > 0) k else autoCellsForDir(s, dir)
+    val (_, index) = s20Index(s, dir, cells, iters)
+    val admitted = incrementalAssign(s, dir, k, iters, tau)
+      .filter(col("fate") === "admitted")
+      .select(col("vec_id"), col("centroid").as("cid"), lit(1L).as("gen"))
+    index.select(col("vec_id"), col("cid"), lit(0L).as("gen"))
+      .unionByName(admitted)
+      .orderBy("vec_id")
+  }
+
+  def ingestMergeSql(k: Int = -1, iters: Int = 2,
+                     tau: Double = 0.4): String = {
+    val kk = if (k > 0) k else oracleCells
+    s"""${s20OracleCtes(kk, iters, tau)}
+       |SELECT vec_id, cid, CAST(0 AS BIGINT) AS gen FROM c_assign
+       |UNION ALL
+       |SELECT d.vec_id, d.cid, CAST(1 AS BIGINT) AS gen
+       |FROM d_assign d LEFT JOIN near n USING (vec_id)
+       |WHERE n.vec_id IS NULL
+       |ORDER BY vec_id""".stripMargin
   }
 
   // ------------------------------------------------------------ ANN recall
@@ -2129,6 +2204,10 @@ object Similarity {
       pcaPower(Tables.embeddings(s, dir))),
     "s20_incremental_assign" -> ((s: SparkSession, dir: String) =>
       incrementalAssign(s, dir)),
+    "s21_cell_occupancy" -> ((s: SparkSession, dir: String) =>
+      cellOccupancy(s, dir)),
+    "s22_ingest_merge" -> ((s: SparkSession, dir: String) =>
+      ingestMerge(s, dir)),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -2156,5 +2235,7 @@ object Similarity {
     "s17_filtered_ann" -> filteredKnnSql(0L, labelEq = 3),
     "s18_pca_power" -> pcaPowerSql(),
     "s20_incremental_assign" -> incrementalAssignSql(),
+    "s21_cell_occupancy" -> cellOccupancySql(),
+    "s22_ingest_merge" -> ingestMergeSql(),
   )
 }

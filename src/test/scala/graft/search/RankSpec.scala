@@ -214,6 +214,37 @@ class RankSpec extends SparkSpec {
     assert(memoB == inlineB)
   }
 
+  test("hybridRrf: fusion equals driver-side RRF of the two legs (sf0.001)") {
+    val dir = sf("sf0.001")
+    val p = Rank.cachedPostings(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val terms = Seq("spark", "table", "query")
+    val n = 20
+    // independent leg rankings, straight from the registered primitives
+    val textRank = TfIdf.searchMulti(p, TfIdf.docNorms(p), terms, k = n)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    val vecRank = graft.similarity.Similarity.knnBrute(emb, 0L, n)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    def rrf(d: Long): Double = {
+      val t = textRank.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      val v = vecRank.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      BigDecimal(t + v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (textRank.keySet ++ vecRank.keySet).toSeq
+      .map(d => (d, textRank.getOrElse(d, 0L), vecRank.getOrElse(d, 0L), rrf(d)))
+      .sortBy { case (d, _, _, s) => (-s, d) }.take(10)
+    val got = Rank.hybridRrf(p, TfIdf.docNorms(p), emb, terms, queryVec = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[java.math.BigDecimal](3).doubleValue))
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // both legs must actually contribute: some doc is vector-only and
+    // some is text-only in the fused top-10, or the fixture is degenerate
+    assert(got.exists(_._2 == 0L) || got.exists(_._3 == 0L),
+      "expected at least one single-leg doc in the fused top-10")
+  }
+
   test("moreLikeThis: maxTerms truncation keeps the highest-tfidf terms") {
     // doc 0 has a rare term ("zebra", df=1) and a common one ("cat", df=3);
     // with maxTerms=1 only the top-tfidf term (zebra) forms the query

@@ -165,6 +165,42 @@ class IncrementalAssignSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("s21 cell occupancy: sums to the corpus, matches the index, reads no data pages") {
+    val dir = sf("sf0.001")
+    val occ = Similarity.cellOccupancy(spark, dir)
+    val rows = occ.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == 400L) // every corpus vector in exactly one cell
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq) // ordered by cid
+    // agrees with a direct count over the read-back index
+    val k = Similarity.autoCellsForDir(spark, dir)
+    val (_, index) = Similarity.s20Index(spark, dir, k, iters = 2)
+    val direct = index.collect().groupBy(_.getLong(1)).view.mapValues(_.length.toLong)
+    assert(rows.toMap == direct.toMap)
+    // plan audit: cid is the partition column, so the aggregate's scan
+    // must read ZERO data columns (metadata-proportional, the scaladoc
+    // claim)
+    val plan = occ.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"), s"scan reads data pages:\n$plan")
+  }
+
+  test("s22 ingest merge: corpus keeps cells (gen 0), only admitted delta enters (gen 1)") {
+    val dir = sf("sf0.001")
+    val merged = Similarity.ingestMerge(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = Similarity.autoCellsForDir(spark, dir)
+    val (_, index) = Similarity.s20Index(spark, dir, k, iters = 2)
+    val corpusCells = index.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fates = Similarity.incrementalAssign(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val admitted = fates.collect { case (v, c, "admitted") => v -> c }.toMap
+    val nearDups = fates.collect { case (v, _, "near_dup_of_corpus") => v }.toSet
+    assert(merged.collect { case (v, c, 0L) => v -> c }.toMap == corpusCells)
+    assert(merged.collect { case (v, c, 1L) => v -> c }.toMap == admitted)
+    assert(merged.forall { case (v, _, _) => !nearDups.contains(v) })
+    assert(merged.map(_._1).toSeq == merged.map(_._1).sorted.toSeq)
+    assert(merged.length == corpusCells.size + admitted.size)
+  }
+
   test("s20 index read partition-prunes on cid") {
     val dir = sf("sf0.001")
     val k = Similarity.autoCellsForDir(spark, dir)
