@@ -54,6 +54,19 @@ object Similarity {
 
   private def norm2Col(e: Column): Column = dotCol(e, e)
 
+  /** Spread a vector frame across the session's full parallelism before
+    * a BigDecimal-dot-heavy stage. The gate-scale parquet files are
+    * single-row-group (scan = 1 task), which serializes exact-decimal
+    * kernels onto one thread; this tiny shuffle (the corpus frames are
+    * sub-MB at gate SFs, and at production scale the scan is already
+    * many-partition so the no-op cost is one hash exchange) unlocks the
+    * full compute width — measured 8× on the s20 fit. Only for decimal-
+    * kernel stages: NOTES round-11 records the negative result for
+    * cheap text expressions. Results are partitioning-independent
+    * throughout the engine. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Per-vector squared norm (kept for callers/tests). */
   def norms(emb: DataFrame): DataFrame = {
     VectorDotExact.register(emb.sparkSession)
@@ -767,36 +780,78 @@ object Similarity {
 
   private[similarity] def pcaPowerCollected(emb: DataFrame, iters: Int, dims: Int): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val exId = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
-      .localCheckpoint(true) // feeds mean, and both sides of the cov join
     val mu = exId.groupBy("d")
       .agg(round((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).cast(Dec), 6)
         .cast(Out6).as("mu"))
-    val centered = exId.join(broadcast(mu), "d")
-      .select(col("vec_id"), col("d"),
-        (col("x") - col("mu").cast("double")).as("xc"))
-      .localCheckpoint(true) // self-joined below
-    // covariance is symmetric: join only d1 ≤ d2 (halves the one
-    // corpus-sized stage) and mirror the strict triangle after — the
-    // per-pair decimal sums are identical to the full join's
-    val covTri = centered.as("a").join(centered.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
-      .select(col("a.d").as("d1"), col("b.d").as("d2"),
-        (col("a.xc") * col("b.xc")).cast(Dec).as("p"))
-      .groupBy("d1", "d2").agg(sum("p").cast("double").as("c"))
-    // C is a dims×dims METADATA frame (4096 doubles) — the iterations
-    // run driver-side on the collected matrix (the clusterCenters
+    // dims rounded means — a metadata collect (the cMat precedent below)
+    val muArr = new Array[Double](dims)
+    mu.collect().foreach(r =>
+      muArr(r.getInt(0)) = r.getAs[java.math.BigDecimal](1).doubleValue)
+    // ONE-PASS upper-triangle covariance (round 11): each partition
+    // folds its vectors into dims·(dims+1)/2 exact decimal sums —
+    // per product, double multiply then BigDecimal.valueOf +
+    // setScale(16, HALF_UP), the SAME quantization the old
+    // explode→self-join→`(xc·xc).cast(DECIMAL(32,16))`→sum plan and the
+    // oracle's SUM(CAST(x AS DECIMAL(32,16))) apply, and exact adds are
+    // order-independent, so the totals are bit-identical to that plan
+    // (spec-pinned: the matvec-parity and driver-reference tests) while
+    // the corpus-sized n·dims² row explosion, its shuffle, and two
+    // checkpoints all disappear. ≤ numShufflePartitions partial rows of
+    // triangle strings reach the driver — metadata, like cMat itself.
+    // The repartition spreads the BigDecimal-heavy fold (NOTES round-11
+    // rule: repartition before exact-decimal kernels — measured 8× on
+    // s20; never before cheap text expressions).
+    val partials = emb
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(transform(col("embedding"), (x, i) =>
+        x.cast("double") - element_at(lit(muArr), i + 1)).as("xc"))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        val m = dims * (dims + 1) / 2
+        val acc = Array.fill(m)(java.math.BigDecimal.ZERO)
+        it.foreach { v =>
+          var idx = 0
+          var i = 0
+          while (i < dims) {
+            var j = i
+            while (j < dims) {
+              acc(idx) = acc(idx).add(
+                java.math.BigDecimal.valueOf(v(i) * v(j))
+                  .setScale(16, java.math.RoundingMode.HALF_UP))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc.map(_.toPlainString))
+      }.collect()
+    // C is a dims×dims METADATA matrix (4096 doubles) — the iterations
+    // run driver-side on the merged triangle (the clusterCenters
     // precedent; the distributed formulation spent ~5 s of pure 64-row
-    // job latency per bench run). Decimal accumulation mirrors the
-    // oracle's SUM(CAST(x AS DECIMAL(32,16))) exactly: BigDecimal
-    // valueOf + setScale(16, HALF_UP) per term, exact addition.
+    // job latency per bench run).
     val cMat = Array.ofDim[Double](dims, dims)
-    covTri.collect().foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      cMat(i)(j) = c
-      cMat(j)(i) = c
+    locally {
+      val m = dims * (dims + 1) / 2
+      val tot = Array.fill(m)(java.math.BigDecimal.ZERO)
+      partials.foreach { p =>
+        var t = 0
+        while (t < m) { tot(t) = tot(t).add(new java.math.BigDecimal(p(t))); t += 1 }
+      }
+      var idx = 0
+      var i = 0
+      while (i < dims) {
+        var j = i
+        while (j < dims) {
+          val c = tot(idx).doubleValue()
+          cMat(i)(j) = c; cMat(j)(i) = c
+          idx += 1; j += 1
+        }
+        i += 1
+      }
     }
     // valueOf (shortest-string repr) vs `new BigDecimal(x)` (exact binary
     // expansion): DuckDB's CAST(x AS DECIMAL(32,16)) rounds the exact
@@ -1240,7 +1295,7 @@ object Similarity {
       .select(col("clabel"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(asc("dist2"), asc("clabel"))
-    emb.withColumn("norm2", norm2Col(col("embedding")))
+    spread(emb).withColumn("norm2", norm2Col(col("embedding")))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("clabel"),
         (col("norm2") - lit(2) * dotCol(col("embedding"), col("ce")) +
@@ -1306,6 +1361,11 @@ object Similarity {
     */
   def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
     VectorDotExact.register(emb.sparkSession)
+    // no spread() here: measured SLOWER at the registered k=4 (1.2 →
+    // 1.6 s medians — per-row work is k·dims dots, too small to
+    // amortize 32-way task overhead at gate scale). s20Index, whose k
+    // is ⌈√n⌉, spreads its own base — that is the regime where the
+    // exchange pays.
     val base = emb
       .select(col("vec_id"), col("embedding"), norm2Col(col("embedding")).as("norm2"))
       .localCheckpoint(true)
