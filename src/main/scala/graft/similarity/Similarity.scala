@@ -203,7 +203,9 @@ object Similarity {
     * s2_ann_lsh ~3.9 s of one-time codegen/JIT; NOTES.md backlog #3). */
   def buckets(emb: DataFrame, l: Int = 4, p: Int = 6): DataFrame = {
     graft.functions.LshBucketsExact.register(emb.sparkSession)
-    emb.select(col("vec_id"),
+    // l·p·dims decimal products per row (~1.5k at the defaults) — the
+    // spread() regime (see its scaladoc)
+    spread(emb).select(col("vec_id"),
       posexplode(graft.functions.LshBucketsExact(col("embedding"), l, p, Dims))
         .as(Seq("t", "bucket")))
   }
