@@ -1120,6 +1120,10 @@ object Graph {
         .select(col("dst"), col("hub").cast(Dec).as("c"))
         .groupBy("dst").agg(sum("c").as("araw"))
       val asum = araw.agg(sum("araw").as("s"))
+      // checkpointing each half-step is load-bearing: a round-11 probe
+      // that cut auth's checkpoint (4 materializations instead of 8)
+      // measured the SAME or slower medians — the deeper hub plans eat
+      // the saved job latency. Do not re-try.
       auth = v.join(araw.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .crossJoin(broadcast(asum))
         .select(col("id"),

@@ -1344,6 +1344,12 @@ object Relational {
     val y = col("l_extendedprice").cast(D204)
     val dec = DecimalType(38, 8)
     Tables.lineitem(spark, dir)
+      // five decimal-quantized moment sums per row over the single-row-
+      // group gate file = the spread regime (NOTES round-11): project to
+      // the three consumed columns, then one exchange unlocks 32-way
+      // partial aggregation (order-independent decimal sums)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
