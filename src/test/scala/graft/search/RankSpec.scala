@@ -245,6 +245,20 @@ class RankSpec extends SparkSpec {
       "expected at least one single-leg doc in the fused top-10")
   }
 
+  test("hybridRrf plan: each leg's top-n compiles to TakeOrderedAndProject (no global sort)") {
+    val dir = sf("sf0.001")
+    val p = Rank.cachedPostings(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val plan = Rank.hybridRrf(p, TfIdf.docNorms(p), emb,
+      Seq("spark", "table"), queryVec = 0L)
+      .queryExecution.executedPlan.toString
+    // two bounded partial top-k operators (one per leg); a Sort + Limit
+    // pair instead would materialize and globally sort each leg's full
+    // candidate set
+    val takeOrdered = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(takeOrdered >= 2, s"expected both legs on TakeOrderedAndProject:\n$plan")
+  }
+
   test("moreLikeThis: maxTerms truncation keeps the highest-tfidf terms") {
     // doc 0 has a rare term ("zebra", df=1) and a common one ("cat", df=3);
     // with maxTerms=1 only the top-tfidf term (zebra) forms the query
