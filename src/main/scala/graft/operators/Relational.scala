@@ -1984,6 +1984,205 @@ object Relational {
        |  round(CAST(nat_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6) AS mkt_share
        |FROM agg ORDER BY o_year""".stripMargin
 
+  /** q80: TPC-H Q12-shaped priority classification — per category (the
+    * dataset has no l_shipmode; l_returnflag stands in), how many order
+    * lines shipped in the window belong to urgent/high-priority orders
+    * vs the rest. The ship-date range pushes into the lineitem scan;
+    * the orders side joins on orderkey with only (o_orderkey,
+    * o_orderpriority) read (column pruning); both counters come out of
+    * ONE conditional aggregate pass. All outputs exact integers (SQL
+    * side CASTs the CASE-sums to BIGINT — the DuckDB HUGEINT rule). */
+  def q80PriorityClass(spark: SparkSession, dir: String,
+                       from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+             .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0).otherwise(1))
+             .cast("long").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  def q80PriorityClassSql(from: String = "1996-01-01", until: String = "1998-01-01"): String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$until'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q81: TPC-H Q13-shaped customer order-count distribution — how many
+    * customers placed exactly k (non-urgent) orders, INCLUDING the
+    * zero-order customers the left-outer join preserves (the shape's
+    * point: an inner join would silently drop the biggest bucket). Two
+    * aggregate levels, both shuffling only keys+counts; the orders side
+    * filter (the stand-in for Q13's not-like comment predicate) pushes
+    * below the join. */
+  def q81CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // counts non-null only
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  def q81CustDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN (
+      |    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority != '1-URGENT'
+      |  ) o ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q82: TPC-H Q17-shaped small-quantity-order revenue — average yearly
+    * revenue lost if small orders (below 20% of a part's mean quantity)
+    * were not filled, over one brand. The per-part threshold is a
+    * correlated aggregate made deterministic: the mean is an exact
+    * DECIMAL(20,4) sum divided by the count (one double division), and
+    * 0.2·mean is the identical IEEE expression on both engines, so the
+    * strict `<` comparison can never flip cross-engine. The brand's
+    * part-id set is tiny → explicitly broadcast into both the lineitem
+    * probe and the threshold join; the revenue output is the exact
+    * decimal sum cast to double, divided by 7.0 (identical IEEE). */
+  def q82SmallQtyRevenue(spark: SparkSession, dir: String,
+                         brand: String = "Brand#1"): DataFrame = {
+    val pids = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(pids), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .localCheckpoint(true) // feeds the threshold aggregate AND the probe
+    val thr = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast(D204)).cast("double") /
+        count(lit(1)))).as("thr"))
+    l.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast(D204)).as("sum_dec"))
+      .select(col("n_lines"),
+        col("sum_dec").cast("double").as("sum_price"),
+        (col("sum_dec").cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  def q82SmallQtyRevenueSql(brand: String = "Brand#1"): String =
+    s"""WITH bl AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = '$brand'
+       |), thr AS (
+       |  SELECT l_partkey AS t_partkey,
+       |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)) AS thr
+       |  FROM bl GROUP BY l_partkey
+       |)
+       |SELECT COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7.0 AS avg_yearly
+       |FROM bl JOIN thr ON l_partkey = t_partkey
+       |WHERE l_quantity < thr""".stripMargin
+
+  /** q83: TPC-H Q21-shaped sole-late-supplier ranking — suppliers who
+    * were the ONLY late shipper (ship date > order date + `lateDays`)
+    * on a multi-supplier order. The EXISTS / NOT-EXISTS pair of the
+    * original becomes two bounded aggregates: per (order, supplier) an
+    * any-late flag (one pass over the join), per order the supplier and
+    * late-supplier counts — then the qualifying pairs join back and
+    * count per supplier name. Nothing wider than (order, supplier)
+    * pairs ever shuffles; the top-10 is TakeOrderedAndProject. All
+    * outputs exact integers + names; ties break on name. */
+  def q83SoleLateSupplier(spark: SparkSession, dir: String,
+                          lateDays: Int = 90, k: Int = 10): DataFrame = {
+    val lo = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1).otherwise(0))
+        .as("late"))
+      .localCheckpoint(true) // feeds the per-order rollup AND the pair filter
+    val perOrder = perSupp.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(count(lit(1)).as("n_supps"), sum("late").cast("long").as("n_late"))
+      .filter(col("n_supps") >= 2 && col("n_late") === 1)
+    perSupp.filter(col("late") === 1)
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(k)
+  }
+
+  def q83SoleLateSupplierSql(lateDays: Int = 90, k: Int = 10): String =
+    s"""WITH per_supp AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL $lateDays DAY THEN 1 ELSE 0 END) AS late
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY l_orderkey, l_suppkey
+       |), per_order AS (
+       |  SELECT l_orderkey AS g_orderkey, COUNT(*) AS n_supps,
+       |    CAST(SUM(late) AS BIGINT) AS n_late
+       |  FROM per_supp GROUP BY l_orderkey
+       |)
+       |SELECT s_name, COUNT(*) AS numwait
+       |FROM per_supp
+       |JOIN per_order ON l_orderkey = g_orderkey AND n_supps >= 2 AND n_late = 1
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE late = 1
+       |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT $k""".stripMargin
+
+  /** q84: TPC-H Q22-shaped idle-rich-customer audit — per nation (the
+    * dataset's stand-in for the phone country code), how many customers
+    * hold an above-average balance yet placed no RECENT order (none
+    * since `since` — this corpus's order history covers nearly every
+    * customer, so Q22's literal no-orders-ever test matches nobody; the
+    * recent-inactivity window keeps the shape AND a non-trivial result
+    * set), and their total balance. The global threshold (mean of
+    * positive balances) is ONE exact-decimal aggregate broadcast into
+    * the filter; the inactivity test is a LEFT ANTI join on custkey
+    * against the date-pruned orders scan (never a per-customer
+    * subquery); output sums are exact decimal sums cast to double. */
+  def q84IdleRichCustomers(spark: SparkSession, dir: String,
+                           since: String = "2000-01-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(D204)).cast("double") /
+        count(lit(1))).as("thr"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(D204)).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  def q84IdleRichCustomersSql(since: String = "2000-01-01"): String =
+    s"""WITH thr AS (
+       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS thr
+       |  FROM customer WHERE c_acctbal > 0
+       |)
+       |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+       |FROM customer CROSS JOIN thr
+       |WHERE c_acctbal > thr
+       |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+       |                        WHERE o_orderdate >= TIMESTAMP '$since')
+       |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+
   /** q78: malformed-record resilience — the m20 principle (bad input is
     * countable rows, never task poison) applied to the JSON ingest path.
     * A JSONL artifact is generated from events with a deterministic
@@ -2177,6 +2376,11 @@ object Relational {
     "q75_volume_shipping" -> ((s: SparkSession, dir: String) => q75VolumeShipping(s, dir)),
     "q76_promo_share" -> ((s: SparkSession, dir: String) => q76PromoShare(s, dir)),
     "q77_market_share" -> ((s: SparkSession, dir: String) => q77MarketShare(s, dir)),
+    "q80_priority_class" -> ((s: SparkSession, dir: String) => q80PriorityClass(s, dir)),
+    "q81_custdist" -> ((s: SparkSession, dir: String) => q81CustDist(s, dir)),
+    "q82_small_qty_revenue" -> ((s: SparkSession, dir: String) => q82SmallQtyRevenue(s, dir)),
+    "q83_sole_late_supplier" -> ((s: SparkSession, dir: String) => q83SoleLateSupplier(s, dir)),
+    "q84_idle_rich_customers" -> ((s: SparkSession, dir: String) => q84IdleRichCustomers(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
@@ -2244,6 +2448,11 @@ object Relational {
     "q75_volume_shipping" -> q75VolumeShippingSql(),
     "q76_promo_share" -> q76PromoShareSql(),
     "q77_market_share" -> q77MarketShareSql(),
+    "q80_priority_class" -> q80PriorityClassSql(),
+    "q81_custdist" -> q81CustDistSql,
+    "q82_small_qty_revenue" -> q82SmallQtyRevenueSql(),
+    "q83_sole_late_supplier" -> q83SoleLateSupplierSql(),
+    "q84_idle_rich_customers" -> q84IdleRichCustomersSql(),
     "q78_bad_records" -> q78BadRecordsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )

@@ -505,6 +505,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
   }
 
+  test("q80_priority_class: ship-date range pushed, orders pruned to 2 columns") {
+    val p = plan("q80_priority_class")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship window not pushed to the lineitem scan:\n" + p.take(800))
+    val ordersSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("o_orderpriority")).getOrElse("")
+    assert(ordersSchema.nonEmpty && !ordersSchema.contains("o_totalprice"),
+      s"orders scan reads unreferenced columns: $ordersSchema")
+  }
+
+  test("q81_custdist: priority filter pushed below the outer join, join stays LEFT OUTER") {
+    val p = plan("q81_custdist")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)") ||
+      p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      "priority filter not pushed to the orders scan:\n" + p.take(800))
+    assert(p.contains("LeftOuter"),
+      "outer join lost — zero-order customers would drop")
+  }
+
+  test("q82_small_qty_revenue: brand part set and per-part thresholds broadcast") {
+    val p = plan("q82_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "threshold join not broadcast:\n" + p.take(800))
+    // the brand-pruned lineitem slice is served from the checkpoint
+    // barrier (it feeds the threshold aggregate AND the probe); the
+    // brand pushdown happened in the checkpoint-producing job
+    assert(p.contains("ExistingRDD"), "probe not served from the checkpoint barrier")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q83_sole_late_supplier: supplier dim broadcast, top-10 TakeOrdered, no cartesian") {
+    val p = plan("q83_sole_late_supplier")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 not TakeOrdered:\n" + p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, "supplier dim not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q84_idle_rich_customers: date-pruned anti join, threshold broadcast") {
+    val p = plan("q84_idle_rich_customers")
+    assert(p.contains("LeftAnti"), "inactivity test not an anti join:\n" + p.take(800))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recency filter not pushed to the orders scan")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "threshold scalar not broadcast")
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
