@@ -330,6 +330,12 @@ object Dedup {
     * doc without shingles (it has no bands and no index entries). */
   private def dedupShared(s: SparkSession, dir: String): DataFrame =
     Materialized(s, s"dedup_shared:${Tables.norm(dir)}") {
+      // NO repartition before the explode (round-11 probe): even though
+      // each document fans out to ~10² shingle rows paying two md5
+      // hashes each, spreading the input measured flat (2.36 → 2.1-2.4 s
+      // on the cold payer d2) — the cost sits in the collect_list
+      // shuffle + memo checkpoint, not the map-side hashing. See NOTES
+      // "do NOT repartition corpus scans at source".
       val ex = Tables.documents(s, dir)
         .select(col("doc_id"), explode(shingles(col("text"))).as("sg"))
         .select(col("doc_id"),

@@ -97,8 +97,11 @@ object Classify {
       .setNumFolds(2)
       // parallel model fits share the cluster like any concurrent jobs;
       // parallelism affects wall-time only, never results (fixed seed,
-      // fixed folds), so it is deliberately NOT part of cvFitKey
-      .setParallelism(4)
+      // fixed folds), so it is deliberately NOT part of cvFitKey.
+      // 8 concurrent fits (round 11; was 4): the grid's models are
+      // small, so local[32] absorbs them — cold m9 fit measured
+      // 9.7 → ~7.8 s; raise further only with executor-memory headroom
+      .setParallelism(8)
       .setSeed(42L)
   }
 
