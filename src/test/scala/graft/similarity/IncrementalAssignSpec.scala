@@ -79,7 +79,11 @@ class IncrementalAssignSpec extends SparkSpec {
     val result = Similarity.incrementalAssign(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val k = Similarity.autoCellsForDir(spark, dir)
-    assert(k == 20) // autoCells(400): 500 vectors, 1-in-5 delta split
+    // derivation pinned against the data, not a literal corpus size —
+    // the driver regenerates testdata between rounds
+    val nCorpus = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 =!= 0).count()
+    assert(k == Similarity.autoCells(nCorpus))
     val (cents, index) = Similarity.s20Index(spark, dir, k, iters = 2)
 
     // read-back shape: k centroids; the index holds exactly the corpus
@@ -88,7 +92,7 @@ class IncrementalAssignSpec extends SparkSpec {
     assert(cRows.length == k)
     val iRows = index.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getSeq[Float](2).map(_.toDouble).toArray, r.getDouble(3)))
-    assert(iRows.length == 400 && iRows.forall(_._1 % 5 != 0))
+    assert(iRows.length == nCorpus && iRows.forall(_._1 % 5 != 0))
 
     // every persisted index row sits in its nearest-centroid cell, per
     // the exact-decimal dist² identity with asc(cid) tie-break — the
@@ -169,7 +173,9 @@ class IncrementalAssignSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val occ = Similarity.cellOccupancy(spark, dir)
     val rows = occ.collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(rows.map(_._2).sum == 400L) // every corpus vector in exactly one cell
+    // every corpus vector in exactly one cell (size derived, not literal)
+    assert(rows.map(_._2).sum ==
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 5 =!= 0).count())
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq) // ordered by cid
     // agrees with a direct count over the read-back index
     val k = Similarity.autoCellsForDir(spark, dir)
