@@ -223,6 +223,17 @@ object Dedup {
     * — prefix, phonetic, sorted-token — unioned, each with the same
     * shape); distance never runs across blocks. */
   def fuzzyNameMatch(customer: DataFrame, maxDist: Int = 2): DataFrame = {
+    // NOTE (round-11 probe): on this corpus the 16-char prefix block is
+    // DEGENERATE — every c_name shares one prefix, so the self-join
+    // collapses to a single join key and the whole pair census runs in
+    // one task (AQE cannot split one key). A triangle bucket-pair
+    // decomposition (hash rows into S buckets, replicate the a-side
+    // over bucket pairs (i, j ≥ i), join on the widened key) was
+    // measured at S=8 AND S=32: wall FLAT-to-worse (2.35 → 2.6-2.8 s)
+    // because pair ENUMERATION, not the levenshtein, dominates — the
+    // replication adds exactly the work the parallelism recovers. Keep
+    // the plain form; on a real corpus blocking keys are diverse and
+    // the degenerate block is a synthetic-data artifact.
     val c = customer.select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 1, 16).as("blk"))
       .localCheckpoint(true) // both sides of the blocking self-join
