@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -107,6 +107,109 @@ object Rank {
       .select("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai/Lafferty) —
+    * the third classical ranking family after TF-IDF cosine (t2) and
+    * BM25 (t4), scoring log p(q|d) under a document language model
+    * smoothed by the collection model:
+    *
+    *   score(d) = Σ_{t∈q∩d} ln(1 + tf_td / (μ · p(t|C)))
+    *              + |q| · ln(μ / (dl_d + μ))
+    *
+    * (duplicate query terms are deduped — the t4 convention — so the
+    * qtf multiplier is identically 1; an out-of-vocabulary query term
+    * contributes only through the |q| length normalizer, the standard
+    * OOV treatment, identically on both engines. This is the standard
+    * decomposition: only MATCHING postings contribute the
+    * first term, and the second is a per-document length normalizer —
+    * so the plan touches the query terms' postings plus the memoized
+    * doc-length table, exactly the t4 shape; docs matching no query
+    * term are excluded, the same candidate rule as t2/t4). p(t|C) =
+    * cf_t / |C| over the stopword-filtered index.
+    *
+    * Cross-engine determinism (the x14/bm25 rule): both ln() outputs are
+    * rounded to 6 dp into DECIMAL at birth; their inputs are IEEE-
+    * identical expression trees of exact integers (tf, cf, |C|, dl) and
+    * the literal μ; per-doc sums are decimal-quantized; the final score
+    * is DECIMAL(18,6). */
+  private def qlScores(postings: DataFrame, qterms: DataFrame,
+                       mu: Double, dlOpt: Option[DataFrame]): DataFrame = {
+    val dl = dlOpt.getOrElse(postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true))
+    val stats = dl.agg(sum("dl").as("total_dl"))
+    // collection frequency for the query terms only — aggregated AFTER
+    // the broadcast semi-join prunes the postings to the query terms
+    val qpost = postings.join(broadcast(qterms), "term")
+      .select("qid", "term", "doc_id", "tf")
+      .localCheckpoint(true) // feeds cf AND the per-doc scores
+    val cf = qpost.groupBy("qid", "term").agg(sum("tf").as("cf"))
+    val nq = qterms.groupBy("qid").agg(count(lit(1)).as("n_terms"))
+    val matchTerm = qpost
+      .join(broadcast(cf), Seq("qid", "term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lp",
+        round(log(lit(1.0) + col("tf").cast("double") /
+          (lit(mu) * (col("cf").cast("double") / col("total_dl").cast("double")))), 6)
+          .cast(Out6))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("lp").cast(Dec)).as("match_sum"))
+    matchTerm
+      .join(dl, "doc_id")
+      .join(broadcast(nq), "qid")
+      .select(col("qid"), col("doc_id"),
+        round(col("match_sum").cast("double") +
+          col("n_terms").cast("double") *
+            BigDecimalRound6(log(lit(mu) / (col("dl").cast("double") + lit(mu)))), 6)
+          .cast(Out6).as("score"))
+  }
+
+  /** round(ln, 6) helper kept expression-shaped so both uses read the
+    * same (decimal-at-birth, then back to double for the arithmetic). */
+  private def BigDecimalRound6(c: Column): Column =
+    round(c, 6).cast(Out6).cast("double")
+
+  /** Dirichlet query-likelihood top-k — a batch of one through
+    * [[qlScores]]; μ = 2000 (the standard prior). */
+  def qlSearch(postings: DataFrame, terms: Seq[String], k: Int = 10,
+               mu: Double = 2000.0, dlOpt: Option[DataFrame] = None): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qterms = terms.distinct.map(t => (0L, t)).toDF("qid", "term")
+    qlScores(postings, qterms, mu, dlOpt)
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  def qlSearchSql(terms: Seq[String], k: Int = 10, mu: Double = 2000.0): String = {
+    val termRows = terms.distinct.map(t => s"('$t')").mkString(", ")
+    s"""${TfIdf.postingsSql},
+       |dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl
+       |), qterms AS (SELECT term FROM (VALUES $termRows) AS q(term)),
+       |qpost AS (
+       |  SELECT p.term, p.doc_id, p.tf FROM postings p JOIN qterms USING (term)
+       |), cf AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qpost GROUP BY term
+       |), nq AS (SELECT count(*) AS n_terms FROM qterms),
+       |match_sum AS (
+       |  SELECT q.doc_id,
+       |    SUM(CAST(CAST(round(ln(1.0 + CAST(q.tf AS DOUBLE) /
+       |          ($mu * (CAST(c.cf AS DOUBLE) / CAST(s.total_dl AS DOUBLE)))), 6)
+       |        AS DECIMAL(18,6)) AS DECIMAL(32,12))) AS ms
+       |  FROM qpost q JOIN cf c USING (term) CROSS JOIN stats s
+       |  GROUP BY q.doc_id
+       |)
+       |SELECT m.doc_id,
+       |  CAST(round(CAST(m.ms AS DOUBLE) +
+       |    CAST(n.n_terms AS DOUBLE) *
+       |      CAST(CAST(round(ln($mu / (CAST(d.dl AS DOUBLE) + $mu)), 6)
+       |        AS DECIMAL(18,6)) AS DOUBLE), 6) AS DECIMAL(18,6)) AS score
+       |FROM match_sum m JOIN dl d USING (doc_id) CROSS JOIN nq n
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
   /** Positional phrase search: count of exact adjacent occurrences of a
@@ -567,6 +670,9 @@ object Rank {
       hybridRrf(p, TfIdf.docNorms(p), Tables.embeddings(s, dir),
         bm25Terms, queryVec = 0L)
     }),
+    "t10_ql_search" -> ((s: SparkSession, dir: String) =>
+      qlSearch(cachedPostings(s, dir), bm25Terms,
+        dlOpt = Some(cachedDl(s, dir)))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -576,5 +682,6 @@ object Rank {
     "t5_phrase_search" -> phraseSearchSql("table", "hash"),
     "t6_more_like_this" -> moreLikeThisSql(0L),
     "t9_hybrid_rrf" -> hybridRrfSql(bm25Terms, queryVec = 0L),
+    "t10_ql_search" -> qlSearchSql(bm25Terms),
   )
 }

@@ -44,6 +44,36 @@ class RankSpec extends SparkSpec {
     assert(got.toSet == Set(0L, 1L)) // doc 2 matches neither
   }
 
+  test("qlSearch matches hand computation; longer docs pay the length normalizer") {
+    // corpus: (0)"cat runs" (1)"cat dog" (2)"bird bird"; |C| = 6, μ = 2000
+    // query "cat": cf = 2, p = 2/6; match term for docs 0,1 (tf = 1):
+    //   ln(1 + 1/(2000·(2/6))) rounded 6 dp; dl = 2 both → score equal:
+    //   round6(lp + 1·round6(ln(2000/2002)))
+    val lp = BigDecimal(math.log(1.0 + 1.0 / (2000.0 * (2.0 / 6.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val norm = BigDecimal(math.log(2000.0 / 2002.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = BigDecimal(lp + 1.0 * norm)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Rank.qlSearch(p, Seq("cat")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[java.math.BigDecimal]("score").doubleValue).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(math.abs(got(0L) - expected) < 1e-9)
+    assert(math.abs(got(1L) - expected) < 1e-9)
+    // two-term query: doc 1 matches both terms and must outrank doc 0
+    // (same length, one extra matching term)
+    val both = Rank.qlSearch(p, Seq("cat", "dog")).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(both.head == 1L)
+    assert(both.toSet == Set(0L, 1L)) // bird-only doc matches neither term
+    // rarer term scores higher than common at equal tf/dl: "bird" cf=2
+    // but concentrated — compare "runs" (cf=1) vs "cat" (cf=2) on doc 0
+    val runs = Rank.qlSearch(p, Seq("runs")).collect()
+      .map(r => r.getAs[java.math.BigDecimal]("score").doubleValue).head
+    assert(runs > got(0L)) // smaller collection probability → bigger lift
+  }
+
   test("phraseSearch counts exact adjacencies only") {
     val d = Seq(
       (0L, "the cat dog runs"),   // "cat dog" once
