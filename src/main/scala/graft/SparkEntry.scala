@@ -129,6 +129,7 @@ object SparkEntry {
     "t8_bm25_batch" -> Seq("score"),
     "t9_hybrid_rrf" -> Seq("rrf"),
     "t10_ql_search" -> Seq("score"),
+    "t11_rm3_search" -> Seq("score"),
     "x14_unigram_logprob" -> Seq("sum_logp", "avg_logp"),
     "x15_ppl_buckets" -> Seq("lo", "hi"),
     "x16_bigram_logprob" -> Seq("sum_logp", "avg_logp"),

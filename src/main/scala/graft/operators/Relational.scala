@@ -2183,6 +2183,87 @@ object Relational {
        |                        WHERE o_orderdate >= TIMESTAMP '$since')
        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
 
+  /** q85: TPC-H Q15-shaped top supplier (ref capability family:
+    * `StandaloneScala/README.md` batch analytics; Q15's revenue view +
+    * scalar-subquery max) — per-supplier revenue over a 3-month ship
+    * window, returning the supplier(s) whose revenue equals the global
+    * maximum. Per-supplier revenue is an exact DECIMAL(20,4) sum, so
+    * the `rev = max(rev)` equality is exact-decimal on both engines and
+    * can never flip on an IEEE ulp (doubles appear only in the final
+    * output cast). The ~100-row revenue view is localCheckpoint'd once
+    * (it feeds the max aggregate AND the equality filter — one lineitem
+    * scan, not two); the 1-row max rides a broadcast nested-loop, the
+    * supplier dim a broadcast hash join. At scale the only shuffle is
+    * the partial-aggregated groupBy(l_suppkey) sum; the date window
+    * pushes into the lineitem scan. */
+  def q85TopSupplier(spark: SparkSession, dir: String,
+                     from: String = "1997-01-01", until: String = "1997-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(D204)).as("rev_dec"))
+      .localCheckpoint(true) // feeds the max aggregate AND the equality filter
+    val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_dec") === col("max_dec"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  def q85TopSupplierSql(from: String = "1997-01-01", until: String = "1997-04-01"): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS rev_dec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$until'
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** q86: TPC-H Q19-shaped disjunctive-branch revenue — three OR'd
+    * brand/size/quantity branches evaluated across the part⋈lineitem
+    * join (this dataset has no p_container/l_shipmode, so p_size and
+    * l_quantity carry the branch structure). The planning point of the
+    * shape: the predicate is written ONCE against the joined row, and
+    * Catalyst must extract each side's disjunction — the part-only
+    * (brand AND size) OR-chain into the broadcast build, the
+    * lineitem-only quantity OR-chain down to the scan — so the join
+    * never probes a row that fails every branch on its own side
+    * (plan-audited). Output is one row: line count + exact-decimal
+    * revenue cast to double. */
+  def q86DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+    val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    j.filter(branch1 || branch2 || branch3)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .cast(D204)).cast("double").as("revenue"))
+  }
+
+  def q86DisjunctiveRevenueSql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** q78: malformed-record resilience — the m20 principle (bad input is
     * countable rows, never task poison) applied to the JSON ingest path.
     * A JSONL artifact is generated from events with a deterministic
@@ -2381,6 +2462,8 @@ object Relational {
     "q82_small_qty_revenue" -> ((s: SparkSession, dir: String) => q82SmallQtyRevenue(s, dir)),
     "q83_sole_late_supplier" -> ((s: SparkSession, dir: String) => q83SoleLateSupplier(s, dir)),
     "q84_idle_rich_customers" -> ((s: SparkSession, dir: String) => q84IdleRichCustomers(s, dir)),
+    "q85_top_supplier" -> ((s: SparkSession, dir: String) => q85TopSupplier(s, dir)),
+    "q86_disjunctive_revenue" -> ((s: SparkSession, dir: String) => q86DisjunctiveRevenue(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
@@ -2453,6 +2536,8 @@ object Relational {
     "q82_small_qty_revenue" -> q82SmallQtyRevenueSql(),
     "q83_sole_late_supplier" -> q83SoleLateSupplierSql(),
     "q84_idle_rich_customers" -> q84IdleRichCustomersSql(),
+    "q85_top_supplier" -> q85TopSupplierSql(),
+    "q86_disjunctive_revenue" -> q86DisjunctiveRevenueSql,
     "q78_bad_records" -> q78BadRecordsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )

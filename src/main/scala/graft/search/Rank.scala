@@ -212,6 +212,181 @@ object Rank {
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** RM3 pseudo-relevance-feedback weights (Lavrenko/Croft relevance
+    * model, the standard RM3 interpolation): run the Dirichlet QL pass
+    * ([[qlScores]]) once, take the top-`fbDocs` feedback documents, and
+    * build the truncated relevance model
+    *
+    *   P(w|R) = (1/N) Σ_{d∈F} tf_wd / dl_d   (uniform doc weights —
+    *   the deterministic variant: score-proportional weights would put
+    *   exp() of a rounded log into the weight path for no ranking
+    *   benefit at this feedback depth),
+    *
+    * truncated to the top-`fbTerms` terms (exact-decimal P desc, term
+    * asc — contributions are quantized to DECIMAL(32,12) at birth so
+    * the selection can never flip on summation order), renormalized,
+    * and interpolated with the uniform original-query model:
+    *
+    *   w(t) = λ·1/|q|·[t ∈ q] + (1−λ)·P(t|R)/Z .
+    *
+    * Output: (term, w) with Σw = 1 analytically (both passes' weight
+    * masses each sum to 1 by construction), ≤ |q| + fbTerms rows.
+    * Everything after the postings probe is metadata-sized: the
+    * feedback set is N rows, the relevance model M rows. */
+  private[search] def rm3Weights(postings: DataFrame, terms: Seq[String],
+                                 fbDocs: Int, fbTerms: Int, lambda: Double,
+                                 mu: Double, dl: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val distinct = terms.distinct
+    val qterms = distinct.map(t => (0L, t)).toDF("qid", "term")
+    val fb = qlScores(postings, qterms, mu, Some(dl))
+      .orderBy(desc("score"), asc("doc_id")).limit(fbDocs)
+      .select("doc_id")
+    val fbdl = dl.join(broadcast(fb), "doc_id") // N rows: feedback docs + lengths
+    val rm = postings.join(broadcast(fbdl), "doc_id")
+      .withColumn("contrib",
+        round(col("tf").cast("double") / col("dl").cast("double"), 12).cast(Dec))
+      .groupBy("term").agg(sum("contrib").as("rm_dec"))
+      .orderBy(desc("rm_dec"), asc("term")).limit(fbTerms)
+      .localCheckpoint(true) // M rows; feeds the normalizer AND the weights
+    val z = rm.agg(sum("rm_dec").as("z_dec"))
+    val wExp = rm.crossJoin(broadcast(z))
+      .select(col("term"), (lit(1.0 - lambda) *
+        (col("rm_dec").cast("double") / col("z_dec").cast("double"))).as("w_exp"))
+    val wq = distinct.map(t => (t, lambda / distinct.size.toDouble))
+      .toDF("term", "w_q")
+    wq.join(wExp, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("w_q"), lit(0.0)) + coalesce(col("w_exp"), lit(0.0))).as("w"))
+  }
+
+  /** RM3 query-expansion retrieval (t11): Dirichlet QL feedback pass →
+    * [[rm3Weights]] → a second, WEIGHTED Dirichlet QL pass scored as
+    * KL-divergence retrieval:
+    *
+    *   score(d) = Σ_{t∈q'∩d} w(t)·ln(1 + tf/(μ·p(t|C)))
+    *              + 1·ln(μ/(dl_d + μ))
+    *
+    * — the t10 decomposition with per-term weights; the length
+    * normalizer's coefficient is the analytic Σw = 1 (a constant on
+    * both engines, not a float accumulation). An original query term
+    * that is OOV keeps its λ/|q| weight mass but can match nothing, so
+    * it contributes only through the normalizer — the t10 OOV rule
+    * carried to the weighted form. Per-(term,doc) contributions are
+    * w·lp rounded to 12 dp into DECIMAL at birth (w and lp are
+    * IEEE-identical doubles on both engines), so per-doc sums are
+    * order-independent and the driver hash is partitioning-proof.
+    *
+    * Scale shape: two postings probes (each a broadcast semi-join on
+    * ≤ |q|+fbTerms terms), two metadata-sized weight frames, one
+    * doc-keyed aggregate per pass — no corpus-wide shuffle beyond the
+    * shared postings/doc-length builds every t-family query reuses. */
+  def rm3Search(postings: DataFrame, terms: Seq[String], k: Int = 10,
+                fbDocs: Int = 10, fbTerms: Int = 10, lambda: Double = 0.5,
+                mu: Double = 2000.0, dlOpt: Option[DataFrame] = None): DataFrame = {
+    val dl = dlOpt.getOrElse(postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true))
+    val weights = rm3Weights(postings, terms, fbDocs, fbTerms, lambda, mu, dl)
+      .localCheckpoint(true) // ≤ |q|+M rows; feeds the probe AND the scorer
+    val stats = dl.agg(sum("dl").as("total_dl"))
+    val qpost = postings.join(broadcast(weights.select("term")), "term")
+      .select("term", "doc_id", "tf")
+      .localCheckpoint(true) // feeds cf AND the per-doc scores
+    val cf = qpost.groupBy("term").agg(sum("tf").as("cf"))
+    val matchSum = qpost
+      .join(broadcast(cf), "term")
+      .join(broadcast(weights), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp",
+        round(log(lit(1.0) + col("tf").cast("double") /
+          (lit(mu) * (col("cf").cast("double") / col("total_dl").cast("double")))), 6)
+          .cast(Out6))
+      .withColumn("contrib", round(col("w") * col("lp").cast("double"), 12).cast(Dec))
+      .groupBy("doc_id").agg(sum("contrib").as("match_sum"))
+    matchSum
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        round(col("match_sum").cast("double") +
+          BigDecimalRound6(log(lit(mu) / (col("dl").cast("double") + lit(mu)))), 6)
+          .cast(Out6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  def rm3SearchSql(terms: Seq[String], k: Int = 10, fbDocs: Int = 10,
+                   fbTerms: Int = 10, lambda: Double = 0.5,
+                   mu: Double = 2000.0): String = {
+    val distinct = terms.distinct
+    val termRows = distinct.map(t => s"('$t')").mkString(", ")
+    val nq = distinct.size
+    s"""${TfIdf.postingsSql},
+       |dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl
+       |), qterms AS (SELECT term FROM (VALUES $termRows) AS q(term)),
+       |qpost1 AS (
+       |  SELECT p.term, p.doc_id, p.tf FROM postings p JOIN qterms USING (term)
+       |), cf1 AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qpost1 GROUP BY term
+       |), nq AS (SELECT count(*) AS n_terms FROM qterms),
+       |ms1 AS (
+       |  SELECT q.doc_id,
+       |    SUM(CAST(CAST(round(ln(1.0 + CAST(q.tf AS DOUBLE) /
+       |          ($mu * (CAST(c.cf AS DOUBLE) / CAST(s.total_dl AS DOUBLE)))), 6)
+       |        AS DECIMAL(18,6)) AS DECIMAL(32,12))) AS ms
+       |  FROM qpost1 q JOIN cf1 c USING (term) CROSS JOIN stats s
+       |  GROUP BY q.doc_id
+       |), fb AS (
+       |  SELECT m.doc_id
+       |  FROM ms1 m JOIN dl d USING (doc_id) CROSS JOIN nq n
+       |  ORDER BY CAST(round(CAST(m.ms AS DOUBLE) +
+       |      CAST(n.n_terms AS DOUBLE) *
+       |        CAST(CAST(round(ln($mu / (CAST(d.dl AS DOUBLE) + $mu)), 6)
+       |          AS DECIMAL(18,6)) AS DOUBLE), 6) AS DECIMAL(18,6)) DESC,
+       |    m.doc_id ASC
+       |  LIMIT $fbDocs
+       |), rm AS (
+       |  SELECT p.term,
+       |    SUM(CAST(round(CAST(p.tf AS DOUBLE) / CAST(d.dl AS DOUBLE), 12)
+       |      AS DECIMAL(32,12))) AS rm_dec
+       |  FROM postings p JOIN fb USING (doc_id) JOIN dl d USING (doc_id)
+       |  GROUP BY p.term
+       |  ORDER BY rm_dec DESC, p.term ASC LIMIT $fbTerms
+       |), z AS (SELECT SUM(rm_dec) AS z_dec FROM rm),
+       |w_exp AS (
+       |  SELECT term, ${1.0 - lambda} * (CAST(rm_dec AS DOUBLE) / CAST(z_dec AS DOUBLE)) AS w_exp
+       |  FROM rm CROSS JOIN z
+       |), w_q AS (SELECT term, $lambda / $nq AS w_q FROM qterms),
+       |weights AS (
+       |  SELECT COALESCE(q.term, e.term) AS term,
+       |    COALESCE(q.w_q, 0.0) + COALESCE(e.w_exp, 0.0) AS w
+       |  FROM w_q q FULL OUTER JOIN w_exp e ON q.term = e.term
+       |),
+       |qpost2 AS (
+       |  SELECT p.term, p.doc_id, p.tf
+       |  FROM postings p JOIN (SELECT term FROM weights) wt USING (term)
+       |), cf2 AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qpost2 GROUP BY term
+       |), ms2 AS (
+       |  SELECT q.doc_id,
+       |    SUM(CAST(round(w.w *
+       |        CAST(CAST(round(ln(1.0 + CAST(q.tf AS DOUBLE) /
+       |            ($mu * (CAST(c.cf AS DOUBLE) / CAST(s.total_dl AS DOUBLE)))), 6)
+       |          AS DECIMAL(18,6)) AS DOUBLE), 12) AS DECIMAL(32,12))) AS ms
+       |  FROM qpost2 q JOIN cf2 c USING (term) JOIN weights w USING (term)
+       |  CROSS JOIN stats s
+       |  GROUP BY q.doc_id
+       |)
+       |SELECT m.doc_id,
+       |  CAST(round(CAST(m.ms AS DOUBLE) +
+       |    CAST(CAST(round(ln($mu / (CAST(d.dl AS DOUBLE) + $mu)), 6)
+       |      AS DECIMAL(18,6)) AS DOUBLE), 6) AS DECIMAL(18,6)) AS score
+       |FROM ms2 m JOIN dl d USING (doc_id)
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Positional phrase search: count of exact adjacent occurrences of a
     * two-word phrase per document, via the positional-postings
     * intersection plan (p2.pos = p1.pos + 1). Positions come from ONE
@@ -673,6 +848,9 @@ object Rank {
     "t10_ql_search" -> ((s: SparkSession, dir: String) =>
       qlSearch(cachedPostings(s, dir), bm25Terms,
         dlOpt = Some(cachedDl(s, dir)))),
+    "t11_rm3_search" -> ((s: SparkSession, dir: String) =>
+      rm3Search(cachedPostings(s, dir), bm25Terms,
+        dlOpt = Some(cachedDl(s, dir)))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -683,5 +861,6 @@ object Rank {
     "t6_more_like_this" -> moreLikeThisSql(0L),
     "t9_hybrid_rrf" -> hybridRrfSql(bm25Terms, queryVec = 0L),
     "t10_ql_search" -> qlSearchSql(bm25Terms),
+    "t11_rm3_search" -> rm3SearchSql(bm25Terms),
   )
 }

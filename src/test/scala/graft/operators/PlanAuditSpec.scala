@@ -551,6 +551,45 @@ class PlanAuditSpec extends SparkSpec {
       "threshold scalar not broadcast")
   }
 
+  test("q85_top_supplier: one lineitem scan (checkpoint barrier), max + dim broadcast") {
+    val p = plan("q85_top_supplier")
+    // the revenue view feeds the max aggregate AND the equality filter
+    // from ONE localCheckpoint — a second lineitem FileScan would mean
+    // the window is being paid twice
+    assert(p.contains("ExistingRDD"), "revenue view not served from the checkpoint barrier")
+    assert(!p.contains("lineitem.parquet"), "lineitem rescanned past the checkpoint:\n" + p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "max scalar / supplier dim not broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    val suppSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("s_name")).getOrElse("")
+    assert(suppSchema.nonEmpty && !suppSchema.contains("s_acctbal"),
+      s"supplier scan reads unreferenced columns: $suppSchema")
+  }
+
+  test("q86_disjunctive_revenue: side-local disjunctions extracted to both scans") {
+    val p = plan("q86_disjunctive_revenue")
+    // Catalyst's DNF extraction must split the single mixed OR-of-ANDs
+    // predicate: quantity branches down to the lineitem scan...
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      "quantity OR-chain not pushed to the lineitem scan:\n" + p.take(1200))
+    // ...and brand/size branches into the broadcast build side
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "brand/size OR-chain not pushed to the part scan:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "part side not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t11_rm3_search: weighted pass broadcast-joined, top-k TakeOrdered, no cartesian") {
+    val p = plan("t11_rm3_search")
+    // the second-pass postings probe, cf, weights and stats frames all
+    // ride broadcasts — corpus rows never shuffle for the scoring
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "second-pass joins not broadcast:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "final top-k not TakeOrdered")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),

@@ -74,6 +74,52 @@ class RankSpec extends SparkSpec {
     assert(runs > got(0L)) // smaller collection probability → bigger lift
   }
 
+  test("rm3Weights: hand-computed interpolation on the mini corpus") {
+    // query "cat", fbDocs = 2 → feedback = docs 0,1 (the two cat docs).
+    // RM1 (uniform doc weights, pre-normalization sums over F):
+    //   cat 1/2 + 1/2 = 1.0, runs 1/2, dog 1/2 → Z = 2.0
+    // w(cat)  = 0.5·1 + 0.5·(1.0/2) = 0.75
+    // w(dog)  = 0.5·(0.5/2) = 0.125 = w(runs); Σw = 1.
+    val dl = p.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint(true)
+    val w = Rank.rm3Weights(p, Seq("cat"), fbDocs = 2, fbTerms = 10,
+        lambda = 0.5, mu = 2000.0, dl = dl)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Double]("w")).toMap
+    assert(w.keySet == Set("cat", "dog", "runs"))
+    assert(math.abs(w("cat") - 0.75) < 1e-12)
+    assert(math.abs(w("dog") - 0.125) < 1e-12)
+    assert(math.abs(w("runs") - 0.125) < 1e-12)
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+  }
+
+  test("rm3Search with lambda=1 reproduces the unexpanded QL ranking") {
+    // λ=1 zeroes the expansion mass, so score = (1/|q|)·Σlp + norm —
+    // a positive affine transform of the t10 score: same doc order.
+    val ql = Rank.qlSearch(p, Seq("cat", "dog")).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val rm3 = Rank.rm3Search(p, Seq("cat", "dog"), lambda = 1.0).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(rm3 == ql)
+  }
+
+  test("rm3 expansion retrieves feedback-co-occurring docs the raw query cannot") {
+    val d = Seq(
+      (0L, "apple banana"),
+      (1L, "apple banana"),
+      (2L, "banana cherry"),   // no "apple" — only reachable via expansion
+      (3L, "cherry cherry")).toDF("doc_id", "text")
+    val pp = TfIdf.postings(d).localCheckpoint(true)
+    val raw = Rank.qlSearch(pp, Seq("apple")).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(!raw.contains(2L)) // QL candidate rule: must match a query term
+    val rm3 = Rank.rm3Search(pp, Seq("apple"), fbDocs = 2).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    // feedback docs {0,1} surface "banana"; doc 2 joins the candidate set…
+    assert(rm3.contains(2L))
+    // …but the original-term docs keep their λ·1/|q| head start
+    assert(rm3.indexOf(0L) < rm3.indexOf(2L) && rm3.indexOf(1L) < rm3.indexOf(2L))
+    assert(!rm3.contains(3L)) // matches neither original nor expansion terms
+  }
+
   test("phraseSearch counts exact adjacencies only") {
     val d = Seq(
       (0L, "the cat dog runs"),   // "cat dog" once
