@@ -121,6 +121,7 @@ object SparkEntry {
     "s14_ann_recall" -> Seq("recall"),
     "s15_ann_pq" -> Seq("adc"),
     "s19_ann_twostage" -> Seq("adc", "cos"),
+    "s23_mmr_rerank" -> Seq("mmr"),
     "s16_mips" -> Seq("ip"),
     "s17_filtered_ann" -> Seq("cos"),
     "s18_pca_power" -> Seq("loading"),

@@ -106,6 +106,141 @@ object Similarity {
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  /** s23: Maximal-Marginal-Relevance diversified re-rank (Carbonell/
+    * Goldstein MMR) — greedy selection of k results from the brute-
+    * cosine top-n shortlist, each pick maximizing
+    *
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    *
+    * (rel = cosine to the query, sim = pairwise candidate cosine, both
+    * 6-dp exact decimals from the [[VectorDotExact]] kernel; the max
+    * over the selected set S is a max over exact decimals; mmr itself
+    * is one IEEE-identical double expression rounded back to
+    * DECIMAL(18,6) before the argmax, ties broken asc vec_id — so the
+    * greedy trajectory is bit-reproducible cross-engine).
+    *
+    * Scale shape: ONLY the shortlist pass touches the corpus (the s1
+    * plan: broadcast query row, codegen'd dot, TakeOrdered). Everything
+    * after is metadata-sized regardless of corpus scale: n candidates,
+    * one n²-row pairwise-sim frame, k greedy steps each an argmax over
+    * ≤ n rows (the per-step 1-row read is the pageRankTol convergence-
+    * read pattern — a bounded driver action on an n-row frame, never a
+    * corpus collect). At 100 TB the shortlist generator swaps for any
+    * ANN path (s2/s4/s19) unchanged — MMR only ever sees n rows.
+    *
+    * The oracle twin unrolls the same greedy loop into k literal CTE
+    * stages (k is a query constant), so DuckDB replays the identical
+    * trajectory without recursive-CTE semantics in the comparison
+    * path. */
+  def mmrRerank(emb: DataFrame, queryId: Long, n: Int = 20, k: Int = 5,
+                lam: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    VectorDotExact.register(spark)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    val cands = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        norm2Col(col("embedding")).as("n2"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(n)
+      .localCheckpoint(true) // n rows: feeds the sim matrix AND every greedy step
+    val a = cands.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("n2").as("na"))
+    val b = cands.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("n2").as("nb"))
+    val sims = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dotCol(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .cast(Out6).as("sim"))
+      .localCheckpoint(true) // ≤ n² rows
+    var sel = Vector.empty[Long]
+    val picks = Vector.newBuilder[(Int, Long, java.math.BigDecimal)]
+    for (r <- 1 to k) {
+      val remaining = cands.filter(!col("vec_id").isin(sel: _*))
+      val withMax =
+        if (sel.isEmpty) remaining.withColumn("maxsim", lit(0).cast(Out6))
+        else remaining.join(
+            sims.filter(col("b_id").isin(sel: _*))
+              .groupBy("a_id").agg(max("sim").as("maxsim")),
+            col("vec_id") === col("a_id"), "left")
+          .withColumn("maxsim", coalesce(col("maxsim"), lit(0).cast(Out6)))
+      val pick = withMax.select(col("vec_id"),
+          round(lit(lam) * col("rel").cast("double") -
+            lit(1.0 - lam) * col("maxsim").cast("double"), 6).cast(Out6).as("mmr"))
+        .orderBy(desc("mmr"), asc("vec_id")).limit(1)
+        .head() // 1 row from an ≤ n-row frame — bounded, corpus-independent
+      val id = pick.getAs[Long]("vec_id")
+      picks += ((r, id, pick.getAs[java.math.BigDecimal]("mmr")))
+      sel = sel :+ id
+    }
+    import spark.implicits._
+    picks.result().toDF("rank", "vec_id", "mmr")
+      .select(col("rank"), col("vec_id"), col("mmr").cast(Out6).as("mmr"))
+  }
+
+  def mmrRerankSql(queryId: Long, n: Int = 20, k: Int = 5,
+                   lam: Double = 0.7): String = {
+    val oneMinus = 1.0 - lam
+    // greedy stages 2..k, each reading the union of all prior picks
+    val stages = (2 to k).map { r =>
+      val prior = (1 until r).map(i => s"SELECT vec_id FROM sel$i").mkString(" UNION ALL ")
+      s"""sel$r AS (
+         |  SELECT c.vec_id,
+         |    CAST(round($lam * CAST(c.rel AS DOUBLE) -
+         |      $oneMinus * CAST(COALESCE(m.maxsim, CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS mmr
+         |  FROM cands c LEFT JOIN (
+         |    SELECT a_id, MAX(sim) AS maxsim FROM sims
+         |    WHERE b_id IN ($prior) GROUP BY a_id
+         |  ) m ON c.vec_id = m.a_id
+         |  WHERE c.vec_id NOT IN ($prior)
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS rank, vec_id, mmr FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), q AS (SELECT d, x AS qx FROM ex WHERE vec_id = $queryId),
+       |qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = $queryId),
+       |dots AS (
+       |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN q USING (d) WHERE ex.vec_id != $queryId GROUP BY ex.vec_id
+       |), cands AS (
+       |  SELECT d.vec_id,
+       |    CAST(round(d.dot / (sqrt(nn.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS rel
+       |  FROM dots d JOIN norms nn USING (vec_id) CROSS JOIN qn
+       |  ORDER BY rel DESC, vec_id ASC LIMIT $n
+       |), cex AS (
+       |  SELECT e.vec_id, e.d, e.x FROM ex e JOIN cands USING (vec_id)
+       |), pair_dots AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM cex a JOIN cex b ON a.d = b.d AND a.vec_id != b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id
+       |), sims AS (
+       |  SELECT p.a_id, p.b_id,
+       |    CAST(round(p.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS DECIMAL(18,6)) AS sim
+       |  FROM pair_dots p
+       |  JOIN norms na ON p.a_id = na.vec_id
+       |  JOIN norms nb ON p.b_id = nb.vec_id
+       |), sel1 AS (
+       |  SELECT vec_id,
+       |    CAST(round($lam * CAST(rel AS DOUBLE) - $oneMinus * 0.0, 6)
+       |      AS DECIMAL(18,6)) AS mmr
+       |  FROM cands ORDER BY mmr DESC, vec_id ASC LIMIT 1
+       |),
+       |$stages
+       |SELECT rank, vec_id, mmr FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   /** s16: maximum-inner-product top-k (MIPS) — the retrieval scoring
     * rule when embeddings are trained with dot-product relevance
     * (recommender two-tower models, unnormalized retrieval heads), where
@@ -2220,6 +2355,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> ((s: SparkSession, dir: String) =>
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
+    "s23_mmr_rerank" -> ((s: SparkSession, dir: String) =>
+      mmrRerank(Tables.embeddings(s, dir), queryId = 0L)),
     "s2_ann_lsh" -> ((s: SparkSession, dir: String) =>
       annLsh(Tables.embeddings(s, dir), queryId = 0L,
         p = autoPForDir(s, dir))),
@@ -2277,6 +2414,7 @@ object Similarity {
   // never desynchronize oracle and engine (round-6 fix)
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> knnBruteSql(0L),
+    "s23_mmr_rerank" -> mmrRerankSql(0L),
     "s2_ann_lsh" -> annLshSql(0L, p = oracleP),
     "s3_near_dup_pairs" -> nearDupPairsSql(p = oracleP),
     "s5_embedding_clusters" -> embeddingClustersSql(p = oracleP),

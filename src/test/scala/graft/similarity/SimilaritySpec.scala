@@ -464,4 +464,56 @@ class SimilaritySpec extends SparkSpec {
     val overlap = (exact & got.map(_._1).toSet).size
     assert(overlap >= 3, s"two-stage recall too low: $overlap/$k")
   }
+
+  test("mmrRerank replays the driver-side greedy MMR trajectory on real embeddings") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val (n, k, lam) = (20, 5, 0.7)
+    val cands = reference.toSeq.map { case (id, c) => id -> r6(c) }
+      .sortBy { case (id, c) => (-c, id) }.take(n)
+    val relMap = cands.toMap
+    var sel = Vector.empty[Long]
+    val expected = (1 to k).map { _ =>
+      val pick = cands.filterNot(c => sel.contains(c._1)).map { case (id, rel) =>
+        val maxsim = if (sel.isEmpty) 0.0
+          else sel.map(s => r6(cos(vecs(id), vecs(s)))).max
+        (id, r6(lam * rel - (1.0 - lam) * maxsim))
+      }.minBy { case (id, mmr) => (-mmr, id) }
+      sel = sel :+ pick._1
+      pick
+    }
+    val got = Similarity.mmrRerank(emb, queryId = 0L, n = n, k = k, lam = lam)
+      .collect().map(r => (r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
+    assert(got.map(_._1) == expected.map(_._1),
+      s"greedy trajectory diverged: ${got.map(_._1)} vs ${expected.map(_._1)}")
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-5, s"mmr score mismatch: $g vs $e") }
+    // rank 1 is always the pure-relevance argmax
+    assert(got.head._1 == cands.head._1)
+  }
+
+  test("mmrRerank diversifies: near-dup of the top pick defers to a diverse vector") {
+    import spark.implicits._
+    // id2 is the best match, id1 its near-duplicate (sim ≈ 0.9965),
+    // id3 diverse (sim ≈ 0.43). Pure relevance orders 2,1,3; at λ=0.5
+    // the dup penalty flips picks 2 and 3.
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.96f, 0.28f)),
+      (2L, Array(0.98f, 0.199f)),
+      (3L, Array(0.6f, -0.8f))).toDF("vec_id", "embedding")
+    val diverse = Similarity.mmrRerank(tiny, queryId = 0L, n = 3, k = 3, lam = 0.5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(diverse == Seq(2L, 3L, 1L), s"λ=0.5 should defer the near-dup: $diverse")
+    // λ=1 degenerates to pure relevance order
+    val rel = Similarity.mmrRerank(tiny, queryId = 0L, n = 3, k = 3, lam = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(2L, 1L, 3L), s"λ=1 must equal the relevance ranking: $rel")
+  }
 }
