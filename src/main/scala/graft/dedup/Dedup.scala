@@ -767,6 +767,85 @@ object Dedup {
        |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** d23: leakage-free train/val/test split — the contamination-safe
+    * split rule a training pipeline must use: the split is assigned by
+    * hashing the near-dup CLUSTER id (transitive closure over
+    * LSH-verified pairs, [[nearDupClusters]]), not the doc id, so two
+    * near-duplicate documents can NEVER straddle splits (train→test
+    * leakage). Docs in no cluster hash their own id (singleton cluster).
+    *
+    * Output per split: doc count, cluster count, and the leakage AUDIT —
+    * the number of verified near-dup pairs with exactly one endpoint in
+    * the split. Zero by construction on the engine side; the oracle
+    * recomputes it from its own independent cluster build, so a
+    * cross-engine disagreement on any cluster member surfaces as a
+    * nonzero audit or a count diff, not silence.
+    *
+    * Scale shape: one doc-keyed left join to attach clusters (the
+    * cluster frame is O(dup docs)), one 256-bucket hash per doc, two
+    * key-partitioned joins of the pair list (O(dup mass)) against the
+    * slim (doc_id, split) assignment — no corpus-wide wide rows, no
+    * driver action. The split hash is the x6 [[graft.text.TextStats
+    * .hashBucket]] md5 rule: deterministic across engines, runs, and
+    * partitionings. */
+  def leakageSplit(docs: DataFrame, clusters: DataFrame,
+                   pairs: DataFrame): DataFrame = {
+    val assigned = docs.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("split", graft.text.TextStats.assignSplit(col("cluster")))
+      .localCheckpoint(true) // feeds the stats AND both audit probes
+    val stats = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"))
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(explode(array(col("split_a"), col("split_b"))).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("leaked"))
+    stats.join(leaks, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        coalesce(col("leaked"), lit(0L)).as("leaked_pairs"))
+      .orderBy("split")
+  }
+
+  def leakageSplitSql(minJaccard: Double = 0.1): String = {
+    val split = graft.text.TextStats.assignSplitSqlExpr("cluster")
+    s"""WITH RECURSIVE pairs AS (
+       |  ${lshNearDupsSql(minJaccard).replace("\n", "\n  ")}
+       |), und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+       |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |sp AS (
+       |  SELECT doc_id, cluster, $split AS split FROM (
+       |    SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |    FROM documents d LEFT JOIN clusters c USING (doc_id)) z
+       |), stats AS (
+       |  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters
+       |  FROM sp GROUP BY split
+       |), leak_ends AS (
+       |  SELECT a.split AS split_a, b.split AS split_b
+       |  FROM pairs p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id
+       |  WHERE a.split != b.split
+       |), leaks AS (
+       |  SELECT split, COUNT(*) AS leaked FROM (
+       |    SELECT split_a AS split FROM leak_ends
+       |    UNION ALL SELECT split_b FROM leak_ends)
+       |  GROUP BY split
+       |)
+       |SELECT s.split, s.n_docs, s.n_clusters,
+       |  CAST(COALESCE(l.leaked, 0) AS BIGINT) AS leaked_pairs
+       |FROM stats s LEFT JOIN leaks l USING (split) ORDER BY s.split""".stripMargin
+  }
+
   // -------------------------------------------------- curation pipeline
 
   /** End-to-end corpus curation (the flagship training-data shape):
@@ -1406,6 +1485,9 @@ object Dedup {
       containmentTopFromBase(shingleBase(s, dir))),
     "d20_threshold_curve" -> ((s: SparkSession, dir: String) =>
       thresholdCurve(cachedLshPairs(s, dir))),
+    "d23_leakage_split" -> ((s: SparkSession, dir: String) =>
+      leakageSplit(Tables.documents(s, dir), cachedClusters(s, dir),
+        cachedLshPairs(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1439,5 +1521,6 @@ object Dedup {
     "d18_dup_rate_by_source" -> dupRateBySourceSql(),
     "d19_containment" -> containmentTopSql(),
     "d20_threshold_curve" -> thresholdCurveSql(),
+    "d23_leakage_split" -> leakageSplitSql(),
   )
 }

@@ -299,4 +299,53 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((0L, 1L)))
   }
+
+  test("leakageSplit: cluster-keyed assignment keeps every dup pair in one split") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.leakageSplit(docs, clusters, pairs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == 6L)                    // every doc assigned
+    assert(got.map(_._3).sum == 4L)                    // clusters {1,3,5,6}
+    assert(got.forall(_._4 == 0L), s"leak detected: ${got.toSeq}")
+  }
+
+  test("leakageSplit audit DETECTS doc-keyed (naive) split leakage") {
+    import spark.implicits._
+    // hashBucket twin: first two hex digits of md5(id) — find one id in
+    // the train range (< 204) and one in the test range (>= 230)
+    def bucket(k: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      ((md(0) & 0xff))
+    }
+    val train = (1L to 500L).find(bucket(_) < 204).get
+    val test0 = (1L to 500L).find(bucket(_) >= 230).get
+    val docs = Seq(train, test0).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // no cluster map (each doc hashes its own id — the naive rule) but
+    // the two docs ARE near-dups: the audit must count the straddle
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+    val pairs = Seq((math.min(train, test0), math.max(train, test0)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.leakageSplit(docs, noClusters, pairs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum == 2L, s"straddling pair not audited: $got")
+    // and the cluster-keyed rule on the same docs repairs it
+    val fixed = Dedup.leakageSplit(docs,
+        Seq((train, train), (test0, train)).toDF("doc_id", "cluster"), pairs)
+      .collect().map(r => r.getLong(3))
+    assert(fixed.forall(_ == 0L))
+  }
+
+  test("leakageSplit on real sf0.001 clusters: zero leaked pairs in every split") {
+    val dir = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val got = Dedup.leakageSplit(docs, Dedup.cachedClusters(spark, dir),
+        Dedup.cachedLshPairs(spark, dir)).collect()
+    assert(got.map(_.getLong(3)).forall(_ == 0L))
+    assert(got.map(_.getLong(1)).sum == docs.count())
+  }
 }
