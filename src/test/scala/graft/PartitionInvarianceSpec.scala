@@ -35,7 +35,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g2_pagerank",         // iterative checkpointed fixpoint
     "x14_unigram_logprob", // rounded-log LM scoring
     "x26_filter_funnel",   // first-fail labeling + running window
-    "m12_logreg_gd")       // exact-decimal gradient descent
+    "m12_logreg_gd",       // exact-decimal gradient descent
+    "t11_rm3_search",      // two-pass weighted retrieval (greedy fb set)
+    "s23_mmr_rerank",      // driver-looped greedy argmax trajectory
+    "d23_leakage_split")   // cluster-keyed hash split + leak audit
 
   private lazy val alt = {
     val s = spark.newSession()
