@@ -92,6 +92,7 @@ object SparkEntry {
       "weighted_recall", "weighted_f1", "weighted_fpr"),
     "m12_logreg_gd" -> Seq("p"),
     "m22_model_weights" -> Seq("w1", "w2", "b"),
+    "m24_temp_scaling" -> Seq("avg_nll", "avg_brier"),
     "x27_weighted_sample" -> Seq("key"),
     "m13_calibration" -> Seq("mean_p", "pos_rate"),
     "m14_pr_curve" -> Seq("precision", "recall"),

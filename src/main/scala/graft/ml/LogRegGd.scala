@@ -205,6 +205,96 @@ object LogRegGd {
        |  CAST(round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS pos_rate
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** m24: temperature-scaling calibration sweep (Guo et al.'s post-hoc
+    * calibration, the standard confidence-calibration fix for modern
+    * classifiers) — rescore the trained model's logits at each
+    * temperature T in a literal grid, p_T = σ(z/T), and report the
+    * negative log-likelihood and Brier score per T with the NLL argmin
+    * flagged. T < 1 sharpens, T > 1 softens; T* is the temperature a
+    * serving stack should divide logits by.
+    *
+    * Determinism: z is the exact-decimal-weight linear form (one double
+    * cast, the m12 rule); p_T is the exp() output rounded to 6 dp into
+    * DECIMAL at birth, then CLAMPED to [1e-6, 1−1e-6] as exact decimals
+    * (so ln(0) can never occur at extreme T); each NLL contribution is a
+    * ln() output rounded to decimal at birth, each Brier contribution an
+    * exact narrowed-decimal square — both sums are order-independent.
+    * The best-row flag compares exact decimals against a broadcast 1-row
+    * min, never doubles.
+    *
+    * Shape: ONE narrow feature scan crossed with the |grid|-row literal
+    * frame (broadcast), one grouped aggregate — at 100 TB this is the
+    * same single-pass cost as m12 scoring, ×|grid| rows in flight, no
+    * extra shuffle beyond the |grid|-key aggregate. */
+  def tempScaling(docs: DataFrame,
+                  ts: Seq[String] = Seq("0.25", "0.5", "1", "2", "4"),
+                  lr: JBigDecimal = new JBigDecimal("0.5"),
+                  steps: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = features(docs).localCheckpoint(true)
+    val (w1, w2, b) = trainWeights(f, lr, steps)
+    val grid = ts.map(_.toDouble).toDF("t")
+    val z = (lit(w1) * col("x1") + lit(w2) * col("x2") + lit(b)).cast("double")
+    val pT = round(lit(1.0) / (lit(1.0) + exp(-(z / col("t")))), 6).cast(Out6)
+    val lo = new JBigDecimal("0.000001")
+    val hi = new JBigDecimal("0.999999")
+    val scored = f.crossJoin(broadcast(grid))
+      .select(col("t"), col("y"),
+        least(greatest(pT, lit(lo)), lit(hi)).as("p"))
+    val perT = scored
+      .select(col("t"),
+        when(col("y") === 1, -round(log(col("p").cast("double")), 6).cast(Out6))
+          .otherwise(-round(log((lit(new JBigDecimal("1.000000")) - col("p"))
+            .cast("double")), 6).cast(Out6)).as("nll_c"),
+        (((col("p") - col("y")).cast(DecimalType(8, 6))) *
+          ((col("p") - col("y")).cast(DecimalType(8, 6)))).as("brier_c"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("nll_c").as("nll_sum"),
+        sum("brier_c").as("brier_sum"))
+      .select(col("t"),
+        round(col("nll_sum").cast("double") / col("n"), 6).cast(Out6).as("avg_nll"),
+        round(col("brier_sum").cast("double") / col("n"), 6).cast(Out6).as("avg_brier"))
+      .localCheckpoint(true) // |grid| rows; feeds the min AND the flag join
+    val best = perT.agg(min("avg_nll").as("min_nll"))
+    perT.crossJoin(broadcast(best))
+      .select(col("t"), col("avg_nll"), col("avg_brier"),
+        (col("avg_nll") === col("min_nll")).cast("long").as("is_best"))
+      .orderBy("t")
+  }
+
+  def tempScalingSql(ts: Seq[String] = Seq("0.25", "0.5", "1", "2", "4"),
+                     lr: String = "0.5", steps: Int = 2): String = {
+    val gridRows = ts.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH f AS (
+       |  ${featuresSql.replace("\n", "\n  ")}
+       |)${gdChainSql("", "f", lr, steps)},
+       |grid AS (SELECT t FROM (VALUES $gridRows) AS g(t)),
+       |scored AS (
+       |  SELECT g.t, f.y,
+       |    least(greatest(
+       |      CAST(round(1 / (1 + exp(-(CAST(w.w1 * f.x1 + w.w2 * f.x2 + w.b AS DOUBLE) / g.t))), 6)
+       |        AS DECIMAL(18,6)),
+       |      CAST(0.000001 AS DECIMAL(18,6))), CAST(0.999999 AS DECIMAL(18,6))) AS p
+       |  FROM f CROSS JOIN grid g CROSS JOIN w$steps w
+       |), contribs AS (
+       |  SELECT t,
+       |    CASE WHEN y = 1 THEN -CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |         ELSE -CAST(round(ln(CAST(CAST(1.000000 AS DECIMAL(18,6)) - p AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |    END AS nll_c,
+       |    CAST(p - y AS DECIMAL(8,6)) * CAST(p - y AS DECIMAL(8,6)) AS brier_c
+       |  FROM scored
+       |), per_t AS (
+       |  SELECT t,
+       |    CAST(round(CAST(SUM(nll_c) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_nll,
+       |    CAST(round(CAST(SUM(brier_c) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_brier
+       |  FROM contribs GROUP BY t
+       |), best AS (SELECT MIN(avg_nll) AS min_nll FROM per_t)
+       |SELECT t, avg_nll, avg_brier,
+       |  CAST(avg_nll = min_nll AS BIGINT) AS is_best
+       |FROM per_t CROSS JOIN best ORDER BY t""".stripMargin
+  }
+
   /** Final scores memoized per (session, sf-dir): m12 emits them, m13
     * buckets them — one GD training per session (|docs| rows, narrow). */
   private def cachedScores(s: SparkSession, dir: String): DataFrame =
@@ -555,6 +645,8 @@ object LogRegGd {
       modelWeights(Tables.documents(s, dir))),
     "m23_learnable_curve" -> ((s: SparkSession, dir: String) =>
       learnableCurve(Tables.documents(s, dir))),
+    "m24_temp_scaling" -> ((s: SparkSession, dir: String) =>
+      tempScaling(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -566,5 +658,6 @@ object LogRegGd {
     "m21_learning_curve" -> learningCurveSql(),
     "m22_model_weights" -> modelWeightsSql(),
     "m23_learnable_curve" -> learnableCurveSql(),
+    "m24_temp_scaling" -> tempScalingSql(),
   )
 }

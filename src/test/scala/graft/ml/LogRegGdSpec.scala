@@ -184,4 +184,69 @@ class LogRegGdSpec extends SparkSpec {
     assert(acc(2) - acc(0) > 0.02, s"bend too shallow: $acc")
     assert(acc(2) > 0.75 && acc(2) < 1.0, s"full-data accuracy out of band: $acc")
   }
+
+  test("tempScaling: infinite-temperature limit hits the closed-form NLL exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // at T = 1e6 every logit collapses: p rounds to exactly 0.500000, so
+    // every NLL contribution is −round6(ln 0.5) = 0.693147 and the mean
+    // is that constant BY CONSTRUCTION — a closed-form anchor no data
+    // drift can move; Brier is exactly 0.25 (p−y = ±0.5 for every row)
+    val got = LogRegGd.tempScaling(docs, ts = Seq("1", "1000000")).collect()
+      .map(r => (r.getDouble(0), r.getDecimal(1).doubleValue,
+        r.getDecimal(2).doubleValue, r.getLong(3)))
+    val inf = got.find(_._1 == 1e6).get
+    assert(inf._2 == 0.693147, s"T→∞ NLL must be −round6(ln 0.5): $inf")
+    assert(inf._3 == 0.25, s"T→∞ Brier must be exactly 0.25: $inf")
+    // the flag marks the NLL argmin (and nothing else)
+    val minNll = got.map(_._2).min
+    assert(got.forall(r => (r._4 == 1L) == (r._2 == minNll)))
+  }
+
+  test("tempScaling matches a driver-side reference sweep on a toy corpus") {
+    val docs = (1L to 10L).map { i =>
+      if (i <= 5) (i, "w " * 2000, "en", 4000L)
+      else (i, "w " * 10, "de", 20L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val ts = Seq("0.5", "1", "2")
+    val got = LogRegGd.tempScaling(docs, ts = ts).collect()
+      .map(r => (r.getDouble(0), r.getDecimal(1).doubleValue,
+        r.getDecimal(2).doubleValue)).sortBy(_._1)
+    // reference: same features (x1 = kc, x2 = tokens/100, y = en),
+    // same 2-step training via the public trainWeights, same rounding
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import org.apache.spark.sql.functions._
+    val f = docs.select(col("doc_id"),
+      round(col("n_chars") / 1000.0, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("x1"),
+      round(size(graft.text.Tokenize.rawTokens(col("text"))) / 100.0, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("x2"),
+      (col("lang") === "en").cast("long").as("y"))
+    val (w1, w2, b) = LogRegGd.trainWeights(f)
+    val rows = f.collect().map(r => (r.getDecimal(1), r.getDecimal(2), r.getLong(3)))
+    def dec6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val expected = ts.map(_.toDouble).map { t =>
+      // mirror the engine exactly: decimal-exact z, decimal-at-birth
+      // ln/σ outputs, EXACT decimal sums, one double division, round6
+      val contribs = rows.map { case (x1, x2, y) =>
+        val z = w1.multiply(x1).add(w2.multiply(x2)).add(b).doubleValue
+        val p0 = dec6(1.0 / (1.0 + math.exp(-(z / t))))
+        val p = p0.max(new java.math.BigDecimal("0.000001"))
+          .min(new java.math.BigDecimal("0.999999"))
+        val nll = if (y == 1) dec6(math.log(p.doubleValue)).negate
+          else dec6(math.log(java.math.BigDecimal.ONE.subtract(p).doubleValue)).negate
+        val pMinusY = p.subtract(java.math.BigDecimal.valueOf(y))
+        (nll, pMinusY.multiply(pMinusY))
+      }
+      def avg(xs: Seq[java.math.BigDecimal]): Double =
+        r6(xs.reduce(_.add(_)).doubleValue / rows.length)
+      (t, avg(contribs.map(_._1).toSeq), avg(contribs.map(_._2).toSeq))
+    }
+    got.zip(expected).foreach { case ((tg, ng, bg), (te, ne, be)) =>
+      assert(tg == te)
+      assert(math.abs(ng - ne) < 1e-9, s"NLL mismatch at T=$tg: $ng vs $ne")
+      assert(math.abs(bg - be) < 1e-9, s"Brier mismatch at T=$tg: $bg vs $be")
+    }
+  }
 }
