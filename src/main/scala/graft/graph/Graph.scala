@@ -798,6 +798,39 @@ object Graph {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
        |FROM paths GROUP BY dist ORDER BY dist""".stripMargin
 
+  /** g21: landmark harmonic centrality — for every vertex, Σ 1/dist to
+    * each REACHED landmark (its own 0-distance row excluded; unreachable
+    * landmarks contribute 0, harmonic centrality's defining advantage
+    * over closeness on disconnected graphs). Landmark sampling is the
+    * same scale contract as g20: exact for the sampled landmark set,
+    * the standard estimator shape at any graph size (exact all-pairs
+    * closeness is O(V·E)). Rides the SAME memoized g7 BFS — registering
+    * this adds zero BFS rounds to a session. Each 1/dist is rounded to
+    * 6-dp DECIMAL at birth (dist is an exact integer, so equal dists
+    * give identical contributions on both engines); per-vertex sums are
+    * exact decimals; ties order by id. Output is |V| metadata-sized
+    * rows. */
+  def harmonicCentrality(paths: DataFrame): DataFrame =
+    paths.filter(col("dist") > 0)
+      .select(col("id"),
+        round(lit(1.0) / col("dist").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("contrib"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("contrib").cast(DecimalType(32, 12))).cast("double")
+          .as("harmonic"))
+      .orderBy(desc("harmonic"), asc("id"))
+
+  def harmonicCentralitySql(landmarks: Seq[Long], m: Int = 2000): String =
+    s"""WITH paths AS (
+       |  ${shortestPathsSql(landmarks, m).replace("\n", "\n  ")}
+       |)
+       |SELECT id, count(*) AS n_reached,
+       |  CAST(SUM(CAST(CAST(round(1.0 / CAST(dist AS DOUBLE), 6) AS DECIMAL(18,6))
+       |    AS DECIMAL(32,12))) AS DOUBLE) AS harmonic
+       |FROM paths WHERE dist > 0
+       |GROUP BY id ORDER BY harmonic DESC, id ASC""".stripMargin
+
   // ---------------------------------------------------- label propagation
 
   /** Synchronous label propagation (the GraphFrames `labelPropagation`
@@ -1297,6 +1330,8 @@ object Graph {
       cachedPaths(s, dir).orderBy("landmark", "id")),
     "g20_distance_histogram" -> ((s: SparkSession, dir: String) =>
       distanceHistogram(cachedPaths(s, dir))),
+    "g21_harmonic_centrality" -> ((s: SparkSession, dir: String) =>
+      harmonicCentrality(cachedPaths(s, dir))),
     "g8_label_propagation" -> ((s: SparkSession, dir: String) =>
       labelPropagation(cachedEdges(s, dir))),
     "g9_kcore" -> ((s: SparkSession, dir: String) =>
@@ -1341,6 +1376,7 @@ object Graph {
     // walk at the round count recorded by shortestPaths
     "g7_shortest_paths" -> shortestPathsSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "g20_distance_histogram" -> distanceHistogramSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    "g21_harmonic_centrality" -> harmonicCentralitySql(Seq(0L, 1L, 2L, 3L, 4L)),
     "g8_label_propagation" -> labelPropagationSql(),
     // built after the queries run: unrolls the recorded peel count
     "g9_kcore" -> kCoreSql(),

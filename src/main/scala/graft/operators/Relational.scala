@@ -2264,6 +2264,55 @@ object Relational {
       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q87: TPC-H Q9-shaped product-type profit — per (supplier nation,
+    * order year), profit = Σ revenue − cost over lines whose part name
+    * matches a substring (Q9's LIKE '%green%'; this dataset has no
+    * partsupp, so supply cost is the documented stand-in: 10% of
+    * p_retailprice per unit). The name filter pushes to the part scan
+    * as StringContains, shrinking the broadcast build BEFORE the
+    * exchange; supplier and nation ride two more broadcasts; the only
+    * wide work is the lineitem⋈orders key join and the final
+    * (nation, year)-keyed aggregate. Profit is exact: both terms are
+    * DECIMAL(20,4) at birth, the subtraction and sums exact, one
+    * double cast at the end. */
+  def q87NationProfit(spark: SparkSession, dir: String,
+                      pattern: String = "bolt"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(pattern))
+      .select("p_partkey", "p_retailprice")
+    val amount =
+      (round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast(D204) -
+        round(col("p_retailprice") * col("l_quantity") * lit(0.1), 4).cast(D204))
+        .as("amount")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"), amount)
+      .groupBy("nation", "o_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("amount").cast("double").as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  def q87NationProfitSql(pattern: String = "bolt"): String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4)) -
+       |           CAST(round(p_retailprice * l_quantity * 0.1, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%$pattern%'
+       |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin
+
   /** q78: malformed-record resilience — the m20 principle (bad input is
     * countable rows, never task poison) applied to the JSON ingest path.
     * A JSONL artifact is generated from events with a deterministic
@@ -2464,6 +2513,7 @@ object Relational {
     "q84_idle_rich_customers" -> ((s: SparkSession, dir: String) => q84IdleRichCustomers(s, dir)),
     "q85_top_supplier" -> ((s: SparkSession, dir: String) => q85TopSupplier(s, dir)),
     "q86_disjunctive_revenue" -> ((s: SparkSession, dir: String) => q86DisjunctiveRevenue(s, dir)),
+    "q87_nation_profit" -> ((s: SparkSession, dir: String) => q87NationProfit(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
@@ -2538,6 +2588,7 @@ object Relational {
     "q84_idle_rich_customers" -> q84IdleRichCustomersSql(),
     "q85_top_supplier" -> q85TopSupplierSql(),
     "q86_disjunctive_revenue" -> q86DisjunctiveRevenueSql,
+    "q87_nation_profit" -> q87NationProfitSql(),
     "q78_bad_records" -> q78BadRecordsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )

@@ -286,4 +286,21 @@ class GraphSpec extends SparkSpec {
     // with the cap lifted every leaf pair scores through the center
     assert(Graph.adamicAdar(star, maxHubDeg = 64).collect().length == 10)
   }
+
+  test("harmonicCentrality: hand-computed sums, 0-dist self rows excluded") {
+    // 2→1→0 chain with landmarks {0,1}: vertex 2 reaches 0 at dist 2 and
+    // 1 at dist 1 → 1.5; vertex 1 reaches 0 at dist 1 (its own 0-row to
+    // landmark 1 is excluded) → 1.0; vertex 0 reaches nothing → absent
+    val e = edges(2L -> 1L, 1L -> 0L)
+    val paths = Graph.shortestPaths(e, landmarks = Seq(0L, 1L))
+    val got = Graph.harmonicCentrality(paths).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((2L, 2L, 1.5), (1L, 1L, 1.0)), s"unexpected: $got")
+    // harmonic's defining property: unreachable landmarks cost 0, they
+    // never poison the sum (closeness would need an infinity convention)
+    val disconnected = Graph.harmonicCentrality(
+      Graph.shortestPaths(edges(2L -> 1L, 1L -> 0L, 4L -> 5L), Seq(0L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(disconnected(4L) == 1.0 && disconnected(2L) == 0.5)
+  }
 }

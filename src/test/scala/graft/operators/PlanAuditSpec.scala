@@ -590,6 +590,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q87_nation_profit: name filter pushed to part scan, three dims broadcast") {
+    val p = plan("q87_nation_profit")
+    // the LIKE filter must shrink the part build BELOW the exchange
+    assert(p.contains("StringContains(p_name,bolt)") || p.contains("Contains(p_name"),
+      "name filter not pushed to the part scan:\n" + p.take(1000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part/supplier/nation dims not all broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
