@@ -263,6 +263,64 @@ object Dedup {
        |  GROUP BY 1)
        |WHERE dist BETWEEN 1 AND $maxDist ORDER BY dist""".stripMargin
 
+  /** d24: end-to-end entity resolution (record linkage) — the composed
+    * workload d22's census only measures: blocked fuzzy pair generation
+    * (16-char name prefix block, levenshtein 1..`maxDist` IN the join
+    * condition so non-matching pairs die before materializing — the
+    * correct plan at scale), transitive closure over the match graph
+    * ([[graft.graph.Graph.connectedComponents]] — a~b, b~c merge even
+    * when a~c was never compared), and per-entity consolidation:
+    * record count, canonical name (min_by custkey — unique keys, so the
+    * argmin is total), exact-decimal balance roll-up. Unmatched records
+    * form singleton entities under their own key.
+    *
+    * The oracle rebuilds the closure independently (recursive CTE), so
+    * a missed or spurious merge on either engine breaks the count/name/
+    * balance of every affected entity row — entity membership is
+    * hash-checked, not just pair counts. */
+  def entityResolution(customer: DataFrame, maxDist: Int = 2): DataFrame = {
+    val c = customer.select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      .localCheckpoint(true) // both sides of the blocking self-join
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey") &&
+          levenshtein(col("a.c_name"), col("b.c_name")).between(1, maxDist))
+      .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+    val ents = graft.graph.Graph.connectedComponents(pairs)
+      .select(col("id").as("c_custkey"), col("component").as("entity"))
+    customer.join(ents, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        coalesce(col("entity"), col("c_custkey")).as("entity"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_records"),
+        min_by(col("c_name"), col("c_custkey")).as("canonical_name"),
+        sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+          .cast("double").as("total_acctbal"))
+      .orderBy("entity")
+  }
+
+  def entityResolutionSql(maxDist: Int = 2): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+       |  FROM (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) a
+       |  JOIN (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) b
+       |    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+       |      AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND $maxDist
+       |), und AS (
+       |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+       |), v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+       |ents AS (SELECT id AS c_custkey, min(lbl) AS entity FROM reach GROUP BY id)
+       |SELECT COALESCE(e.entity, c.c_custkey) AS entity,
+       |  COUNT(*) AS n_records,
+       |  min_by(c.c_name, c.c_custkey) AS canonical_name,
+       |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS total_acctbal
+       |FROM customer c LEFT JOIN ents e USING (c_custkey)
+       |GROUP BY 1 ORDER BY entity""".stripMargin
+
   // ------------------------------------------------------------- minhash
 
   /** Word w-shingles (duplicates removed — shingle *sets* for Jaccard).
@@ -1488,6 +1546,8 @@ object Dedup {
     "d23_leakage_split" -> ((s: SparkSession, dir: String) =>
       leakageSplit(Tables.documents(s, dir), cachedClusters(s, dir),
         cachedLshPairs(s, dir))),
+    "d24_entity_resolution" -> ((s: SparkSession, dir: String) =>
+      entityResolution(Tables.customer(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1522,5 +1582,6 @@ object Dedup {
     "d19_containment" -> containmentTopSql(),
     "d20_threshold_curve" -> thresholdCurveSql(),
     "d23_leakage_split" -> leakageSplitSql(),
+    "d24_entity_resolution" -> entityResolutionSql(),
   )
 }

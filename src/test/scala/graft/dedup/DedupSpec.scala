@@ -340,6 +340,32 @@ class DedupSpec extends SparkSpec {
     assert(fixed.forall(_ == 0L))
   }
 
+  test("entityResolution: transitive merge, canonical min-name, singleton identity") {
+    import spark.implicits._
+    // all four share the 16-char block "entity_record_00" / "…_99"-ish
+    // prefixes long enough to co-block; 1~2 and 2~3 at dist 1 (3 is dist
+    // 2 from 1 — the closure must merge all three), 4 is far from all
+    val cust = Seq(
+      (1L, "entity_record_0001a", 10.0),
+      (2L, "entity_record_0001b", 20.0),
+      (3L, "entity_record_0001bc", 30.0),
+      (4L, "entity_record_9999x", 5.0)).toDF("c_custkey", "c_name", "c_acctbal")
+    val got = Dedup.entityResolution(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, "entity_record_0001a", 60.0),
+      (4L, 1L, "entity_record_9999x", 5.0)), s"unexpected: $got")
+  }
+
+  test("entityResolution on real sf0.001 customers: records conserved, keys covered") {
+    val cust = graft.sources.Tables.customer(spark, sf("sf0.001"))
+    val got = Dedup.entityResolution(cust).collect()
+    assert(got.map(_.getLong(1)).sum == cust.count()) // every record in exactly one entity
+    // entity ids are member min-keys: each appears at most once and is a real key
+    val ids = got.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("leakageSplit on real sf0.001 clusters: zero leaked pairs in every split") {
     val dir = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, dir)
