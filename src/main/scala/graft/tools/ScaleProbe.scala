@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   * - orders: id-offset replicas (graph probes: the derived mod-2000 edge
   *   list DENSIFIES with F, which is exactly what stresses degree-capped
   *   operators like g17).
+  * - customer: id-offset replicas with names REGENERATED from the new
+  *   key in the generator's own `Customer#%09d` format, so the
+  *   16-char-prefix block structure d24 relies on (exactly 100 names
+  *   per block at any scale) holds in every replica — the probe then
+  *   measures F× more blocks of constant size, which is d24's claimed
+  *   scale property.
   *
   * Writes only the tables the probe families read (documents, embeddings,
-  * orders); point probes at queries over those tables.
+  * orders, customer); point probes at queries over those tables.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -83,8 +89,19 @@ object ScaleProbe {
         col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val maxCustK = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    cust.crossJoin(reps)
+      .select(
+        (col("c_custkey") + col("rep") * maxCustK).as("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey") + col("rep") * maxCustK)
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     println(s"[probe] wrote ${f}x corpus to $out " +
-      s"(docs=${maxDoc * f}, vecs=${maxVec * f}, orders≈${orders.count() * f})")
+      s"(docs=${maxDoc * f}, vecs=${maxVec * f}, orders≈${orders.count() * f}, " +
+      s"customers=${maxCustK * f})")
     spark.stop()
   }
 }
