@@ -93,6 +93,7 @@ object SparkEntry {
     "m12_logreg_gd" -> Seq("p"),
     "m22_model_weights" -> Seq("w1", "w2", "b"),
     "m24_temp_scaling" -> Seq("avg_nll", "avg_brier"),
+    "m25_target_encoding" -> Seq("enc_oof", "prior_oof"),
     "x27_weighted_sample" -> Seq("key"),
     "m13_calibration" -> Seq("mean_p", "pos_rate"),
     "m14_pr_curve" -> Seq("precision", "recall"),

@@ -295,6 +295,104 @@ object LogRegGd {
        |FROM per_t CROSS JOIN best ORDER BY t""".stripMargin
   }
 
+  /** m25: out-of-fold smoothed target encoding — the leakage-correct way
+    * to turn a categorical column into a numeric feature: for every
+    * (category, fold) cell, the encoding is the label mean over the
+    * category's rows in the OTHER folds, shrunk toward the global prior
+    * by a pseudo-count m (Micci-Barreca's empirical-Bayes smoothing). A
+    * row's own fold never contributes to the statistic applied to it, so
+    * the feature carries no target leakage — the d23 companion (d23
+    * splits leakage-free, m25 encodes leakage-free).
+    *
+    * Category = source, label y = [lang = 'en'] (the module's standard
+    * label), fold = md5-bucket(doc_id) mod K via the engine-portable
+    * hash idiom ([[graft.text.TextStats.hashBucket]]) — folds are
+    * reproducible across engines, runs, and partitionings, never an RNG.
+    *
+    * The smoothing prior is ALSO out-of-fold (per fold: the label mean
+    * over every row outside that fold) — a global prior would leak each
+    * row's label back into its own feature through the shrinkage term.
+    * That makes the defining invariant exact and metamorphically
+    * testable: relabeling rows inside fold f cannot move ANY encoding
+    * applied to fold f.
+    *
+    * Output is the ENCODER ARTIFACT itself (≤ |categories|·K rows), not
+    * the encoded corpus: at 100 TB the artifact is metadata-sized and is
+    * applied to training rows via a broadcast join on (category, fold).
+    * Shape: one corpus scan → per-(category, fold) partial-aggregated
+    * integer sums (map-side combine; |cats|·K keys); everything after —
+    * per-category roll-up, per-fold prior, the final joins — runs on
+    * that metadata-sized cell frame. No corpus-proportional shuffle
+    * anywhere. Needs ≥ 2 nonempty folds (any real corpus).
+    *
+    * Determinism: cell counts and label sums are exact integers; the
+    * prior is round→DECIMAL at birth; the encoding divides exact-integer
+    * differences plus m·prior in ONE double expression of identical
+    * shape on both engines, rounded to 6 dp into DECIMAL. */
+  def targetEncoding(docs: DataFrame, k: Int = 4, m: Int = 20): DataFrame = {
+    val cells = docs
+      .select(col("source"),
+        (graft.text.TextStats.hashBucket(col("doc_id")) % k).cast("bigint").as("fold"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy("source", "fold")
+      .agg(count(lit(1)).as("n_fold"), sum("y").cast("long").as("s_fold"))
+      .localCheckpoint(true) // |cats|·K rows; feeds roll-ups AND the output
+    val perCat = cells.groupBy("source")
+      .agg(sum("n_fold").cast("long").as("n_tot"),
+        sum("s_fold").cast("long").as("s_tot"))
+    val perFold = cells.groupBy("fold")
+      .agg(sum("n_fold").cast("long").as("nf_all"),
+        sum("s_fold").cast("long").as("sf_all"))
+    val tot = cells.agg(sum("n_fold").cast("long").as("n_all"),
+      sum("s_fold").cast("long").as("s_all"))
+    val priorOof = perFold.crossJoin(broadcast(tot))
+      .select(col("fold"),
+        round((col("s_all") - col("sf_all")).cast("double") /
+          (col("n_all") - col("nf_all")).cast("double"), 6).cast(Out6).as("prior_oof"))
+    cells.join(broadcast(perCat), "source")
+      .join(broadcast(priorOof), "fold")
+      .select(col("source"), col("fold"), col("n_fold"),
+        round(((col("s_tot") - col("s_fold")).cast("double") +
+            lit(m.toDouble) * col("prior_oof").cast("double")) /
+          ((col("n_tot") - col("n_fold")).cast("double") + lit(m.toDouble)), 6)
+          .cast(Out6).as("enc_oof"),
+        col("prior_oof"))
+      .orderBy("source", "fold")
+  }
+
+  def targetEncodingSql(k: Int = 4, m: Int = 20): String = {
+    val b = graft.text.TextStats.hashBucketSqlExpr("doc_id")
+    s"""WITH cells AS (
+       |  SELECT source, CAST(($b) % $k AS BIGINT) AS fold,
+       |    count(*) AS n_fold,
+       |    CAST(SUM(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS s_fold
+       |  FROM documents GROUP BY 1, 2
+       |), per_cat AS (
+       |  SELECT source, CAST(SUM(n_fold) AS BIGINT) AS n_tot,
+       |    CAST(SUM(s_fold) AS BIGINT) AS s_tot
+       |  FROM cells GROUP BY source
+       |), per_fold AS (
+       |  SELECT fold, CAST(SUM(n_fold) AS BIGINT) AS nf_all,
+       |    CAST(SUM(s_fold) AS BIGINT) AS sf_all
+       |  FROM cells GROUP BY fold
+       |), tot AS (
+       |  SELECT CAST(SUM(n_fold) AS BIGINT) AS n_all,
+       |    CAST(SUM(s_fold) AS BIGINT) AS s_all
+       |  FROM cells
+       |), prior AS (
+       |  SELECT fold,
+       |    CAST(round(CAST(s_all - sf_all AS DOUBLE) / CAST(n_all - nf_all AS DOUBLE), 6)
+       |      AS DECIMAL(18,6)) AS prior_oof
+       |  FROM per_fold CROSS JOIN tot
+       |)
+       |SELECT c.source, c.fold, c.n_fold,
+       |  CAST(round((CAST(p.s_tot - c.s_fold AS DOUBLE) + $m.0 * CAST(pr.prior_oof AS DOUBLE))
+       |    / (CAST(p.n_tot - c.n_fold AS DOUBLE) + $m.0), 6) AS DECIMAL(18,6)) AS enc_oof,
+       |  pr.prior_oof
+       |FROM cells c JOIN per_cat p USING (source) JOIN prior pr USING (fold)
+       |ORDER BY source, fold""".stripMargin
+  }
+
   /** Final scores memoized per (session, sf-dir): m12 emits them, m13
     * buckets them — one GD training per session (|docs| rows, narrow). */
   private def cachedScores(s: SparkSession, dir: String): DataFrame =
@@ -647,6 +745,8 @@ object LogRegGd {
       learnableCurve(Tables.documents(s, dir))),
     "m24_temp_scaling" -> ((s: SparkSession, dir: String) =>
       tempScaling(Tables.documents(s, dir))),
+    "m25_target_encoding" -> ((s: SparkSession, dir: String) =>
+      targetEncoding(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -659,5 +759,6 @@ object LogRegGd {
     "m22_model_weights" -> modelWeightsSql(),
     "m23_learnable_curve" -> learnableCurveSql(),
     "m24_temp_scaling" -> tempScalingSql(),
+    "m25_target_encoding" -> targetEncodingSql(),
   )
 }

@@ -249,4 +249,73 @@ class LogRegGdSpec extends SparkSpec {
       assert(math.abs(bg - be) < 1e-9, s"Brier mismatch at T=$tg: $bg vs $be")
     }
   }
+
+  test("targetEncoding matches a driver-side reference on real data (m25)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val got = LogRegGd.targetEncoding(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue))
+    // independent reference: folds via the same portable hash (the fold
+    // ASSIGNMENT is shared by design), the encoding math recomputed from
+    // per-row (source, fold, y) triples in driver code
+    val rows = docs.select(col("source"),
+        (graft.text.TextStats.hashBucket(col("doc_id")) % 4).cast("long").as("fold"),
+        (col("lang") === "en").cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCat = rows.groupBy(_._1)
+    val nAll = rows.length
+    val sAll = rows.map(_._3).sum
+    val expected = (for {
+      (cat, rs) <- byCat.toSeq
+      fold <- rs.map(_._2).distinct.toSeq
+    } yield {
+      val inFold = rs.filter(_._2 == fold)
+      val foldAll = rows.filter(_._2 == fold)
+      val prior = r6((sAll - foldAll.map(_._3).sum).toDouble / (nAll - foldAll.length))
+      val enc = r6(((rs.map(_._3).sum - inFold.map(_._3).sum) + 20.0 * prior) /
+        ((rs.length - inFold.length) + 20.0))
+      (cat, fold) -> (inFold.length.toLong, enc, prior)
+    }).toMap
+    assert(got.length == expected.size)
+    got.foreach { case (cat, fold, nF, enc, prior) =>
+      val (nE, encE, priorE) = expected((cat, fold))
+      assert(nF == nE, s"($cat,$fold) n_fold $nF vs $nE")
+      assert(enc == encE, s"($cat,$fold) enc $enc vs $encE")
+      assert(prior == priorE, s"($cat,$fold) prior $prior vs $priorE")
+    }
+  }
+
+  test("targetEncoding: relabeling inside fold f never moves fold-f encodings") {
+    import org.apache.spark.sql.functions._
+    // the defining no-leakage invariant, metamorphically: flip EVERY
+    // label in fold 0 (en <-> de) — each (category, 0) cell's enc_oof
+    // and prior_oof must be bit-identical, because nothing a fold-0 row
+    // contributes (cell sum, category total, smoothing prior) enters the
+    // statistic applied to fold 0; the flipped mass must show up in at
+    // least one OTHER fold's encoding
+    val docs = Tables.documents(spark, sf("sf0.001")).localCheckpoint(true)
+    val inF0 = graft.text.TextStats.hashBucket(col("doc_id")) % 4 === 0
+    val flipped = docs.withColumn("lang",
+      when(inF0 && col("lang") === "en", "de")
+        .when(inF0 && col("lang") =!= "en", "en")
+        .otherwise(col("lang")))
+    def enc(d: org.apache.spark.sql.DataFrame) =
+      LogRegGd.targetEncoding(d).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDecimal(3).toString, r.getDecimal(4).toString)).toMap
+    val base = enc(docs)
+    val moved = enc(flipped)
+    assert(base.keySet == moved.keySet)
+    val f0 = base.keys.filter(_._2 == 0L)
+    assert(f0.nonEmpty)
+    f0.foreach { k =>
+      assert(base(k) == moved(k), s"fold-0 encoding moved at $k: ${base(k)} vs ${moved(k)}")
+    }
+    // sanity that the flip was real: some other fold's encoding moved
+    assert(base.exists { case (k, v) => k._2 != 0L && moved(k) != v },
+      "flip was a no-op — the metamorphic test lost its teeth")
+  }
 }
