@@ -109,11 +109,16 @@ object Graph {
     ranks.select(col("id"), round(col("rank"), 12).as("rank"))
   }
 
-  /** DuckDB oracle for [[pageRank]] (clean variant), iterations unrolled as
-    * CTEs — must mirror the double/DECIMAL dance exactly. */
-  def pageRankSql(iterations: Int, alpha: Double = 0.15, m: Int = 2000): String = {
+  /** The [[pageRank]] oracle's CTE chain over an ARBITRARY edge-list CTE
+    * body (any id type — the engine loop is id-type-agnostic too): ends
+    * at `r$iterations(id, rank)`; callers append their own final SELECT.
+    * Factored out so non-graph modules (t12 TextRank runs PageRank on a
+    * word co-occurrence graph) reuse the identical unrolled
+    * double/DECIMAL dance instead of forking it. */
+  def pageRankCtesSql(edgesCte: String, iterations: Int,
+                      alpha: Double = 0.15): String = {
     val base =
-      s"""WITH edges_g AS (${edgesSql(m)}),
+      s"""edges_g AS ($edgesCte),
          |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
          |outdeg AS (SELECT src, count(*) AS out_deg FROM edges_g GROUP BY src),
@@ -127,10 +132,14 @@ object Graph {
          |  SELECT v.id, COALESCE($alpha / n.n + ${1.0 - alpha} * m$i.mass, $alpha / n.n) AS rank
          |  FROM v CROSS JOIN n LEFT JOIN m$i ON v.id = m$i.dst)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$iters
-       |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
+    s"$base,\n$iters"
   }
+
+  /** DuckDB oracle for [[pageRank]] (clean variant), iterations unrolled as
+    * CTEs — must mirror the double/DECIMAL dance exactly. */
+  def pageRankSql(iterations: Int, alpha: Double = 0.15, m: Int = 2000): String =
+    s"""WITH ${pageRankCtesSql(edgesSql(m), iterations, alpha)}
+       |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
 
   /** g19: dangling-mass PageRank — the textbook-correct variant the
     * reference deliberately does NOT implement (ref PageRank.scala:45-67

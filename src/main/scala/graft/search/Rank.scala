@@ -811,6 +811,63 @@ object Rank {
        |GROUP BY doc_id ORDER BY n_hits DESC, doc_id ASC""".stripMargin
   }
 
+  // ----------------------------------------------------------- TextRank
+
+  /** t12: TextRank keyword extraction (Mihalcea & Tarau '04) — corpus
+    * keywords as PageRank centrality on the word co-occurrence graph:
+    * stopword-filtered tokens (the shared [[Tokenize.tokens]], so the
+    * graph matches the search family's vocabulary), an undirected edge
+    * for every pair of words ADJACENT in the filtered sequence (window
+    * 2), ranks from the id-type-agnostic [[graft.graph.Graph.pageRank]]
+    * loop, top-k terms by (rank desc, term asc).
+    *
+    * The oracle reuses [[graft.graph.Graph.pageRankCtesSql]] over a word
+    * edge CTE — the iterative double/DECIMAL dance is shared with g2,
+    * not forked, so TextRank inherits its cross-engine exactness proof.
+    *
+    * 100 TB shape: the edge build is one corpus scan → explode adjacent
+    * pairs → DISTINCT (shuffle on the pair key, map-side combinable);
+    * the graph that PageRank then iterates on is VOCABULARY-sized, not
+    * corpus-sized — Heaps' law keeps it orders of magnitude below the
+    * input, so the loop's per-iteration joins run on a frame that fits
+    * comfortably however large the corpus grows. */
+  def textRank(docs: DataFrame, iterations: Int = 3, topK: Int = 20): DataFrame = {
+    val toks = docs.select(Tokenize.tokens(col("text")).as("t"))
+    val adj = toks.select(explode(
+        zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+    val und = adj.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true) // vocabulary-sized; PR reads it 3+ times
+    graft.graph.Graph.pageRank(edges, iterations)
+      .orderBy(desc("rank"), asc("id"))
+      .limit(topK)
+      .select(col("id").as("term"), col("rank"))
+  }
+
+  def textRankSql(iterations: Int = 3, topK: Int = 20): String = {
+    val toksExpr = Tokenize.tokensSql("text")
+    val edgesBody =
+      "SELECT u AS src, v AS dst FROM und UNION ALL SELECT v AS src, u AS dst FROM und"
+    s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),
+       |adj AS (
+       |  SELECT t[u.i] AS a, t[u.i + 1] AS b
+       |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+       |),
+       |und AS (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM adj WHERE a <> b
+       |),
+       |${graft.graph.Graph.pageRankCtesSql(edgesBody, iterations)}
+       |SELECT id AS term, round(rank, 12) AS rank FROM r$iterations
+       |ORDER BY rank DESC, term ASC LIMIT $topK""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   private val bm25Terms = Seq("spark", "table", "query")
@@ -851,6 +908,8 @@ object Rank {
     "t11_rm3_search" -> ((s: SparkSession, dir: String) =>
       rm3Search(cachedPostings(s, dir), bm25Terms,
         dlOpt = Some(cachedDl(s, dir)))),
+    "t12_textrank_keywords" -> ((s: SparkSession, dir: String) =>
+      textRank(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -862,5 +921,6 @@ object Rank {
     "t9_hybrid_rrf" -> hybridRrfSql(bm25Terms, queryVec = 0L),
     "t10_ql_search" -> qlSearchSql(bm25Terms),
     "t11_rm3_search" -> rm3SearchSql(bm25Terms),
+    "t12_textrank_keywords" -> textRankSql(),
   )
 }

@@ -348,4 +348,38 @@ class RankSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(got == Set(1L)) // only the other zebra doc matches the truncated query
   }
+
+  test("textRank: chain graph ranks the hub word highest, symmetric ends tie") {
+    // "alpha beta gamma" → undirected path alpha—beta—gamma: beta (the
+    // hub) must out-rank the ends, and alpha/gamma are graph-symmetric
+    // so their ranks must be EQUAL (tie broken by term asc)
+    val d = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Rank.textRank(d).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq("beta", "alpha", "gamma"),
+      s"unexpected order: ${got.mkString(",")}")
+    assert(got(1)._2 == got(2)._2, "symmetric ends must tie exactly")
+    assert(got(0)._2 > got(1)._2, "hub must out-rank the ends")
+  }
+
+  test("textRank: stopwords are removed BEFORE windowing, edges bridge them") {
+    // raw text "spark the table": 'the' is filtered first, so spark and
+    // table become ADJACENT in the filtered sequence — the co-occurrence
+    // edge must exist (both words ranked, symmetric ranks), and no
+    // stopword may appear as a keyword
+    val d = Seq((0L, "spark the table"), (1L, "spark of table")).toDF("doc_id", "text")
+    val got = Rank.textRank(d).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet == Set("spark", "table"))
+    assert(got.head._2 == got.last._2, "2-node symmetric graph must tie")
+    assert(!got.exists(t => graft.text.Tokenize.stopwords.contains(t._1)))
+  }
+
+  test("textRank: topK truncates by (rank desc, term asc)") {
+    // star around 'hub' with 4 leaves: hub first, then leaves in
+    // lexicographic order; topK=3 keeps hub + first two leaves
+    val d = Seq((0L, "hub aa hub bb hub cc hub dd")).toDF("doc_id", "text")
+    val got = Rank.textRank(d, topK = 3).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("hub", "aa", "bb"), s"got $got")
+  }
 }
