@@ -26,6 +26,7 @@ import graft.sources.Tables
   */
 object Relational {
   private val D204 = DecimalType(20, 4)
+  private val Out6 = DecimalType(18, 6)
   private val D308 = DecimalType(30, 8)
 
   // ------------------------------------------------------------ aggregates
@@ -2313,6 +2314,76 @@ object Relational {
        |WHERE p_name LIKE '%$pattern%'
        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin
 
+  /** q88: per-user EWMA recency features — the time-decay aggregate a
+    * feature store materializes per entity ("how active is this user,
+    * weighted toward now"): each user's events ordered by (ts, event_id)
+    * carry weight 2^-k where k counts back from the most recent event,
+    * yielding a normalized EWMA (pandas `ewm(adjust=True)` semantics
+    * with decay ½ per step) and the raw decayed sum.
+    *
+    * Decay ½ is chosen deliberately: with cent-exact values (the events
+    * fixture is 2-dp by construction) every 6-dp term value·2^-k is a
+    * RATIONAL with a power-of-two denominator, so the whole term
+    * pipeline runs in exact INTEGER micro-units — `(v_cents·20000 +
+    * 2^k) div 2^(k+1)` IS round-half-up of v_cents·10⁴/2^k, no double
+    * round() anywhere. (The first cut used round(value/2^k, 6) doubles
+    * and hash-failed by one micro: value/2^k lands on exact decimal
+    * .xxxxxx5 ties whenever 2^k divides v_cents·2·10⁴, and Spark's
+    * repr-HALF_UP and DuckDB's double rounding split those ties
+    * differently. Engineered-tie inputs need integer arithmetic, not
+    * libm agreement.) k clamps at 40, provably past the micro floor of
+    * both terms. Integer sums are order-independent — partitioning-
+    * invariant like every engine aggregate.
+    *
+    * 100 TB shape: one shuffle on user_id (the window and the aggregate
+    * share it — Catalyst reuses the exchange), per-user state is two
+    * window counters, output is entity-sized. Skewed power users cost
+    * one partition's sort, the standard window trade. */
+  def q88UserEwma(spark: SparkSession, dir: String): DataFrame =
+    userEwma(Tables.events(spark, dir))
+
+  def userEwma(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val w = byUser.orderBy("ts", "event_id")
+    val k = least(count(lit(1)).over(byUser) - row_number().over(w), lit(40L))
+    events
+      .select(col("user_id"), col("value"), k.cast("int").as("k"))
+      .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), k)")) // exact 2^k
+      .select(col("user_id"),
+        expr("(CAST(round(value * 100) AS BIGINT) * 20000 + pw) DIV (2 * pw)")
+          .as("num_u"),
+        expr("(2000000 + pw) DIV (2 * pw)").as("den_u"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("num_u").cast("long").as("nsum_u"),
+        sum("den_u").cast("long").as("dsum_u"))
+      .select(col("user_id"), col("n_events"),
+        round(col("nsum_u").cast("double") / col("dsum_u").cast("double"), 6)
+          .cast(Out6).as("ewma"),
+        (col("nsum_u").cast(DecimalType(24, 0)) / lit(1000000))
+          .cast(Out6).as("decay_sum"))
+      .orderBy("user_id")
+  }
+
+  def q88UserEwmaSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, value,
+      |    CAST(LEAST(count(*) OVER (PARTITION BY user_id)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id), 40) AS INT) AS k
+      |  FROM events
+      |), terms AS (
+      |  SELECT user_id,
+      |    (CAST(round(value * 100) AS BIGINT) * 20000 + (CAST(1 AS BIGINT) << k))
+      |      // (2 * (CAST(1 AS BIGINT) << k)) AS num_u,
+      |    (2000000 + (CAST(1 AS BIGINT) << k))
+      |      // (2 * (CAST(1 AS BIGINT) << k)) AS den_u
+      |  FROM ranked
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(round(CAST(SUM(num_u) AS DOUBLE) / CAST(SUM(den_u) AS DOUBLE), 6) AS DECIMAL(18,6)) AS ewma,
+      |  CAST(CAST(SUM(num_u) AS DECIMAL(24,0)) / 1000000 AS DECIMAL(18,6)) AS decay_sum
+      |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q78: malformed-record resilience — the m20 principle (bad input is
     * countable rows, never task poison) applied to the JSON ingest path.
     * A JSONL artifact is generated from events with a deterministic
@@ -2514,6 +2585,7 @@ object Relational {
     "q85_top_supplier" -> ((s: SparkSession, dir: String) => q85TopSupplier(s, dir)),
     "q86_disjunctive_revenue" -> ((s: SparkSession, dir: String) => q86DisjunctiveRevenue(s, dir)),
     "q87_nation_profit" -> ((s: SparkSession, dir: String) => q87NationProfit(s, dir)),
+    "q88_user_ewma" -> ((s: SparkSession, dir: String) => q88UserEwma(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
@@ -2589,6 +2661,7 @@ object Relational {
     "q85_top_supplier" -> q85TopSupplierSql(),
     "q86_disjunctive_revenue" -> q86DisjunctiveRevenueSql,
     "q87_nation_profit" -> q87NationProfitSql(),
+    "q88_user_ewma" -> q88UserEwmaSql,
     "q78_bad_records" -> q78BadRecordsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )

@@ -600,6 +600,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q88_user_ewma: both windows and the aggregate share ONE user_id exchange") {
+    val p = plan("q88_user_ewma")
+    // the count window, row_number window, and groupBy all key on
+    // user_id — Catalyst must reuse a single hash exchange (the final
+    // orderBy's rangepartitioning is the only other shuffle)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected exactly one hash exchange:\n" + p.take(1200))
+    assert("Exchange".r.findAllIn(p).size <= 2, "unexpected extra shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),

@@ -577,4 +577,40 @@ class RelationalSpec extends SparkSpec {
       col("event_type") =!= "view").count()
     assert(n == expected)
   }
+
+  test("q88 userEwma matches hand computation; half-up ties are pinned") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: values 1.00, 2.00, 4.00 oldest→newest → weights 1/4, 1/2, 1
+    //   decay_sum = 0.25 + 1 + 4 = 5.25; Σw = 1.75; ewma = 3.0 exactly
+    // user 2: 6 events, only the OLDEST (k = 5) nonzero at 6.55:
+    //   655·10⁴/2⁵ = 204687.5 micro — an exact half-tie, must round UP
+    val ev = (Seq(
+      (1L, ts(1), 1L, 1.00), (2L, ts(2), 1L, 2.00), (3L, ts(3), 1L, 4.00),
+      (10L, ts(1), 2L, 6.55)) ++
+      (11L to 15L).map(i => (i, ts(i.toInt - 9 + 1), 2L, 0.00)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = Relational.userEwma(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue)).toMap
+    assert(got(1L) == ((3L, 3.0, 5.25)), s"user 1: ${got(1L)}")
+    assert(got(2L)._1 == 6L)
+    assert(got(2L)._3 == 0.204688,
+      s"half-tie must round up (204687.5 → 204688 micro): ${got(2L)}")
+  }
+
+  test("q88 userEwma: newest event dominates; permutation-invariant input order") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val rows = Seq(
+      (1L, ts(1), 1L, 100.00), (2L, ts(2), 1L, 0.00), (3L, ts(3), 1L, 8.00))
+    val a = Relational.userEwma(rows.toDF("event_id", "ts", "user_id", "value"))
+      .collect().head
+    val b = Relational.userEwma(rows.reverse.toDF("event_id", "ts", "user_id", "value"))
+      .collect().head
+    assert(a.toSeq == b.toSeq, "input row order must not matter")
+    // ewma = (25 + 0 + 8)/1.75 — the newest event's weight-1 value
+    // dominates the 4x-larger but 2-steps-older one
+    assert(a.getDecimal(2).doubleValue == 18.857143)
+  }
 }
