@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   *   per block at any scale) holds in every replica — the probe then
   *   measures F× more blocks of constant size, which is d24's claimed
   *   scale property.
+  * - events: (event_id, user_id)-offset replicas — F× more USERS at
+  *   constant per-user history, the growth mode entity-keyed features
+  *   (q88) claim linearity under; timestamps/values untouched so the
+  *   time-window families keep their density profile per user.
   *
   * Writes only the tables the probe families read (documents, embeddings,
-  * orders, customer); point probes at queries over those tables.
+  * orders, customer, events); point probes at queries over those tables.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -98,6 +102,17 @@ object ScaleProbe {
           .as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("rep") * maxEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     println(s"[probe] wrote ${f}x corpus to $out " +
       s"(docs=${maxDoc * f}, vecs=${maxVec * f}, orders≈${orders.count() * f}, " +
