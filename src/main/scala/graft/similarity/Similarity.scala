@@ -132,6 +132,138 @@ object Similarity {
     * stages (k is a query constant), so DuckDB replays the identical
     * trajectory without recursive-CTE semantics in the comparison
     * path. */
+  /** s24: int8 scalar quantization (SQ8) with a recall gate — the
+    * standard 4× compression for billion-scale vector stores (Faiss
+    * SQ8 / Milvus SQ8 semantics): each vector quantizes to 64 int8
+    * codes against its own max-abs scale, candidate scoring becomes an
+    * INTEGER dot product over the codes (normalized by the integer code
+    * norms — the per-vector scales cancel out of the cosine up to
+    * quantization error), and the query reports recall@k of the
+    * quantized ranking against the exact-decimal full-precision ranking
+    * (the s14 pattern: compression is only admissible with its recall
+    * measured, never assumed).
+    *
+    * Determinism: the quantizer is floor(x·127/m + 0.5) — half-up BY
+    * CONSTRUCTION from floor, which both engines define identically on
+    * doubles (an engine-native round() or int cast here would split
+    * repr-vs-value ties and rounding modes — the q88 lesson); all-zero
+    * vectors quantize to zero codes via the m = 0 guard and score 0.
+    * Code dots and code norms are exact INTEGER sums —
+    * order-independent with no decimal quantization needed at all; only
+    * the final normalized score and recall take the one-double-division
+    * round→DECIMAL path. Both rankings tie-break (score desc, id asc).
+    *
+    * 100 TB shape: quantization is one embarrassingly-parallel scan
+    * (the artifact a production store persists — 68 B/vector instead of
+    * 256 B); scoring runs on the codes through the same broadcast-
+    * query + bounded [[graft.search.Rank.topKPerQueryAgg]] plan as the
+    * full-precision path, so reducer state stays O(k·queries). The
+    * exact side exists for the GATE; production serves the quantized
+    * side only. */
+  def sq8Recall(emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                k: Int = 10): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val m = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val qvExpr = transform(col("embedding"), x =>
+      when(col("m") === 0.0d, lit(0L))
+        .otherwise(floor(x.cast("double") * lit(127.0d) / col("m") + lit(0.5d))
+          .cast("long")))
+    val quant = spread(emb) // parquet arrives 1-2 partitions; widen the kernels
+      .withColumn("m", m)
+      .select(col("vec_id"), col("embedding"), qvExpr.as("qv"))
+      .withColumn("qn",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .localCheckpoint(true) // corpus scanned once; both rankings reuse
+    val probes = quant.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("qv").as("qqv"), col("qn").as("qqn"),
+        norm2Col(col("embedding")).as("qnorm2"))
+    val cands = quant.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+    val idot = aggregate(zip_with(col("qv"), col("qqv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val quantTop = graft.search.Rank.topKPerQueryAgg(
+      cands.select(col("qid"), col("vec_id").as("doc_id"),
+        when(col("qn") === 0L || col("qqn") === 0L, lit(java.math.BigDecimal.ZERO).cast(Out6))
+          .otherwise(round(idot.cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("qqn").cast("double"))), 6)
+            .cast(Out6)).as("score")), k)
+    val exactTop = graft.search.Rank.topKPerQueryAgg(
+      cands.select(col("qid"), col("vec_id").as("doc_id"),
+        when(norm2Col(col("embedding")) === 0 || col("qnorm2") === 0,
+            lit(java.math.BigDecimal.ZERO).cast(Out6))
+          .otherwise(round(dotCol(col("embedding"), col("qe")) /
+            (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+            .cast(Out6)).as("score")), k)
+    exactTop.select(col("qid"), col("doc_id"))
+      .join(quantTop.select(col("qid"), col("doc_id"), lit(1L).as("hit")),
+        Seq("qid", "doc_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).cast(Out6).as("recall"))
+      .orderBy("qid")
+  }
+
+  def sq8RecallSql(queryIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), mm AS (
+       |  SELECT vec_id, MAX(abs(x)) AS m FROM ex GROUP BY vec_id
+       |), qx AS (
+       |  SELECT e.vec_id, e.d,
+       |    CASE WHEN mm.m = 0 THEN 0
+       |         ELSE CAST(floor(e.x * 127.0 / mm.m + 0.5) AS BIGINT) END AS qx
+       |  FROM ex e JOIN mm USING (vec_id)
+       |), qnorm AS (
+       |  SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS qn FROM qx GROUP BY vec_id
+       |), idots AS (
+       |  SELECT q.qid, c.vec_id, CAST(SUM(c.qx * q.qqx) AS BIGINT) AS idot
+       |  FROM qx c JOIN (SELECT vec_id AS qid, d, qx AS qqx FROM qx
+       |                  WHERE vec_id IN ($ids)) q USING (d)
+       |  WHERE c.vec_id <> q.qid GROUP BY 1, 2
+       |), qcos AS (
+       |  SELECT i.qid, i.vec_id,
+       |    CASE WHEN n.qn = 0 OR s.qn = 0 THEN CAST(0 AS DECIMAL(18,6))
+       |         ELSE CAST(round(CAST(i.idot AS DOUBLE) /
+       |           (sqrt(CAST(n.qn AS DOUBLE)) * sqrt(CAST(s.qn AS DOUBLE))), 6)
+       |           AS DECIMAL(18,6)) END AS score
+       |  FROM idots i JOIN qnorm n USING (vec_id)
+       |  JOIN (SELECT vec_id AS qid, qn FROM qnorm WHERE vec_id IN ($ids)) s USING (qid)
+       |), qtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS r
+       |    FROM qcos) WHERE r <= $k
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), dots AS (
+       |  SELECT q.qid, c.vec_id, CAST(SUM(CAST(c.x * q.qx2 AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex c JOIN (SELECT vec_id AS qid, d, x AS qx2 FROM ex
+       |                  WHERE vec_id IN ($ids)) q USING (d)
+       |  WHERE c.vec_id <> q.qid GROUP BY 1, 2
+       |), ecos AS (
+       |  SELECT dd.qid, dd.vec_id,
+       |    CASE WHEN n.norm2 = 0 OR s.norm2 = 0 THEN CAST(0 AS DECIMAL(18,6))
+       |         ELSE CAST(round(dd.dot / (sqrt(n.norm2) * sqrt(s.norm2)), 6) AS DECIMAL(18,6)) END AS score
+       |  FROM dots dd JOIN norms n USING (vec_id)
+       |  JOIN (SELECT vec_id AS qid, norm2 FROM norms WHERE vec_id IN ($ids)) s USING (qid)
+       |), etop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS r
+       |    FROM ecos) WHERE r <= $k
+       |)
+       |SELECT et.qid, CAST(COUNT(qt.vec_id) AS BIGINT) AS n_overlap,
+       |  CAST(round(CAST(COUNT(qt.vec_id) AS DOUBLE) / $k, 6) AS DECIMAL(18,6)) AS recall
+       |FROM etop et LEFT JOIN qtop qt ON et.qid = qt.qid AND et.vec_id = qt.vec_id
+       |GROUP BY et.qid ORDER BY et.qid""".stripMargin
+  }
+
   def mmrRerank(emb: DataFrame, queryId: Long, n: Int = 20, k: Int = 5,
                 lam: Double = 0.7): DataFrame = {
     val spark = emb.sparkSession
@@ -2357,6 +2489,8 @@ object Similarity {
       knnBrute(Tables.embeddings(s, dir), queryId = 0L)),
     "s23_mmr_rerank" -> ((s: SparkSession, dir: String) =>
       mmrRerank(Tables.embeddings(s, dir), queryId = 0L)),
+    "s24_sq8_recall" -> ((s: SparkSession, dir: String) =>
+      sq8Recall(Tables.embeddings(s, dir))),
     "s2_ann_lsh" -> ((s: SparkSession, dir: String) =>
       annLsh(Tables.embeddings(s, dir), queryId = 0L,
         p = autoPForDir(s, dir))),
@@ -2415,6 +2549,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" -> knnBruteSql(0L),
     "s23_mmr_rerank" -> mmrRerankSql(0L),
+    "s24_sq8_recall" -> sq8RecallSql(),
     "s2_ann_lsh" -> annLshSql(0L, p = oracleP),
     "s3_near_dup_pairs" -> nearDupPairsSql(p = oracleP),
     "s5_embedding_clusters" -> embeddingClustersSql(p = oracleP),

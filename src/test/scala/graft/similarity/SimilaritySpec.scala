@@ -516,4 +516,44 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(rel == Seq(2L, 1L, 3L), s"λ=1 must equal the relevance ranking: $rel")
   }
+
+  test("sq8Recall: full recall on the real corpus, shape invariants hold") {
+    val got = Similarity.sq8Recall(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    got.foreach { case (qid, n, rec) =>
+      assert(n >= 0 && n <= 5 && rec == n / 5.0, s"recall/overlap mismatch at $qid")
+      // 64-dim SQ8 noise is far below this corpus's cosine gaps
+      assert(rec >= 0.8, s"suspiciously low SQ8 recall at $qid: $rec")
+    }
+  }
+
+  test("sq8Recall negative control: code-collision ties are DETECTED as recall loss") {
+    import spark.implicits._
+    // candidates 1 and 2 quantize to IDENTICAL codes ([127, 1]: both
+    // second components land in the same int8 bucket) but differ in
+    // exact cosine: exact top-1 is vec 2 (smaller second comp), while
+    // the quantized tie breaks to the smaller id (vec 1) — the gate
+    // must report recall@1 = 0, proving it can see quantization damage
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0056f), 0),
+      (2L, Array(1.0f, 0.0044f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.sq8Recall(tiny, queryIds = Seq(0L), k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.toSeq == Seq((0L, 0L, 0.0)), s"expected recall 0, got ${got.toSeq}")
+  }
+
+  test("sq8Recall: all-zero vectors quantize to zero codes and never outrank") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0),   // zero vector: m = 0 guard path
+      (2L, Array(0.9f, 0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.sq8Recall(tiny, queryIds = Seq(0L), k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    // both rankings put vec 2 first (zero vector scores 0 on both
+    // sides), so the gate reads full recall — and no NaN/crash
+    assert(got.toSeq == Seq((0L, 1L, 1.0)), s"got ${got.toSeq}")
+  }
 }
