@@ -2314,6 +2314,89 @@ object Relational {
        |WHERE p_name LIKE '%$pattern%'
        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin
 
+  /** q89: TPC-H Q18 shape — large-volume customers: orders whose total
+    * line quantity exceeds the threshold, with customer identity and
+    * order facts, by price. The pattern is aggregate-then-semi-join: the
+    * per-order quantity roll-up (exact decimal, map-side combinable)
+    * FILTERS FIRST, so only the handful of qualifying orderkeys — a
+    * metadata-sized frame at any SF (46 at sf0.01, TPC-H's own
+    * selectivity at t=300) — flows into the joins, each as an explicit
+    * broadcast build against the bigger table. The quantity threshold
+    * compares exact decimals, never an IEEE sum. */
+  def q89BigQtyOrders(spark: SparkSession, dir: String,
+                      threshold: Int = 300, k: Int = 20): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(D204)).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > lit(threshold))
+    val sel = Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    Tables.customer(spark, dir)
+      .join(broadcast(sel), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+  }
+
+  def q89BigQtyOrdersSql(threshold: Int = 300, k: Int = 20): String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+       |FROM (
+       |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty_d
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > $threshold
+       |) big
+       |JOIN orders ON o_orderkey = big.l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT $k""".stripMargin
+
+  /** q90: TPC-H Q10 shape — returned-item revenue ranking: customers
+    * ranked by revenue lost to returns (`l_returnflag = 'R'`) on orders
+    * placed in one quarter, with nation context. One shuffle equi-join
+    * lineitem⋈orders (both sides date/flag-filtered at the scan — at
+    * 100 TB a quarter of orders is NOT broadcastable, so this is the
+    * honest plan), per-customer exact-decimal revenue roll-up, then the
+    * customer/nation attachment happens AFTER aggregation on the
+    * entity-sized frame (nation broadcast). Top-k by (revenue desc,
+    * custkey asc) via TakeOrdered on the exact decimal. */
+  def q90ReturnedRanking(spark: SparkSession, dir: String,
+                         from: String = "1996-01-01", to: String = "1996-04-01",
+                         k: Int = 20): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(to))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(D204)).as("rev_d"))
+    rev.join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("c_acctbal"), col("rev_d").cast("double").as("revenue"))
+      .orderBy(desc("rev_d"), asc("c_custkey"))
+      .limit(k)
+  }
+
+  def q90ReturnedRankingSql(from: String = "1996-01-01", to: String = "1996-04-01",
+                            k: Int = 20): String =
+    s"""SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+       |  CAST(rev_d AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT o_custkey,
+       |    SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(20,4))) AS rev_d
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '$from' AND o_orderdate < TIMESTAMP '$to'
+       |  GROUP BY o_custkey
+       |) r
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |ORDER BY rev_d DESC, c_custkey ASC LIMIT $k""".stripMargin
+
   /** q88: per-user EWMA recency features — the time-decay aggregate a
     * feature store materializes per entity ("how active is this user,
     * weighted toward now"): each user's events ordered by (ts, event_id)
@@ -2586,6 +2669,8 @@ object Relational {
     "q86_disjunctive_revenue" -> ((s: SparkSession, dir: String) => q86DisjunctiveRevenue(s, dir)),
     "q87_nation_profit" -> ((s: SparkSession, dir: String) => q87NationProfit(s, dir)),
     "q88_user_ewma" -> ((s: SparkSession, dir: String) => q88UserEwma(s, dir)),
+    "q89_big_qty_orders" -> ((s: SparkSession, dir: String) => q89BigQtyOrders(s, dir)),
+    "q90_returned_ranking" -> ((s: SparkSession, dir: String) => q90ReturnedRanking(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
@@ -2662,6 +2747,8 @@ object Relational {
     "q86_disjunctive_revenue" -> q86DisjunctiveRevenueSql,
     "q87_nation_profit" -> q87NationProfitSql(),
     "q88_user_ewma" -> q88UserEwmaSql,
+    "q89_big_qty_orders" -> q89BigQtyOrdersSql(),
+    "q90_returned_ranking" -> q90ReturnedRankingSql(),
     "q78_bad_records" -> q78BadRecordsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )

@@ -611,6 +611,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q89_big_qty_orders: qualifying orders broadcast into both joins, top-k TakeOrdered") {
+    val p = plan("q89_big_qty_orders")
+    // the filtered per-order roll-up (metadata-sized) must be the build
+    // side against orders, and the joined selection the build side
+    // against customer — never the reverse
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "aggregate-then-broadcast shape lost:\n" + p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"), "final top-k not TakeOrdered")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q90_returned_ranking: flag and date filters pushed to the scans") {
+    val p = plan("q90_returned_ranking")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag not pushed to the lineitem scan:\n" + p.take(1000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter lower bound not pushed to the orders scan:\n" + p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"), "final top-k not TakeOrdered")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
