@@ -96,6 +96,7 @@ object SparkEntry {
     "m25_target_encoding" -> Seq("enc_oof", "prior_oof"),
     "q88_user_ewma" -> Seq("ewma", "decay_sum"),
     "s24_sq8_recall" -> Seq("recall"),
+    "s25_mrl_recall" -> Seq("recall"),
     "x27_weighted_sample" -> Seq("key"),
     "m13_calibration" -> Seq("mean_p", "pos_rate"),
     "m14_pr_curve" -> Seq("precision", "recall"),

@@ -264,6 +264,98 @@ object Similarity {
        |GROUP BY et.qid ORDER BY et.qid""".stripMargin
   }
 
+  /** s25: Matryoshka truncated-dimension recall — the OTHER axis of
+    * vector compression next to s24's code width: rank by cosine over
+    * only the FIRST d′ dimensions (Kusupati et al.'s MRL serving trick:
+    * a prefix of a Matryoshka-trained embedding is itself a usable
+    * embedding at d′/D of the compute and memory) and report recall@k
+    * against the full-dimension ranking, one row per (d′, query). The
+    * output is the dimension/recall CURVE an embedding store consults
+    * when choosing its serving width.
+    *
+    * Shape: the full-dimension ranking is computed once; each truncated
+    * width adds one more broadcast-query scoring pass over `slice`d
+    * arrays (cheaper per pass — the kernel sees d′ elements) into the
+    * same bounded top-k aggregator. All passes share one spread corpus
+    * scan via the checkpoint. Exact-decimal dots/norms throughout; both
+    * rankings tie-break (score desc, id asc); zero-prefix vectors (a
+    * vector can be zero in its first d′ dims without being zero) score
+    * 0 through the same guard as s24. */
+  def mrlRecall(emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val base = spread(emb).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val probes = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .localCheckpoint(true) // |queries|·corpus slim rows; scored |dims|+1 times
+    def topAt(d: Option[Int]) = {
+      def cut(c: Column) = d.map(n => slice(c, 1, n)).getOrElse(c)
+      val e = cut(col("embedding"))
+      val q = cut(col("qe"))
+      graft.search.Rank.topKPerQueryAgg(
+        cands.select(col("qid"), col("vec_id").as("doc_id"),
+          when(norm2Col(e) === 0 || norm2Col(q) === 0,
+              lit(java.math.BigDecimal.ZERO).cast(Out6))
+            .otherwise(round(dotCol(e, q) / (sqrt(norm2Col(e)) * sqrt(norm2Col(q))), 6)
+              .cast(Out6)).as("score")), k)
+    }
+    val full = topAt(None).select(col("qid"), col("doc_id"))
+      .localCheckpoint(true) // k·|queries| rows; joined once per width
+    dims.map { d =>
+      topAt(Some(d)).select(col("qid"), col("doc_id"), lit(1L).as("hit"))
+        .join(full, Seq("qid", "doc_id"), "right_outer")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_overlap"))
+        .select(lit(d.toLong).as("dims"), col("qid"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).cast(Out6).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy("dims", "qid")
+  }
+
+  def mrlRecallSql(queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                   dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10): String = {
+    val ids = queryIds.mkString(", ")
+    def rankCtes(tag: String, dimFilter: String) =
+      s"""norms$tag AS (
+         |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+         |  FROM ex WHERE $dimFilter GROUP BY vec_id
+         |), dots$tag AS (
+         |  SELECT q.qid, c.vec_id, CAST(SUM(CAST(c.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+         |  FROM ex c JOIN (SELECT vec_id AS qid, d, x AS qx FROM ex
+         |                  WHERE vec_id IN ($ids) AND $dimFilter) q USING (d)
+         |  WHERE c.vec_id <> q.qid AND $dimFilter GROUP BY 1, 2
+         |), top$tag AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS r
+         |    FROM (
+         |      SELECT dd.qid, dd.vec_id,
+         |        CASE WHEN n.norm2 = 0 OR sn.norm2 = 0 THEN CAST(0 AS DECIMAL(18,6))
+         |             ELSE CAST(round(dd.dot / (sqrt(n.norm2) * sqrt(sn.norm2)), 6) AS DECIMAL(18,6)) END AS score
+         |      FROM dots$tag dd JOIN norms$tag n USING (vec_id)
+         |      JOIN (SELECT vec_id AS qid, norm2 FROM norms$tag WHERE vec_id IN ($ids)) sn USING (qid)
+         |    ) s) WHERE r <= $k
+         |)""".stripMargin
+    val perDim = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims, f.qid,
+         |  CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+         |  CAST(round(CAST(COUNT(t.vec_id) AS DOUBLE) / $k, 6) AS DECIMAL(18,6)) AS recall
+         |FROM topfull f LEFT JOIN topd$d t ON f.qid = t.qid AND f.vec_id = t.vec_id
+         |GROUP BY f.qid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |),
+       |${rankCtes("full", "TRUE")},
+       |${dims.map(d => rankCtes(s"d$d", s"d < $d")).mkString(",\n")}
+       |SELECT * FROM (
+       |$perDim
+       |) ORDER BY dims, qid""".stripMargin
+  }
+
   def mmrRerank(emb: DataFrame, queryId: Long, n: Int = 20, k: Int = 5,
                 lam: Double = 0.7): DataFrame = {
     val spark = emb.sparkSession
@@ -2491,6 +2583,8 @@ object Similarity {
       mmrRerank(Tables.embeddings(s, dir), queryId = 0L)),
     "s24_sq8_recall" -> ((s: SparkSession, dir: String) =>
       sq8Recall(Tables.embeddings(s, dir))),
+    "s25_mrl_recall" -> ((s: SparkSession, dir: String) =>
+      mrlRecall(Tables.embeddings(s, dir))),
     "s2_ann_lsh" -> ((s: SparkSession, dir: String) =>
       annLsh(Tables.embeddings(s, dir), queryId = 0L,
         p = autoPForDir(s, dir))),
@@ -2550,6 +2644,7 @@ object Similarity {
     "s1_knn_brute" -> knnBruteSql(0L),
     "s23_mmr_rerank" -> mmrRerankSql(0L),
     "s24_sq8_recall" -> sq8RecallSql(),
+    "s25_mrl_recall" -> mrlRecallSql(),
     "s2_ann_lsh" -> annLshSql(0L, p = oracleP),
     "s3_near_dup_pairs" -> nearDupPairsSql(p = oracleP),
     "s5_embedding_clusters" -> embeddingClustersSql(p = oracleP),

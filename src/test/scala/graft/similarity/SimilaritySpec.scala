@@ -544,6 +544,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 0L, 0.0)), s"expected recall 0, got ${got.toSeq}")
   }
 
+  test("mrlRecall: identity width gives full recall; curve rises with width") {
+    val got = Similarity.mrlRecall(emb, dims = Seq(8, 32, 64), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(3).doubleValue))
+    assert(got.length == 9)
+    // truncation at the full width is the identity ranking — exact 1.0
+    got.filter(_._1 == 64L).foreach { case (_, qid, rec) =>
+      assert(rec == 1.0, s"d'=D must be full recall, qid $qid got $rec") }
+    // aggregate monotonicity: more dims never hurt on average
+    def mean(d: Long) = { val xs = got.filter(_._1 == d).map(_._3); xs.sum / xs.length }
+    assert(mean(8L) <= mean(32L) && mean(32L) <= mean(64L),
+      s"recall curve not rising: ${got.mkString(",")}")
+  }
+
+  test("mrlRecall negative control: a prefix-cosine tie flips the ranking detectably") {
+    import spark.implicits._
+    // full cosine prefers vec 2 (0.948 vs 0.53), but on the first dim
+    // alone both normalize to exactly 1.0 — the tie breaks to the
+    // smaller id (vec 1), so recall@1 at d'=1 must read 0 while d'=2
+    // reads 1
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.5f, 0.8f), 0),
+      (2L, Array(0.9f, -0.3f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mrlRecall(tiny, queryIds = Seq(0L), dims = Seq(1, 2), k = 1)
+      .collect().map(r => (r.getLong(0), r.getDecimal(3).doubleValue)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0), s"got $got")
+  }
+
   test("sq8Recall: all-zero vectors quantize to zero codes and never outrank") {
     import spark.implicits._
     val tiny = Seq(
