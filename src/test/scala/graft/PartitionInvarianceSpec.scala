@@ -38,7 +38,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "m12_logreg_gd",       // exact-decimal gradient descent
     "t11_rm3_search",      // two-pass weighted retrieval (greedy fb set)
     "s23_mmr_rerank",      // driver-looped greedy argmax trajectory
-    "d23_leakage_split")   // cluster-keyed hash split + leak audit
+    "d23_leakage_split",   // cluster-keyed hash split + leak audit
+    "q88_user_ewma",       // integer-micro-unit half-up pipeline
+    "s24_sq8_recall",      // integer code dots + dual bounded top-k
+    "d24_entity_resolution", // banded-lev pairs + transitive closure
+    "t12_textrank_keywords") // word-graph PageRank fixpoint
 
   private lazy val alt = {
     val s = spark.newSession()
