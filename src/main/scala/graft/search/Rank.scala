@@ -868,6 +868,79 @@ object Rank {
        |ORDER BY rank DESC, term ASC LIMIT $topK""".stripMargin
   }
 
+  // --------------------------------------------------------- fuzzy search
+
+  /** t13: typo-tolerant retrieval — each query term expands to the
+    * vocabulary terms at MINIMUM edit distance within `maxDist` (exact
+    * hit → itself at distance 0), weighted 1/(1+dist), and the weighted
+    * expansion rides the SAME shared TF-IDF cosine core as t2/t7
+    * ([[TfIdf.cosineScores]] — the fuzzy layer only builds a different
+    * qtf frame, so scoring parity with the exact paths cannot drift).
+    * A typo with no vocabulary term in range drops out, the t1 OOV
+    * semantics.
+    *
+    * The vocabulary probe uses the d24 banded-levenshtein form (one
+    * O(len·k) eval per pair via the threshold overload, `-1` past the
+    * band) against the VOCABULARY — Heaps-law-bounded, orders of
+    * magnitude below the corpus, and the query side broadcasts, so the
+    * expansion costs one slim vocab scan regardless of corpus size.
+    * Weights are decimal-at-birth (1, 0.5, 0.333333); the min-distance
+    * selection compares exact integers. */
+  def fuzzySearch(postings: DataFrame, norms: DataFrame, terms: Seq[String],
+                  maxDist: Int = 2, k: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val vocab = postings.select("term").distinct()
+    val cand = vocab.crossJoin(broadcast(terms.distinct.toDF("qterm")))
+      .withColumn("dist", levenshtein(col("term"), col("qterm"), maxDist))
+      .filter(col("dist") =!= -1)
+    val best = cand.groupBy("qterm").agg(min("dist").as("mind"))
+    val qtf = cand.join(broadcast(best), "qterm")
+      .filter(col("dist") === col("mind"))
+      .select(col("term"),
+        round(lit(1.0) / (lit(1) + col("dist")), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+      .groupBy("term").agg(sum("w").as("qtf"))
+      .withColumn("qid", lit(0L))
+    TfIdf.cosineScores(postings, norms, qtf, trueCosine = false)
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  def fuzzySearchSql(terms: Seq[String], maxDist: Int = 2, k: Int = 10): String = {
+    val termRows = terms.distinct.map(t => s"('$t')").mkString(", ")
+    s"""${TfIdf.postingsSql}, norms AS (
+       |  SELECT doc_id, CAST(SUM(CAST(tfidf * tfidf AS DECIMAL(32,12))) AS DOUBLE) AS norm2
+       |  FROM postings GROUP BY doc_id
+       |), vocab AS (SELECT DISTINCT term FROM postings),
+       |qraw AS (SELECT term AS qterm FROM (VALUES $termRows) AS q(term)),
+       |cand AS (
+       |  SELECT v.term, q.qterm, CAST(levenshtein(v.term, q.qterm) AS INT) AS dist
+       |  FROM vocab v CROSS JOIN qraw q
+       |  WHERE levenshtein(v.term, q.qterm) <= $maxDist
+       |), best AS (SELECT qterm, MIN(dist) AS mind FROM cand GROUP BY qterm),
+       |qterms AS (
+       |  SELECT c.term,
+       |    SUM(CAST(round(1.0 / (1 + c.dist), 6) AS DECIMAL(18,6))) AS qtf
+       |  FROM cand c JOIN best b ON c.qterm = b.qterm AND c.dist = b.mind
+       |  GROUP BY c.term
+       |), idf AS (
+       |  SELECT term, any_value(idf) AS idf FROM postings GROUP BY term
+       |), qvec AS (
+       |  SELECT q.term, CAST(q.qtf AS DOUBLE) * idf.idf AS q_tfidf
+       |  FROM qterms q JOIN idf USING (term)
+       |), qnorm AS (
+       |  SELECT CAST(SUM(CAST(q_tfidf * q_tfidf AS DECIMAL(32,12))) AS DOUBLE) AS qnorm2 FROM qvec
+       |), dot AS (
+       |  SELECT p.doc_id, CAST(SUM(CAST(p.tfidf * q.q_tfidf AS DECIMAL(32,12))) AS DOUBLE) AS dot
+       |  FROM postings p JOIN qvec q USING (term) GROUP BY p.doc_id
+       |)
+       |SELECT d.doc_id, round(d.dot / (n.norm2 * q.qnorm2), 6) AS score
+       |FROM dot d JOIN norms n USING (doc_id) CROSS JOIN qnorm q
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   private val bm25Terms = Seq("spark", "table", "query")
@@ -910,7 +983,15 @@ object Rank {
         dlOpt = Some(cachedDl(s, dir)))),
     "t12_textrank_keywords" -> ((s: SparkSession, dir: String) =>
       textRank(Tables.documents(s, dir))),
+    "t13_fuzzy_search" -> ((s: SparkSession, dir: String) => {
+      val p = cachedPostings(s, dir)
+      fuzzySearch(p, TfIdf.docNorms(p), fuzzyTerms)
+    }),
   )
+
+  /** Two typos of corpus terms plus one exact term: the exact hit must
+    * ride through at distance 0 / weight 1. */
+  private val fuzzyTerms = Seq("sprak", "tabel", "query")
 
   def oracles: Map[String, String] = Map(
     "t7_tfidf_batch" -> searchBatchSql(batchQueries),
@@ -922,5 +1003,6 @@ object Rank {
     "t10_ql_search" -> qlSearchSql(bm25Terms),
     "t11_rm3_search" -> rm3SearchSql(bm25Terms),
     "t12_textrank_keywords" -> textRankSql(),
+    "t13_fuzzy_search" -> fuzzySearchSql(fuzzyTerms),
   )
 }

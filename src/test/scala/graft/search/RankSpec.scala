@@ -349,6 +349,44 @@ class RankSpec extends SparkSpec {
     assert(got == Set(1L)) // only the other zebra doc matches the truncated query
   }
 
+  test("fuzzySearch: exact term scores identically to searchMulti; typo preserves ranking") {
+    val d = Seq(
+      (0L, "zebra cat"),
+      (1L, "zebra dog"),
+      (2L, "cat dog"),
+      (3L, "cat mouse")).toDF("doc_id", "text")
+    val p = TfIdf.postings(d).localCheckpoint(true)
+    val n = TfIdf.docNorms(p)
+    // distance-0 hit carries weight 1 → byte-identical to the exact path
+    val exact = TfIdf.searchMulti(p, n, Seq("cat")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFuzzy = Rank.fuzzySearch(p, n, Seq("cat")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaFuzzy == exact, s"$viaFuzzy vs $exact")
+    // "zebr" expands to zebra at dist 1 (weight ½) — the uniform weight
+    // cannot change the RANKING vs searching zebra itself
+    val typo = Rank.fuzzySearch(p, n, Seq("zebr")).collect().map(_.getLong(0)).toSeq
+    val ref = TfIdf.searchMulti(p, n, Seq("zebra")).collect().map(_.getLong(0)).toSeq
+    assert(typo == ref, s"$typo vs $ref")
+  }
+
+  test("fuzzySearch: min-distance wins, OOV typos drop out") {
+    val d = Seq(
+      (0L, "cat runs"),
+      (1L, "cart wheels"),
+      (2L, "dog runs")).toDF("doc_id", "text")
+    val p = TfIdf.postings(d).localCheckpoint(true)
+    val n = TfIdf.docNorms(p)
+    // "ca": cat at dist 1 beats cart at dist 2 → only cat's doc matches
+    val got = Rank.fuzzySearch(p, n, Seq("ca")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L), s"min-dist selection failed: $got")
+    // "car": cat AND cart both at dist 1 → both docs match
+    val both = Rank.fuzzySearch(p, n, Seq("car")).collect().map(_.getLong(0)).toSet
+    assert(both == Set(0L, 1L), s"equal-dist expansion failed: $both")
+    // far-from-vocabulary garbage term → empty result, no error
+    assert(Rank.fuzzySearch(p, n, Seq("qqqqzz")).collect().isEmpty)
+  }
+
   test("textRank: chain graph ranks the hub word highest, symmetric ends tie") {
     // "alpha beta gamma" → undirected path alpha—beta—gamma: beta (the
     // hub) must out-rank the ends, and alpha/gamma are graph-symmetric
