@@ -94,6 +94,7 @@ object SparkEntry {
     "m22_model_weights" -> Seq("w1", "w2", "b"),
     "m24_temp_scaling" -> Seq("avg_nll", "avg_brier"),
     "m25_target_encoding" -> Seq("enc_oof", "prior_oof"),
+    "m26_group_metrics" -> Seq("acc", "tpr", "fpr", "ppr"),
     "q88_user_ewma" -> Seq("ewma", "decay_sum"),
     "s24_sq8_recall" -> Seq("recall"),
     "s25_mrl_recall" -> Seq("recall"),

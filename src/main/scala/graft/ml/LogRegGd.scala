@@ -295,6 +295,69 @@ object LogRegGd {
        |FROM per_t CROSS JOIN best ORDER BY t""".stripMargin
   }
 
+  /** m26: sliced (per-group) classifier evaluation — the fairness-style
+    * audit a model card reports: accuracy, TPR, FPR and the positive-
+    * prediction rate PER SOURCE (the slice column), so a model that is
+    * fine on average but broken for one slice is visible. Demographic-
+    * parity and equalized-odds gaps are max−min over the ppr/tpr/fpr
+    * columns — derivable from the output by inspection; the table IS
+    * the artifact. Degenerate slices guard to 0 (no positives → tpr 0,
+    * no negatives → fpr 0) rather than NaN.
+    *
+    * Shape: predictions come from the session-memoized GD scorer; one
+    * doc-keyed join attaches (source, y), one grouped integer aggregate
+    * (map-side combinable, |sources| keys) produces the table — the
+    * only corpus-proportional stages are the scan and that join's
+    * shuffle, both unavoidable and both key-partitioned. */
+  def groupMetrics(scored: DataFrame, docs: DataFrame): DataFrame = {
+    val joined = scored.select(col("doc_id"), col("pred"))
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("long").as("y")), "doc_id")
+    joined.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("pred").cast("long").as("n_pos_pred"),
+        sum((col("pred") === col("y")).cast("long")).cast("long").as("n_correct"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum("y").cast("long").as("n_pos"),
+        sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L))
+          .cast("long").as("fp"))
+      .select(col("source"), col("n"),
+        round(col("n_correct").cast("double") / col("n"), 6).cast(Out6).as("acc"),
+        when(col("n_pos") === 0L, lit(java.math.BigDecimal.ZERO).cast(Out6))
+          .otherwise(round(col("tp").cast("double") / col("n_pos"), 6).cast(Out6))
+          .as("tpr"),
+        when(col("n") === col("n_pos"), lit(java.math.BigDecimal.ZERO).cast(Out6))
+          .otherwise(round(col("fp").cast("double") / (col("n") - col("n_pos")), 6)
+            .cast(Out6)).as("fpr"),
+        round(col("n_pos_pred").cast("double") / col("n"), 6).cast(Out6).as("ppr"))
+      .orderBy("source")
+  }
+
+  def groupMetricsSql(lr: String = "0.5", steps: Int = 2): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), g AS (
+       |  SELECT d.source, s.pred, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), agg AS (
+       |  SELECT source, count(*) AS n,
+       |    CAST(SUM(pred) AS BIGINT) AS n_pos_pred,
+       |    CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |    CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+       |  FROM g GROUP BY source
+       |)
+       |SELECT source, n,
+       |  CAST(round(CAST(n_correct AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS acc,
+       |  CASE WHEN n_pos = 0 THEN CAST(0 AS DECIMAL(18,6))
+       |       ELSE CAST(round(CAST(tp AS DOUBLE) / n_pos, 6) AS DECIMAL(18,6)) END AS tpr,
+       |  CASE WHEN n = n_pos THEN CAST(0 AS DECIMAL(18,6))
+       |       ELSE CAST(round(CAST(fp AS DOUBLE) / (n - n_pos), 6) AS DECIMAL(18,6)) END AS fpr,
+       |  CAST(round(CAST(n_pos_pred AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS ppr
+       |FROM agg ORDER BY source""".stripMargin
+
   /** m25: out-of-fold smoothed target encoding — the leakage-correct way
     * to turn a categorical column into a numeric feature: for every
     * (category, fold) cell, the encoding is the label mean over the
@@ -747,6 +810,8 @@ object LogRegGd {
       tempScaling(Tables.documents(s, dir))),
     "m25_target_encoding" -> ((s: SparkSession, dir: String) =>
       targetEncoding(Tables.documents(s, dir))),
+    "m26_group_metrics" -> ((s: SparkSession, dir: String) =>
+      groupMetrics(cachedScores(s, dir), Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -760,5 +825,6 @@ object LogRegGd {
     "m23_learnable_curve" -> learnableCurveSql(),
     "m24_temp_scaling" -> tempScalingSql(),
     "m25_target_encoding" -> targetEncodingSql(),
+    "m26_group_metrics" -> groupMetricsSql(),
   )
 }

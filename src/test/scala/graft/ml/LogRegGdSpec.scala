@@ -250,6 +250,51 @@ class LogRegGdSpec extends SparkSpec {
     }
   }
 
+  test("groupMetrics matches a driver-side slice recomputation (m26)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val scored = LogRegGd.logregGd(docs)
+    val got = LogRegGd.groupMetrics(scored, docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue,
+        r.getDecimal(5).doubleValue)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = scored.select(col("doc_id"), col("pred"))
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("long").as("y")), "doc_id")
+      .collect().map(r => (r.getString(2), r.getLong(1), r.getLong(3)))
+    val expected = rows.groupBy(_._1).map { case (src, rs) =>
+      val n = rs.length
+      val pos = rs.count(_._3 == 1L)
+      val tp = rs.count(r => r._3 == 1L && r._2 == 1L)
+      val fp = rs.count(r => r._3 == 0L && r._2 == 1L)
+      src -> (n.toLong,
+        r6(rs.count(r => r._2 == r._3).toDouble / n),
+        if (pos == 0) 0.0 else r6(tp.toDouble / pos),
+        if (n == pos) 0.0 else r6(fp.toDouble / (n - pos)),
+        r6(rs.count(_._2 == 1L).toDouble / n))
+    }
+    assert(got == expected)
+  }
+
+  test("groupMetrics: degenerate slices guard to 0, never NaN (m26)") {
+    import org.apache.spark.sql.functions._
+    // srcA is all-positive (tpr defined, fpr guards to 0); srcB is
+    // all-negative (fpr defined, tpr guards to 0)
+    val docs = Seq(
+      (1L, "w " * 2000, "en", 4000L, "srcA"),
+      (2L, "w " * 1800, "en", 3600L, "srcA"),
+      (3L, "w " * 10, "de", 20L, "srcB"),
+      (4L, "w " * 12, "de", 24L, "srcB"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val got = LogRegGd.groupMetrics(LogRegGd.logregGd(docs), docs).collect()
+      .map(r => r.getString(0) -> (r.getDecimal(3).doubleValue,
+        r.getDecimal(4).doubleValue)).toMap
+    assert(got("srcA")._2 == 0.0, "no-negatives slice must guard fpr to 0")
+    assert(got("srcB")._1 == 0.0, "no-positives slice must guard tpr to 0")
+  }
+
   test("targetEncoding matches a driver-side reference on real data (m25)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf("sf0.001"))
