@@ -2397,6 +2397,50 @@ object Relational {
        |JOIN nation ON n_nationkey = c_nationkey
        |ORDER BY rev_d DESC, c_custkey ASC LIMIT $k""".stripMargin
 
+  /** q91: TPC-H Q4 shape — order-priority checking: per priority class,
+    * how many orders placed in one quarter had at least one slow
+    * lineitem. Q4's defining pattern is the EXISTS decorrelated to a
+    * LEFT SEMI join — each qualifying order counts ONCE no matter how
+    * many lineitems qualify, with no post-join distinct. The lateness
+    * predicate (`l_shipdate > o_orderdate + 60 days` — this schema
+    * carries shipdate, not Q4's commit/receipt pair, so "slow to ship"
+    * stands in for "received past commit") references both sides, so it
+    * rides INSIDE the semi-join as a residual condition on the
+    * `l_orderkey = o_orderkey` hash join; lineitem is date-prefiltered
+    * at the scan (a qualifying lineitem must ship after the window
+    * opens), so pushdown prunes most of the fact table before the join.
+    * At 100 TB both sides stay distributed (a quarter of orders is not
+    * broadcastable) — one shuffle on orderkey, then the grouped count
+    * is 5 rows. */
+  def q91PriorityCheck(spark: SparkSession, dir: String,
+                       from: String = "1996-01-01", to: String = "1996-04-01",
+                       lateDays: Int = 60): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(to))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(from))
+      .select("l_orderkey", "l_shipdate")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q91PriorityCheckSql(from: String = "1996-01-01", to: String = "1996-04-01",
+                          lateDays: Int = 60): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$from' AND o_orderdate < TIMESTAMP '$to'
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_shipdate > TIMESTAMP '$from'
+       |                AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** q88: per-user EWMA recency features — the time-decay aggregate a
     * feature store materializes per entity ("how active is this user,
     * weighted toward now"): each user's events ordered by (ts, event_id)
@@ -2671,6 +2715,7 @@ object Relational {
     "q88_user_ewma" -> ((s: SparkSession, dir: String) => q88UserEwma(s, dir)),
     "q89_big_qty_orders" -> ((s: SparkSession, dir: String) => q89BigQtyOrders(s, dir)),
     "q90_returned_ranking" -> ((s: SparkSession, dir: String) => q90ReturnedRanking(s, dir)),
+    "q91_priority_check" -> ((s: SparkSession, dir: String) => q91PriorityCheck(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
@@ -2749,6 +2794,7 @@ object Relational {
     "q88_user_ewma" -> q88UserEwmaSql,
     "q89_big_qty_orders" -> q89BigQtyOrdersSql(),
     "q90_returned_ranking" -> q90ReturnedRankingSql(),
+    "q91_priority_check" -> q91PriorityCheckSql(),
     "q78_bad_records" -> q78BadRecordsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )

@@ -632,6 +632,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q91_priority_check: EXISTS plans as one LeftSemi hash join, dates pushed") {
+    val p = plan("q91_priority_check")
+    assert(p.contains("LeftSemi"), "EXISTS did not decorrelate to a semi join:\n" + p.take(1000))
+    assert(!p.contains("Distinct") && !p.contains("CartesianProduct"),
+      "semi join must not need a post-join distinct")
+    // both scans keep their date prefilters (orders: the quarter window;
+    // lineitem: ships after the window opens)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter lower bound not pushed to the orders scan:\n" + p.take(1000))
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "ship-date prefilter not pushed to the lineitem scan:\n" + p.take(1000))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),

@@ -613,4 +613,24 @@ class RelationalSpec extends SparkSpec {
     // dominates the 4x-larger but 2-steps-older one
     assert(a.getDecimal(2).doubleValue == 18.857143)
   }
+
+  test("q91 priority check: semi-join counts each order once (distinct-join recount)") {
+    import org.apache.spark.sql.functions.{countDistinct, expr, lit}
+    val got = Relational.q91PriorityCheck(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // EXISTS recount via inner join + distinct orderkeys: a multi-slow-
+    // lineitem order must still count exactly once
+    val o = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val expected = o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"semi-join vs distinct-join recount: $got vs $expected")
+    assert(got.values.sum > 0, "window/lateness must select some orders at sf0.001")
+  }
 }
