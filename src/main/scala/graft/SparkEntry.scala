@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.dedup.Dedup
 import graft.graph.Graph
-import graft.ml.{Classify, Embed, LogRegGd}
+import graft.ml.{AssocRules, Classify, Embed, LogRegGd}
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, Layout, Relational, SkewJoin, Sketch, Upsert}
 import graft.search.{Rank, TfIdf}
@@ -95,6 +95,7 @@ object SparkEntry {
     "m24_temp_scaling" -> Seq("avg_nll", "avg_brier"),
     "m25_target_encoding" -> Seq("enc_oof", "prior_oof"),
     "m26_group_metrics" -> Seq("acc", "tpr", "fpr", "ppr"),
+    "m27_assoc_rules" -> Seq("support", "confidence", "lift"),
     "q88_user_ewma" -> Seq("ewma", "decay_sum"),
     "s24_sq8_recall" -> Seq("recall"),
     "s25_mrl_recall" -> Seq("recall"),
@@ -196,7 +197,7 @@ object SparkEntry {
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AsofJoin.queries ++ SkewJoin.queries ++ Upsert.queries ++ Layout.queries ++ Sketch.queries ++ Graph.queries ++ TextStats.queries ++ Dedup.queries ++
       Similarity.queries ++ EventStream.queries ++ Classify.queries ++
-      Embed.queries ++ LogRegGd.queries ++ Multimodal.queries ++ Rank.queries ++
+      Embed.queries ++ LogRegGd.queries ++ AssocRules.queries ++ Multimodal.queries ++ Rank.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       "t1_tfidf_single" -> ((s: SparkSession, dir: String) =>
         TfIdf.searchSingle(cachedPostings(s, dir), "spark")),
@@ -222,7 +223,7 @@ object SparkEntry {
   private def rawOracleSql: Map[String, String] =
     Relational.oracles ++ AsofJoin.oracles ++ SkewJoin.oracles ++ Upsert.oracles ++ Layout.oracles ++ Sketch.oracles ++ Graph.oracles ++ TextStats.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Classify.oracles ++
-      Embed.oracles ++ LogRegGd.oracles ++ Multimodal.oracles ++ Rank.oracles ++ Map(
+      Embed.oracles ++ LogRegGd.oracles ++ AssocRules.oracles ++ Multimodal.oracles ++ Rank.oracles ++ Map(
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
       "t3_tfidf_persisted" -> TfIdf.searchSingleSql("spark"),
