@@ -96,6 +96,7 @@ object SparkEntry {
     "m25_target_encoding" -> Seq("enc_oof", "prior_oof"),
     "m26_group_metrics" -> Seq("acc", "tpr", "fpr", "ppr"),
     "m27_assoc_rules" -> Seq("support", "confidence", "lift"),
+    "s26_nprobe_recall" -> Seq("recall"),
     "q88_user_ewma" -> Seq("ewma", "decay_sum"),
     "s24_sq8_recall" -> Seq("recall"),
     "s25_mrl_recall" -> Seq("recall"),

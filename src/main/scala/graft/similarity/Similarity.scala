@@ -1070,6 +1070,131 @@ object Similarity {
        |FROM dots d JOIN norms n USING (vec_id) CROSS JOIN qn
        |ORDER BY cos DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  private def ivfSweepBase(dir: String): String =
+    graft.sources.Artifacts.path(s"ivf_sweep_${Tables.norm(dir)}")
+
+  /** Fact paths the s26 query wrote, per dir — the oracle builder has
+    * no dir parameter, so it resolves from this cache exactly like
+    * [[oracleP]]/[[oracleCells]] (queries run before oracles render;
+    * ambiguity across dirs fails loudly). */
+  private val sweepBaseByDir = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def oracleSweepBase: String = {
+    val bs = sweepBaseByDir.values.toSet
+    require(bs.size <= 1,
+      s"s26 sweep fact path ambiguous across dirs: $sweepBaseByDir")
+    bs.headOption.getOrElse(ivfSweepBase("unset"))
+  }
+
+  /** s26: IVF recall-vs-nprobe sweep — the tuning curve that tells an
+    * operator where to set nprobe (s14 gates ONE operating point; s24/
+    * s25 sweep quantization width and truncation dims; this completes
+    * the family with the probe-width axis). Reuses the s4/s19 memoized
+    * coarse quantizer; the query's FULL centroid ranking (centroid,
+    * pr) and the assignments are persisted as the oracle's facts (the
+    * s4 discipline: the KMeans fit itself is not SQL-expressible, so
+    * DuckDB verifies everything downstream of the persisted fit over
+    * the same files).
+    *
+    * Shape: candidates in the WIDEST probe set are scored exactly ONCE
+    * (one corpus-pruned scan carrying each candidate's probe rank);
+    * each sweep point is then a filter + TakeOrdered over the
+    * checkpointed scored frame — the sweep costs one scan plus
+    * |nprobes| metadata-sized top-k reductions, not |nprobes| scans.
+    * Recall joins against the one brute-force top-k. At 1B vectors the
+    * scored frame is n·maxNp/nCentroids rows of (id, pr, cos) — the
+    * sweep is an audit tool priced like one wide-probe query. */
+  def nprobeRecall(s: SparkSession, dir: String, queryId: Long = 0L,
+                   k: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                   nCentroids: Int = 16, fitSampleMod: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (assignedIds, centDf) = cachedIvfParts(s, dir, nCentroids, fitSampleMod)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
+    // full probe ranking by the KMeans metric (the ivfProbes ordering,
+    // un-truncated), ties broken by centroid id — k tiny rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("sim"), asc("centroid"))
+    val pranks = centDf.crossJoin(broadcast(q.select(col("qe"))))
+      .select(col("centroid"),
+        (dotCol(col("cvec"), col("qe")) - norm2Col(col("cvec")) / 2).as("sim"))
+      .withColumn("pr", row_number().over(w))
+      .select("centroid", "pr")
+    val base = ivfSweepBase(dir)
+    sweepBaseByDir.put(Tables.norm(dir), base)
+    graft.plans.Materialized(s, s"ivf_sweep_layout:${Tables.norm(dir)}") {
+      assignedIds.write.mode("overwrite").parquet(s"$base/assign")
+      pranks.write.mode("overwrite").parquet(s"$base/pranks")
+      s.range(1).toDF("ok")
+    }
+    val a = s.read.parquet(s"$base/assign")
+    val pRead = s.read.parquet(s"$base/pranks")
+    val maxNp = nprobes.max
+    val scored = emb.join(a, "vec_id")
+      .join(broadcast(pRead.filter(col("pr") <= maxNp)), "centroid")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("pr"),
+        round(dotCol(col("embedding"), col("qe")) /
+          (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
+          .cast(Out6).as("cos"))
+      .localCheckpoint(true) // one scan; every sweep point reuses
+    val brute = knnBrute(emb, queryId, k).select("vec_id").localCheckpoint(true)
+    nprobes.map { np =>
+      scored.filter(col("pr") <= np)
+        .orderBy(desc("cos"), asc("vec_id")).limit(k)
+        .join(brute, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(np.toLong).as("nprobe"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).cast(Out6).as("recall"))
+    }.reduce(_.union(_)).orderBy("nprobe")
+  }
+
+  /** Oracle for [[nprobeRecall]]: per-np top-k from the persisted
+    * assignment/probe-rank facts + exact cosine, overlap against the
+    * brute-force top-k re-derived from raw parquet. */
+  def nprobeRecallSql(queryId: Long = 0L, k: Int = 10,
+                      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): String = {
+    val base = oracleSweepBase
+    val npVals = nprobes.map(np => s"($np)").mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), norms AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), assigned AS (SELECT * FROM '$base/assign/*.parquet'),
+       |pranks AS (SELECT * FROM '$base/pranks/*.parquet'),
+       |q AS (SELECT d, x AS qx FROM ex WHERE vec_id = $queryId),
+       |qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = $queryId),
+       |dots AS (
+       |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * q.qx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN q USING (d) WHERE ex.vec_id != $queryId GROUP BY ex.vec_id
+       |), scored AS (
+       |  SELECT d.vec_id, p.pr,
+       |    CAST(round(d.dot / (sqrt(n.norm2) * sqrt(qn.qnorm2)), 6) AS DECIMAL(18,6)) AS cos
+       |  FROM dots d JOIN norms n USING (vec_id)
+       |  JOIN assigned a ON a.vec_id = d.vec_id
+       |  JOIN pranks p ON p.centroid = a.centroid
+       |  CROSS JOIN qn
+       |), brute AS (SELECT vec_id FROM (
+       |  ${knnBruteSql(queryId, k).replace("\n", "\n  ")}
+       |)), nps AS (SELECT np FROM (VALUES $npVals) v(np)),
+       |topk AS (
+       |  SELECT np, vec_id FROM (
+       |    SELECT nps.np, s.vec_id,
+       |      row_number() OVER (PARTITION BY nps.np
+       |        ORDER BY s.cos DESC, s.vec_id ASC) AS rk
+       |    FROM scored s JOIN nps ON s.pr <= nps.np)
+       |  WHERE rk <= $k
+       |)
+       |SELECT CAST(t.np AS BIGINT) AS nprobe,
+       |  count(b.vec_id) AS n_overlap,
+       |  CAST(round(CAST(count(b.vec_id) AS DOUBLE) / $k, 6) AS DECIMAL(18,6)) AS recall
+       |FROM topk t LEFT JOIN brute b USING (vec_id)
+       |GROUP BY t.np ORDER BY nprobe""".stripMargin
+  }
+
   // ----------------------------------------------------------- centroids
 
   /** Per-label embedding centroid in long format (label, d, centroid):
@@ -2635,6 +2760,8 @@ object Similarity {
       cellOccupancy(s, dir)),
     "s22_ingest_merge" -> ((s: SparkSession, dir: String) =>
       ingestMerge(s, dir)),
+    "s26_nprobe_recall" -> ((s: SparkSession, dir: String) =>
+      nprobeRecall(s, dir)),
   )
 
   // LSH-family oracles read oracleP — resolved from the per-dir autoP
@@ -2667,5 +2794,6 @@ object Similarity {
     "s20_incremental_assign" -> incrementalAssignSql(),
     "s21_cell_occupancy" -> cellOccupancySql(),
     "s22_ingest_merge" -> ingestMergeSql(),
+    "s26_nprobe_recall" -> nprobeRecallSql(),
   )
 }
