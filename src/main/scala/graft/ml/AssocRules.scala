@@ -42,8 +42,27 @@ object AssocRules {
   /** Rules from a (ok, item) basket frame: directed (antecedent →
     * consequent) with support = n_ab/N, confidence = n_ab/s_ant,
     * lift = n_ab·N/(s_ant·s_con); pairs below `minCount` co-occurrences
-    * are pruned before metrics. */
-  def assocRules(baskets: DataFrame, minCount: Int = 3, topK: Int = 30): DataFrame = {
+    * are pruned before metrics.
+    *
+    * `minCount` is the ABSOLUTE prune (fixture-friendly); production
+    * pruning must be RELATIVE ([[assocRulesBySupport]]): with a fixed
+    * item universe, co-occurrence counts scale with corpus size, so an
+    * absolute threshold admits O(N) more pairs as the corpus grows (the
+    * 10× probe measured exactly this: 63 → ~115k surviving pairs) while
+    * a support fraction keeps the surviving set scale-invariant. */
+  def assocRules(baskets: DataFrame, minCount: Int = 3, topK: Int = 30): DataFrame =
+    rulesCore(baskets, lit(minCount.toLong), topK)
+
+  /** Relative-support pruning — the scale-correct production form:
+    * minCount = ⌈minSupport · N⌉ is derived INSIDE the plan from the
+    * 1-row order count (one broadcast, no driver action), so the
+    * surviving pair set stays scale-invariant as the corpus grows. */
+  def assocRulesBySupport(baskets: DataFrame, minSupport: Double = 2.0e-4,
+                          topK: Int = 30): DataFrame =
+    rulesCore(baskets, ceil(lit(minSupport) * col("n_orders")), topK)
+
+  private def rulesCore(baskets: DataFrame, minCountExpr: org.apache.spark.sql.Column,
+                        topK: Int): DataFrame = {
     val b = baskets.select(col("ok"), col("item")).distinct()
     val nOrders = b.select("ok").distinct()
       .agg(count(lit(1)).as("n_orders")) // 1 row; broadcast, never collected
@@ -56,7 +75,9 @@ object AssocRules {
         col("l.ok") === col("r.ok") && col("l.item") < col("r.item"))
       .select(col("l.item").as("item_a"), col("r.item").as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
+      .crossJoin(broadcast(nOrders)) // 1 row; lets the prune be N-relative
+      .filter(col("n_ab") >= minCountExpr)
+      .select("item_a", "item_b", "n_ab")
     // both directed rules from one pair row (a union would recompute the
     // whole pair aggregation per branch)
     val rules = pairs.select(explode(array(
@@ -84,21 +105,23 @@ object AssocRules {
   }
 
   /** Registry entry: baskets are the distinct (order, part) pairs of
-    * lineitem. */
+    * lineitem; pruning is RELATIVE (minSupport = 2e-4 ⇒ minCount 3 at
+    * sf0.01, and the same RULE SET — not 1000× the rules — at 100 TB). */
   def m27AssocRules(spark: SparkSession, dir: String,
-                    minCount: Int = 3, topK: Int = 30): DataFrame =
-    assocRules(Tables.lineitem(spark, dir)
+                    minSupport: Double = 2.0e-4, topK: Int = 30): DataFrame =
+    assocRulesBySupport(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")),
-      minCount, topK)
+      minSupport, topK)
 
-  def m27AssocRulesSql(minCount: Int = 3, topK: Int = 30): String =
+  def m27AssocRulesSql(minSupport: Double = 2.0e-4, topK: Int = 30): String =
     s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
        |n AS (SELECT count(*) AS n_orders FROM (SELECT DISTINCT ok FROM b)),
        |supp AS (SELECT item, count(*) AS s FROM b GROUP BY 1),
        |pairs AS (
        |  SELECT a.item AS item_a, bb.item AS item_b, count(*) AS n_ab
        |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.item < bb.item
-       |  GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= (SELECT CAST(ceil($minSupport * n_orders) AS BIGINT) FROM n)),
        |rules AS (
        |  SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pairs
        |  UNION ALL

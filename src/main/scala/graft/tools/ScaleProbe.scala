@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   *   time-window families keep their density profile per user.
   *
   * Writes only the tables the probe families read (documents, embeddings,
-  * orders, customer, events); point probes at queries over those tables.
+  * orders, lineitem, customer, events); point probes at queries over
+  * those tables.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -103,6 +104,23 @@ object ScaleProbe {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
+    // lineitem: l_orderkey offsets by the ORDERS key stride so each
+    // replica's lines attach to its replica's orders (q91's semi-join
+    // and m27's baskets replicate exactly); l_partkey is NOT offset —
+    // the item universe is fixed and only the basket count grows, the
+    // growth mode association-rule mining claims linearity under
+    // (supports scale xF, N scales xF, so confidence/lift are
+    // replica-invariant).
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(reps)
+      .select(
+        (col("l_orderkey") + col("rep") * maxOrd).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     val ev = spark.read.parquet(s"$src/events.parquet")
     val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
     val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
@@ -113,6 +131,13 @@ object ScaleProbe {
         (col("user_id") + col("rep") * maxUser).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // static dimension tables ride along UNCHANGED (their size does not
+    // scale with the fact tables — the point of the probe): q87/q89/q90/
+    // q91-style dim-joining queries stay runnable against the replica
+    for (dim <- Seq("nation", "region", "part", "supplier"))
+      spark.read.parquet(s"$src/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$out/$dim.parquet")
 
     println(s"[probe] wrote ${f}x corpus to $out " +
       s"(docs=${maxDoc * f}, vecs=${maxVec * f}, orders≈${orders.count() * f}, " +

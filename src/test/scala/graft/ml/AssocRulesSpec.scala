@@ -41,6 +41,20 @@ class AssocRulesSpec extends SparkSpec {
       s"duplicate lineitem inflated the pair count: ${loose.mkString(";")}")
   }
 
+  test("assocRulesBySupport: threshold is ceil(minSupport * N), derived in-plan") {
+    import spark.implicits._
+    // N = 4 orders, pair {1,2} co-occurs 3× (support 0.75)
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L),
+      (40L, 1L), (40L, 3L)).toDF("ok", "item")
+    // minSupport 0.6 → minCount ceil(2.4) = 3 → the pair survives
+    assert(AssocRules.assocRulesBySupport(baskets, 0.6, 10).count() == 2)
+    // minSupport 0.8 → minCount ceil(3.2) = 4 → pruned
+    assert(AssocRules.assocRulesBySupport(baskets, 0.8, 10).count() == 0)
+  }
+
   test("m27 plan: at-scale regime reuses one basket exchange; hint broadcasts survive") {
     // at sf0.001 stats let the optimizer broadcast the self-join side;
     // the 100 TB shape (both sides too big to ship) is what needs the
@@ -63,7 +77,8 @@ class AssocRulesSpec extends SparkSpec {
         "item-support hint broadcasts lost under threshold=-1:\n" + p.take(1200))
       assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
       val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-      assert(nested <= 1, s"only the 1-row n_orders cross join may nest ($nested)")
+      assert(nested <= 2,
+        s"only the two 1-row n_orders cross joins (prune + metrics) may nest ($nested)")
     } finally spark.conf.set(key, prev)
   }
 }
