@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.plans.Lineage.CheckpointOps
 import graft.sources.Tables
 
 /** Native DataFrame graph analytics (SURVEY.md §2.10 G1-G6).
@@ -88,10 +89,10 @@ object Graph {
     val n = v.count()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val init = if (refQuirks) 10.0 else 1.0 / n
-    var ranks = v.select(col("id"), lit(init).as("rank")).localCheckpoint(true)
+    var ranks = v.select(col("id"), lit(init).as("rank")).loopCheckpoint(true)
     val contribs = edges.join(outDeg, "src") // pre-joined once, reused per iter
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
       val spread = contribs.join(ranks, contribs("src") === ranks("id"))
         .select(col("dst"),
@@ -104,7 +105,7 @@ object Graph {
         (if (refQuirks) updated // ref drops vertices with no in-links
          else v.join(updated, Seq("id"), "left_outer")
            .select(col("id"), coalesce(col("rank"), lit(alpha / n)).as("rank")))
-          .localCheckpoint(true)
+          .loopCheckpoint(true)
     }
     ranks.select(col("id"), round(col("rank"), 12).as("rank"))
   }
@@ -160,14 +161,14 @@ object Graph {
     val v = vertices(edges)
     val n = v.count()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    var ranks = v.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    var ranks = v.select(col("id"), lit(1.0 / n).as("rank")).loopCheckpoint(true)
     val contribs = edges.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     // out-degree-0 vertices, computed once (dst-only ids in this graph)
     val danglingIds = v.join(edges.select(col("src").as("id")).distinct(),
         Seq("id"), "left_anti")
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
       val spread = contribs.join(ranks, contribs("src") === ranks("id"))
         .select(col("dst"),
@@ -182,7 +183,7 @@ object Graph {
         .select(v("id"),
           (lit(alpha / n) + lit(1.0 - alpha) *
             (coalesce(col("mass"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
     }
     ranks.select(col("id"), round(col("rank"), 12).as("rank"))
   }
@@ -226,16 +227,16 @@ object Graph {
     * added are bit-identical. */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
                            iterations: Int = 3, alpha: Double = 0.15): DataFrame = {
-    val v = vertices(edges).localCheckpoint(true) // reused every round
+    val v = vertices(edges).loopCheckpoint(true) // reused every round
     val k = sources.size
     val tele = alpha / k
     val isSrc = col("id").isin(sources: _*)
     var ranks = v.select(col("id"),
-      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")).localCheckpoint(true)
+      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")).loopCheckpoint(true)
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val contribs = edges.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
       val spread = contribs.join(ranks, contribs("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
@@ -244,7 +245,7 @@ object Graph {
         .select(col("id"),
           (when(isSrc, lit(tele)).otherwise(lit(0.0)) +
             lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
     }
     ranks.select(col("id"), round(col("rank"), 12).as("rank")).orderBy("id")
   }
@@ -315,12 +316,12 @@ object Graph {
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
                   alpha: Double = 0.15, recordKey: Option[String] = None): DataFrame = {
-    val v = vertices(edges).localCheckpoint(true) // reused every round
+    val v = vertices(edges).loopCheckpoint(true) // reused every round
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    var ranks = v.select(col("id"), lit(1.0).as("rank")).localCheckpoint(true)
+    var ranks = v.select(col("id"), lit(1.0).as("rank")).loopCheckpoint(true)
     val contribs = edges.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     var iters = 0
     var maxDelta = Double.MaxValue
     while (maxDelta >= tol) {
@@ -339,7 +340,7 @@ object Graph {
       val next = ranks.join(spread, ranks("id") === spread("dst"), "left_outer")
         .select(col("id"), newRank.as("rank"),
           abs(newRank - col("rank")).as("delta"))
-        .localCheckpoint(false)
+        .loopCheckpoint(false)
       maxDelta = next.agg(max("delta")).head().getDouble(0)
       ranks = next.select("id", "rank")
       iters += 1
@@ -446,9 +447,9 @@ object Graph {
     val und = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     var labels = vertices(edges)
-      .select(col("id"), col("id").as("component")).localCheckpoint(true)
+      .select(col("id"), col("id").as("component")).loopCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = und.join(labels, und("src") === labels("id"))
@@ -458,7 +459,7 @@ object Graph {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           col("component").as("prev"))
-        .localCheckpoint(false)
+        .loopCheckpoint(false)
       // pointer jump: follow each label to ITS label (component values
       // are always live node ids, so the inner self-join keeps all rows)
       val jump = stepped.select(col("id").as("jid"), col("component").as("jcomp"))
@@ -466,7 +467,7 @@ object Graph {
         .select(stepped("id"),
           least(stepped("component"), col("jcomp")).as("component"),
           (least(stepped("component"), col("jcomp")) < col("prev")).as("changed"))
-        .localCheckpoint(false)
+        .loopCheckpoint(false)
       changed = next.filter(col("changed")).count()
       labels = next.select("id", "component")
     }
@@ -485,6 +486,138 @@ object Graph {
        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id)
        |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Directed min-reach label fixpoint: lbl(v) = min id u (within the
+    * given vertex set) with u →* v — the DIRECTED sibling of the CC
+    * loop, same pointer-jumping trick (valid here too: lbl(v) names a
+    * node that reaches v, and lbl(lbl(v)) reaches lbl(v), so the
+    * composition reaches v transitively — labels stay sound while depth
+    * halves per round). Backward reach = the same fixpoint on reversed
+    * edges. */
+  private def minReachLabels(edges: DataFrame, verts: DataFrame): DataFrame = {
+    var labels = verts
+      .select(col("id"), col("id").as("lbl")).loopCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min("lbl").as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .loopCheckpoint(false)
+      val jump = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = stepped.join(jump, stepped("lbl") === jump("jid"))
+        .select(stepped("id"),
+          least(stepped("lbl"), col("jlbl")).as("lbl"),
+          (least(stepped("lbl"), col("jlbl")) < col("prev")).as("changed"))
+        .loopCheckpoint(false)
+      changed = next.filter(col("changed")).count()
+      labels = next.select("id", "lbl")
+    }
+    labels
+  }
+
+  /** g22: strongly connected components of the DIRECTED graph — the
+    * mutual-reachability refinement g3's undirected components can't
+    * express (GraphFrames exposes both; SURVEY §0 replaces it natively).
+    * FW-BW-MIN with trimming, the standard distributed SCC recipe:
+    *
+    * per outer round on the live subgraph,
+    *  1. TRIM: peel nodes with live in-degree 0 or out-degree 0 — they
+    *     are singleton SCCs (nothing can both reach and be reached
+    *     through them); repeat until none (kills DAG tendrils, the part
+    *     FW-BW alone handles one layer per round).
+    *  2. FW-BW-MIN: f(v) = min id reaching v, b(v) = min id v reaches
+    *     (two [[minReachLabels]] fixpoints, O(log diameter) rounds
+    *     each). f(v) = b(v) = c certifies v ∈ SCC(c) (c →* v →* c); the
+    *     converse holds for every SCC containing its own reach-set
+    *     minimum, so at least the global-min node's whole SCC — and in
+    *     practice every "locally minimal" SCC — resolves per round.
+    *  3. Remove assigned nodes and their edges; repeat.
+    *
+    * Output (id, scc) with scc = min member id — the same labeling
+    * convention as g3, so downstream group-bys are interchangeable.
+    *
+    * Scale shape: every stage is an equi-join/aggregate on vertex keys
+    * (degree counts, label joins, anti-join removal) — no closure
+    * materialization (the oracle's reach CTE is O(n²) and exists ONLY
+    * oracle-side); state per round is one (id, lbl) row per live
+    * vertex. Outer rounds are bounded by SCC-condensation structure,
+    * not n: the convergence guard fails loudly rather than silently
+    * degrading. */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 30): DataFrame = {
+    var live = edges.select("src", "dst").distinct().loopCheckpoint(true)
+    var verts = vertices(edges).loopCheckpoint(true)
+    var result: DataFrame = null
+    def add(a: DataFrame): Unit =
+      result = if (result == null) a else result.union(a)
+    var remaining = verts.count()
+    var outer = 0
+    while (remaining > 0) {
+      outer += 1
+      require(outer <= maxOuter, s"SCC: no convergence in $maxOuter outer rounds")
+      // 1. trim fixpoint: in-deg-0 / out-deg-0 nodes are singleton SCCs
+      var trimmed = 1L
+      while (trimmed > 0 && remaining > 0) {
+        val haveIn = live.select(col("dst").as("id")).distinct()
+        val haveOut = live.select(col("src").as("id")).distinct()
+        val keep = haveIn.join(haveOut, "id").loopCheckpoint(true)
+        val peeled = verts.join(keep, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("scc")).loopCheckpoint(true)
+        trimmed = peeled.count()
+        if (trimmed > 0) {
+          add(peeled)
+          verts = verts.join(keep, Seq("id")).loopCheckpoint(true)
+          live = live
+            .join(verts.select(col("id").as("src")), "src")
+            .join(verts.select(col("id").as("dst")), "dst")
+            .select("src", "dst").loopCheckpoint(true)
+          remaining -= trimmed
+        }
+      }
+      if (remaining > 0) {
+        // 2. FW-BW-MIN assignment
+        val f = minReachLabels(live, verts)
+        val rev = live.select(col("dst").as("src"), col("src").as("dst"))
+        val b = minReachLabels(rev, verts)
+          .select(col("id"), col("lbl").as("blbl"))
+        val assigned = f.join(b, "id")
+          .filter(col("lbl") === col("blbl"))
+          .select(col("id"), col("lbl").as("scc"))
+          .loopCheckpoint(true)
+        val nAssigned = assigned.count()
+        require(nAssigned > 0, "SCC: FW-BW round assigned nothing (bug)")
+        add(assigned)
+        verts = verts.join(assigned, Seq("id"), "left_anti").loopCheckpoint(true)
+        remaining -= nAssigned
+        if (remaining > 0)
+          live = live
+            .join(verts.select(col("id").as("src")), "src")
+            .join(verts.select(col("id").as("dst")), "dst")
+            .select("src", "dst").loopCheckpoint(true)
+      }
+    }
+    result.orderBy("id")
+  }
+
+  /** DuckDB oracle for [[stronglyConnectedComponents]]: directed reach
+    * closure (recursive CTE — O(n²) pairs, oracle-side only), mutual
+    * pairs, min mutual partner per vertex. */
+  def sccSql(m: Int = 2000): String =
+    s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
+       |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges_g
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges_g e ON e.src = r.dst),
+       |mutual AS (
+       |  SELECT a.src AS id, a.dst AS other
+       |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src)
+       |SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+       |FROM v LEFT JOIN mutual m ON m.id = v.id
+       |GROUP BY v.id ORDER BY v.id""".stripMargin
+
   /** Per-vertex and total triangle counts (ref G5
     * EpinionsGraphFrameAnalysis.scala:121 `graph.triangleCount.run()`).
     *
@@ -498,7 +631,7 @@ object Graph {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true) // reused 3× below; flat plan
+      .loopCheckpoint(true) // reused 3× below; flat plan
     val e1 = canon.select(col("a"), col("b"))
     val e2 = canon.select(col("a").as("b"), col("b").as("c"))
     val e3 = canon.select(col("a").as("ta"), col("b").as("tc"))
@@ -591,7 +724,7 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true) // reused: degrees, both wedge sides, anti-join
+      .loopCheckpoint(true) // reused: degrees, both wedge sides, anti-join
     val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxHubDeg)
     val wedges = sym.select(col("src").as("w"), col("dst").as("a"))
@@ -731,11 +864,11 @@ object Graph {
     * Spark-derived — the g5 contract). */
   def shortestPaths(edges: DataFrame, landmarks: Seq[Long],
                     recordKey: Option[String] = None): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint(true)
+    val e = edges.select("src", "dst").loopCheckpoint(true)
     var dist = vertices(edges)
       .filter(col("id").isin(landmarks: _*))
       .select(col("id"), col("id").as("landmark"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     var frontier = dist
     var rounds = 0
     var growing = true
@@ -744,10 +877,10 @@ object Graph {
         .select(e("src").as("id"), col("landmark"), (col("dist") + 1L).as("dist"))
         .distinct()
         .join(dist.select("id", "landmark"), Seq("id", "landmark"), "left_anti")
-        .localCheckpoint(false) // materialized by the count below
+        .loopCheckpoint(false) // materialized by the count below
       val n = next.count()
       if (n > 0) {
-        dist = dist.union(next).localCheckpoint(true)
+        dist = dist.union(next).loopCheckpoint(true)
         rounds += 1
       }
       growing = n > 0
@@ -861,9 +994,9 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().loopCheckpoint(true)
     var labels = vertices(edges).select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     for (_ <- 1 to rounds) {
       val cnt = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("vid"), col("label"))
@@ -874,7 +1007,7 @@ object Graph {
         .select(col("vid").as("id"), col("label").as("best"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("best"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
     }
     labels.orderBy("id")
   }
@@ -930,11 +1063,11 @@ object Graph {
             recordKey: Option[String] = None): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().loopCheckpoint(true)
     def degreesOf(e: DataFrame): DataFrame =
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     var alive = degreesOf(sym).filter(col("deg") >= k)
-      .select("id").localCheckpoint(true)
+      .select("id").loopCheckpoint(true)
     var n = alive.count()
     var rounds = 1 // the initial filter is peel round 1
     var converged = false
@@ -944,7 +1077,7 @@ object Graph {
         .join(alive.withColumnRenamed("id", "id2"),
           col("dst") === col("id2"), "left_semi")
       val next = degreesOf(induced).filter(col("deg") >= k)
-        .select("id").localCheckpoint(true)
+        .select("id").loopCheckpoint(true)
       val m = next.count()
       converged = m == n
       if (!converged) { alive = next; n = m; rounds += 1 }
@@ -1153,9 +1286,9 @@ object Graph {
     * exact decimal sums — one IEEE division, identical on both
     * engines. */
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
-    val v = vertices(edges).localCheckpoint(true)
-    val e = edges.localCheckpoint(true) // probed twice per round
-    var hub = v.select(col("id"), lit(1.0).as("hub")).localCheckpoint(true)
+    val v = vertices(edges).loopCheckpoint(true)
+    val e = edges.loopCheckpoint(true) // probed twice per round
+    var hub = v.select(col("id"), lit(1.0).as("hub")).loopCheckpoint(true)
     var auth = v.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iterations) {
       val araw = e.join(hub, e("src") === hub("id"))
@@ -1171,7 +1304,7 @@ object Graph {
         .select(col("id"),
           (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
             col("s").cast("double")).as("auth"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
       val hraw = e.join(auth, e("dst") === auth("id"))
         .select(col("src"), col("auth").cast(Dec).as("c"))
         .groupBy("src").agg(sum("c").as("hraw"))
@@ -1181,7 +1314,7 @@ object Graph {
         .select(col("id"),
           (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /
             col("s").cast("double")).as("hub"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
     }
     auth.join(hub, "id")
       .select(col("id"), round(col("auth"), 12).as("auth"),
@@ -1363,6 +1496,8 @@ object Graph {
       adamicAdar(cachedEdges(s, dir))),
     "g18_degree_powerlaw" -> ((s: SparkSession, dir: String) =>
       degreePowerlaw(cachedEdges(s, dir))),
+    "g22_scc" -> ((s: SparkSession, dir: String) =>
+      stronglyConnectedComponents(cachedEdges(s, dir))),
     "g19_pagerank_dangling" -> ((s: SparkSession, dir: String) =>
       pageRankDangling(cachedEdges(s, dir), iterations = 3).orderBy("id")),
   )
@@ -1399,5 +1534,6 @@ object Graph {
     "g17_adamic_adar" -> adamicAdarSql(),
     "g18_degree_powerlaw" -> degreePowerlawSql(),
     "g19_pagerank_dangling" -> pageRankDanglingSql(iterations = 3),
+    "g22_scc" -> sccSql(),
   )
 }

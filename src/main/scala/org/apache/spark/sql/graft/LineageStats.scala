@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Fix for the iterative-checkpoint stats explosion.
+  *
+  * `Dataset.localCheckpoint` truncates the logical plan to a
+  * [[LogicalRDD]] but PRESERVES the pre-checkpoint plan's estimated
+  * `Statistics` as `originStats` (`LogicalRDD.fromDataset` attaches
+  * `optimizedPlan.stats` so broadcast decisions survive the
+  * truncation). For a one-shot checkpoint that is exactly right; in an
+  * ITERATIVE loop it compounds: join size estimates are the PRODUCT of
+  * child sizes, an un-scanned leaf defaults to `Long.MaxValue` (~2^63),
+  * and each generation's product becomes the next generation's leaf —
+  * so the carried `sizeInBytes` BigInt's bit-length grows geometrically
+  * with iteration count. By ~iteration 20 the driver spends minutes
+  * inside ONE `BigInteger.multiply` (Toom-Cook on multi-million-bit
+  * operands) during `SizeInBytesOnlyStatsPlanVisitor`, with no Spark
+  * job running — observed as a planner livelock in the g22 SCC trim
+  * loop, and latent in every label-propagation loop at high diameter.
+  *
+  * The fix keeps the stats (a genuinely small frame should still
+  * auto-broadcast) but CLAMPS `sizeInBytes`/`rowCount` to
+  * `Long.MaxValue`: any estimate already past the broadcast threshold
+  * behaves identically at any magnitude, so clamping changes no plan
+  * choice — it only bounds the arithmetic. Applied at every checkpoint
+  * generation the carried stats can never exceed ~63 bits, so the
+  * per-plan products stay a few hundred bits no matter how many
+  * iterations run.
+  *
+  * Lives under `org.apache.spark.sql` for `private[sql]` access to
+  * [[LogicalRDD]]'s curried constructor and `Dataset.ofRows` — the
+  * standard extension-library shim pattern (public API surface only,
+  * no behavior forks).
+  */
+object LineageStats {
+  private val Cap = BigInt(Long.MaxValue)
+
+  /** Rebuild `df`'s root [[LogicalRDD]] with clamped carried stats.
+    * No-op (returns `df` as-is) when the root is not a LogicalRDD or
+    * the stats are already within bounds. */
+  def clampCheckpointStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    ds.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val st = lr.computeStats()
+        if (st.sizeInBytes <= Cap && st.rowCount.forall(_ <= Cap)) df
+        else {
+          val clamped = st.copy(
+            sizeInBytes = st.sizeInBytes.min(Cap),
+            rowCount = st.rowCount.map(_.min(Cap)))
+          val clean = new LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(
+            ds.sparkSession, Some(clamped), None)
+          Dataset.ofRows(ds.sparkSession, clean)
+        }
+      case _ => df
+    }
+  }
+}
