@@ -601,11 +601,12 @@ object Graph {
     result.orderBy("id")
   }
 
-  /** DuckDB oracle for [[stronglyConnectedComponents]]: directed reach
-    * closure (recursive CTE — O(n²) pairs, oracle-side only), mutual
-    * pairs, min mutual partner per vertex. */
-  def sccSql(m: Int = 2000): String =
-    s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
+  /** Shared SCC-labeling CTE block (directed reach closure — O(n²)
+    * pairs, oracle-side only — mutual pairs, min mutual partner per
+    * vertex): `sccl(id, scc)`. Used by [[sccSql]] and
+    * [[condensationLevelsSql]] so the two oracles cannot drift. */
+  private def sccCtes(m: Int): String =
+    s"""edges_g AS (${edgesSql(m)}),
        |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
        |reach(src, dst) AS (
        |  SELECT src, dst FROM edges_g
@@ -613,10 +614,95 @@ object Graph {
        |  SELECT r.src, e.dst FROM reach r JOIN edges_g e ON e.src = r.dst),
        |mutual AS (
        |  SELECT a.src AS id, a.dst AS other
-       |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src)
-       |SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
-       |FROM v LEFT JOIN mutual m ON m.id = v.id
-       |GROUP BY v.id ORDER BY v.id""".stripMargin
+       |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+       |sccl AS (
+       |  SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+       |  FROM v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id)""".stripMargin
+
+  /** DuckDB oracle for [[stronglyConnectedComponents]]. */
+  def sccSql(m: Int = 2000): String =
+    s"""WITH RECURSIVE ${sccCtes(m)}
+       |SELECT id, scc FROM sccl ORDER BY id""".stripMargin
+
+  /** g23: topological levels of the CONDENSATION DAG — each vertex
+    * tagged with its SCC and the SCC's longest-path depth from the
+    * DAG's sources (level 0 = no incoming cross-SCC edge; level(t) =
+    * 1 + max over condensed edges s→t). The standard dependency
+    * stratification: level k can only depend on levels < k, so a
+    * scheduler may run each stratum fully in parallel — the artifact a
+    * pipeline/dependency analysis actually consumes after SCC finds
+    * the cycles.
+    *
+    * Shape: condensed edge list = two label joins + distinct (SCC-count
+    * sized); then FRONTIER max-relaxation — only nodes whose level rose
+    * last round propagate, so total join work is O(Σ frontier-adjacent
+    * edges) = O(E·depth) worst case but O(E) on shallow DAGs, and
+    * per-round state is one (node, level) row per SCC. Levels only
+    * increase and are bounded by DAG depth, so on a DAG the fixpoint is
+    * the longest-path layering; rounds = depth (no pointer jumping —
+    * max-plus "jumping" is edge squaring, which densifies and does NOT
+    * scale; per-layer frontier propagation is the recipe that does).
+    * Loops checkpoint through [[graft.plans.Lineage]] (stats-clamped).
+    *
+    * Output (id, scc, level) per vertex, ordered by id. */
+  def condensationLevels(edges: DataFrame, scc: DataFrame,
+      maxRounds: Int = 500): DataFrame = {
+    val cond = edges.select("src", "dst")
+      .join(scc.select(col("id").as("src"), col("scc").as("s")), "src")
+      .join(scc.select(col("id").as("dst"), col("scc").as("t")), "dst")
+      .filter(col("s") =!= col("t"))
+      .select("s", "t").distinct()
+      .loopCheckpoint(true)
+    var levels = scc.select(col("scc").as("node")).distinct()
+      .select(col("node"), lit(0L).as("level")).loopCheckpoint(true)
+    var frontier = levels
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"condensationLevels: depth exceeded $maxRounds rounds (cycle? raise maxRounds)")
+      val cand = cond.join(frontier, cond("s") === frontier("node"))
+        .groupBy(col("t").as("node2"))
+        .agg((max("level") + 1L).as("cand"))
+      val next = levels.join(cand, levels("node") === cand("node2"), "left_outer")
+        .select(col("node"),
+          greatest(col("level"), coalesce(col("cand"), col("level"))).as("level"),
+          (coalesce(col("cand"), col("level")) > col("level")).as("raised"))
+        .loopCheckpoint(false)
+      frontier = next.filter(col("raised")).select("node", "level")
+        .loopCheckpoint(true)
+      changed = frontier.count()
+      levels = next.select("node", "level")
+    }
+    scc.join(levels.select(col("node").as("scc"), col("level")), "scc")
+      .select(col("id"), col("scc"), col("level"))
+      .orderBy("id")
+  }
+
+  /** DuckDB oracle for [[condensationLevels]]: SCC labels via
+    * [[sccCtes]], condensed edges, then longest-path depth as a
+    * recursive (node, d) enumeration seeded at the DAG sources (UNION
+    * dedups pairs; d is bounded by depth, so it terminates), max(d) per
+    * node. */
+  def condensationLevelsSql(m: Int = 2000): String =
+    s"""WITH RECURSIVE ${sccCtes(m)},
+       |cond AS (
+       |  SELECT DISTINCT a.scc AS s, b.scc AS t
+       |  FROM edges_g e
+       |  JOIN sccl a ON a.id = e.src
+       |  JOIN sccl b ON b.id = e.dst
+       |  WHERE a.scc != b.scc),
+       |nodes AS (SELECT DISTINCT scc AS node FROM sccl),
+       |lv(node, d) AS (
+       |  SELECT n.node, 0 FROM nodes n
+       |  WHERE NOT EXISTS (SELECT 1 FROM cond c WHERE c.t = n.node)
+       |  UNION
+       |  SELECT c.t, l.d + 1 FROM lv l JOIN cond c ON c.s = l.node),
+       |lev AS (SELECT node, CAST(max(d) AS BIGINT) AS level FROM lv GROUP BY node)
+       |SELECT s.id, s.scc, l.level
+       |FROM sccl s JOIN lev l ON l.node = s.scc
+       |ORDER BY s.id""".stripMargin
 
   /** Per-vertex and total triangle counts (ref G5
     * EpinionsGraphFrameAnalysis.scala:121 `graph.triangleCount.run()`).
@@ -1139,6 +1225,12 @@ object Graph {
     graft.plans.Materialized(s, s"graph_cc:${Tables.norm(dir)}")(
       connectedComponents(cachedEdges(s, dir)))
 
+  /** SCC labels memoized per (session, sf-dir) — g22's output and g23's
+    * input (|V| rows; one FW-BW run serves both). */
+  def cachedScc(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"graph_scc:${Tables.norm(dir)}")(
+      stronglyConnectedComponents(cachedEdges(s, dir)))
+
   /** Per-vertex triangle counts memoized per (session, sf-dir) — g4's
     * output and g10's input (|V| rows, safely small). */
   def cachedTriangles(s: SparkSession, dir: String): DataFrame =
@@ -1497,7 +1589,9 @@ object Graph {
     "g18_degree_powerlaw" -> ((s: SparkSession, dir: String) =>
       degreePowerlaw(cachedEdges(s, dir))),
     "g22_scc" -> ((s: SparkSession, dir: String) =>
-      stronglyConnectedComponents(cachedEdges(s, dir))),
+      cachedScc(s, dir).orderBy("id")),
+    "g23_condensation_levels" -> ((s: SparkSession, dir: String) =>
+      condensationLevels(cachedEdges(s, dir), cachedScc(s, dir))),
     "g19_pagerank_dangling" -> ((s: SparkSession, dir: String) =>
       pageRankDangling(cachedEdges(s, dir), iterations = 3).orderBy("id")),
   )
@@ -1535,5 +1629,6 @@ object Graph {
     "g18_degree_powerlaw" -> degreePowerlawSql(),
     "g19_pagerank_dangling" -> pageRankDanglingSql(iterations = 3),
     "g22_scc" -> sccSql(),
+    "g23_condensation_levels" -> condensationLevelsSql(),
   )
 }

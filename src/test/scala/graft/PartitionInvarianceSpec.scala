@@ -42,7 +42,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q88_user_ewma",       // integer-micro-unit half-up pipeline
     "s24_sq8_recall",      // integer code dots + dual bounded top-k
     "d24_entity_resolution", // banded-lev pairs + transitive closure
-    "t12_textrank_keywords") // word-graph PageRank fixpoint
+    "t12_textrank_keywords", // word-graph PageRank fixpoint
+    "g22_scc")             // trim-loop + FW-BW min-reach fixpoints
 
   private lazy val alt = {
     val s = spark.newSession()

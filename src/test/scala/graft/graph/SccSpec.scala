@@ -31,6 +31,51 @@ class SccSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 5L -> 5L, 6L -> 5L), got.toString)
   }
 
+  private def levels(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    Graph.condensationLevels(e, Graph.stronglyConnectedComponents(e))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("condensation: cycles collapse, bridge makes one stratum step") {
+    // cycle {1,2,3} → cycle {4,5}: condensation is 1 → 4
+    val got = levels(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L), (3L, 4L)))
+    assert(got == Map(
+      1L -> (1L, 0L), 2L -> (1L, 0L), 3L -> (1L, 0L),
+      4L -> (4L, 1L), 5L -> (4L, 1L)), got.toString)
+  }
+
+  test("condensation: level is LONGEST path from a source (diamond with a long leg)") {
+    // 1→2→4 (len 2) vs 1→3→5→4 (len 3): node 4 must sit at level 3
+    val got = levels(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (5L, 4L)))
+    assert(got == Map(
+      1L -> (1L, 0L), 2L -> (2L, 1L), 3L -> (3L, 1L),
+      5L -> (5L, 2L), 4L -> (4L, 3L)), got.toString)
+  }
+
+  test("condensation: stratification invariants hold on real data") {
+    val edges = Graph.cachedEdges(spark, sf("sf0.001"))
+    val scc = Graph.stronglyConnectedComponents(edges)
+    val lv = Graph.condensationLevels(edges, scc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sccOf = lv.map(t => t._1 -> t._2).toMap
+    val lvlOf = lv.map(t => t._2 -> t._3).toMap
+    assert(lv.map(_._1).toSet ==
+      scc.collect().map(_.getLong(0)).toSet, "vertex universe preserved")
+    val cond = edges.collect()
+      .map(r => (sccOf(r.getLong(0)), sccOf(r.getLong(1))))
+      .filter(p => p._1 != p._2).distinct
+    // every condensed edge goes strictly DOWN the strata
+    assert(cond.forall { case (s, t) => lvlOf(t) >= lvlOf(s) + 1 })
+    // tightness: each level-L>0 node has an in-edge from exactly L-1
+    val inBy = cond.groupBy(_._2)
+    assert(lvlOf.forall { case (n, l) =>
+      l == 0L || inBy(n).exists { case (s, _) => lvlOf(s) == l - 1 } })
+    // sources are exactly the nodes with no incoming condensed edge
+    assert(lvlOf.forall { case (n, l) => (l == 0L) == !inBy.contains(n) })
+  }
+
   test("scc: undirected merge of SCC labels refines g3's components on real data") {
     val edges = Graph.cachedEdges(spark, sf("sf0.001"))
     val s = Graph.stronglyConnectedComponents(edges)
