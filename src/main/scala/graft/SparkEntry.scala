@@ -148,6 +148,7 @@ object SparkEntry {
     "x22_zipf_slope" -> Seq("slope", "intercept"),
     "x23_heaps_law" -> Seq("beta", "log_k"),
     "x25_js_divergence" -> Seq("js"),
+    "x29_dsir_weights" -> Seq("logw"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

@@ -1556,6 +1556,97 @@ object TextStats {
        |FROM pos, agg ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------ DSIR importance weights
+
+  /** x29: hashed n-gram importance weights for data selection (the DSIR
+    * recipe, Xie et al. 2023 "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how target-like
+    * its token distribution is, logw(d) = Σ_tokens ln(p_t(b)/p_r(b))
+    * over HASHED unigram buckets b — the importance log-ratio a
+    * selection pass then samples by (Gumbel top-k or threshold). Target
+    * here = the lang='en' slice, raw = everything else; bucket
+    * probabilities are add-1 smoothed over the FULL 256-bucket domain
+    * (unseen buckets still carry mass, so no log 0 and new-data scoring
+    * is total).
+    *
+    * Hashing is the whole scale story (and the paper's): the feature
+    * space is a FIXED 256 buckets regardless of vocabulary, so both
+    * marginal tables are metadata-sized and broadcast; the corpus-
+    * proportional stages are one tokenize scan and one doc_id-keyed
+    * aggregate — nothing grows with vocabulary or corpus count. Buckets
+    * ride the engine-portable md5 idiom ([[hashBucket]]), so weights are
+    * reproducible across engines/partitionings, never an RNG.
+    *
+    * Determinism: each bucket's log-ratio is ONE double expression of
+    * identical shape on both engines (IEEE-deterministic), rounded to
+    * 6 dp into DECIMAL at birth; per-doc sums are exact decimal·count
+    * arithmetic. Docs with zero tokens drop (x14 semantics).
+    *
+    * Output (doc_id, n_tokens, logw) ordered by doc_id; logw > 0 reads
+    * "more target-like than raw". */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val nB = 256L
+    val tok = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .select(col("doc_id"), col("is_target"),
+        hashBucket(col("word")).cast("long").as("b"))
+      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds both marginals AND the score join
+    val tgt = tok.filter(col("is_target"))
+      .groupBy("b").agg(sum("c").cast("long").as("ct"))
+    val raw = tok.filter(!col("is_target"))
+      .groupBy("b").agg(sum("c").cast("long").as("cr"))
+    val tots = tok.agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).cast("long").as("tt"),
+      sum(when(!col("is_target"), col("c")).otherwise(0L)).cast("long").as("tr"))
+    val dom = docs.sparkSession.range(nB).toDF("b")
+    val ratio = dom
+      .join(tgt, Seq("b"), "left_outer")
+      .join(raw, Seq("b"), "left_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            (col("tt") + nB).cast("double")) /
+          ((coalesce(col("cr"), lit(0L)) + 1L).cast("double") /
+            (col("tr") + nB).cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("logr"))
+    tok.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        sum(col("logr") * col("c")).cast(DecimalType(18, 6)).as("logw"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsSql: String = {
+    val bucket = hashBucketSqlExpr("u.word")
+    s"""WITH tc AS (
+       |  SELECT doc_id, CAST(lang = 'en' AS BOOLEAN) AS is_target,
+       |    CAST($bucket AS BIGINT) AS b, count(*) AS c
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)
+       |  GROUP BY 1, 2, 3
+       |), tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM tc WHERE is_target GROUP BY b
+       |), raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM tc WHERE NOT is_target GROUP BY b
+       |), tots AS (
+       |  SELECT CAST(SUM(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS tt,
+       |    CAST(SUM(CASE WHEN NOT is_target THEN c ELSE 0 END) AS BIGINT) AS tr
+       |  FROM tc
+       |), dom AS (SELECT CAST(range AS BIGINT) AS b FROM range(256)
+       |), ratio AS (
+       |  SELECT dom.b,
+       |    CAST(round(ln(
+       |      ((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE)) /
+       |      ((COALESCE(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE))), 6) AS DECIMAL(18,6)) AS logr
+       |  FROM dom LEFT JOIN tgt ON tgt.b = dom.b LEFT JOIN raw ON raw.b = dom.b
+       |  CROSS JOIN tots
+       |)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(logr * c) AS DECIMAL(18,6)) AS logw
+       |FROM tc JOIN ratio USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_entity_count" -> xEntityCount _,
     "x2_lang_id" -> xLangId _,
@@ -1603,6 +1694,8 @@ object TextStats {
       filterFunnel(Tables.documents(s, dir))),
     "x28_token_waterfill" -> ((s: SparkSession, dir: String) =>
       tokenWaterfill(Tables.documents(s, dir))),
+    "x29_dsir_weights" -> ((s: SparkSession, dir: String) =>
+      dsirWeights(Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1633,5 +1726,6 @@ object TextStats {
     "x27_weighted_sample" -> xWeightedSampleSql(),
     "x26_filter_funnel" -> filterFunnelSql,
     "x28_token_waterfill" -> tokenWaterfillSql(),
+    "x29_dsir_weights" -> dsirWeightsSql,
   )
 }

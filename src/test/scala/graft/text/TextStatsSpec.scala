@@ -465,4 +465,67 @@ class TextStatsSpec extends SparkSpec {
     assert(retained._1 == "6_retained" && retained._2 == retained._3)
     assert(retained._3 == remaining)
   }
+
+  test("dsirWeights: disjoint-vocab target docs outscore raw docs") {
+    // pick 3+3 tokens whose md5 buckets don't collide across the pools,
+    // so target and raw mass live in different buckets by construction
+    val pool = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val bOf = pool.toDF("w")
+      .select(col("w"), TextStats.hashBucket(col("w")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val (tgtW, rawW) = {
+      val distinct = pool.foldLeft(Vector.empty[String]) { (acc, w) =>
+        if (acc.map(bOf).contains(bOf(w))) acc else acc :+ w
+      }
+      (distinct.take(3), distinct.slice(3, 6))
+    }
+    val docs = Seq(
+      (1L, tgtW.mkString(" "), "en"),
+      (2L, (tgtW :+ tgtW.head).mkString(" "), "en"),
+      (3L, rawW.mkString(" "), "de"),
+      (4L, (rawW :+ rawW.head).mkString(" "), "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextStats.dsirWeights(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L)._1 == 4L && got(1L)._1 == 3L, "token counts")
+    // every target doc strictly outscores every raw doc
+    assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max, got.toString)
+    // target-only vocabulary gives positive evidence, raw-only negative
+    assert(got(1L)._2 > 0 && got(3L)._2 < 0)
+  }
+
+  test("dsirWeights: exact per-doc sums match a driver-side recomputation") {
+    val docs = Seq(
+      (1L, "red blue blue green", "en"),
+      (2L, "red red yellow", "en"),
+      (3L, "blue yellow yellow pink", "de"),
+      (4L, "green pink pink", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val bOf = Seq("red", "blue", "green", "yellow", "pink").toDF("w")
+      .select(col("w"), TextStats.hashBucket(col("w")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    val toks = Map(
+      1L -> Seq("red", "blue", "blue", "green"),
+      2L -> Seq("red", "red", "yellow"),
+      3L -> Seq("blue", "yellow", "yellow", "pink"),
+      4L -> Seq("green", "pink", "pink"))
+    val isT = Map(1L -> true, 2L -> true, 3L -> false, 4L -> false)
+    val ct = toks.toSeq.filter(t => isT(t._1)).flatMap(_._2).groupBy(bOf)
+      .map { case (b, ws) => b -> ws.size.toLong }
+    val cr = toks.toSeq.filter(t => !isT(t._1)).flatMap(_._2).groupBy(bOf)
+      .map { case (b, ws) => b -> ws.size.toLong }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def logr(b: Long): BigDecimal = BigDecimal(math.log(
+      ((ct.getOrElse(b, 0L) + 1).toDouble / (tt + 256).toDouble) /
+        ((cr.getOrElse(b, 0L) + 1).toDouble / (tr + 256).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = toks.map { case (d, ws) =>
+      d -> ws.groupBy(bOf).map { case (b, g) => logr(b) * g.size }.sum }
+    val got = TextStats.dsirWeights(docs)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(2))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
