@@ -43,7 +43,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s24_sq8_recall",      // integer code dots + dual bounded top-k
     "d24_entity_resolution", // banded-lev pairs + transitive closure
     "t12_textrank_keywords", // word-graph PageRank fixpoint
-    "g22_scc")             // trim-loop + FW-BW min-reach fixpoints
+    "g22_scc",             // trim-loop + FW-BW min-reach fixpoints
+    "g23_condensation_levels", // frontier max-relaxation on the memoized SCC
+    "x29_dsir_weights")    // hashed-bucket importance log-ratios
 
   private lazy val alt = {
     val s = spark.newSession()
