@@ -533,6 +533,78 @@ object Sketch {
        |JOIN esti e ON e.sa = p.sa AND e.sb = p.sb
        |ORDER BY p.sa, p.sb""".stripMargin
 
+  /** q94: HDR-histogram quantiles — the mergeable percentile sketch a
+    * latency/price dashboard runs on at any scale (HdrHistogram's
+    * public design: exponent buckets refined by `m` mantissa bits →
+    * bounded RELATIVE error 2^-m with a FIXED bucket universe).
+    *
+    * Construction is pure integer arithmetic, identical in both
+    * engines: cents = round(value·100) (exact — inputs are 2-dp-origin
+    * doubles, so v·100 is within ~1e-9 of an integer and never near a
+    * rounding tie; grid-tie inputs would need the q88 integer-micro
+    * discipline instead), exponent e = length(bin(cents)) − 1, shift
+    * sh = max(e − m, 0), bucket lower bound lb = (cents >> sh) << sh.
+    * Values with e ≤ m are EXACT (shift 0). The histogram is a grouped
+    * count on lb — ≤ 64·2^m buckets total, so the table is
+    * metadata-sized at ANY corpus and bucket counts MERGE by addition
+    * (per-partition, per-day, per-shard — the sketch property).
+    * Quantile q reads the first bucket whose cumulative count reaches
+    * ceil(q·n): one ordered window over the bounded bucket table (the
+    * unpartitioned window is safe — the frame is sketch-sized, never
+    * corpus-sized), then a broadcast probe per target.
+    *
+    * Estimates are the bucket LOWER bound: est ≤ true quantile <
+    * est + 2^sh, i.e. relative error < 2^-m (~3.1% at m=5) —
+    * spec-asserted against the exact quantiles. */
+  def hdrQuantiles(orders: DataFrame, mantissaBits: Int = 5,
+                   qs: Seq[String] = Seq("0.50", "0.90", "0.99")): DataFrame = {
+    val m = mantissaBits
+    val hist = orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .select(col("cents"),
+        greatest((length(bin(col("cents"))) - 1).cast("int") - m, lit(0)).as("sh"))
+      .select(expr("shiftleft(shiftright(cents, sh), sh)").as("lb"))
+      .groupBy("lb").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("lb").rowsBetween(Long.MinValue, 0)
+    val cum = hist.select(col("lb"), sum("c").over(w).as("cum"))
+      .localCheckpoint(true) // sketch-sized; feeds the total AND every probe
+    val tot = cum.agg(max("cum").as("n"))
+    import orders.sparkSession.implicits._
+    val targets = qs.toDF("q")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+      .filter(col("cum") >=
+        ceil(col("q").cast(DecimalType(8, 2)) * col("n")).cast("long"))
+      .groupBy("q")
+      .agg(min("lb").as("est_cents"), min("n").as("n"))
+      .orderBy("q")
+  }
+
+  def hdrQuantilesSql(mantissaBits: Int = 5,
+                      qs: Seq[String] = Seq("0.50", "0.90", "0.99")): String = {
+    val m = mantissaBits
+    val vals = qs.map(q => s"('$q')").mkString(", ")
+    s"""WITH cents_t AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+       |), sh_t AS (
+       |  SELECT cents,
+       |    CASE WHEN length(bin(cents)) - 1 - $m > 0
+       |         THEN length(bin(cents)) - 1 - $m ELSE 0 END AS sh
+       |  FROM cents_t
+       |), hist AS (
+       |  SELECT (cents >> sh) << sh AS lb, count(*) AS c FROM sh_t GROUP BY 1
+       |), cum_t AS (
+       |  SELECT lb, SUM(c) OVER (ORDER BY lb ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist
+       |), tot AS (SELECT MAX(cum) AS n FROM cum_t),
+       |targets(q) AS (VALUES $vals)
+       |SELECT q, CAST(MIN(lb) AS BIGINT) AS est_cents, CAST(MIN(n) AS BIGINT) AS n
+       |FROM cum_t, tot, targets
+       |WHERE cum >= CAST(ceil(CAST(q AS DECIMAL(8,2)) * n) AS BIGINT)
+       |GROUP BY q ORDER BY q""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_kmv_distinct" -> ((s: SparkSession, dir: String) =>
       kmvDistinct(Tables.events(s, dir))),
@@ -546,6 +618,8 @@ object Sketch {
       cmsFreq(Tables.documents(s, dir))),
     "q66_kmv_setops" -> ((s: SparkSession, dir: String) =>
       kmvSetOps(Tables.documents(s, dir))),
+    "q94_hdr_quantiles" -> ((s: SparkSession, dir: String) =>
+      hdrQuantiles(Tables.orders(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -555,5 +629,6 @@ object Sketch {
     "q69_hll_windows" -> hllWindowsSql(),
     "q65_cms_freq" -> cmsFreqSql(),
     "q66_kmv_setops" -> kmvSetOpsSql(),
+    "q94_hdr_quantiles" -> hdrQuantilesSql(),
   )
 }

@@ -184,4 +184,43 @@ class SketchSpec extends SparkSpec {
     assert(r.head.getDecimal(3).doubleValue == 1.0) // exact
     assert(r.head.getDecimal(4).doubleValue == 1.0) // estimator
   }
+
+  test("hdrQuantiles: estimates within the 2^-m relative-error bound of exact quantiles") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val got = Sketch.hdrQuantiles(orders)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cents = orders.select(
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("o_totalprice") * 100, 0).cast("long"))
+      .as[Long].collect().sorted
+    assert(got.values.head._2 == cents.length)
+    for ((q, (est, _)) <- got) {
+      val exact = cents(math.ceil(q.toDouble * cents.length).toInt - 1)
+      // lower-bound estimate: est ≤ exact, and exact < est + bucket width,
+      // where width/est < 2^-m (m = 5) once e > m
+      assert(est <= exact, s"q=$q est=$est exact=$exact")
+      assert(exact - est <= math.max(est / 32, 1), s"q=$q est=$est exact=$exact")
+    }
+  }
+
+  test("hdrQuantiles: small values (e <= m) are exact; medians land on buckets") {
+    // all cents ≤ 2^5: every bucket is a single value, quantiles exact
+    val small = Seq(0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.10)
+      .toDF("o_totalprice")
+    val got = Sketch.hdrQuantiles(small)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("0.50" -> 5L, "0.90" -> 9L, "0.99" -> 10L), got.toString)
+  }
+
+  test("hdrQuantiles: histogram is mergeable — split halves reproduce the whole") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    import org.apache.spark.sql.functions.col
+    val whole = Sketch.hdrQuantiles(orders).collect().map(_.toSeq).toSeq
+    // the same rows in two arbitrary pieces, recombined: bucket counts add,
+    // so the sketch over the union is identical however the data is split
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+    val b = orders.filter(col("o_orderkey") % 2 =!= 0)
+    val merged = Sketch.hdrQuantiles(a.unionAll(b)).collect().map(_.toSeq).toSeq
+    assert(whole == merged)
+  }
 }
