@@ -45,7 +45,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t12_textrank_keywords", // word-graph PageRank fixpoint
     "g22_scc",             // trim-loop + FW-BW min-reach fixpoints
     "g23_condensation_levels", // frontier max-relaxation on the memoized SCC
-    "x29_dsir_weights")    // hashed-bucket importance log-ratios
+    "x29_dsir_weights",    // hashed-bucket importance log-ratios
+    "q94_hdr_quantiles")   // mergeable integer histogram + ordered window
 
   private lazy val alt = {
     val s = spark.newSession()

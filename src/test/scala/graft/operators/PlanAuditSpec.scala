@@ -655,4 +655,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(partSchema.nonEmpty && !partSchema.contains("p_name"),
       s"part scan reads unreferenced columns: $partSchema")
   }
+
+  test("x29_dsir_weights: the log-ratio table rides a broadcast; no shuffle join") {
+    val p = plan("x29_dsir_weights")
+    // the 256-row ratio frame must be the build side against the token
+    // frame — the corpus-proportional side never shuffles for the scoring
+    assert(p.contains("BroadcastHashJoin"),
+      "ratio join not broadcast:\n" + p.take(1000))
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join:\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q94_hdr_quantiles: one corpus exchange; everything after is sketch-sized") {
+    val p = plan("q94_hdr_quantiles")
+    // the lb grouped count is the only hash exchange over corpus-derived
+    // rows (partial+final agg collapses the scan to <= 64*2^m buckets);
+    // the window and target probes run on the sketch
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "extra corpus-sized exchange:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "quantile probes must ride broadcasts:\n" + p.take(1000))
+  }
 }
