@@ -149,6 +149,7 @@ object SparkEntry {
     "x23_heaps_law" -> Seq("beta", "log_k"),
     "x25_js_divergence" -> Seq("js"),
     "x29_dsir_weights" -> Seq("logw"),
+    "t14_ndcg_eval" -> Seq("dcg", "idcg", "ndcg", "rr"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

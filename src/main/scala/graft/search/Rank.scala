@@ -954,6 +954,110 @@ object Rank {
     2L -> Seq("table", "hash"),
     3L -> Seq("query", "spark", "query"))
 
+  /** Per-position DCG discounts 1/log2(pos+1), 6-dp-quantized ONCE here
+    * and rendered into BOTH the engine frame and the oracle's VALUES
+    * list — the single-source-of-truth pattern (FunnelConfig precedent)
+    * that removes any libm log2 cross-engine risk from the metric. */
+  private[graft] def dcgDiscounts(k: Int): Seq[(Int, java.math.BigDecimal)] =
+    (1 to k).map { i =>
+      i -> new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** t14: ranking-quality evaluation — nDCG@k and MRR for the t2 cosine
+    * ranking, the offline metrics a search stack reports before shipping
+    * a ranker change. Graded relevance is derived, not hand-labeled:
+    * rel(doc) = number of DISTINCT query terms the doc contains (0..|q|),
+    * the standard term-coverage pseudo-label; gain = 2^rel − 1 (exact
+    * integer), DCG@k = Σ gain·discount(pos) with [[dcgDiscounts]]'
+    * shared 6-dp literals, IDCG re-ranks the SAME k gains ideally
+    * (rel desc), nDCG = DCG/IDCG, and MRR = 1/rank of the first
+    * full-coverage doc (0 when none ranks).
+    *
+    * Scale shape: the ranking is t2's plan (memoized postings,
+    * broadcast query side, TakeOrdered k); everything downstream — the
+    * relevance join, both discount joins, the aggregates — runs on the
+    * k-row frame. The relevance labels come from the postings index
+    * (one filtered |q|-term slice, doc-keyed count), not a re-tokenize.
+    * Exact decimal sums; the two divisions are doubles of exact-valued
+    * decimals, rounded at birth. */
+  def ndcgEval(postings: DataFrame, norms: DataFrame, terms: Seq[String],
+               k: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val fullRel = terms.distinct.size
+    val ranked = TfIdf.searchMulti(postings, norms, terms, k)
+    val rel = postings.filter(col("term").isin(terms.distinct: _*))
+      .groupBy("doc_id").agg(countDistinct("term").cast("int").as("rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id")) // k rows — sketch-sized window
+    val disc = dcgDiscounts(k).map { case (p, d) => (p, BigDecimal(d)) }
+      .toDF("pos", "d")
+      .select(col("pos"), col("d").cast(Out6).as("d"))
+    val base = ranked.join(rel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("rel"), lit(0)).as("rel"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("gain", expr("CAST(shiftleft(1, rel) AS BIGINT)") - 1L)
+      .localCheckpoint(true) // k rows; feeds DCG, the ideal re-rank, MRR
+    val iw = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rel"), asc("pos"))
+    val ideal = base
+      .select(col("gain"), row_number().over(iw).as("pos"))
+      .join(broadcast(disc), "pos")
+      .agg(sum(col("gain") * col("d")).cast(Out6).as("idcg"))
+    base.join(broadcast(disc), "pos")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("gain") * col("d")).cast(Out6).as("dcg"),
+        min(when(col("rel") === fullRel, col("pos"))).as("first_full"))
+      .crossJoin(ideal)
+      .select(col("n_ranked"), col("dcg"), col("idcg"),
+        when(col("idcg") === lit(java.math.BigDecimal.ZERO).cast(Out6),
+          lit(java.math.BigDecimal.ZERO).cast(Out6))
+          .otherwise(round(col("dcg").cast("double") /
+            col("idcg").cast("double"), 6).cast(Out6)).as("ndcg"),
+        coalesce(
+          round(lit(1).cast("double") / col("first_full"), 6).cast(Out6),
+          lit(java.math.BigDecimal.ZERO).cast(Out6)).as("rr"))
+  }
+
+  def ndcgEvalSql(terms: Seq[String], k: Int = 10): String = {
+    val termList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    val discVals = dcgDiscounts(k)
+      .map { case (p, d) => s"($p, CAST($d AS DECIMAL(18,6)))" }.mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS pos
+       |  FROM (${TfIdf.searchMultiSql(terms, k).replace("\n", "\n  ")}) r
+       |), rel_t AS (
+       |  SELECT doc_id, CAST(count(DISTINCT t.term) AS INT) AS rel
+       |  FROM documents, UNNEST(${Tokenize.tokensSql("text")}) AS t(term)
+       |  WHERE t.term IN ($termList) GROUP BY doc_id
+       |), disc(pos, d) AS (VALUES $discVals),
+       |base AS (
+       |  SELECT r.pos, COALESCE(l.rel, 0) AS rel,
+       |    CAST((1 << COALESCE(l.rel, 0)) - 1 AS BIGINT) AS gain
+       |  FROM ranked r LEFT JOIN rel_t l USING (doc_id)
+       |), ideal AS (
+       |  SELECT gain, row_number() OVER (ORDER BY rel DESC, pos ASC) AS pos
+       |  FROM base
+       |), idcg_t AS (
+       |  SELECT CAST(SUM(i.gain * d.d) AS DECIMAL(18,6)) AS idcg
+       |  FROM ideal i JOIN disc d USING (pos)
+       |), dcg_t AS (
+       |  SELECT count(*) AS n_ranked,
+       |    CAST(SUM(b.gain * d.d) AS DECIMAL(18,6)) AS dcg,
+       |    MIN(CASE WHEN b.rel = ${terms.distinct.size} THEN b.pos END) AS first_full
+       |  FROM base b JOIN disc d USING (pos)
+       |)
+       |SELECT n_ranked, dcg, idcg,
+       |  CASE WHEN idcg = CAST(0 AS DECIMAL(18,6)) THEN CAST(0 AS DECIMAL(18,6))
+       |       ELSE CAST(round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS DECIMAL(18,6)) END AS ndcg,
+       |  COALESCE(CAST(round(CAST(1 AS DOUBLE) / first_full, 6) AS DECIMAL(18,6)),
+       |           CAST(0 AS DECIMAL(18,6))) AS rr
+       |FROM dcg_t CROSS JOIN idcg_t""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t7_tfidf_batch" -> ((s: SparkSession, dir: String) => {
       val p = cachedPostings(s, dir)
@@ -987,7 +1091,14 @@ object Rank {
       val p = cachedPostings(s, dir)
       fuzzySearch(p, TfIdf.docNorms(p), fuzzyTerms)
     }),
+    "t14_ndcg_eval" -> ((s: SparkSession, dir: String) => {
+      val p = cachedPostings(s, dir)
+      ndcgEval(p, TfIdf.docNorms(p), evalTerms)
+    }),
   )
+
+  /** t2's query terms — t14 evaluates exactly the ranking t2 registers. */
+  private val evalTerms = Seq("spark", "table", "query")
 
   /** Two typos of corpus terms plus one exact term: the exact hit must
     * ride through at distance 0 / weight 1. */
@@ -1004,5 +1115,6 @@ object Rank {
     "t11_rm3_search" -> rm3SearchSql(bm25Terms),
     "t12_textrank_keywords" -> textRankSql(),
     "t13_fuzzy_search" -> fuzzySearchSql(fuzzyTerms),
+    "t14_ndcg_eval" -> ndcgEvalSql(evalTerms),
   )
 }

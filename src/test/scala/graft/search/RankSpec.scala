@@ -420,4 +420,42 @@ class RankSpec extends SparkSpec {
     val got = Rank.textRank(d, topK = 3).collect().map(_.getString(0)).toSeq
     assert(got == Seq("hub", "aa", "bb"), s"got $got")
   }
+
+  test("dcgDiscounts: 6-dp literals match hand values") {
+    val d = Rank.dcgDiscounts(3).map { case (p, v) => p -> v.toPlainString }.toMap
+    // 1/log2(2)=1, 1/log2(3)=0.6309297..., 1/log2(4)=0.5
+    assert(d == Map(1 -> "1.000000", 2 -> "0.630930", 3 -> "0.500000"), d.toString)
+  }
+
+  test("ndcgEval: perfectly-ordered fixture scores ndcg=1 with hand-computed DCG") {
+    // q = (aa, bb). idf(aa)=ln(2/2)=0, idf(bb)=ln(2/1)>0 → d1 ("aa bb",
+    // rel 2) outscores d2 ("aa cc", rel 1 — its only query term carries
+    // zero idf weight, but cc keeps its doc norm nonzero).
+    // gains 3, 1; discounts 1.000000, 0.630930 → DCG = 3.630930 = IDCG.
+    val d = Seq((1L, "aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val pp = TfIdf.postings(d)
+    val r = Rank.ndcgEval(pp, TfIdf.docNorms(pp), Seq("aa", "bb")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_ranked") == 2L)
+    assert(row.getAs[java.math.BigDecimal]("dcg").toPlainString == "3.630930")
+    assert(row.getAs[java.math.BigDecimal]("idcg").toPlainString == "3.630930")
+    assert(row.getAs[java.math.BigDecimal]("ndcg").toPlainString == "1.000000")
+    assert(row.getAs[java.math.BigDecimal]("rr").toPlainString == "1.000000")
+  }
+
+  test("ndcgEval: metric invariants on the real corpus ranking") {
+    val pp = Rank.cachedPostings(spark, sf("sf0.001"))
+    val row = Rank.ndcgEval(pp, TfIdf.docNorms(pp),
+      Seq("spark", "table", "query")).collect().head
+    val (dcg, idcg, ndcg, rr) = (
+      row.getAs[java.math.BigDecimal]("dcg").doubleValue,
+      row.getAs[java.math.BigDecimal]("idcg").doubleValue,
+      row.getAs[java.math.BigDecimal]("ndcg").doubleValue,
+      row.getAs[java.math.BigDecimal]("rr").doubleValue)
+    assert(row.getAs[Long]("n_ranked") == 10L)
+    assert(dcg > 0 && dcg <= idcg, s"dcg=$dcg idcg=$idcg")
+    assert(ndcg > 0 && ndcg <= 1.0, s"ndcg=$ndcg")
+    assert(rr == 0.0 || (rr >= 0.1 && rr <= 1.0), s"rr=$rr")
+  }
 }
