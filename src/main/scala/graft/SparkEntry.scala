@@ -150,6 +150,7 @@ object SparkEntry {
     "x25_js_divergence" -> Seq("js"),
     "x29_dsir_weights" -> Seq("logw"),
     "t14_ndcg_eval" -> Seq("dcg", "idcg", "ndcg", "rr"),
+    "s27_silhouette" -> Seq("mean_s"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

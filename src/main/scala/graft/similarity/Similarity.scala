@@ -1932,6 +1932,107 @@ object Similarity {
     sb.toString
   }
 
+  /** s27: simplified silhouette — the cluster-quality score an embedding
+    * pipeline gates a re-clustering on (Rousseeuw's silhouette with the
+    * standard centroid simplification: a = dist to OWN centroid, b =
+    * dist to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1];
+    * per-point neighbor sets — the O(n²) exact form — never
+    * materialize). Assignments and final centroids reuse [[kmeans]]'s
+    * exact recipe verbatim, so s27 scores exactly the clustering s10
+    * registers.
+    *
+    * Scale shape: centroids are k rows broadcast; the per-point pass is
+    * one scan × k distance kernels (the s9 dist² identity on the shared
+    * exact-decimal dot), and the output is one k-row grouped aggregate.
+    * Determinism: dist² can be −ε in doubles when a point IS its
+    * centroid — clamped ≥ 0 before the (IEEE-exactly-rounded) sqrt on
+    * both engines; per-point s is one identical-shape double expression
+    * rounded to 6 dp at birth; cluster means are exact-decimal sums over
+    * those. Singleton clusters score s = 1 (a = 0), the simplified
+    * form's documented convention. */
+  def silhouette(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    VectorDotExact.register(emb.sparkSession)
+    val base = emb
+      .select(col("vec_id"), col("embedding"), norm2Col(col("embedding")).as("norm2"))
+      .join(kmeans(emb, k, iters), "vec_id")
+      .localCheckpoint(true) // feeds the centroid build AND the dist scan
+    val cents = base
+      .select(col("cluster").as("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(round((sum(col("x").cast("double").cast(Dec)).cast("double") /
+        count(lit(1))).cast(Dec), 6).cast(Out6).as("c"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c").cast("double")).as("ce"))
+      .select(col("cid"), col("ce"), dotCol(col("ce"), col("ce")).as("cnorm2"))
+    val dists = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"), col("cid"),
+        greatest(col("norm2") - lit(2) * dotCol(col("embedding"), col("ce")) +
+          col("cnorm2"), lit(0.0)).as("dist2"))
+    val ab = dists.groupBy("vec_id", "cluster")
+      .agg(min(when(col("cid") === col("cluster"), col("dist2"))).as("a2"),
+        min(when(col("cid") =!= col("cluster"), col("dist2"))).as("b2"))
+    // b2 is NULL when only one cluster is populated (degenerate corpus):
+    // no "other" centroid exists, so s = 0 — the convention both engines
+    // must share explicitly (null-propagation through GREATEST differs)
+    val perPoint = ab.select(col("cluster"),
+      when(col("b2").isNull ||
+          greatest(sqrt(col("a2")), sqrt(col("b2"))) === lit(0.0),
+        lit(java.math.BigDecimal.ZERO).cast(Out6))
+        .otherwise(round((sqrt(col("b2")) - sqrt(col("a2"))) /
+          greatest(sqrt(col("a2")), sqrt(col("b2"))), 6).cast(Out6)).as("s"))
+    perPoint.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).cast(Out6).as("mean_s"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle for [[silhouette]]: [[kmeansSql]]'s CTE chain as a
+    * subquery for the assignment, then the same final-centroid mean,
+    * dist² identity, clamp, sqrt, and per-cluster roll-up. */
+  def silhouetteSql(k: Int = 4, iters: Int = 2): String =
+    s"""WITH assign AS (
+       |  SELECT vec_id, cluster FROM (${kmeansSql(k, iters).replace("\n", "\n  ")}) q
+       |), ex AS (
+       |  SELECT vec_id, u.d, CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range($Dims)) AS u(d)
+       |), vn AS (
+       |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS norm2
+       |  FROM ex GROUP BY vec_id
+       |), centf AS (
+       |  SELECT a.cluster AS cid, ex.d,
+       |    CAST(CAST(round(CAST(CAST(SUM(CAST(ex.x AS DECIMAL(32,16))) AS DOUBLE) / COUNT(*)
+       |      AS DECIMAL(32,16)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+       |  FROM ex JOIN assign a USING (vec_id) GROUP BY a.cluster, ex.d
+       |), cnf AS (
+       |  SELECT cid, CAST(SUM(CAST(c * c AS DECIMAL(32,16))) AS DOUBLE) AS cnorm2
+       |  FROM centf GROUP BY cid
+       |), dotf AS (
+       |  SELECT ex.vec_id, c.cid,
+       |    CAST(SUM(CAST(ex.x * c.c AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN centf c USING (d) GROUP BY ex.vec_id, c.cid
+       |), dist AS (
+       |  SELECT dt.vec_id, a.cluster, dt.cid,
+       |    GREATEST(vn.norm2 - 2 * dt.dot + cn.cnorm2, 0.0) AS dist2
+       |  FROM dotf dt JOIN vn USING (vec_id) JOIN cnf cn USING (cid)
+       |  JOIN assign a USING (vec_id)
+       |), ab AS (
+       |  SELECT vec_id, cluster,
+       |    MIN(CASE WHEN cid = cluster THEN dist2 END) AS a2,
+       |    MIN(CASE WHEN cid != cluster THEN dist2 END) AS b2
+       |  FROM dist GROUP BY vec_id, cluster
+       |), pp AS (
+       |  SELECT cluster,
+       |    CASE WHEN b2 IS NULL OR GREATEST(sqrt(a2), sqrt(b2)) = 0.0
+       |           THEN CAST(0 AS DECIMAL(18,6))
+       |         ELSE CAST(round((sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2)), 6)
+       |           AS DECIMAL(18,6)) END AS s
+       |  FROM ab
+       |)
+       |SELECT cluster, count(*) AS n,
+       |  CAST(round(CAST(SUM(s) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS mean_s
+       |FROM pp GROUP BY cluster ORDER BY cluster""".stripMargin
+
   // ------------------------------------------- incremental assignment
 
   /** s20: incremental vector-assignment ingest — d21's between-runs
@@ -2733,6 +2834,8 @@ object Similarity {
       centroidAssign(Tables.embeddings(s, dir))),
     "s10_kmeans" -> ((s: SparkSession, dir: String) =>
       kmeans(Tables.embeddings(s, dir))),
+    "s27_silhouette" -> ((s: SparkSession, dir: String) =>
+      silhouette(Tables.embeddings(s, dir))),
     "s11_knn_graph" -> ((s: SparkSession, dir: String) =>
       knnGraphFromScored(cachedScoredPairs(s, dir))),
     "s12_semantic_dedup" -> ((s: SparkSession, dir: String) =>
@@ -2781,6 +2884,7 @@ object Similarity {
     "s8_ann_int8" -> annInt8Sql(0L),
     "s9_centroid_assign" -> centroidAssignSql,
     "s10_kmeans" -> kmeansSql(),
+    "s27_silhouette" -> silhouetteSql(),
     "s11_knn_graph" -> knnGraphSql(p = oracleP),
     "s12_semantic_dedup" -> semanticDedupSql(p = oracleP),
     "s13_hard_negatives" -> hardNegativesSql(Seq(0L, 1L, 2L, 3L, 4L)),

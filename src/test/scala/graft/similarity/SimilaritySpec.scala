@@ -344,6 +344,49 @@ class SimilaritySpec extends SparkSpec {
     assert(clusters.nonEmpty && clusters.length <= 4 && clusters.forall(c => c >= 0 && c < 4))
   }
 
+  test("silhouette: tight separated clusters score near 1, loose overlap scores lower") {
+    import spark.implicits._
+    val dims = 64
+    def vec(axis: Int, scale: Float) =
+      Array.tabulate(dims)(d => if (d == axis) scale else 0.1f)
+    val tight = Seq(
+      (0L, vec(0, 5.0f), 0), (2L, vec(0, 5.1f), 0), (4L, vec(0, 5.2f), 0),
+      (1L, vec(1, 5.0f), 1), (3L, vec(1, 5.1f), 1), (5L, vec(1, 5.2f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val sTight = Similarity.silhouette(tight, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[java.math.BigDecimal]("mean_s").doubleValue).toMap
+    assert(sTight.keySet == Set(0L, 1L))
+    assert(sTight.values.forall(v => v > 0.9 && v <= 1.0), sTight.toString)
+    // pull the two groups toward each other: separation (and s) must drop
+    val loose = Seq(
+      (0L, vec(0, 1.2f), 0), (2L, vec(0, 0.9f), 0), (4L, vec(1, 0.6f), 0),
+      (1L, vec(1, 1.2f), 1), (3L, vec(1, 0.9f), 1), (5L, vec(0, 0.6f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val sLoose = Similarity.silhouette(loose, k = 2, iters = 2).collect()
+      .map(r => r.getAs[java.math.BigDecimal]("mean_s").doubleValue)
+    assert(sLoose.min < sTight.values.min, s"loose=$sLoose tight=$sTight")
+  }
+
+  test("silhouette: identical points collapse to one cluster, s = 0 by convention") {
+    import spark.implicits._
+    val same = Array.fill(64)(0.5f)
+    val df = Seq((0L, same, 0), (1L, same, 0), (2L, same, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(df, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal]("mean_s").doubleValue))
+    assert(got.map(_._2).sum == 3L, got.mkString(","))
+    assert(got.forall(_._3 == 0.0), got.mkString(","))
+  }
+
+  test("silhouette on real embeddings: per-cluster means in [-1, 1], counts conserve") {
+    val rows = Similarity.silhouette(emb, k = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal]("mean_s").doubleValue))
+    assert(rows.map(_._2).sum == emb.count())
+    assert(rows.forall(t => t._3 >= -1.0 && t._3 <= 1.0), rows.mkString(","))
+  }
+
   test("knnGraph: ≤k dense-ranked neighbors per vector, cos nonincreasing") {
     val scored = Similarity.scoredPairs(emb)
     val got = Similarity.knnGraphFromScored(scored, k = 3).collect()
