@@ -46,7 +46,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g22_scc",             // trim-loop + FW-BW min-reach fixpoints
     "g23_condensation_levels", // frontier max-relaxation on the memoized SCC
     "x29_dsir_weights",    // hashed-bucket importance log-ratios
-    "q94_hdr_quantiles")   // mergeable integer histogram + ordered window
+    "q94_hdr_quantiles",   // mergeable integer histogram + ordered window
+    "t14_ndcg_eval",       // k-row metric frame over the memoized ranking
+    "s27_silhouette")      // Lloyd refit + per-point distance kernels
 
   private lazy val alt = {
     val s = spark.newSession()
