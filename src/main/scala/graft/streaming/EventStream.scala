@@ -724,7 +724,48 @@ object EventStream {
     docs.select(graft.text.TextStats.funnelRule(cfg).as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_docs"))
 
+  /** st11: hourly value percentiles on the q94 HDR-histogram sketch —
+    * the streaming latency/price dashboard primitive. The bucketing is
+    * STATELESS per row (integer exponent+mantissa, q94's exact recipe at
+    * the same m), so the streaming form is just this groupBy under
+    * complete/update mode: per-(hour, bucket) counts, state bounded by
+    * hours × ≤ 64·2^m buckets regardless of event volume, and partials
+    * merge by addition (the sketch property — retries/replays upsert
+    * counts, never corrupt a quantile). The read-off ([[quantilesFromHist]])
+    * runs on the sketch-sized histogram, batch-side or per trigger. */
+  def hourlyQuantileHist(df: DataFrame, m: Int = 5): DataFrame =
+    df.select(window(col("ts"), "1 hour").getField("start").as("wstart"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .select(col("wstart"), col("cents"),
+        greatest((length(bin(col("cents"))) - 1).cast("int") - m, lit(0)).as("sh"))
+      .select(col("wstart"), expr("shiftleft(shiftright(cents, sh), sh)").as("lb"))
+      .groupBy("wstart", "lb").agg(count(lit(1)).as("c"))
+
+  /** Quantile read-off over a (wstart, lb, c) histogram: per-hour
+    * cumulative counts (window partitioned by hour — frames are
+    * bucket-count sized, never event sized), first bucket reaching
+    * ceil(q·n) per target. Shared by the registered batch query and the
+    * streaming spec's final-state read. */
+  def quantilesFromHist(hist: DataFrame,
+                        qs: Seq[String] = Seq("0.50", "0.90")): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("wstart").orderBy("lb").rowsBetween(Long.MinValue, 0)
+    val cum = hist.select(col("wstart"), col("lb"), sum("c").over(w).as("cum"))
+      .localCheckpoint(true) // sketch-sized; feeds the totals AND the probes
+    val tot = cum.groupBy("wstart").agg(max("cum").as("n"))
+    cum.join(tot, "wstart").crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >=
+        ceil(col("q").cast(DecimalType(8, 2)) * col("n")).cast("long"))
+      .groupBy("wstart", "q")
+      .agg(min("lb").as("est_cents"), min("n").as("n"))
+      .orderBy("wstart", "q")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_hourly_quantiles" -> ((s: SparkSession, dir: String) =>
+      quantilesFromHist(hourlyQuantileHist(Tables.events(s, dir)))),
     "st9_enriched_segments" -> ((s: SparkSession, dir: String) =>
       enrichedSegmentCounts(Tables.events(s, dir), Tables.customer(s, dir))
         .orderBy("segment", "event_type")),
@@ -751,6 +792,30 @@ object EventStream {
   )
 
   def oracles: Map[String, String] = Map(
+    "st11_hourly_quantiles" ->
+      """WITH cents_t AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), sh_t AS (
+        |  SELECT wstart, cents,
+        |    CASE WHEN length(bin(cents)) - 1 - 5 > 0
+        |         THEN length(bin(cents)) - 1 - 5 ELSE 0 END AS sh
+        |  FROM cents_t
+        |), hist AS (
+        |  SELECT wstart, (cents >> sh) << sh AS lb, count(*) AS c
+        |  FROM sh_t GROUP BY 1, 2
+        |), cum_t AS (
+        |  SELECT wstart, lb, SUM(c) OVER (PARTITION BY wstart ORDER BY lb ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |), tot AS (SELECT wstart, MAX(cum) AS n FROM cum_t GROUP BY wstart),
+        |targets(q) AS (VALUES ('0.50'), ('0.90'))
+        |SELECT c.wstart, q, CAST(MIN(lb) AS BIGINT) AS est_cents,
+        |  CAST(MIN(n) AS BIGINT) AS n
+        |FROM cum_t c JOIN tot USING (wstart) CROSS JOIN targets
+        |WHERE cum >= CAST(ceil(CAST(q AS DECIMAL(8,2)) * n) AS BIGINT)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st1_tumbling_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
         |  CASE WHEN value < 5 THEN 'NEG' WHEN value < 15 THEN 'NEUTRAL' ELSE 'POS' END AS sentiment,

@@ -34,6 +34,36 @@ class EventStreamSpec extends SparkSpec {
       (ts(1), "POS", 1L), (ts(1), "NEG", 1L)))
   }
 
+  test("st11 streaming histogram equals the batch twin; quantile read-off hand-checked") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    // hour 0: cents 100..1000 (10 values) → p50 is the bucket of 500,
+    // p90 the bucket of 900; hour 1: a single value
+    val data = (1 to 10).map(i => (ts(0), i * 1.0)) :+ ((ts(1), 42.0))
+    in.addData(data: _*)
+    val q = EventStream.hourlyQuantileHist(in.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("hq_hist")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedHist = spark.table("hq_hist")
+    val batchHist = EventStream.hourlyQuantileHist(data.toDF("ts", "value"))
+    assert(streamedHist.collect().map(_.toSeq).toSet ==
+      batchHist.collect().map(_.toSeq).toSet, "streamed histogram diverged")
+    // the shared read-off over the STREAMED state matches the batch query
+    val got = EventStream.quantilesFromHist(streamedHist)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = EventStream.quantilesFromHist(batchHist)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == batch.toSeq)
+    val h0 = got.filter(_._1 == ts(0)).map(t => t._2 -> t._3).toMap
+    // m=5: cents ≤ 2^6 region keeps exact small buckets; 500 → e=8,
+    // sh=3 → lb=496; 900 → e=9, sh=4 → lb=896
+    assert(h0 == Map("0.50" -> 496L, "0.90" -> 896L), h0.toString)
+    // 4200 cents: e=12, sh=7 → lb = (4200 >> 7) << 7 = 4096
+    val h1 = got.filter(_._1 == ts(1)).map(t => t._2 -> t._3).toMap
+    assert(h1 == Map("0.50" -> 4096L, "0.90" -> 4096L), h1.toString)
+  }
+
   test("qualityGateStream: per-rule tally equals the batch funnel across batches") {
     implicit val sqlCtx = spark.sqlContext
     // real sf0.001 documents split across two micro-batches — the
