@@ -48,7 +48,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "x29_dsir_weights",    // hashed-bucket importance log-ratios
     "q94_hdr_quantiles",   // mergeable integer histogram + ordered window
     "t14_ndcg_eval",       // k-row metric frame over the memoized ranking
-    "s27_silhouette")      // Lloyd refit + per-point distance kernels
+    "s27_silhouette",      // Lloyd refit + per-point distance kernels
+    "st11_hourly_quantiles") // per-window sketch + partitioned read-off
 
   private lazy val alt = {
     val s = spark.newSession()
