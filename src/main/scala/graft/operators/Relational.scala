@@ -2566,6 +2566,30 @@ object Relational {
       |  HAVING count(*) > 0
       |) ORDER BY kind""".stripMargin
 
+  /** q95: k-anonymity audit over quasi-identifier columns — the
+    * release gate a privacy review runs before sharing or training on
+    * entity-derived tables: every QI equivalence class (here nation ×
+    * market segment on customer) with fewer than k members re-identifies
+    * its members, so the audit reports each class's size, its violation
+    * flag, and the exact row mass that suppression/generalization must
+    * treat. One grouped count on the QI key (map-side combinable,
+    * |classes| keys — metadata-sized at any SF); the output IS the
+    * suppression worklist, no second corpus pass needed. */
+  def q95KAnonymity(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("nationkey"), col("segment"), col("n"),
+        (col("n") < k).cast("long").as("violates_k"))
+      .orderBy("nationkey", "segment")
+
+  def q95KAnonymitySql(k: Int = 10): String =
+    s"""SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       |  count(*) AS n,
+       |  CAST(count(*) < $k AS BIGINT) AS violates_k
+       |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q79: dynamic-partition-overwrite backfill — the idempotent
     * reprocessing primitive of a partitioned lake: rewrite ONE day's
     * partition (here: the earliest day, re-emitted without its 'view'
@@ -2717,6 +2741,7 @@ object Relational {
     "q90_returned_ranking" -> ((s: SparkSession, dir: String) => q90ReturnedRanking(s, dir)),
     "q91_priority_check" -> ((s: SparkSession, dir: String) => q91PriorityCheck(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
+    "q95_k_anonymity" -> ((s: SparkSession, dir: String) => q95KAnonymity(s, dir)),
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
   )
 
@@ -2796,6 +2821,7 @@ object Relational {
     "q90_returned_ranking" -> q90ReturnedRankingSql(),
     "q91_priority_check" -> q91PriorityCheckSql(),
     "q78_bad_records" -> q78BadRecordsSql,
+    "q95_k_anonymity" -> q95KAnonymitySql(),
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )
 }

@@ -633,4 +633,16 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected, s"semi-join vs distinct-join recount: $got vs $expected")
     assert(got.values.sum > 0, "window/lateness must select some orders at sf0.001")
   }
+
+  test("q95 k-anonymity: class sizes and violation flags on real data") {
+    val rows = Relational.q95KAnonymity(spark, sf("sf0.001"), k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // row mass conserves: every customer lands in exactly one QI class
+    val total = graft.sources.Tables.customer(spark, sf("sf0.001")).count()
+    assert(rows.map(_._3).sum == total)
+    // the flag is exactly (n < k), no off-by-one at the boundary
+    assert(rows.forall { case (_, _, n, v) => v == (if (n < 10) 1L else 0L) },
+      rows.filterNot { case (_, _, n, v) => v == (if (n < 10) 1L else 0L) }.mkString(","))
+    assert(rows.nonEmpty)
+  }
 }
