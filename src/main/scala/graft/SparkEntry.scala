@@ -151,6 +151,7 @@ object SparkEntry {
     "x29_dsir_weights" -> Seq("logw"),
     "t14_ndcg_eval" -> Seq("dcg", "idcg", "ndcg", "rr"),
     "s27_silhouette" -> Seq("mean_s"),
+    "m28_w2v_analogy" -> Seq("cos"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

@@ -95,12 +95,123 @@ object Embed {
        |WHERE n.norm2 > 0
        |ORDER BY cos DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  private def wordsPath(tag: String): String =
+    graft.sources.Artifacts.path(s"${tag}_words")
+
+  /** The same Word2Vec fit's WORD vectors (word, emb: array<double>),
+    * persisted — the vocabulary-sized artifact analogy/probe evaluation
+    * reads (the doc vectors above are its corpus-sized sibling). */
+  def wordVectorsPersist(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
+    val w2v = new Word2Vec().setInputCol("tokens").setOutputCol("w2v")
+      .setVectorSize(Dims).setMinCount(2).setMaxIter(1).setSeed(42L)
+    val model = new Pipeline().setStages(Array(tok, w2v)).fit(docs)
+    model.stages(1).asInstanceOf[org.apache.spark.ml.feature.Word2VecModel]
+      .getVectors
+      .select(col("word"), vector_to_array(col("vector")).as("emb"))
+      .write.mode("overwrite").parquet(wordsPath(tag))
+    spark.read.parquet(wordsPath(tag))
+  }
+
+  /** m28: word-analogy probes — the intrinsic embedding-quality check
+    * ("a is to b as c is to ?"): target = v(b) − v(a) + v(c), answer =
+    * the cosine-nearest vocabulary word excluding the probe words
+    * themselves (the standard 3CosAdd protocol, Mikolov et al.). On the
+    * synthetic corpus the PREDICTIONS are not meaningful English — the
+    * operator under test is the exact pipeline (vector arithmetic,
+    * cosine ranking, probe-word exclusion, deterministic tie-break), and
+    * the oracle recomputes all of it from the same persisted vectors.
+    *
+    * Scale shape: vectors are a VOCABULARY-sized table (Heaps-bounded);
+    * probes are a literal broadcast; the rank pass is |probes| passes
+    * over the vocab — never corpus-touching. */
+  def analogies(vecs: DataFrame,
+                probes: Seq[(String, String, String)]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    VectorDotExact.register(spark)
+    val p = probes.toDF("a", "b", "c")
+    val v = vecs.select(col("word"), col("emb"))
+    val tgt = p
+      .join(v.select(col("word").as("a"), col("emb").as("va")), "a")
+      .join(v.select(col("word").as("b"), col("emb").as("vb")), "b")
+      .join(v.select(col("word").as("c"), col("emb").as("vc")), "c")
+      .select(col("a"), col("b"), col("c"),
+        zip_with(zip_with(col("vb"), col("va"), (x, y) => x - y), col("vc"),
+          (x, y) => x + y).as("tv"))
+      .withColumn("tnorm2", VectorDotExact(col("tv"), col("tv")))
+      .filter(col("tnorm2") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b", "c").orderBy(desc("cos"), asc("word"))
+    v.withColumn("wnorm2", VectorDotExact(col("emb"), col("emb")))
+      .filter(col("wnorm2") > 0)
+      .crossJoin(broadcast(tgt))
+      .filter(col("word") =!= col("a") && col("word") =!= col("b") &&
+        col("word") =!= col("c"))
+      .select(col("a"), col("b"), col("c"), col("word"),
+        round(VectorDotExact(col("emb"), col("tv")) /
+          (sqrt(col("wnorm2")) * sqrt(col("tnorm2"))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("a"), col("b"), col("c"), col("word").as("predicted"), col("cos"))
+      .orderBy("a", "b", "c")
+  }
+
+  /** DuckDB re-rank of the SAME persisted word vectors. */
+  def analogiesSql(tag: String, probes: Seq[(String, String, String)]): String = {
+    val vals = probes.map { case (a, b, c) => s"('$a', '$b', '$c')" }.mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT word, u.d, emb[u.d + 1] AS x
+       |  FROM '${wordsPath(tag)}/*.parquet', UNNEST(range($Dims)) AS u(d)
+       |), probes(a, b, c) AS (VALUES $vals),
+       |tgt AS (
+       |  SELECT p.a, p.b, p.c, ea.d, eb.x - ea.x + ec.x AS tx
+       |  FROM probes p
+       |  JOIN ex ea ON ea.word = p.a
+       |  JOIN ex eb ON eb.word = p.b AND eb.d = ea.d
+       |  JOIN ex ec ON ec.word = p.c AND ec.d = ea.d
+       |), tn AS (
+       |  SELECT a, b, c, CAST(SUM(CAST(tx * tx AS DECIMAL(32,16))) AS DOUBLE) AS tnorm2
+       |  FROM tgt GROUP BY 1, 2, 3
+       |), wn AS (
+       |  SELECT word, CAST(SUM(CAST(x * x AS DECIMAL(32,16))) AS DOUBLE) AS wnorm2
+       |  FROM ex GROUP BY word
+       |), dots AS (
+       |  SELECT t.a, t.b, t.c, ex.word,
+       |    CAST(SUM(CAST(ex.x * t.tx AS DECIMAL(32,16))) AS DOUBLE) AS dot
+       |  FROM ex JOIN tgt t USING (d)
+       |  WHERE ex.word != t.a AND ex.word != t.b AND ex.word != t.c
+       |  GROUP BY 1, 2, 3, 4
+       |), scored AS (
+       |  SELECT d.a, d.b, d.c, d.word,
+       |    CAST(round(d.dot / (sqrt(w.wnorm2) * sqrt(t.tnorm2)), 6) AS DECIMAL(18,6)) AS cos
+       |  FROM dots d JOIN wn w USING (word) JOIN tn t USING (a, b, c)
+       |  WHERE w.wnorm2 > 0 AND t.tnorm2 > 0
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a, b, c
+       |    ORDER BY cos DESC, word ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT a, b, c, word AS predicted, cos FROM ranked WHERE rk = 1
+       |ORDER BY a, b, c""".stripMargin
+  }
+
+  /** High-frequency corpus words (every SF) so all probes resolve. */
+  private val analogyProbes = Seq(
+    ("scan", "column", "window"), ("order", "sort", "part"),
+    ("join", "merge", "key"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_w2v_knn" -> ((s: SparkSession, dir: String) =>
       w2vKnn(word2vecPersist(s, dir, "m8"), queryId = 0L)),
+    "m28_w2v_analogy" -> ((s: SparkSession, dir: String) =>
+      analogies(wordVectorsPersist(s, dir, "m28"), analogyProbes)),
   )
 
   def oracles: Map[String, String] = Map(
     "m8_w2v_knn" -> w2vKnnSql("m8", 0L),
+    "m28_w2v_analogy" -> analogiesSql("m28", analogyProbes),
   )
 }

@@ -38,4 +38,33 @@ class EmbedSpec extends SparkSpec {
     assert(top.head.getLong(0) == 1L, s"expected identical-text doc 1 first, got ${top.head}")
     assert(math.abs(top.head.getDecimal(1).doubleValue - 1.0) < 1e-6)
   }
+
+  test("analogies: 3CosAdd picks the exact-target word; probe words excluded") {
+    import spark.implicits._
+    // target = vb − va + vc = (2, 1); "hit" sits exactly there (cos 1);
+    // "b" itself also equals... no: b=(1,1) has cos < 1 to (2,1) AND is
+    // excluded anyway; "near" is close but not exact
+    val vecs = Seq(
+      ("a", Seq(1.0, 0.0)), ("b", Seq(1.0, 1.0)), ("c", Seq(2.0, 0.0)),
+      ("hit", Seq(2.0, 1.0)), ("near", Seq(1.0, 2.0)), ("far", Seq(-2.0, -1.0)))
+      .toDF("word", "emb")
+    val got = Embed.analogies(vecs, Seq(("a", "b", "c"))).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(3) == "hit", r.toString)
+    assert(math.abs(r.getDecimal(4).doubleValue - 1.0) < 1e-6)
+  }
+
+  test("analogies: exclusion forces the second-best when the target IS a probe word") {
+    import spark.implicits._
+    // target = (1,1) = b exactly — b must be excluded, so the best
+    // NON-probe word wins ("close", scaled copy of the target direction)
+    val vecs = Seq(
+      ("a", Seq(1.0, 0.0)), ("b", Seq(1.0, 1.0)), ("c", Seq(1.0, 0.0)),
+      ("close", Seq(2.0, 2.0)), ("off", Seq(1.0, 0.0)))
+      .toDF("word", "emb")
+    val got = Embed.analogies(vecs, Seq(("a", "b", "c"))).collect()
+    assert(got.length == 1 && got.head.getString(3) == "close", got.mkString(","))
+    assert(math.abs(got.head.getDecimal(4).doubleValue - 1.0) < 1e-6)
+  }
 }
