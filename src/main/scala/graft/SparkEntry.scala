@@ -152,6 +152,7 @@ object SparkEntry {
     "t14_ndcg_eval" -> Seq("dcg", "idcg", "ndcg", "rr"),
     "s27_silhouette" -> Seq("mean_s"),
     "m28_w2v_analogy" -> Seq("cos"),
+    "g24_modularity" -> Seq("q_contrib"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

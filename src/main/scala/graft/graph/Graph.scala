@@ -409,6 +409,84 @@ object Graph {
       .orderBy(desc("n_members"), asc("component"))
       .limit(k)
 
+  /** g24: Newman modularity of a community partition — the partition-
+    * quality score community detection is tuned against: per community c,
+    * q_c = e_c/m − (deg_c/2m)², where e_c counts canonical undirected
+    * edges with BOTH endpoints in c, deg_c sums member degrees, m = |E|
+    * (Newman & Girvan's definition; Q = Σ q_c). Scored here over the g3
+    * component labeling (where every edge is internal — Q degenerates to
+    * 1 − Σ(deg_c/2m)², a pure concentration read), but the function
+    * takes ANY (id, component) labeling, so a detected partition scores
+    * the same way.
+    *
+    * Scale shape: canonical edge list (one exchange), two broadcast
+    * label joins, then everything is |communities|-sized aggregates —
+    * the same one-pass-then-metadata recipe as s27. Determinism: e_c,
+    * deg_c, m are exact integers; the two divisions are one
+    * identical-shape double expression each, rounded to 6 dp at birth;
+    * q_contrib is their exact-decimal difference. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val out6 = DecimalType(18, 6)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
+      .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
+      .localCheckpoint(true) // feeds m, e_c AND deg_c
+    val mEdges = und.agg(count(lit(1)).as("m"))
+    val eC = und.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("e_within"))
+    val degC = und
+      .select(col("cu").as("community")).unionAll(und.select(col("cv")))
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    degC.join(eC, Seq("community"), "left_outer")
+      .crossJoin(broadcast(mEdges))
+      .select(col("community"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"),
+        col("deg_sum"),
+        (round(coalesce(col("e_within"), lit(0L)).cast("double") /
+            col("m"), 6).cast(out6) -
+          round((col("deg_sum").cast("double") / (lit(2) * col("m"))) *
+            (col("deg_sum").cast("double") / (lit(2) * col("m"))), 6).cast(out6))
+          .cast(out6).as("q_contrib"))
+      .orderBy("community")
+  }
+
+  /** DuckDB oracle for [[modularity]] over the g3 labeling: the CC
+    * closure CTE for labels, then the same canonical-edge/aggregate
+    * arithmetic. */
+  def modularitySql(m: Int = 2000): String =
+    s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
+       |undl AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
+       |v AS (SELECT src AS id FROM undl UNION SELECT dst FROM undl),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT u.dst, r.lbl FROM reach r JOIN undl u ON u.src = r.id),
+       |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+       |canon AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges_g WHERE src != dst),
+       |je AS (
+       |  SELECT canon.u, canon.v, a.component AS cu, b.component AS cv
+       |  FROM canon JOIN cc a ON a.id = canon.u JOIN cc b ON b.id = canon.v),
+       |mt AS (SELECT count(*) AS m FROM je),
+       |ec AS (SELECT cu AS community, count(*) AS e_within FROM je WHERE cu = cv GROUP BY 1),
+       |degc AS (
+       |  SELECT community, count(*) AS deg_sum FROM (
+       |    SELECT cu AS community FROM je UNION ALL SELECT cv FROM je) t
+       |  GROUP BY 1)
+       |SELECT d.community,
+       |  COALESCE(e.e_within, 0) AS e_within,
+       |  d.deg_sum,
+       |  CAST(CAST(round(CAST(COALESCE(e.e_within, 0) AS DOUBLE) / mt.m, 6) AS DECIMAL(18,6)) -
+       |    CAST(round((CAST(d.deg_sum AS DOUBLE) / (2 * mt.m)) *
+       |      (CAST(d.deg_sum AS DOUBLE) / (2 * mt.m)), 6) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS q_contrib
+       |FROM degc d LEFT JOIN ec e USING (community) CROSS JOIN mt
+       |ORDER BY d.community""".stripMargin
+
   def communitySizesSql(k: Int = 5, m: Int = 2000): String =
     s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
        |und AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
@@ -1592,6 +1670,8 @@ object Graph {
       cachedScc(s, dir).orderBy("id")),
     "g23_condensation_levels" -> ((s: SparkSession, dir: String) =>
       condensationLevels(cachedEdges(s, dir), cachedScc(s, dir))),
+    "g24_modularity" -> ((s: SparkSession, dir: String) =>
+      modularity(cachedEdges(s, dir), cachedComponents(s, dir))),
     "g19_pagerank_dangling" -> ((s: SparkSession, dir: String) =>
       pageRankDangling(cachedEdges(s, dir), iterations = 3).orderBy("id")),
   )
@@ -1630,5 +1710,6 @@ object Graph {
     "g19_pagerank_dangling" -> pageRankDanglingSql(iterations = 3),
     "g22_scc" -> sccSql(),
     "g23_condensation_levels" -> condensationLevelsSql(),
+    "g24_modularity" -> modularitySql(),
   )
 }

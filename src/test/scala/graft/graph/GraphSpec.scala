@@ -303,4 +303,41 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(disconnected(4L) == 1.0 && disconnected(2L) == 0.5)
   }
+
+  test("modularity: two bridged triangles score the textbook contributions") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} + bridge 3→4; m = 7 canonical edges.
+    // e_A = e_B = 3; deg_A = deg_B = 7 →
+    // q = round6(3/7) − (7/14)² = 0.428571 − 0.25 = 0.178571 each
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "component")
+    val got = Graph.modularity(edges, labels).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).toPlainString)).toMap
+    assert(got == Map(
+      10L -> (3L, 7L, "0.178571"),
+      20L -> (3L, 7L, "0.178571")), got.toString)
+  }
+
+  test("modularity: a community with no internal edges goes negative") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "component")
+    val got = Graph.modularity(edges, labels).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(3).toPlainString)).toMap
+    // m = 1, e = 0, deg = 1 each → q = 0 − (1/2)² = −0.25
+    assert(got == Map(1L -> (0L, "-0.250000"), 2L -> (0L, "-0.250000")), got.toString)
+  }
+
+  test("modularity over g3 labels on real data: all edges internal, degrees conserve") {
+    val edges = Graph.cachedEdges(spark, sf("sf0.001"))
+    val rows = Graph.modularity(edges, Graph.connectedComponents(edges)).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val m = rows.map(_._1).sum
+    assert(rows.map(_._2).sum == 2 * m, "Σ deg_sum must equal 2m")
+    assert(m > 0)
+  }
 }
