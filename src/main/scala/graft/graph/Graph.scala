@@ -627,9 +627,11 @@ object Graph {
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 30): DataFrame = {
     var live = edges.select("src", "dst").distinct().loopCheckpoint(true)
     var verts = vertices(edges).loopCheckpoint(true)
-    var result: DataFrame = null
-    def add(a: DataFrame): Unit =
-      result = if (result == null) a else result.union(a)
+    // seeded empty so a vertex-less input (legal degenerate call) returns
+    // an empty (id, scc) frame instead of NPE-ing on result.orderBy
+    var result: DataFrame =
+      verts.select(col("id"), col("id").as("scc")).limit(0)
+    def add(a: DataFrame): Unit = result = result.union(a)
     var remaining = verts.count()
     var outer = 0
     while (remaining > 0) {

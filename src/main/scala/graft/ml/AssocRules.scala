@@ -30,8 +30,13 @@ import graft.sources.Tables
   * metric arithmetic.
   *
   * Determinism: n_ab, supports, and n_orders are exact integers; each
-  * metric is ONE IEEE division of exact integer products (all < 2^53),
-  * bit-identical across engines, then 6-dp round→DECIMAL at the edge
+  * metric is ONE IEEE division. Lift's numerator/denominator factors
+  * are each cast to double BEFORE multiplying (both engines, same
+  * order), so no 64-bit integer product exists to overflow at corpus
+  * scale — n_ab·N can exceed Long range at 100 TB, and Spark would
+  * wrap silently while DuckDB promotes; double·double is the identical
+  * IEEE operation on both sides at any magnitude. Result then 6-dp
+  * round→DECIMAL at the edge
   * (the engine-wide libm/repr rule). Top-k orders by the ROUNDED
   * decimal lift with (antecedent, consequent) tiebreaks, so both
   * engines select the same rows.
@@ -98,8 +103,9 @@ object AssocRules {
           .cast(Out6).as("support"),
         round(col("n_ab").cast("double") / col("s_ant"), 6)
           .cast(Out6).as("confidence"),
-        round((col("n_ab") * col("n_orders")).cast("double") /
-          (col("s_ant") * col("s_con")), 6).cast(Out6).as("lift"))
+        round((col("n_ab").cast("double") * col("n_orders").cast("double")) /
+          (col("s_ant").cast("double") * col("s_con").cast("double")), 6)
+          .cast(Out6).as("lift"))
       .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
       .limit(topK)
   }
@@ -129,7 +135,8 @@ object AssocRules {
        |SELECT r.antecedent, r.consequent, r.n_ab,
        |  CAST(round(CAST(r.n_ab AS DOUBLE) / n.n_orders, 6) AS DECIMAL(18,6)) AS support,
        |  CAST(round(CAST(r.n_ab AS DOUBLE) / sa.s, 6) AS DECIMAL(18,6)) AS confidence,
-       |  CAST(round(CAST(r.n_ab * n.n_orders AS DOUBLE) / (sa.s * sc.s), 6)
+       |  CAST(round((CAST(r.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)) /
+       |             (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)), 6)
        |       AS DECIMAL(18,6)) AS lift
        |FROM rules r
        |JOIN supp sa ON sa.item = r.antecedent

@@ -38,19 +38,30 @@ object Embed {
   private def embPath(tag: String): String =
     graft.sources.Artifacts.path(s"${tag}_emb")
 
-  /** Tokenizer → Word2Vec document vectors, persisted to parquet and read
-    * back (doc_id, emb: array<double>). */
-  def word2vecPersist(spark: SparkSession, dir: String, tag: String): DataFrame = {
+  /** One Word2Vec pipeline fit per (tag, sf-dir) per session — the
+    * Materialized discipline (ADVICE r11: the un-memoized form re-paid a
+    * full refit + artifact rewrite on every invocation, e.g. each bench
+    * rep). The fitted model is shared by the doc-vector and word-vector
+    * persists below. */
+  private def fitW2v(spark: SparkSession, dir: String) = {
     val docs = Tables.documents(spark, dir)
     val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
     val w2v = new Word2Vec().setInputCol("tokens").setOutputCol("w2v")
       .setVectorSize(Dims).setMinCount(2).setMaxIter(1).setSeed(42L)
-    val model = new Pipeline().setStages(Array(tok, w2v)).fit(docs)
-    model.transform(docs)
-      .select(col("doc_id"), vector_to_array(col("w2v")).as("emb"))
-      .write.mode("overwrite").parquet(embPath(tag))
-    spark.read.parquet(embPath(tag))
+    (docs, new Pipeline().setStages(Array(tok, w2v)).fit(docs))
   }
+
+  /** Tokenizer → Word2Vec document vectors, persisted to parquet and read
+    * back (doc_id, emb: array<double>). Fit + write run once per
+    * (session, tag, sf-dir) via [[graft.plans.Materialized]]. */
+  def word2vecPersist(spark: SparkSession, dir: String, tag: String): DataFrame =
+    graft.plans.Materialized(spark, s"w2v_doc:$tag:${Tables.norm(dir)}") {
+      val (docs, model) = fitW2v(spark, dir)
+      model.transform(docs)
+        .select(col("doc_id"), vector_to_array(col("w2v")).as("emb"))
+        .write.mode("overwrite").parquet(embPath(tag))
+      spark.read.parquet(embPath(tag))
+    }
 
   /** Cosine top-k over the persisted doc vectors: broadcast the one query
     * row, per-row exact dot, TakeOrdered. Zero-vector docs (all tokens
@@ -100,19 +111,18 @@ object Embed {
 
   /** The same Word2Vec fit's WORD vectors (word, emb: array<double>),
     * persisted — the vocabulary-sized artifact analogy/probe evaluation
-    * reads (the doc vectors above are its corpus-sized sibling). */
-  def wordVectorsPersist(spark: SparkSession, dir: String, tag: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
-    val w2v = new Word2Vec().setInputCol("tokens").setOutputCol("w2v")
-      .setVectorSize(Dims).setMinCount(2).setMaxIter(1).setSeed(42L)
-    val model = new Pipeline().setStages(Array(tok, w2v)).fit(docs)
-    model.stages(1).asInstanceOf[org.apache.spark.ml.feature.Word2VecModel]
-      .getVectors
-      .select(col("word"), vector_to_array(col("vector")).as("emb"))
-      .write.mode("overwrite").parquet(wordsPath(tag))
-    spark.read.parquet(wordsPath(tag))
-  }
+    * reads (the doc vectors above are its corpus-sized sibling). Fit +
+    * write run once per (session, tag, sf-dir) via
+    * [[graft.plans.Materialized]] (ADVICE r11). */
+  def wordVectorsPersist(spark: SparkSession, dir: String, tag: String): DataFrame =
+    graft.plans.Materialized(spark, s"w2v_words:$tag:${Tables.norm(dir)}") {
+      val (_, model) = fitW2v(spark, dir)
+      model.stages(1).asInstanceOf[org.apache.spark.ml.feature.Word2VecModel]
+        .getVectors
+        .select(col("word"), vector_to_array(col("vector")).as("emb"))
+        .write.mode("overwrite").parquet(wordsPath(tag))
+      spark.read.parquet(wordsPath(tag))
+    }
 
   /** m28: word-analogy probes — the intrinsic embedding-quality check
     * ("a is to b as c is to ?"): target = v(b) − v(a) + v(c), answer =

@@ -32,6 +32,25 @@ import graft.sources.{Artifacts, Tables}
   * strpos/instr arithmetic; bit interleaving is exact integer math.
   */
 object Layout {
+
+  /** Repartition `df` to the session's shuffle parallelism ONLY when its
+    * current scan layout is narrower (ADVICE r11: the unconditional form
+    * compensated for gate-scale single-row-group parquet — scan = 1-2
+    * tasks — but at production scale the scan is already many-partition
+    * and the blanket exchange roughly doubled shuffle volume for the
+    * caller). Probing `df.rdd.getNumPartitions` plans the frame but runs
+    * no job PROVIDED the frame is scan-stage only (filter/project over a
+    * file source, no upstream exchange) — under AQE an upstream exchange
+    * would materialize query stages, so callers must pass raw-scan
+    * frames. All engine call sites (q40's lineitem projection, the
+    * similarity corpus/delta scans) satisfy this by construction.
+    * Results are partitioning-independent throughout the engine, so the
+    * gate only changes cost, never values. */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   // ------------------------------------------------------------- z-order
 
   /** Interleave the low `bits` bits of two non-negative long columns:

@@ -1338,19 +1338,18 @@ object Relational {
     * aggregates — one partial-aggregated pass, order-independent by
     * construction — and assembles the textbook formula in doubles only
     * at the very end (identical single-expression chain on both sides,
-    * then the standard round→DECIMAL output cast). Same one-shuffle
-    * cost as the built-in at any scale. */
+    * then the standard round→DECIMAL output cast). One shuffle (the
+    * groupBy exchange) at production scale; on gate-scale single-row-
+    * group files a width-gated pre-exchange ([[Layout.spreadIfNarrow]])
+    * additionally unlocks 32-way partial aggregation — it is a no-op
+    * whenever the scan is already at session parallelism, so the
+    * one-shuffle cost claim holds at scale (ADVICE r11). */
   def q40GroupedCorr(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast(D204)
     val y = col("l_extendedprice").cast(D204)
     val dec = DecimalType(38, 8)
-    Tables.lineitem(spark, dir)
-      // five decimal-quantized moment sums per row over the single-row-
-      // group gate file = the spread regime (NOTES round-11): project to
-      // the three consumed columns, then one exchange unlocks 32-way
-      // partial aggregation (order-independent decimal sums)
-      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    Layout.spreadIfNarrow(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),

@@ -63,9 +63,11 @@ object Similarity {
     * full compute width — measured 8× on the s20 fit. Only for decimal-
     * kernel stages: NOTES round-11 records the negative result for
     * cheap text expressions. Results are partitioning-independent
-    * throughout the engine. */
+    * throughout the engine. Width-gated (ADVICE r11): when the scan is
+    * already at session parallelism — the production regime — this is a
+    * no-op, not an extra exchange. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    graft.operators.Layout.spreadIfNarrow(df)
 
   /** Per-vector squared norm (kept for callers/tests). */
   def norms(emb: DataFrame): DataFrame = {
@@ -691,8 +693,25 @@ object Similarity {
     val ps = autoPByDir.values.toSet
     require(ps.size <= 1,
       s"LSH oracle plane count ambiguous: autoP differs across dirs $autoPByDir")
-    ps.headOption.getOrElse(6)
+    ps.headOption.getOrElse {
+      require(allowUnseededOracleRender,
+        "LSH oracle rendered before any query populated autoP — the " +
+          "render-after-run contract is broken (ADVICE r11). Keys-only " +
+          "consumers (RegistrySpec/QueryCount) must set " +
+          "allowUnseededOracleRender.")
+      6
+    }
   }
+
+  /** Keys-only render escape hatch (ADVICE r11): registry-integrity
+    * consumers (RegistrySpec, tools.QueryCount) build the oracle map
+    * purely for its KEY SET, with no query run and hence empty planning
+    * caches — [[oracleP]]/[[oracleCells]]/[[oracleSweepBase]] would
+    * otherwise (correctly) refuse to render. Those consumers set this
+    * flag explicitly; the comparison path (Verify) never does, so a
+    * render whose k or fact path could actually be WRONG fails loudly
+    * instead of silently defaulting. */
+  @volatile var allowUnseededOracleRender: Boolean = false
 
   /** Coarse-quantizer cell count scaled to the corpus: k = max(4, ⌈√n⌉)
     * (the standard IVF guidance — with √n cells, a cell holds ≈ √n
@@ -730,7 +749,14 @@ object Similarity {
     val ks = autoCellsByDir.values.toSet
     require(ks.size <= 1,
       s"s20 oracle cell count ambiguous: autoCells differs across dirs $autoCellsByDir")
-    ks.headOption.getOrElse(4)
+    ks.headOption.getOrElse {
+      require(allowUnseededOracleRender,
+        "s20 oracle rendered before any query populated autoCells — a " +
+          "silent k default would point at the wrong k-suffixed artifact " +
+          "(ADVICE r11). Keys-only consumers must set " +
+          "allowUnseededOracleRender.")
+      4
+    }
   }
 
   /** Scored pair frame memoized per (session, sf-dir, p) — s3's input
@@ -1083,7 +1109,13 @@ object Similarity {
     val bs = sweepBaseByDir.values.toSet
     require(bs.size <= 1,
       s"s26 sweep fact path ambiguous across dirs: $sweepBaseByDir")
-    bs.headOption.getOrElse(ivfSweepBase("unset"))
+    bs.headOption.getOrElse {
+      require(allowUnseededOracleRender,
+        "s26 oracle rendered before the query wrote its sweep facts — " +
+          "the fallback path does not exist (ADVICE r11). Keys-only " +
+          "consumers must set allowUnseededOracleRender.")
+      ivfSweepBase("unset")
+    }
   }
 
   /** s26: IVF recall-vs-nprobe sweep — the tuning curve that tells an
@@ -1288,11 +1320,11 @@ object Similarity {
     // the corpus-sized n·dims² row explosion, its shuffle, and two
     // checkpoints all disappear. ≤ numShufflePartitions partial rows of
     // triangle strings reach the driver — metadata, like cMat itself.
-    // The repartition spreads the BigDecimal-heavy fold (NOTES round-11
+    // The spread widens the BigDecimal-heavy fold (NOTES round-11
     // rule: repartition before exact-decimal kernels — measured 8× on
-    // s20; never before cheap text expressions).
-    val partials = emb
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // s20; never before cheap text expressions; width-gated no-op once
+    // the scan is already at session parallelism).
+    val partials = spread(emb)
       .select(transform(col("embedding"), (x, i) =>
         x.cast("double") - element_at(lit(muArr), i + 1)).as("xc"))
       .as[Array[Double]]
@@ -2076,8 +2108,8 @@ object Similarity {
     // dot products onto as many threads (measured at the 10× probe:
     // cpu_total ≈ wall — ~1 thread busy of 32). The shuffle moves only
     // the delta (tiny); the dot-product compute it unlocks is the cost.
-    val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // Width-gated: no-op once the delta scan is already many-partition.
+    val delta = spread(Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0))
       .select(col("vec_id"), col("embedding"),
         norm2Col(col("embedding")).as("norm2"))
     assignDelta(cents, index, delta, tau)
@@ -2162,9 +2194,9 @@ object Similarity {
       // assignment is n·k exact-decimal dots and the corpus arrives as
       // 1-2 file partitions — localCheckpoint pins whatever layout it
       // sees, so spread FIRST (results are partitioning-independent:
-      // decimal-quantized sums, total-ordered argmin)
-      val base = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
-        .repartition(s.sessionState.conf.numShufflePartitions)
+      // decimal-quantized sums, total-ordered argmin; width-gated —
+      // no-op when the corpus scan is already at session parallelism)
+      val base = spread(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0))
         .select(col("vec_id"), col("embedding"),
           norm2Col(col("embedding")).as("norm2"))
         .localCheckpoint(true)

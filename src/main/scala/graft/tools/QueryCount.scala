@@ -6,6 +6,9 @@ package graft.tools
   * late. No SparkSession needed (the maps are values). */
 object QueryCount {
   def main(args: Array[String]): Unit = {
+    // keys-only consumer: no query has run, so cache-resolved oracle
+    // renders (s20/s26 family) need the documented escape hatch
+    graft.similarity.Similarity.allowUnseededOracleRender = true
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     println(s"queries=${q.size} oracles=${o.size}")

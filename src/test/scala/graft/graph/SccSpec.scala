@@ -23,6 +23,13 @@ class SccSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L), got.toString)
   }
 
+  test("scc: empty edge frame returns an empty (id, scc) frame, not NPE") {
+    // ADVICE r11: vertex count 0 skips the outer loop entirely; the
+    // result must still be a well-formed empty frame
+    val got = scc(Seq.empty)
+    assert(got.isEmpty, got.toString)
+  }
+
   test("scc: f≠b nodes resolve across outer rounds (cycle feeding a cycle)") {
     // 0→1→0 feeds 5→6→5 via 1→5; increasing-id layout makes the second
     // cycle's members see f = 0 but b = 5 in round one — the residual
