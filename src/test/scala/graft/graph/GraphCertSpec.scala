@@ -1,0 +1,234 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.CertSpec
+import graft.sources.Tables
+
+/** Registry certification for the graph (g-family) queries not already
+  * literally cited by GraphSpec/SccSpec — see [[graft.CertSpec]].
+  * Cross-checks rebuild the bench graph (distinct
+  * (o_custkey%2000 → o_orderkey%2000) edges, self-loops dropped)
+  * directly from the raw orders table. */
+class GraphCertSpec extends CertSpec {
+  import spark.implicits._
+
+  private lazy val edges: Vector[(Long, Long)] =
+    Tables.orders(spark, fx)
+      .select((col("o_custkey") % 2000).as("src"), (col("o_orderkey") % 2000).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .as[(Long, Long)].collect().toVector
+  private lazy val verts: Set[Long] = edges.flatMap(e => Seq(e._1, e._2)).toSet
+  private lazy val undirected: Set[(Long, Long)] =
+    edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+
+  test("g1_degrees: per-vertex in/out degrees equal the raw edge recompute") {
+    val r = rows("g1_degrees")
+    assert(r.size == verts.size)
+    val outD = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inD = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    r.foreach { x =>
+      val id = x.getAs[Long]("id")
+      assert(x.getAs[Long]("out_deg") == outD.getOrElse(id, 0L), s"id $id out")
+      assert(x.getAs[Long]("in_deg") == inD.getOrElse(id, 0L), s"id $id in")
+    }
+  }
+
+  test("g3_connected_components: edge endpoints agree; labels are min members") {
+    val r = rows("g3_connected_components")
+    val lbl = r.map(x => x.getAs[Long]("id") -> x.getAs[Long]("component")).toMap
+    assert(lbl.keySet == verts)
+    assert(edges.forall(e => lbl(e._1) == lbl(e._2)),
+      "every edge must connect vertices of one component")
+    for ((c, members) <- lbl.toSeq.groupBy(_._2))
+      assert(c == members.map(_._1).min, s"component $c must be its min member id")
+  }
+
+  test("g4_triangle_counts: vertex cover and 3-divisible global count") {
+    val r = rows("g4_triangle_counts")
+    assert(r.map(_.getAs[Long]("id")).toSet == verts)
+    val total = r.map(_.getAs[Long]("n_tri")).sum
+    assert(total % 3 == 0, "each triangle is counted once per corner")
+    // independent recompute: triangles = closed undirected wedges
+    val adj = undirected.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val wantTotal = undirected.toSeq.map { case (a, b) =>
+      adj(a).intersect(adj(b)).size.toLong
+    }.sum // each triangle closes 3 of its edges → total vertex-count = that sum
+    assert(total == wantTotal, s"sum of per-vertex counts $total vs $wantTotal")
+  }
+
+  test("g5_pagerank_tol: positive ranks summing to N (GraphX normalization)") {
+    val r = rows("g5_pagerank_tol")
+    assert(r.size == verts.size)
+    assert(r.forall(_.getAs[Double]("rank") > 0))
+    val s = r.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(s - verts.size) < 1e-6 * verts.size, s"sum $s vs N ${verts.size}")
+  }
+
+  test("g6_community_sizes: top components by size, straight from g3's labels") {
+    val r = rows("g6_community_sizes")
+    val want = rows("g3_connected_components")
+      .groupBy(_.getAs[Long]("component")).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(x => (-x._2, x._1)).take(5)
+    assert(r.map(x => (x.getAs[Long]("component"), x.getAs[Long]("n_members"))) == want.toVector)
+  }
+
+  test("g7_shortest_paths: five landmarks, zero self-distance, Lipschitz along edges") {
+    val r = rows("g7_shortest_paths")
+    val lm = r.map(_.getAs[Long]("landmark")).toSet
+    assert(lm == Set(0L, 1L, 2L, 3L, 4L))
+    val d = r.map(x => (x.getAs[Long]("id"), x.getAs[Long]("landmark")) ->
+      x.getAs[Long]("dist")).toMap
+    lm.foreach(l => assert(d((l, l)) == 0L, s"landmark $l self-distance"))
+    assert(r.forall(_.getAs[Long]("dist") >= 0))
+    // BFS layering: along any edge u→v, dist(u,l) <= dist(v,l) + 1 can
+    // fail for directed reach, but a FINITE dist(u) with dist(v) known
+    // must satisfy dist(u) <= dist(v) + 1 when the walk relaxes u from v
+    for ((u, v) <- edges; l <- lm)
+      (d.get((u, l)), d.get((v, l))) match {
+        case (Some(du), Some(dv)) => assert(du <= dv + 1, s"edge ($u,$v) landmark $l")
+        case (None, Some(dv)) => fail(s"$u should reach landmark $l via $v (dist $dv)")
+        case _ => ()
+      }
+  }
+
+  test("g8_label_propagation: total labeling into existing vertex ids") {
+    val r = rows("g8_label_propagation")
+    assert(r.map(_.getAs[Long]("id")).toSet == verts)
+    assert(r.map(_.getAs[Long]("label")).toSet.subsetOf(verts))
+  }
+
+  test("g9_kcore: output equals an independent iterative-peeling recompute") {
+    val r = rows("g9_kcore")
+    // plain-Scala 10-core peeling over the symmetrized graph
+    val sym = undirected.flatMap(e => Seq(e, e.swap))
+    var live = verts
+    var changed = true
+    while (changed) {
+      val deg = sym.toSeq.filter(e => live(e._1) && live(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = live.filter(v => deg.getOrElse(v, 0) >= 10)
+      changed = next != live
+      live = next
+    }
+    val coreDeg = sym.toSeq.filter(e => live(e._1) && live(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = r.map(x => x.getAs[Long]("id") -> x.getAs[Long]("core_deg")).toMap
+    assert(got == coreDeg.toMap, s"10-core mismatch: got ${got.size} vs ${coreDeg.size}")
+  }
+
+  test("g11_personalized_pagerank: seeds get the teleport floor; ranks nonnegative") {
+    val r = rows("g11_personalized_pagerank")
+    assert(r.size == verts.size)
+    assert(r.forall(_.getAs[Double]("rank") >= 0))
+    val byId = r.map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+    Seq(0L, 1L, 2L).foreach(s =>
+      assert(byId(s) >= 0.15 / 3 - 1e-9, s"seed $s must keep its teleport mass"))
+    // teleport-free vertices with no in-edges score exactly 0
+    val hasIn = edges.map(_._2).toSet
+    verts.diff(hasIn).diff(Set(0L, 1L, 2L)).foreach(v =>
+      assert(byId(v) == 0.0, s"non-seed source $v must have zero PPR"))
+  }
+
+  test("g13_item_jaccard: top-20 co-visitation Jaccard, canonical and descending") {
+    val r = rows("g13_item_jaccard")
+    assert(r.size <= 20 && r.nonEmpty)
+    assert(r.forall(x => x.getAs[Long]("item_a") < x.getAs[Long]("item_b")))
+    val js = r.map(micro(_, "jaccard"))
+    assert(js == js.sortBy(-_) && js.forall(j => j > 0 && j <= 1000000))
+    assert(r.forall(_.getAs[Long]("n_users") > 0))
+  }
+
+  test("g15_assortativity: edge count matches; r is a correlation in [-1, 1]") {
+    val r = rows("g15_assortativity").head
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(math.abs(micro(r, "r")) <= 1000000)
+  }
+
+  test("g16_reciprocity: reciprocal-edge count equals the raw recompute") {
+    val r = rows("g16_reciprocity").head
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    val es = edges.toSet
+    val recip = edges.count(e => es(e.swap)).toLong
+    assert(r.getAs[Long]("n_recip") == recip)
+    val want = BigDecimal(recip.toDouble / edges.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).*(BigDecimal(1000000)).toLong
+    assert(micro(r, "reciprocity") == want)
+  }
+
+  test("g18_degree_powerlaw: ln-ln least squares recomputes from the degree histogram") {
+    val r = rows("g18_degree_powerlaw").head
+    val sym = undirected.flatMap(e => Seq(e, e.swap))
+    val hist = sym.toSeq.groupBy(_._1).values.map(_.size).groupBy(identity)
+      .view.mapValues(_.size).toSeq
+    assert(r.getAs[Long]("n_degrees") == hist.size.toLong)
+    val pts = hist.map { case (deg, cnt) => (math.log(deg.toDouble), math.log(cnt.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    def q(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000)).toLong
+    // ±1 micro: the recompute's summation order differs, so the last
+    // ulp of the double can land on the other side of the 6-dp round
+    assert(math.abs(micro(r, "slope") - q(slope)) <= 1,
+      s"slope ${micro(r, "slope")} vs ${q(slope)}")
+    assert(math.abs(micro(r, "intercept") - q(icept)) <= 1)
+  }
+
+  test("g19_pagerank_dangling: reference-quirk PR stays positive and mass-bounded") {
+    val r = rows("g19_pagerank_dangling")
+    assert(r.size == verts.size)
+    assert(r.forall(_.getAs[Double]("rank") > 0))
+    val s = r.map(_.getAs[Double]("rank")).sum
+    // dangling mass is DROPPED by the reference quirk, so the total is
+    // at most N and strictly positive
+    assert(s > 0 && s <= verts.size.toDouble + 1e-6, s"sum $s")
+  }
+
+  test("g20_distance_histogram: cumulative pairs telescope; five zero-distance seeds") {
+    val r = rows("g20_distance_histogram")
+    assert(r.head.getAs[Long]("dist") == 0 && r.head.getAs[Long]("n_pairs") == 5)
+    var run = 0L
+    r.foreach { x =>
+      run += x.getAs[Long]("n_pairs")
+      assert(x.getAs[Long]("cum_pairs") == run)
+    }
+    val ds = r.map(_.getAs[Long]("dist"))
+    assert(ds == ds.sorted && ds.distinct == ds)
+  }
+
+  test("g21_harmonic_centrality: bounded by landmarks reached, positive") {
+    val r = rows("g21_harmonic_centrality")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val nr = x.getAs[Long]("n_reached")
+      val h = x.getAs[Double]("harmonic")
+      assert(nr >= 1 && nr <= 5)
+      assert(h > 0 && h <= nr.toDouble + 1e-9,
+        s"id ${x.getAs[Long]("id")}: harmonic $h vs reached $nr")
+    }
+  }
+
+  test("g24_modularity: q contributions recompute from the community tallies") {
+    val r = rows("g24_modularity")
+    val m = undirected.size.toLong
+    assert(r.map(_.getAs[Long]("deg_sum")).sum == 2 * m,
+      "sum of community degree tallies must be 2m")
+    assert(r.map(_.getAs[Long]("e_within")).sum <= m)
+    r.foreach { x =>
+      val e = x.getAs[Long]("e_within").toDouble
+      val dg = x.getAs[Long]("deg_sum").toDouble
+      val q = e / m - math.pow(dg / (2.0 * m), 2)
+      val want = BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLong
+      // ±1 micro: double expression order differs from the engine's
+      assert(math.abs(micro(x, "q_contrib") - want) <= 1,
+        s"community ${x.getAs[Long]("community")}")
+    }
+  }
+}
