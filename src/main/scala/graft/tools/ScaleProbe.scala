@@ -38,8 +38,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleProbe <srcSfDir> <outDir> <factor>")
-    val Array(src, out, fStr) = args
+    require(args.length == 3 || (args.length == 4 && args(3) == "--skew-names"),
+      "usage: ScaleProbe <srcSfDir> <outDir> <factor> [--skew-names]")
+    val Array(src, out, fStr) = args.take(3)
+    // --skew-names: 30% of customers share ONE 16-char name prefix —
+    // the power-law-name regime that makes a prefix blocker's hot block
+    // quadratic (VERDICT r11 item 3; exercises the d22/d24 skew gate)
+    val skewNames = args.length == 4
     val f = fStr.toInt
     require(f >= 1, s"factor must be >= 1, got $f")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,11 +101,21 @@ object ScaleProbe {
 
     val cust = spark.read.parquet(s"$src/customer.parquet")
     val maxCustK = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    val plainName =
+      format_string("Customer#%09d", col("c_custkey") + col("rep") * maxCustK)
     cust.crossJoin(reps)
       .select(
         (col("c_custkey") + col("rep") * maxCustK).as("c_custkey"),
-        format_string("Customer#%09d", col("c_custkey") + col("rep") * maxCustK)
-          .as("c_name"),
+        // skew mode: 30% of rows share the 16-char prefix
+        // "SkewedCorpName00" (suffix keeps names unique) — one hot
+        // block the plain prefix-blocked self-join would enumerate in
+        // a single quadratic task
+        (if (skewNames)
+          when((col("c_custkey") + col("rep") * maxCustK) % 10 < 3,
+            format_string("SkewedCorpName00%09d",
+              col("c_custkey") + col("rep") * maxCustK))
+            .otherwise(plainName)
+        else plainName).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
