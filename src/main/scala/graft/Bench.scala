@@ -47,7 +47,7 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    val results: Seq[(String, (Double, Double))] =
+    val results: Seq[(String, (Double, Double, Double))] =
       names.grouped(chunk).toSeq.flatMap { grp =>
         val tsv = java.nio.file.Files.createTempFile("graft_bench_", ".tsv")
         val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
@@ -64,11 +64,13 @@ object Bench {
         // at chunk end), so a mid-chunk crash loses only the in-flight
         // query; a truncated final line fails the parse guard and is
         // skipped, never mis-read
-        val got: Map[String, (Double, Double)] =
+        val got: Map[String, (Double, Double, Double)] =
           try java.nio.file.Files.readAllLines(tsv).asScala
             .map(_.split('\t')).collect {
-              case Array(n, w, c) if scala.util.Try(w.toDouble).isSuccess &&
-                scala.util.Try(c.toDouble).isSuccess => n -> (w.toDouble, c.toDouble)
+              case Array(n, w, c, b) if scala.util.Try(w.toDouble).isSuccess &&
+                scala.util.Try(c.toDouble).isSuccess &&
+                scala.util.Try(b.toDouble).isSuccess =>
+                n -> (w.toDouble, c.toDouble, b.toDouble)
             }.toMap
           finally java.nio.file.Files.deleteIfExists(tsv)
         if (exit != 0)
@@ -77,7 +79,7 @@ object Bench {
         // as failed; cpu = -1 marks MISSING (no reading at all) so report
         // can exclude it from totals instead of adding a fabricated
         // |wall| second per lost query (ADVICE r10)
-        grp.map(n => n -> got.getOrElse(n, (-1.0, -1.0)))
+        grp.map(n => n -> got.getOrElse(n, (-1.0, -1.0, 0.0)))
       }
     report(results.toMap, reps = envReps,
       sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -133,10 +135,10 @@ object Bench {
     // to the parent AS IT COMPLETES, so a later query's crash never
     // discards the chunk's finished work (ADVICE r10)
     val tsvOut = sys.env.get("SPARK_GRAFT_TSV_OUT")
-    def appendTsv(name: String, wall: Double, cpu: Double): Unit =
+    def appendTsv(name: String, wall: Double, cpu: Double, build: Double): Unit =
       tsvOut.foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-          s"$name\t$wall\t$cpu\n",
+          s"$name\t$wall\t$cpu\t$build\n",
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
         catch { case _: Throwable => () }
@@ -149,6 +151,9 @@ object Bench {
       case _ => None
     }
     def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // drop warmup-phase build records so the per-query attribution
+    // below starts clean (VERDICT r11 item 4)
+    graft.plans.Materialized.drainBuildLog()
     val results = SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
       val reads = (1 to reps).map { _ =>
         val c0 = cpuNanos
@@ -166,17 +171,22 @@ object Bench {
         // mistaken for a fast pass in bench totals
         (if (ok) sec else -sec, cpu)
       }
+      // shared-memo builds this query's reps paid (first-payer cost):
+      // queries run strictly sequentially, so the drain attributes
+      // exactly — a nonzero value explains a first-payer-reassignment
+      // swing without archaeology (VERDICT r11 item 4)
+      val buildSec = graft.plans.Materialized.drainBuildLog().map(_._2).sum
       val median = reads.map(r => math.abs(r._1)).sorted.apply(reps / 2)
       val cpuMedian = reads.map(_._2).sorted.apply(reps / 2)
       val wall = if (reads.exists(_._1 < 0)) -median else median
-      appendTsv(name, wall, cpuMedian)
-      name -> (wall, cpuMedian)
+      appendTsv(name, wall, cpuMedian, buildSec)
+      name -> (wall, cpuMedian, buildSec)
     }
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
     report(results, reps, sfDir, isolated = None)
   }
 
-  private def report(results: Map[String, (Double, Double)], reps: Int,
+  private def report(results: Map[String, (Double, Double, Double)], reps: Int,
                      sfDir: String, isolated: Option[Int]): Unit = {
     val failed = results.count(_._2._1 < 0)
     // cpu < 0 marks an isolated-mode query with NO reading (child crashed
@@ -187,21 +197,36 @@ object Bench {
     val measured = results.values.filter(_._2 >= 0)
     val total = measured.map(r => math.abs(r._1)).sum
     val cpuTotal = measured.map(_._2).sum
+    // first-payer attribution (VERDICT r11 item 4): Σ shared-memo build
+    // seconds and the count of queries that paid one — the swing
+    // explanation a raw per-query comparison needs
+    val buildTotal = measured.map(_._3).sum
+    val buildPaid = results.values.count(_._3 > 0)
     def fmt(v: Double) = f"$v%.3f"
     val iso = isolated.fold("")(c => s""","isolated":$c""")
-    // FULL per-query detail to stderr (and a file) for BASELINE.md
+    // FULL per-query detail to stderr (and files) for BASELINE.md
     // bookkeeping — NOT the driver-facing line. "cpu" is per-query
-    // process-CPU seconds (contention-immune; see runIsolated).
-    val qsFull = results.map { case (k, (w, _)) => "\"" + k + "\":" + fmt(w) }
+    // process-CPU seconds (contention-immune; see runIsolated);
+    // "builds" is per-query shared-memo build seconds (sparse: only
+    // first payers are listed).
+    val qsFull = results.map { case (k, (w, _, _)) => "\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
-    val cpuFull = results.map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c) }
+    val cpuFull = results.map { case (k, (_, c, _)) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
+    val buildsFull = results.collect { case (k, (_, _, b)) if b > 0 =>
+      "\"" + k + "\":" + fmt(b) }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"failed":$failed,"sf":"$sfDir"$iso}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench_full.json"), fullJson + "\n")
-    catch { case _: Throwable => () }
+    // /tmp for ad-hoc reads AND a durable in-repo copy (bench_anchors/)
+    // so future rounds can audit the per-query detail of any recorded
+    // run without re-measuring (VERDICT r11 item 1)
+    for (p <- Seq("/tmp/graft_bench_full.json", "bench_anchors/bench_full_last.json"))
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, fullJson + "\n")
+      } catch { case _: Throwable => () }
     // Driver-facing line LAST on stdout, and compact: the driver keeps
     // only a ~1 KiB tail of the output, so a 168-entry queries map gets
     // its head truncated and fails to parse (BENCH_r4/r5 "parsed: null").
@@ -213,8 +238,9 @@ object Bench {
       .mkString("{", ",", "}")
     // cpu_total (Σ process-CPU seconds, contention-immune) rides the
     // driver-facing line so a contended run is self-adjudicating: wall
-    // far above cpu/32 means host noise, not regression (VERDICT r10 #2)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size}$iso}""")
+    // far above cpu/32 means host noise, not regression (VERDICT r10 #2);
+    // build_sec_total/build_paid summarize first-payer memo cost
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()
   }
 }

@@ -48,6 +48,23 @@ object Materialized {
     spark.sparkContext.applicationId + ":" +
       sessionIds.getOrElseUpdate(spark, nextSessionId.incrementAndGet())
 
+  // Build log for bench attribution (VERDICT r11 item 4): every cache
+  // miss records (key, build-seconds) so Bench can tag which query
+  // paid a shared family build in its reading — the first-payer
+  // reassignment that otherwise reads as a per-query regression.
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Drain and return the (key, seconds) build records since the last
+    * drain. Queries run sequentially in Bench, so a drain after each
+    * query attributes builds exactly. */
+  def drainBuildLog(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.toSeq
+  }
+
   /** Return the memoized frame for `key`, building + eagerly
     * checkpointing it on first use in this session. */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
@@ -57,7 +74,12 @@ object Materialized {
       })
       true
     })
-    cache.getOrElseUpdate((sessionKey(spark), key), build.localCheckpoint(true))
+    cache.getOrElseUpdate((sessionKey(spark), key), {
+      val t0 = System.nanoTime()
+      val built = build.localCheckpoint(true)
+      buildLog.add(key -> (System.nanoTime() - t0) / 1e9)
+      built
+    })
   }
 
   /** Drop all entries (context-end listener, tests; a production engine
