@@ -2663,6 +2663,257 @@ object Relational {
        |  round(100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS promo_share
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------- synthetic partsupp
+
+  /** Synthetic `partsupp` relation (the one TPC-H table the fixtures
+    * omit; q87 documents the same gap for supply cost): supplier
+    * assignment and supply facts are DETERMINISTIC integer functions of
+    * the keys, so both engines rebuild the identical relation from the
+    * part scan × one broadcast supplier-count row — no stored table, no
+    * randomness (ref TPC-H spec §4.2.3 partsupp shape; the reference
+    * repo has no partsupp workload at all).
+    *
+    *  - suppliers of part p: s_j = (31·p + 13·j + 7) mod n, j ∈ 0..3 —
+    *    exactly four per part (TPC-H's own fan-out), distinct whenever
+    *    n ∤ {13, 26, 39} (all fixture supplier counts: 10/100/1000);
+    *  - ps_cost_cents = (31·p + 17·s) mod 90000 + 10000 — integer cents
+    *    in [100.00, 999.99], so cost mins/compares run in exact BIGINT
+    *    end to end with one double division at output;
+    *  - ps_availqty = (7·p + 3·s) mod 9999 + 1.
+    *
+    * Scale shape: |partsupp| = 4·|part| BY CONSTRUCTION — a per-part
+    * explode over a 4-element array expression, linear and fully
+    * pipelined (no join, no shuffle); the supplier-count frame is one
+    * broadcast row. Callers pass their already-FILTERED part frame so
+    * the explode rides the pruned scan (q96/q99 never generate rows for
+    * parts their predicate drops). Twin: [[partsuppCtes]]. */
+  def synthPartsupp(spark: SparkSession, dir: String, parts: DataFrame): DataFrame = {
+    val n1 = broadcast(
+      Tables.supplier(spark, dir).agg((max("s_suppkey") + 1).as("n_supp")))
+    val keep = parts.columns.map(col)
+    parts.crossJoin(n1)
+      .withColumn("s_suppkey", explode(array((0 until 4).map(j =>
+        (col("p_partkey") * 31 + lit(13 * j + 7)) % col("n_supp")): _*)))
+      .withColumn("ps_cost_cents",
+        (col("p_partkey") * 31 + col("s_suppkey") * 17) % 90000 + 10000)
+      .withColumn("ps_availqty",
+        (col("p_partkey") * 7 + col("s_suppkey") * 3) % 9999 + 1)
+      .select(keep :+ col("s_suppkey") :+ col("ps_cost_cents") :+ col("ps_availqty"): _*)
+  }
+
+  /** Shared oracle CTE block rebuilding [[synthPartsupp]] in DuckDB —
+    * exposes `ps(p_partkey, s_suppkey, ps_cost_cents, ps_availqty)`.
+    * One definition for all four consumers so the twins cannot drift
+    * (the sccCtes discipline). */
+  def partsuppCtes: String =
+    """maxs AS (SELECT max(s_suppkey) + 1 AS n FROM supplier),
+      |psj AS (SELECT p_partkey, n, UNNEST(range(4)) AS j FROM part CROSS JOIN maxs),
+      |ps AS (
+      |  SELECT p_partkey, (p_partkey * 31 + 13 * j + 7) % n AS s_suppkey,
+      |    (p_partkey * 31 + ((p_partkey * 31 + 13 * j + 7) % n) * 17) % 90000 + 10000 AS ps_cost_cents,
+      |    (p_partkey * 7 + ((p_partkey * 31 + 13 * j + 7) % n) * 3) % 9999 + 1 AS ps_availqty
+      |  FROM psj)""".stripMargin
+
+  /** q96: TPC-H Q2 shape — minimum-cost supplier: for every STANDARD
+    * part of size ≤ 15, the EUROPE supplier(s) quoting the minimum
+    * supply cost, with balance and nation, richest suppliers first.
+    * The part predicate prunes the scan BEFORE the partsupp explode
+    * (candidate rows = 4× the filtered parts, not 4× the table);
+    * supplier/nation/region ride broadcasts; the per-part min is a
+    * whole-partition window min on the p_partkey exchange — ONE
+    * shuffle total, and the min-filter keeps cost ties exactly like
+    * the oracle's join-back-on-min. Cost compares are integer cents. */
+  def q96MinCostSupplier(spark: SparkSession, dir: String,
+                         pType: String = "STANDARD", maxSize: Int = 15,
+                         region: String = "EUROPE", k: Int = 100): DataFrame = {
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === region).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === pType && col("p_size") <= maxSize)
+      .select("p_partkey", "p_name")
+    synthPartsupp(spark, dir, p)
+      .join(broadcast(eu), "s_suppkey")
+      .withColumn("min_cents",
+        min("ps_cost_cents").over(Window.partitionBy("p_partkey")))
+      .filter(col("ps_cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_name"), (col("ps_cost_cents").cast("double") / 100).as("supplycost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(k)
+  }
+
+  def q96MinCostSupplierSql(pType: String = "STANDARD", maxSize: Int = 15,
+                            region: String = "EUROPE", k: Int = 100): String =
+    s"""WITH $partsuppCtes,
+       |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+       |       JOIN nation ON s_nationkey = n_nationkey
+       |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = '$region'),
+       |cand AS (SELECT p.p_partkey, p.p_name, eu.s_name, eu.s_acctbal, eu.n_name,
+       |                ps.ps_cost_cents
+       |         FROM part p JOIN ps ON p.p_partkey = ps.p_partkey
+       |         JOIN eu ON ps.s_suppkey = eu.s_suppkey
+       |         WHERE p.p_type = '$pType' AND p.p_size <= $maxSize),
+       |mn AS (SELECT p_partkey, min(ps_cost_cents) AS min_cents FROM cand GROUP BY 1)
+       |SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name,
+       |  CAST(c.ps_cost_cents AS DOUBLE) / 100 AS supplycost
+       |FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey
+       |                   AND c.ps_cost_cents = mn.min_cents
+       |ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey LIMIT $k""".stripMargin
+
+  /** q97: TPC-H Q11 shape — important stock: per-part total supply
+    * value (cost × availqty, exact integer cents) over one region's
+    * suppliers, keeping parts whose value exceeds 1.2× the mean part
+    * value. TPC-H's own `> fraction · Σ` literal is scale-DEPENDENT
+    * (0.0001 qualifies every part at gate SF and none at 100 TB);
+    * comparing against the mean via integer cross-multiply
+    * (5·v·n > 6·Σ) is the scale-free restatement — the qualifying set
+    * is a stable quantile of the value distribution at any corpus.
+    * Global Σ and n ride ONE broadcast 1-row frame (the A7 scalar
+    * pattern, no driver action). Products and sums stay DECIMAL(38,0):
+    * at 100 TB Σ(cents·qty) passes 2⁶³ and BIGINT would wrap silently —
+    * the r11 assoc-rules lift lesson applied at design time. */
+  def q97ImportantStock(spark: SparkSession, dir: String,
+                        region: String = "ASIA"): DataFrame = {
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === region).select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = synthPartsupp(spark, dir,
+        Tables.part(spark, dir).select("p_partkey"))
+      .join(broadcast(regionSupp), "s_suppkey")
+      .groupBy("p_partkey")
+      .agg(sum((col("ps_cost_cents") * col("ps_availqty"))
+        .cast(DecimalType(38, 0))).as("val_cents"))
+    val tot = broadcast(v.agg(sum("val_cents").as("total"),
+      count(lit(1)).as("n_parts")))
+    v.crossJoin(tot)
+      .filter(col("val_cents") * 5 * col("n_parts") > col("total") * 6)
+      .select(col("p_partkey"),
+        (col("val_cents").cast("double") / 100).as("value"))
+      .orderBy(desc("value"), asc("p_partkey"))
+  }
+
+  def q97ImportantStockSql(region: String = "ASIA"): String =
+    s"""WITH $partsuppCtes,
+       |rsupp AS (SELECT s_suppkey FROM supplier
+       |          JOIN nation ON s_nationkey = n_nationkey
+       |          JOIN region ON n_regionkey = r_regionkey WHERE r_name = '$region'),
+       |v AS (SELECT p_partkey,
+       |        SUM(CAST(ps_cost_cents * ps_availqty AS DECIMAL(38,0))) AS val_cents
+       |      FROM ps JOIN rsupp USING (s_suppkey) GROUP BY 1),
+       |tot AS (SELECT SUM(val_cents) AS total, COUNT(*) AS n_parts FROM v)
+       |SELECT p_partkey, CAST(val_cents AS DOUBLE) / 100 AS value
+       |FROM v CROSS JOIN tot WHERE 5 * val_cents * n_parts > 6 * total
+       |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** q98: TPC-H Q16 shape — parts/supplier relationship: distinct
+    * supplier count per (brand, type, size) for the square-size part
+    * classes, excluding one brand, one type, and the "complaint"
+    * suppliers (stand-in predicate s_acctbal < 100 — the fixture has
+    * no s_comment for Q16's '%Customer%Complaints%' scan; 8 of 100
+    * suppliers at sf0.01). The exclusion is a broadcast ANTI join
+    * BEFORE the aggregate (Q16's NOT IN, S6's driver-collect replaced
+    * per SURVEY §4); the distinct count shuffles once on the
+    * three-attribute group key. */
+  def q98SupplierCnt(spark: SparkSession, dir: String,
+                     exclBrand: String = "Brand#9", exclType: String = "PROMO",
+                     minBal: Int = 100): DataFrame = {
+    val sizes = Seq(1, 4, 9, 16, 25, 36, 49)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= exclBrand && col("p_type") =!= exclType &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < minBal).select("s_suppkey")
+    synthPartsupp(spark, dir, p)
+      .join(broadcast(complaints), Seq("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("s_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  def q98SupplierCntSql(exclBrand: String = "Brand#9", exclType: String = "PROMO",
+                        minBal: Int = 100): String =
+    s"""WITH $partsuppCtes
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(COUNT(DISTINCT ps.s_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps JOIN part USING (p_partkey)
+       |JOIN supplier ON ps.s_suppkey = supplier.s_suppkey
+       |WHERE p_brand <> '$exclBrand' AND p_type <> '$exclType'
+       |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+       |  AND s_acctbal >= $minBal
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q99: TPC-H Q20 shape — potential part promotion: suppliers in one
+    * region holding EXCESS stock of a name-prefixed part — availqty
+    * more than half the quantity they themselves shipped of it in the
+    * target year. The correlated-subquery chain decorrelates into the
+    * classic shape: lineitem pre-aggregates once on
+    * (l_partkey, l_suppkey) with the DATE-RANGE predicate pushed to the
+    * scan (a year(col) filter would defeat parquet min/max pruning);
+    * partsupp explodes off the name-filtered part scan; the excess
+    * test is 2·availqty > Σqty in exact decimal; the qualifying
+    * supplier set is distinct-projected (semi-join semantics) and
+    * broadcast into the supplier dim. */
+  def q99PromotionSuppliers(spark: SparkSession, dir: String,
+                            prefix: String = "small", yr: Int = 1996,
+                            region: String = "ASIA"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(prefix)).select("p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(D204)).as("qty"))
+    val qual = synthPartsupp(spark, dir, p)
+      .join(shipped, col("p_partkey") === col("l_partkey") &&
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("qty"))
+      .select("s_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(qual), "s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === region).select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  def q99PromotionSuppliersSql(prefix: String = "small", yr: Int = 1996,
+                               region: String = "ASIA"): String =
+    s"""WITH $partsuppCtes,
+       |shipped AS (SELECT l_partkey, l_suppkey,
+       |              SUM(CAST(l_quantity AS DECIMAL(20,4))) AS qty
+       |            FROM lineitem
+       |            WHERE l_shipdate >= TIMESTAMP '$yr-01-01'
+       |              AND l_shipdate < TIMESTAMP '${yr + 1}-01-01'
+       |            GROUP BY 1, 2),
+       |qual AS (SELECT DISTINCT ps.s_suppkey
+       |         FROM ps JOIN part ON ps.p_partkey = part.p_partkey
+       |         JOIN shipped sh ON sh.l_partkey = ps.p_partkey
+       |                        AND sh.l_suppkey = ps.s_suppkey
+       |         WHERE part.p_name LIKE '$prefix%'
+       |           AND 2 * ps.ps_availqty > sh.qty)
+       |SELECT s_name, s_acctbal FROM supplier
+       |JOIN qual USING (s_suppkey)
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$region' ORDER BY s_name""".stripMargin
+
   /** All relational queries + oracles, for SparkEntry registration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -2742,6 +2993,10 @@ object Relational {
     "q78_bad_records" -> q78BadRecords _,
     "q95_k_anonymity" -> ((s: SparkSession, dir: String) => q95KAnonymity(s, dir)),
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
+    "q96_min_cost_supplier" -> ((s: SparkSession, dir: String) => q96MinCostSupplier(s, dir)),
+    "q97_important_stock" -> ((s: SparkSession, dir: String) => q97ImportantStock(s, dir)),
+    "q98_supplier_cnt" -> ((s: SparkSession, dir: String) => q98SupplierCnt(s, dir)),
+    "q99_promotion_suppliers" -> ((s: SparkSession, dir: String) => q99PromotionSuppliers(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2821,6 +3076,10 @@ object Relational {
     "q91_priority_check" -> q91PriorityCheckSql(),
     "q78_bad_records" -> q78BadRecordsSql,
     "q95_k_anonymity" -> q95KAnonymitySql(),
+    "q96_min_cost_supplier" -> q96MinCostSupplierSql(),
+    "q97_important_stock" -> q97ImportantStockSql(),
+    "q98_supplier_cnt" -> q98SupplierCntSql(),
+    "q99_promotion_suppliers" -> q99PromotionSuppliersSql(),
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )
 }

@@ -563,6 +563,113 @@ class RelationalCertSpec extends CertSpec {
     }
   }
 
+  // ---- q96-q99: synthetic-partsupp TPC-H shapes. The cross-check is a
+  // PURE-SCALA rebuild of the partsupp rule (fixture dims are tiny), so
+  // the engine's explode/window/anti-join plans are checked against
+  // straight-line loops that share no Spark code with them.
+
+  private lazy val nSupp: Long =
+    supp.agg(max("s_suppkey")).collect()(0).getLong(0) + 1
+  /** (s_suppkey, cost_cents, availqty) per the synthPartsupp rule. */
+  private def psOf(p: Long): Seq[(Long, Long, Long)] =
+    (0 until 4).map { j =>
+      val s = (p * 31 + 13 * j + 7) % nSupp
+      (s, (p * 31 + s * 17) % 90000 + 10000, (p * 7 + s * 3) % 9999 + 1)
+    }
+  private lazy val suppNation: Map[Long, Int] = supp
+    .collect().map(x => x.getAs[Long]("s_suppkey") -> x.getAs[Int]("s_nationkey")).toMap
+  private lazy val nationRegion: Map[Int, String] = {
+    val rn = Tables.region(spark, fx).collect()
+      .map(x => x.getAs[Int]("r_regionkey") -> x.getAs[String]("r_name")).toMap
+    Tables.nation(spark, fx).collect()
+      .map(x => x.getAs[Int]("n_nationkey") -> rn(x.getAs[Int]("n_regionkey"))).toMap
+  }
+  private def supplierRegion(s: Long): String = nationRegion(suppNation(s))
+
+  test("q96_min_cost_supplier: each winner is the true per-part EUROPE min (pure-Scala recompute)") {
+    val r = rows("q96_min_cost_supplier")
+    assert(r.nonEmpty)
+    val bal = r.map(_.getAs[Double]("s_acctbal"))
+    assert(bal == bal.sortBy(-_), "ordered by s_acctbal desc")
+    val winners = r.map(x => x.getAs[Long]("p_partkey") ->
+      math.round(x.getAs[Double]("supplycost") * 100)).toMap
+    for ((p, cents) <- winners) {
+      val euCosts = psOf(p).collect {
+        case (s, c, _) if supplierRegion(s) == "EUROPE" => c
+      }
+      assert(euCosts.nonEmpty && euCosts.min == cents,
+        s"part $p: engine min $cents vs recompute ${euCosts.minOption}")
+    }
+  }
+
+  test("q97_important_stock: qualifying set and values match the pure-Scala recompute") {
+    val r = rows("q97_important_stock")
+    assert(r.nonEmpty)
+    val partKeys = prt.select("p_partkey").collect().map(_.getLong(0))
+    val v: Map[Long, BigInt] = partKeys.map { p =>
+      p -> psOf(p).collect {
+        case (s, c, q) if supplierRegion(s) == "ASIA" => BigInt(c) * q
+      }.sum
+    }.toMap.filter(_._2 > 0)
+    val total = v.values.sum
+    val n = v.size
+    val want = v.filter { case (_, vc) => 5 * vc * n > 6 * total }
+    assert(r.size == want.size, s"engine ${r.size} vs recompute ${want.size}")
+    r.foreach { x =>
+      val p = x.getAs[Long]("p_partkey")
+      assert(want.contains(p), s"part $p not in recomputed set")
+      assert(math.abs(x.getAs[Double]("value") - want(p).toDouble / 100) < 1e-6)
+    }
+  }
+
+  test("q98_supplier_cnt: distinct counts match the pure-Scala recompute; excluded suppliers absent") {
+    val r = rows("q98_supplier_cnt")
+    assert(r.nonEmpty)
+    val ok: Set[Long] = supp.filter(col("s_acctbal") >= 100)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val sizes = Set(1, 4, 9, 16, 25, 36, 49)
+    val want = prt.collect()
+      .filter(x => x.getAs[String]("p_brand") != "Brand#9" &&
+        x.getAs[String]("p_type") != "PROMO" &&
+        sizes(x.getAs[Int]("p_size")))
+      .flatMap { x =>
+        psOf(x.getAs[Long]("p_partkey")).map(_._1).filter(ok).map(s =>
+          (x.getAs[String]("p_brand"), x.getAs[String]("p_type"),
+            x.getAs[Int]("p_size")) -> s)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(r.size == want.size)
+    r.foreach { x =>
+      val key = (x.getAs[String]("p_brand"), x.getAs[String]("p_type"),
+        x.getAs[Int]("p_size"))
+      assert(x.getAs[Long]("supplier_cnt") == want(key), key.toString)
+    }
+    val cnts = r.map(_.getAs[Long]("supplier_cnt"))
+    assert(cnts == cnts.sortBy(-_), "ordered by supplier_cnt desc")
+  }
+
+  test("q99_promotion_suppliers: qualifying suppliers match the pure-Scala excess-stock recompute") {
+    val r = rows("q99_promotion_suppliers")
+    val shipped: Map[(Long, Long), BigDecimal] = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .groupBy(x => (x.getLong(0), x.getLong(1)))
+      .view.mapValues(_.map(x => BigDecimal(x.getDouble(2))).sum).toMap
+    val smallParts = prt.filter(col("p_name").startsWith("small"))
+      .select("p_partkey").collect().map(_.getLong(0))
+    val wantSupp = smallParts.flatMap { p =>
+      psOf(p).collect {
+        case (s, _, q) if shipped.get((p, s)).exists(2 * BigDecimal(q) > _) => s
+      }
+    }.distinct.filter(s => supplierRegion(s) == "ASIA").toSet
+    val names = supp.collect()
+      .map(x => x.getAs[Long]("s_suppkey") -> x.getAs[String]("s_name")).toMap
+    assert(r.map(_.getAs[String]("s_name")).toSet == wantSupp.map(names),
+      s"engine ${r.map(_.getAs[String]("s_name"))} vs ${wantSupp.map(names)}")
+    val ns = r.map(_.getAs[String]("s_name"))
+    assert(ns == ns.sorted, "ordered by s_name")
+  }
+
   test("q95_k_anonymity: group sizes match raw and the k=10 flag is exact") {
     val r = rows("q95_k_anonymity")
     val raw = cust.groupBy("c_nationkey", "c_mktsegment").count()
