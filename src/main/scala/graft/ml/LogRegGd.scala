@@ -189,6 +189,77 @@ object LogRegGd {
       .orderBy("bin")
   }
 
+  /** m29: decile lift / gains table for [[logregGd]]'s scores — the
+    * targeting-eval twin of m13's reliability diagram: rank documents
+    * by score DESC into equal-frequency deciles ((p desc, doc_id asc)
+    * total order, both engines bucket identically), then per decile
+    * the response rate, and cumulatively the lift over the base rate
+    * and the gain (share of all positives captured so far). Decile 1's
+    * lift is what a campaign gains by contacting only the top 10%; the
+    * gains column is the curve mailed-depth decisions read.
+    *
+    * Determinism: counts are integers; every ratio is a double
+    * division of exact integer sums, round(·, 6)-quantized at birth
+    * (identical expression chain oracle-side). The cumulative windows
+    * run over the 10-row aggregate, not the corpus.
+    *
+    * 100 TB shape: like m13/x15, the ntile window ranks the narrow
+    * (doc_id, p, y) score table — one global sort of a 3-column frame,
+    * never corpus text; everything after is a 10-row frame. */
+  def decileLift(scored: DataFrame, n: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("p"), asc("doc_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy("decile").rowsBetween(Long.MinValue, 0)
+    val wt = org.apache.spark.sql.expressions.Window
+      .orderBy("decile").rowsBetween(Long.MinValue, Long.MaxValue)
+    scored
+      .select(col("p"), col("y"), ntile(n).over(w).cast("bigint").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+      .withColumn("cum_n", sum("n").over(wc).cast("long"))
+      .withColumn("cum_pos", sum("n_pos").over(wc).cast("long"))
+      .withColumn("tot_n", sum("n").over(wt).cast("long"))
+      .withColumn("tot_pos", sum("n_pos").over(wt).cast("long"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6)
+          .cast(Out6).as("resp_rate"),
+        round((col("cum_pos").cast("double") / col("cum_n")) /
+          (col("tot_pos").cast("double") / col("tot_n")), 6)
+          .cast(Out6).as("cum_lift"),
+        round(col("cum_pos").cast("double") / col("tot_pos"), 6)
+          .cast(Out6).as("cum_gain"))
+      .orderBy("decile")
+  }
+
+  def decileLiftSql(lr: String = "0.5", steps: Int = 2, n: Int = 10): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), withy AS (
+       |  SELECT s.doc_id, s.p, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), binned AS (
+       |  SELECT p, y,
+       |    CAST(ntile($n) OVER (ORDER BY p DESC, doc_id ASC) AS BIGINT) AS decile
+       |  FROM withy
+       |), agg AS (
+       |  SELECT decile, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+       |  FROM binned GROUP BY decile
+       |), cum AS (
+       |  SELECT decile, n, n_pos,
+       |    CAST(SUM(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |    CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+       |    CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+       |  FROM agg
+       |)
+       |SELECT decile, n, n_pos,
+       |  CAST(round(CAST(n_pos AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS resp_rate,
+       |  CAST(round((CAST(cum_pos AS DOUBLE) / cum_n) /
+       |    (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS DECIMAL(18,6)) AS cum_lift,
+       |  CAST(round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS DECIMAL(18,6)) AS cum_gain
+       |FROM cum ORDER BY decile""".stripMargin
+
   def calibrationSql(lr: String = "0.5", steps: Int = 2, n: Int = 10): String =
     s"""WITH scored AS (
        |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
@@ -812,6 +883,12 @@ object LogRegGd {
       targetEncoding(Tables.documents(s, dir))),
     "m26_group_metrics" -> ((s: SparkSession, dir: String) =>
       groupMetrics(cachedScores(s, dir), Tables.documents(s, dir))),
+    "m29_decile_lift" -> ((s: SparkSession, dir: String) => {
+      val f = features(Tables.documents(s, dir))
+      decileLift(cachedScores(s, dir)
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("p"), col("y")))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -826,5 +903,6 @@ object LogRegGd {
     "m24_temp_scaling" -> tempScalingSql(),
     "m25_target_encoding" -> targetEncodingSql(),
     "m26_group_metrics" -> groupMetricsSql(),
+    "m29_decile_lift" -> decileLiftSql(),
   )
 }

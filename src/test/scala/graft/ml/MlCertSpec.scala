@@ -300,4 +300,42 @@ class MlCertSpec extends CertSpec {
       assert(math.abs(micro(x, "cos")) <= 1000000)
     }
   }
+
+  test("m29_decile_lift: pure-Scala ntile/lift recompute from the m12 scores") {
+    val r = rows("m29_decile_lift")
+    assert(r.size == 10)
+    // independent recompute: rank m12's scores desc, ntile-10 by hand
+    val y = Tables.documents(spark, fx)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val scored = rows("m12_logreg_gd")
+      .map(x => (x.getAs[Long]("doc_id"), micro(x, "p")))
+      .sortBy { case (id, p) => (-p, id) }
+    val n = scored.size
+    val base = n / 10
+    val extra = n % 10 // ntile: first (n % 10) buckets get one extra row
+    val bounds = (0 to 10).map(i => i * base + math.min(i, extra))
+    val expected = (0 until 10).map { i =>
+      val slice = scored.slice(bounds(i), bounds(i + 1))
+      (slice.size.toLong, slice.map(s => y(s._1)).sum)
+    }
+    val totPos = expected.map(_._2).sum
+    var cumN = 0L; var cumPos = 0L
+    r.zip(expected).foreach { case (x, (en, epos)) =>
+      cumN += en; cumPos += epos
+      assert(x.getAs[Long]("n") == en, s"decile ${x.getAs[Long]("decile")} n")
+      assert(x.getAs[Long]("n_pos") == epos, s"decile ${x.getAs[Long]("decile")} n_pos")
+      assert(math.abs(micro(x, "resp_rate") - math.round(epos.toDouble / en * 1e6)) <= 1,
+        s"decile ${x.getAs[Long]("decile")} resp_rate")
+      val lift = (cumPos.toDouble / cumN) / (totPos.toDouble / n)
+      assert(math.abs(micro(x, "cum_lift") - math.round(lift * 1e6)) <= 1,
+        s"decile ${x.getAs[Long]("decile")} cum_lift")
+      assert(math.abs(micro(x, "cum_gain") -
+        math.round(cumPos.toDouble / totPos * 1e6)) <= 1,
+        s"decile ${x.getAs[Long]("decile")} cum_gain")
+    }
+    // full-depth sanity: all positives captured, lift converges to 1
+    assert(micro(r.last, "cum_gain") == 1000000L)
+    assert(micro(r.last, "cum_lift") == 1000000L)
+  }
 }
