@@ -645,6 +645,62 @@ class PlanAuditSpec extends SparkSpec {
       "ship-date prefilter not pushed to the lineitem scan:\n" + p.take(1000))
   }
 
+  test("q96_min_cost_supplier: part filter pushed below the explode, dims broadcast, one TakeOrdered") {
+    val p = plan("q96_min_cost_supplier")
+    // the part predicate must prune the scan BEFORE the partsupp explode
+    assert(p.contains("EqualTo(p_type,STANDARD)"),
+      "part type filter not pushed to scan:\n" + p.take(1000))
+    assert(p.contains("LessThanOrEqual(p_size,15)"),
+      "part size filter not pushed to scan:\n" + p.take(1000))
+    assert(p.contains("Generate explode"), "partsupp fan-out must be an explode")
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "final top-k not TakeOrdered")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q97_important_stock: decimal value sums, scalar totals broadcast, no cartesian") {
+    val p = plan("q97_important_stock")
+    // the global (total, n_parts) scalar must ride a broadcast, never a
+    // shuffle join or cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row totals frame must broadcast:\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+    // exact value arithmetic: the aggregate sums DECIMAL(38,0), not longs
+    assert(p.contains("38,0"), "value sum must be DECIMAL(38,0):\n" + p.take(1000))
+  }
+
+  test("q98_supplier_cnt: complaint exclusion is a broadcast anti join before the aggregate") {
+    val p = plan("q98_supplier_cnt")
+    assert(p.contains("LeftAnti"), "complaint exclusion must be an anti join:\n" + p.take(1000))
+    assert(p.contains("BroadcastHashJoin"), "anti join build side must broadcast")
+    assert(p.contains("LessThan(s_acctbal,100"),
+      "complaint predicate not pushed to the supplier scan:\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q99_promotion_suppliers: date range and name prefix pushed; qualifying set broadcast") {
+    val p = plan("q99_promotion_suppliers")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "year lower bound not pushed to the lineitem scan:\n" + p.take(1000))
+    assert(p.contains("LessThan(l_shipdate"),
+      "year upper bound not pushed to the lineitem scan:\n" + p.take(1000))
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      "name prefix not pushed to the part scan:\n" + p.take(1000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "qualifying suppliers and region dims must broadcast:\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m29_decile_lift: ntile ranks only the narrow score frame; corpus text never sorted") {
+    val p = plan("m29_decile_lift")
+    // the global window must sort a 3-column (doc_id, p, y) projection —
+    // the document text column must not appear above the feature scan
+    val windowLine = p.linesIterator.find(_.contains("ntile")).getOrElse("")
+    assert(windowLine.nonEmpty, "no ntile window in plan:\n" + p.take(800))
+    assert(!windowLine.contains("text"), s"window input carries text: $windowLine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76_promo_share: month range pushed to scan, part pruned to 2 columns") {
     val p = plan("q76_promo_share")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
