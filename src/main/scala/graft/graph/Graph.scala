@@ -526,7 +526,15 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .loopCheckpoint(true)
-    var labels = vertices(edges)
+    // Vertices from the CHECKPOINTED symmetric frame, src side only
+    // (round-12 30× probe finding): `vertices(edges)` re-evaluates the
+    // caller's edge pipeline twice more (its union has two scan
+    // branches) — free when the caller passes a checkpointed frame
+    // (g3's cachedEdges) but 2× the whole candidate-pair + levenshtein
+    // pipeline when d24 passes its raw match frame (2 × 76 s of the
+    // 30× probe's 259 s read). und is symmetric, so its src column
+    // alone is the full endpoint set.
+    var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component")).loopCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -548,6 +556,12 @@ object Graph {
         .loopCheckpoint(false)
       changed = next.filter(col("changed")).count()
       labels = next.select("id", "component")
+      // (A Borůvka-style per-round edge contraction was probed here on
+      // the 30× dense match graph and measured SLOWER — 52 s vs 35 s
+      // for the plain loop, tools/D24StageProbe stage 2b — because the
+      // relabel joins re-shuffle the full edge mass exactly once more
+      // than the few rounds the pointer-jumping needs on low-diameter
+      // graphs. Kept plain.)
     }
     labels
   }

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * reps each. Round-12 measurement: D 8.2 s vs E 8.5 s steady-state at
   * sf0.1 — the decomposition is ≤ 0.3 s on the gate corpus (all blocks
   * under the cap), so an anchor-to-anchor d24 swing that reproduces in
-  * BOTH forms is host regime, not the round-12 plan change. */
+  * BOTH forms is not the round-12 plan change. (The 30× probe later
+  * found the plan-SHARED term both arms contained — CC's triple
+  * evaluation of the raw match pipeline; see [[D24StageProbe]] and
+  * SCALE.md's round-12 probe section.) */
 object D24AbProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
