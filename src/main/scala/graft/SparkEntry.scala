@@ -103,6 +103,7 @@ object SparkEntry {
     "x27_weighted_sample" -> Seq("key"),
     "m13_calibration" -> Seq("mean_p", "pos_rate"),
     "m29_decile_lift" -> Seq("resp_rate", "cum_lift", "cum_gain"),
+    "m30_ks_drift" -> Seq("ks"),
     "m14_pr_curve" -> Seq("precision", "recall"),
     "m15_auc" -> Seq("auc"),
     "m16_chi2_features" -> Seq("chi2"),

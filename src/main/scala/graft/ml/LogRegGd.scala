@@ -260,6 +260,93 @@ object LogRegGd {
        |  CAST(round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS DECIMAL(18,6)) AS cum_gain
        |FROM cum ORDER BY decile""".stripMargin
 
+  /** m30: per-source Kolmogorov–Smirnov drift audit of the model score
+    * distribution — the standard two-sample test a serving stack runs
+    * per data slice ("which source's score distribution deviates most
+    * from the rest of the corpus?"): for each source,
+    * KS = sup_p |F_src(p) − F_rest(p)|, evaluated exactly.
+    *
+    * Exactness: the sup over a step-function difference is attained at
+    * a jump point, and every jump point is one of the DISTINCT 6-dp
+    * score values, so the whole test is integer arithmetic on ECDF
+    * counts — |cum_src·n_rest − cum_rest·n_src| cross-multiplied in
+    * DECIMAL(38,0) (n²-scaled products pass 2⁶³ at corpus scale — the
+    * lift lesson), one double division at output. No sampling, no
+    * approximation, no libm.
+    *
+    * 100 TB shape: scores are round(·, 6)-quantized at birth, so the
+    * distinct-value grid is BOUNDED at ≤ 1e6+1 rows regardless of
+    * corpus size; the evaluation frame is |sources| × |distinct p| —
+    * metadata-sized by construction. One corpus-touching aggregate
+    * (the (source, p) counts, map-side combinable), then everything
+    * runs on the bounded grid; the global total rides a broadcast
+    * 1-row frame. */
+  def ksDrift(scored: DataFrame, docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val D380 = DecimalType(38, 0)
+    val counts = scored.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "p").agg(count(lit(1)).as("c"))
+    val srcTot = counts.groupBy("source").agg(sum("c").cast("long").as("n_src"))
+    val grid = srcTot.crossJoin(counts.select("p").distinct())
+      .join(counts, Seq("source", "p"), "left")
+      .na.fill(0, Seq("c"))
+      .withColumn("cum_src",
+        sum("c").over(W.partitionBy("source").orderBy("p")
+          .rowsBetween(Long.MinValue, 0)).cast("long"))
+    val cumAll = counts.groupBy("p").agg(sum("c").cast("long").as("cp"))
+      .withColumn("cum_all",
+        sum("cp").over(W.orderBy("p").rowsBetween(Long.MinValue, 0)).cast("long"))
+      .select("p", "cum_all")
+    val nTot = broadcast(srcTot.agg(sum("n_src").cast("long").as("n_total")))
+    grid.join(cumAll, "p").crossJoin(nTot)
+      .select(col("source"), col("n_src"),
+        (col("n_total") - col("n_src")).as("n_rest"),
+        abs(col("cum_src").cast(D380) * (col("n_total") - col("n_src")) -
+          (col("cum_all") - col("cum_src")).cast(D380) * col("n_src")).as("diff"))
+      .groupBy("source", "n_src", "n_rest")
+      .agg(max("diff").as("ks_num"))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        round(col("ks_num").cast("double") /
+          (col("n_src").cast("double") * col("n_rest").cast("double")), 6)
+          .cast(Out6).as("ks"))
+      .orderBy(desc("ks"), asc("source"))
+  }
+
+  def ksDriftSql(lr: String = "0.5", steps: Int = 2): String =
+    s"""WITH scored AS (
+       |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
+       |), sp AS (
+       |  SELECT d.source, s.p FROM scored s JOIN documents d USING (doc_id)
+       |), counts AS (
+       |  SELECT source, p, count(*) AS c FROM sp GROUP BY source, p
+       |), srctot AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM counts GROUP BY source
+       |), grid AS (
+       |  SELECT st.source, st.n_src, dp.p, COALESCE(c.c, 0) AS c
+       |  FROM srctot st CROSS JOIN (SELECT DISTINCT p FROM counts) dp
+       |  LEFT JOIN counts c ON c.source = st.source AND c.p = dp.p
+       |), cums AS (
+       |  SELECT source, n_src, p,
+       |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+       |  FROM grid
+       |), callp AS (
+       |  SELECT p, CAST(SUM(cp) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+       |  FROM (SELECT p, CAST(SUM(c) AS BIGINT) AS cp FROM counts GROUP BY p)
+       |), ntot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total FROM srctot)
+       |SELECT source, n_src, n_rest,
+       |  CAST(round(CAST(ks_num AS DOUBLE) /
+       |    (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ks
+       |FROM (
+       |  SELECT c.source, c.n_src, n.n_total - c.n_src AS n_rest,
+       |    MAX(ABS(CAST(c.cum_src AS DECIMAL(38,0)) * (n.n_total - c.n_src) -
+       |            CAST(a.cum_all - c.cum_src AS DECIMAL(38,0)) * c.n_src)) AS ks_num
+       |  FROM cums c JOIN callp a USING (p) CROSS JOIN ntot n
+       |  GROUP BY c.source, c.n_src, n.n_total
+       |)
+       |ORDER BY ks DESC, source ASC""".stripMargin
+
   def calibrationSql(lr: String = "0.5", steps: Int = 2, n: Int = 10): String =
     s"""WITH scored AS (
        |  ${logregGdSql(lr, steps).replace("\n", "\n  ")}
@@ -889,6 +976,8 @@ object LogRegGd {
         .join(f.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("p"), col("y")))
     }),
+    "m30_ks_drift" -> ((s: SparkSession, dir: String) =>
+      ksDrift(cachedScores(s, dir), Tables.documents(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -904,5 +993,6 @@ object LogRegGd {
     "m25_target_encoding" -> targetEncodingSql(),
     "m26_group_metrics" -> groupMetricsSql(),
     "m29_decile_lift" -> decileLiftSql(),
+    "m30_ks_drift" -> ksDriftSql(),
   )
 }

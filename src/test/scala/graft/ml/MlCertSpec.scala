@@ -338,4 +338,31 @@ class MlCertSpec extends CertSpec {
     assert(micro(r.last, "cum_gain") == 1000000L)
     assert(micro(r.last, "cum_lift") == 1000000L)
   }
+
+  test("m30_ks_drift: per-source KS matches a pure-Scala two-sample ECDF recompute") {
+    val r = rows("m30_ks_drift")
+    val srcOf = Tables.documents(spark, fx).select("doc_id", "source")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val scores = rows("m12_logreg_gd")
+      .map(x => srcOf(x.getAs[Long]("doc_id")) -> micro(x, "p"))
+    val n = scores.size.toLong
+    assert(r.size == srcOf.values.toSet.size, "one row per source")
+    r.foreach { x =>
+      val src = x.getAs[String]("source")
+      val a = scores.collect { case (s, p) if s == src => p }.sorted
+      val b = scores.collect { case (s, p) if s != src => p }.sorted
+      assert(x.getAs[Long]("n_src") == a.size.toLong)
+      assert(x.getAs[Long]("n_rest") == b.size.toLong)
+      // exact integer sup over the union of jump points
+      val ksNum = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)
+      }.max
+      val want = math.round(ksNum.toDouble / (a.size.toLong * b.size) * 1e6)
+      assert(math.abs(micro(x, "ks") - want) <= 1, s"$src ks")
+      assert(micro(x, "ks") >= 0 && micro(x, "ks") <= 1000000, src)
+    }
+    assert(r.map(_.getAs[Long]("n_src")).sum == n, "sources partition the corpus")
+    val ks = r.map(micro(_, "ks"))
+    assert(ks == ks.sortBy(-_), "ordered by ks desc")
+  }
 }
