@@ -111,6 +111,7 @@ object SparkEntry {
     "m18_mcc" -> Seq("mcc"),
     "q37_kmv_distinct" -> Seq("kmv_est"),
     "q40_grouped_corr" -> Seq("corr"),
+    "q100_grouped_ols" -> Seq("slope", "intercept", "r2"),
     "q49_histogram" -> Seq("cdf"),
     "q53_hist_quantiles" -> Seq("q"),
     "q56_ab_lift" -> Seq("rate_a", "rate_b", "lift", "z"),

@@ -1380,6 +1380,60 @@ object Relational {
       |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DECIMAL(18,6)) AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** q100: grouped OLS regression (engine extension; the per-segment
+    * trend-fit a feature store materializes — "price per unit and base
+    * offset, by return flag"): slope/intercept/R² of
+    * l_extendedprice ~ l_quantity per group, assembled from the SAME
+    * five exact-decimal moment sums as [[q40GroupedCorr]] — one
+    * partial-aggregated pass, order-independent by construction — with
+    * the textbook closed forms evaluated in doubles only at the end
+    * (identical single-expression chain on both sides; the intercept
+    * consumes the UNROUNDED slope expression so no intermediate
+    * quantization exists to diverge). One shuffle at any scale, the
+    * q40 cost argument verbatim. */
+  def q100GroupedOls(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(D204)
+    val y = col("l_extendedprice").cast(D204)
+    val dec = DecimalType(38, 8)
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val slope = cov / vx
+    Layout.spreadIfNarrow(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(slope, 6).cast(Out6).as("slope"),
+        round((col("sy") - slope * col("sx")) / nD, 6).cast(Out6).as("intercept"),
+        round((cov * cov) / (vx * vy), 6).cast(Out6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  def q100GroupedOlsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS DECIMAL(18,6)) AS slope,
+      |  CAST(round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS intercept,
+      |  CAST(round(((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+      |    ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DECIMAL(18,6)) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** Correlated scalar subqueries through the engine's SQL front end
     * (SQL-surface extension): orders whose total exceeds 1.5× their own
     * customer's average order value. The SAME ANSI text runs on both
@@ -2997,6 +3051,7 @@ object Relational {
     "q97_important_stock" -> ((s: SparkSession, dir: String) => q97ImportantStock(s, dir)),
     "q98_supplier_cnt" -> ((s: SparkSession, dir: String) => q98SupplierCnt(s, dir)),
     "q99_promotion_suppliers" -> ((s: SparkSession, dir: String) => q99PromotionSuppliers(s, dir)),
+    "q100_grouped_ols" -> ((s: SparkSession, dir: String) => q100GroupedOls(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -3080,6 +3135,7 @@ object Relational {
     "q97_important_stock" -> q97ImportantStockSql(),
     "q98_supplier_cnt" -> q98SupplierCntSql(),
     "q99_promotion_suppliers" -> q99PromotionSuppliersSql(),
+    "q100_grouped_ols" -> q100GroupedOlsSql,
     "q79_dynamic_overwrite" -> q79DynamicOverwriteSql,
   )
 }

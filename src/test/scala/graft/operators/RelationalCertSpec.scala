@@ -670,6 +670,43 @@ class RelationalCertSpec extends CertSpec {
     assert(ns == ns.sorted, "ordered by s_name")
   }
 
+  test("q100_grouped_ols: slope/intercept/r2 match a pure-Scala moment recompute; r2 consistent with q40") {
+    val r = rows("q100_grouped_ols")
+    assert(r.nonEmpty)
+    val raw = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    r.foreach { row =>
+      val g = raw(row.getAs[String]("l_returnflag"))
+      val n = g.size.toDouble
+      val xs = g.map(_.getDouble(1)); val ys = g.map(_.getDouble(2))
+      // BigDecimal sums mirror the engine's exact decimal aggregates
+      def bd(v: Double, s: Int) = BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+      val sx = xs.map(bd(_, 4)).sum.toDouble
+      val sy = ys.map(bd(_, 4)).sum.toDouble
+      val sxy = xs.zip(ys).map { case (a, b) => bd(a * b, 8) }.sum.toDouble
+      val sxx = xs.map(a => bd(a * a, 8)).sum.toDouble
+      val syy = ys.map(b => bd(b * b, 8)).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val slope = cov / vx
+      assert(row.getAs[Long]("n") == g.size.toLong)
+      assert(math.abs(micro(row, "slope") - math.round(slope * 1e6)) <= 1)
+      assert(math.abs(micro(row, "intercept") -
+        math.round((sy - slope * sx) / n * 1e6)) <= 1)
+      assert(math.abs(micro(row, "r2") - math.round(cov * cov / (vx * vy) * 1e6)) <= 1)
+      assert(micro(row, "r2") >= 0 && micro(row, "r2") <= 1000000)
+    }
+    // cross-query consistency: r2 = corr² against q40 on the same groups
+    val corr = rows("q40_grouped_corr")
+      .map(x => x.getAs[String]("l_returnflag") -> micro(x, "corr") / 1e6).toMap
+    r.foreach { row =>
+      val c = corr(row.getAs[String]("l_returnflag"))
+      assert(math.abs(micro(row, "r2") / 1e6 - c * c) < 2e-6,
+        s"${row.getAs[String]("l_returnflag")}: r2 vs corr²")
+    }
+  }
+
   test("q95_k_anonymity: group sizes match raw and the k=10 flag is exact") {
     val r = rows("q95_k_anonymity")
     val raw = cust.groupBy("c_nationkey", "c_mktsegment").count()
