@@ -522,20 +522,48 @@ object Graph {
     * twice in the DAG, computed once.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val und = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .loopCheckpoint(true)
-    // Vertices from the CHECKPOINTED symmetric frame, src side only
-    // (round-12 30× probe finding): `vertices(edges)` re-evaluates the
-    // caller's edge pipeline twice more (its union has two scan
-    // branches) — free when the caller passes a checkpointed frame
-    // (g3's cachedEdges) but 2× the whole candidate-pair + levenshtein
-    // pipeline when d24 passes its raw match frame (2 × 76 s of the
-    // 30× probe's 259 s read). und is symmetric, so its src column
-    // alone is the full endpoint set.
-    var labels = und.select(col("src").as("id")).distinct()
+    // Checkpoint the DIRECTED edge list once, derive symmetry lazily
+    // (round-12 30×/100× probe findings, in order of discovery):
+    //  - the old `vertices(edges)`/symmetric-union shape re-evaluated
+    //    the CALLER's raw edge pipeline three times — free for g3's
+    //    checkpointed cachedEdges, but 3 × the whole candidate-pair +
+    //    banded-levenshtein pipeline for d24's raw match frame (76 s
+    //    each of the 30× probe's 259 s read);
+    //  - the old symmetric `.distinct()` was a hash aggregate whose
+    //    key space IS the full edge set (148M keys at the 100× probe:
+    //    ~4.6M-key maps per task × 32 concurrent under the storage
+    //    pressure of the doubled frame → AGGREGATE_OUT_OF_MEMORY).
+    //    The min-label aggregations below are DUPLICATE-TOLERANT, so
+    //    the dedup bought nothing: multi-edges change no label, only
+    //    (negligibly) the per-round join input.
+    // The checkpoint holds the directed half only (half the storage);
+    // each round's symmetric view is two selects over the checkpoint —
+    // no re-evaluation, no doubled block-store residency.
+    val ed = edges.select("src", "dst").loopCheckpoint(true)
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("component")).loopCheckpoint(true)
+    // Edge-mass-scaled shuffle parallelism (round-12 100× probe
+    // finding): the session's fixed shuffle-partition count is sized
+    // for the registered fact tables, not for a match graph a caller
+    // hands in — at the 100× d24 probe (148M symmetric edge rows) the
+    // per-round joins at 32 partitions carried ~4.6M-row sort buffers
+    // per task × 32 concurrent tasks against a block store already
+    // holding the checkpointed frame, and execution memory hit
+    // UNABLE_TO_ACQUIRE (got 0). On a real cluster this is exactly the
+    // knob a job sizes to its data (AQE only COALESCES below the
+    // configured number, it never raises it); here the loop raises it
+    // to ~2M edge rows per task when the measured edge count needs it,
+    // and restores the session setting after. The count is one cheap
+    // job on the already-checkpointed frame; results are partitioning-
+    // invariant (PartitionInvarianceSpec), so only cost changes.
+    val sess = edges.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = sess.conf.get(confKey)
+    val scaled = math.min(2048L, ed.count() / 1000000L + 1).toInt
+    if (scaled > prevParts.toInt) sess.conf.set(confKey, scaled)
+    try {
     var changed = 1L
     while (changed > 0) {
       val nbrMin = und.join(labels, und("src") === labels("id"))
@@ -563,6 +591,7 @@ object Graph {
       // than the few rounds the pointer-jumping needs on low-diameter
       // graphs. Kept plain.)
     }
+    } finally sess.conf.set(confKey, prevParts)
     labels
   }
 
