@@ -521,7 +521,8 @@ object Graph {
     * the checkpointed frame feeding the self-join is one RDD referenced
     * twice in the DAG, computed once.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+                          edgeRowsPerTask: Long = 1000000L): DataFrame = {
     // Checkpoint the DIRECTED edge list once, derive symmetry lazily
     // (round-12 30×/100× probe findings, in order of discovery):
     //  - the old `vertices(edges)`/symmetric-union shape re-evaluated
@@ -561,7 +562,7 @@ object Graph {
     val sess = edges.sparkSession
     val confKey = "spark.sql.shuffle.partitions"
     val prevParts = sess.conf.get(confKey)
-    val scaled = math.min(2048L, ed.count() / 1000000L + 1).toInt
+    val scaled = math.min(2048L, ed.count() / edgeRowsPerTask + 1).toInt
     if (scaled > prevParts.toInt) sess.conf.set(confKey, scaled)
     try {
     var changed = 1L

@@ -30,6 +30,20 @@ class GraphSpec extends SparkSpec {
     assert(c.toSeq == Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L)))
   }
 
+  test("connectedComponents: edge-mass shuffle-partition override fires, restores, and changes nothing") {
+    val e = edges(5L -> 2L, 2L -> 9L, 7L -> 8L)
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // edgeRowsPerTask = 1 forces scaled = |edges| + 1 > any test setting,
+    // exercising the 100×-probe override path on a unit graph
+    val c = Graph.connectedComponents(e, edgeRowsPerTask = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(c.toSeq == Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L)),
+      "labels must be partition-count-invariant")
+    assert(spark.conf.get(key) == before,
+      "session shuffle-partition setting must be restored after the loop")
+  }
+
   test("pageRank: ranks sum to ~1 on a cycle (no dangling loss)") {
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
     val r = Graph.pageRank(e, iterations = 5).collect()
