@@ -41,7 +41,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // Subset mode renders the FULL oracle map before filtering, so
+    // cache-resolved oracles (LSH autoP family) for UNSELECTED queries
+    // would trip the render-after-run guard; relax it scoped — selected
+    // LSH oracles still read the cache their own run just seeded, and
+    // the driver's full run (no SPARK_GRAFT_ONLY) keeps the fail-loud
+    // contract untouched.
+    val oracles =
+      if (only.isDefined)
+        graft.similarity.Similarity.withUnseededOracleRender(SparkEntry.oracleSql)
+      else SparkEntry.oracleSql
+    val json = oracles.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -707,11 +707,23 @@ object Similarity {
     * consumers (RegistrySpec, tools.QueryCount) build the oracle map
     * purely for its KEY SET, with no query run and hence empty planning
     * caches — [[oracleP]]/[[oracleCells]]/[[oracleSweepBase]] would
-    * otherwise (correctly) refuse to render. Those consumers set this
-    * flag explicitly; the comparison path (Verify) never does, so a
-    * render whose k or fact path could actually be WRONG fails loudly
-    * instead of silently defaulting. */
-  @volatile var allowUnseededOracleRender: Boolean = false
+    * otherwise (correctly) refuse to render. Those consumers use
+    * [[withUnseededOracleRender]]; the full-registry comparison path
+    * (driver Verify) never does, so a render whose k or fact path could
+    * actually be WRONG fails loudly instead of silently defaulting.
+    * PRIVATE and scoped (ADVICE r12): the old public latched var let any
+    * suite that ran after RegistrySpec in the shared test JVM silently
+    * lose the fail-loud guard for the rest of the process. */
+  @volatile private var allowUnseededOracleRender: Boolean = false
+
+  /** Run `body` with the unseeded-render guard relaxed, restoring the
+    * guard in a finally — the ONLY way consumers get the escape hatch,
+    * so it can never latch past its legitimate keys-only scope. */
+  def withUnseededOracleRender[T](body: => T): T = {
+    val prev = allowUnseededOracleRender
+    allowUnseededOracleRender = true
+    try body finally allowUnseededOracleRender = prev
+  }
 
   /** Coarse-quantizer cell count scaled to the corpus: k = max(4, ⌈√n⌉)
     * (the standard IVF guidance — with √n cells, a cell holds ≈ √n

@@ -7,10 +7,10 @@ package graft.tools
 object QueryCount {
   def main(args: Array[String]): Unit = {
     // keys-only consumer: no query has run, so cache-resolved oracle
-    // renders (s20/s26 family) need the documented escape hatch
-    graft.similarity.Similarity.allowUnseededOracleRender = true
+    // renders (s20/s26 family) need the documented escape hatch (scoped)
     val q = graft.SparkEntry.queries.keySet
-    val o = graft.SparkEntry.oracleSql.keySet
+    val o = graft.similarity.Similarity
+      .withUnseededOracleRender(graft.SparkEntry.oracleSql.keySet)
     println(s"queries=${q.size} oracles=${o.size}")
     (q -- o).toSeq.sorted.foreach(n => println(s"MISSING ORACLE: $n"))
     (o -- q).toSeq.sorted.foreach(n => println(s"ORPHAN ORACLE: $n"))

@@ -12,12 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   // keys-only consumer: no query has run here, so cache-resolved oracle
-  // renders (s20/s26 family) need the documented escape hatch
-  graft.similarity.Similarity.allowUnseededOracleRender = true
+  // renders (s20/s26 family) need the documented escape hatch — SCOPED
+  // to this one render (ADVICE r12: the old latched var disabled the
+  // guard for every later suite in the shared test JVM)
+  private val oracleKeys = graft.similarity.Similarity
+    .withUnseededOracleRender(SparkEntry.oracleSql.keySet)
 
   test("every registered query has an oracle, and no oracle is orphaned") {
     val q = SparkEntry.queries.keySet
-    val o = SparkEntry.oracleSql.keySet
+    val o = oracleKeys
     assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }

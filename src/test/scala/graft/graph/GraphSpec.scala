@@ -30,18 +30,48 @@ class GraphSpec extends SparkSpec {
     assert(c.toSeq == Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L)))
   }
 
-  test("connectedComponents: edge-mass shuffle-partition override fires, restores, and changes nothing") {
+  test("connectedComponents: edge-mass scaled parallelism is per-plan, never session conf") {
     val e = edges(5L -> 2L, 2L -> 9L, 7L -> 8L)
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     // edgeRowsPerTask = 1 forces scaled = |edges| + 1 > any test setting,
-    // exercising the 100×-probe override path on a unit graph
+    // exercising the 100×-probe scaled-join path on a unit graph. Round 13
+    // moved the scaling from a session-conf set/restore (raceable across
+    // overlapping calls, visible to concurrent queries) to explicit
+    // repartition(scaled, key) on the per-round join inputs, so the
+    // session setting must now be bit-identical THROUGHOUT the call, not
+    // merely restored after it — verified by never touching it.
     val c = Graph.connectedComponents(e, edgeRowsPerTask = 1L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(c.toSeq == Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L)),
       "labels must be partition-count-invariant")
     assert(spark.conf.get(key) == before,
-      "session shuffle-partition setting must be restored after the loop")
+      "scaled parallelism must not mutate session conf")
+  }
+
+  test("graph entry points evaluate the caller's edge frame exactly once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, udf}
+    // The r12 d24 probe found caller-pipeline re-evaluation costing 76 s
+    // per extra reference; every public algorithm now checkpoints the
+    // caller frame once at entry. Pin it: an accumulator ticked per edge
+    // ROW evaluated must land at exactly |E| after a full run.
+    val algos: Seq[(String, DataFrame => Unit)] = Seq(
+      ("pageRank", e => Graph.pageRank(e, iterations = 2).collect()),
+      ("pageRankDangling", e => Graph.pageRankDangling(e, iterations = 2).collect()),
+      ("triangleCounts", e => Graph.triangleCounts(e).collect()),
+      ("shortestPaths", e => Graph.shortestPaths(e, landmarks = Seq(1L)).collect()),
+      ("labelPropagation", e => Graph.labelPropagation(e, rounds = 2).collect()),
+      ("connectedComponents", e => Graph.connectedComponents(e).collect()))
+    for ((name, run) <- algos) {
+      val acc = spark.sparkContext.longAccumulator(s"edge_evals_$name")
+      val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
+      val instrumented = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+        .select(tick(col("src")).as("src"), col("dst"))
+      run(instrumented)
+      assert(acc.value == 4L,
+        s"$name evaluated the caller frame ${acc.value / 4.0} times (want 1)")
+    }
   }
 
   test("pageRank: ranks sum to ~1 on a cycle (no dangling loss)") {
