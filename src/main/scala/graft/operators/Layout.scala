@@ -42,11 +42,24 @@ object Layout {
     * no job PROVIDED the frame is scan-stage only (filter/project over a
     * file source, no upstream exchange) — under AQE an upstream exchange
     * would materialize query stages, so callers must pass raw-scan
-    * frames. All engine call sites (q40's lineitem projection, the
-    * similarity corpus/delta scans) satisfy this by construction.
-    * Results are partitioning-independent throughout the engine, so the
-    * gate only changes cost, never values. */
+    * frames. That precondition is now ENFORCED, not just documented
+    * (ADVICE r12): the optimized logical plan must contain only
+    * narrow nodes (project/filter/union) over leaves — any join,
+    * aggregate, window, sort, or repartition upstream fails loudly at
+    * the call site instead of silently regressing planning into a
+    * materialized query stage. Results are partitioning-independent
+    * throughout the engine, so the gate only changes cost, never
+    * values. */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Project, Union, Filter => LFilter}
+    val wide = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[LFilter] &&
+        !p.isInstanceOf[Union] && !p.isInstanceOf[LeafNode] => p.nodeName
+    }
+    require(wide.isEmpty,
+      s"spreadIfNarrow requires a scan-stage-only frame (narrow project/" +
+        s"filter over a source) — found upstream ${wide.get}, whose " +
+        "partition probe would materialize query stages under AQE")
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

@@ -2494,6 +2494,77 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** q92: the FULL TPC-H Q1 pricing summary — shipdate cutoff pushed to
+    * the scan plus the complete eight-aggregate column set (sum_qty,
+    * sum_base_price, sum_disc_price, sum_charge, three averages,
+    * count_order), closing the named Q1-Q22 shape list (`q1_agg` is the
+    * Q1-like three-aggregate warm-up; this is the classic). One
+    * partial+final hash-aggregate pass over the filtered scan — 4-6
+    * output rows at ANY scale factor, the canonical map-side-combine
+    * showcase. Sums are per-row DECIMAL-quantized (order-independent
+    * exact totals, engine convention); averages divide the exact sums
+    * by the group count in double (IEEE-deterministic). */
+  def q92PricingSummary(spark: SparkSession, dir: String,
+                        cutoff: String = "1998-09-02"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(D204)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D204)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D308))
+          .cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).cast(D308)).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(D204)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(D204)).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(D204)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q92PricingSummarySql(cutoff: String = "1998-09-02"): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$cutoff'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q93: the FULL TPC-H Q6 forecasting-revenue-change — the classic
+    * adds the one-year shipdate window to `q6_filter`'s discount-band +
+    * quantity predicates. All three predicates and the 2-column
+    * projection push into the parquet scan (PlanAuditSpec-style shape:
+    * the scan reads l_extendedprice/l_discount only and row groups
+    * outside the year are skipped on shipdate stats); the aggregate is
+    * one exact-decimal sum folded map-side to a single row. */
+  def q93RevenueChange(spark: SparkSession, dir: String,
+                       from: String = "1995-01-01",
+                       until: String = "1996-01-01"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(D308))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  def q93RevenueChangeSql(from: String = "1995-01-01",
+                          until: String = "1996-01-01"): String =
+    s"""SELECT
+       |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$until'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
   /** q88: per-user EWMA recency features — the time-decay aggregate a
     * feature store materializes per entity ("how active is this user,
     * weighted toward now"): each user's events ordered by (ts, event_id)
@@ -2875,10 +2946,16 @@ object Relational {
     * classes, excluding one brand, one type, and the "complaint"
     * suppliers (stand-in predicate s_acctbal < 100 — the fixture has
     * no s_comment for Q16's '%Customer%Complaints%' scan; 8 of 100
-    * suppliers at sf0.01). The exclusion is a broadcast ANTI join
-    * BEFORE the aggregate (Q16's NOT IN, S6's driver-collect replaced
-    * per SURVEY §4); the distinct count shuffles once on the
-    * three-attribute group key. */
+    * suppliers at sf0.01). The exclusion is a broadcast SEMI join
+    * against the qualifying supplier set BEFORE the aggregate (Q16's
+    * NOT IN, S6's driver-collect replaced per SURVEY §4) — semi, not
+    * anti-vs-complaints, so both twins count only suppkeys that exist
+    * in `supplier` (ADVICE r12: an anti join counted synthetic phantom
+    * keys on any corpus whose supplier keys are sparse or 1-based,
+    * where max+1 ≠ count; the oracle inner-joins supplier and would
+    * drop them). Semi ≡ the oracle's inner join for a distinct count
+    * because s_suppkey is unique in the dim. The distinct count
+    * shuffles once on the three-attribute group key. */
   def q98SupplierCnt(spark: SparkSession, dir: String,
                      exclBrand: String = "Brand#9", exclType: String = "PROMO",
                      minBal: Int = 100): DataFrame = {
@@ -2887,10 +2964,10 @@ object Relational {
       .filter(col("p_brand") =!= exclBrand && col("p_type") =!= exclType &&
         col("p_size").isin(sizes: _*))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    val complaints = Tables.supplier(spark, dir)
-      .filter(col("s_acctbal") < minBal).select("s_suppkey")
+    val qualifying = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") >= minBal).select("s_suppkey")
     synthPartsupp(spark, dir, p)
-      .join(broadcast(complaints), Seq("s_suppkey"), "left_anti")
+      .join(broadcast(qualifying), Seq("s_suppkey"), "left_semi")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("s_suppkey").as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
@@ -3044,6 +3121,8 @@ object Relational {
     "q89_big_qty_orders" -> ((s: SparkSession, dir: String) => q89BigQtyOrders(s, dir)),
     "q90_returned_ranking" -> ((s: SparkSession, dir: String) => q90ReturnedRanking(s, dir)),
     "q91_priority_check" -> ((s: SparkSession, dir: String) => q91PriorityCheck(s, dir)),
+    "q92_pricing_summary" -> ((s: SparkSession, dir: String) => q92PricingSummary(s, dir)),
+    "q93_revenue_change" -> ((s: SparkSession, dir: String) => q93RevenueChange(s, dir)),
     "q78_bad_records" -> q78BadRecords _,
     "q95_k_anonymity" -> ((s: SparkSession, dir: String) => q95KAnonymity(s, dir)),
     "q79_dynamic_overwrite" -> q79DynamicOverwrite _,
@@ -3129,6 +3208,8 @@ object Relational {
     "q89_big_qty_orders" -> q89BigQtyOrdersSql(),
     "q90_returned_ranking" -> q90ReturnedRankingSql(),
     "q91_priority_check" -> q91PriorityCheckSql(),
+    "q92_pricing_summary" -> q92PricingSummarySql(),
+    "q93_revenue_change" -> q93RevenueChangeSql(),
     "q78_bad_records" -> q78BadRecordsSql,
     "q95_k_anonymity" -> q95KAnonymitySql(),
     "q96_min_cost_supplier" -> q96MinCostSupplierSql(),

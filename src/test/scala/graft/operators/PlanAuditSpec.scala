@@ -669,12 +669,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("38,0"), "value sum must be DECIMAL(38,0):\n" + p.take(1000))
   }
 
-  test("q98_supplier_cnt: complaint exclusion is a broadcast anti join before the aggregate") {
+  test("q98_supplier_cnt: qualifying-supplier semi join broadcast before the aggregate") {
     val p = plan("q98_supplier_cnt")
-    assert(p.contains("LeftAnti"), "complaint exclusion must be an anti join:\n" + p.take(1000))
-    assert(p.contains("BroadcastHashJoin"), "anti join build side must broadcast")
-    assert(p.contains("LessThan(s_acctbal,100"),
-      "complaint predicate not pushed to the supplier scan:\n" + p.take(1000))
+    // SEMI against qualifying suppliers, not anti against complaints
+    // (ADVICE r12): both twins must count only suppkeys present in the
+    // supplier dim, so the exclusion predicate is inverted and the join
+    // flipped — same rows on contiguous keys, robust on sparse ones
+    assert(p.contains("LeftSemi"), "qualifying filter must be a semi join:\n" + p.take(1000))
+    assert(p.contains("BroadcastHashJoin"), "semi join build side must broadcast")
+    assert(p.contains("GreaterThanOrEqual(s_acctbal,100"),
+      "qualifying predicate not pushed to the supplier scan:\n" + p.take(1000))
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -622,6 +622,46 @@ class RelationalCertSpec extends CertSpec {
     }
   }
 
+  test("q92_pricing_summary: full Q1 aggregates match an independent recompute") {
+    val r = rows("q92_pricing_summary")
+    assert(r.nonEmpty)
+    val cut = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // exact BigDecimal recompute per group for the three sums + count;
+    // averages must equal sum/count of the same exact sums
+    val raw = cut.select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").collect()
+      .groupBy(x => (x.getString(0), x.getString(1)))
+    r.foreach { x =>
+      val key = (x.getAs[String]("l_returnflag"), x.getAs[String]("l_linestatus"))
+      val g = raw(key)
+      val n = g.length.toLong
+      assert(x.getAs[Long]("count_order") == n, key.toString)
+      def bd(v: Double, scale: Int) = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      val sumQty = g.map(y => bd(y.getDouble(2), 4)).sum
+      assert(math.abs(x.getAs[Double]("sum_qty") - sumQty.toDouble) < 1e-6)
+      val sumCharge = g.map(y => bd(y.getDouble(3) * (1 - y.getDouble(4)) * (1 + y.getDouble(5)), 8)).sum
+      assert(math.abs(x.getAs[Double]("sum_charge") - sumCharge.toDouble) < 1e-4, key.toString)
+      assert(math.abs(x.getAs[Double]("avg_qty") - sumQty.toDouble / n) < 1e-9)
+    }
+    // the filtered row universe is conserved across groups
+    assert(r.map(_.getAs[Long]("count_order")).sum == cut.count())
+  }
+
+  test("q93_revenue_change: full Q6 scalar matches the unfiltered-q6 recompute on the year slice") {
+    val r = rows("q93_revenue_change")
+    assert(r.size == 1)
+    val slice = li.filter(
+      col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select("l_extendedprice", "l_discount").collect()
+    assert(r.head.getAs[Long]("n_rows") == slice.length.toLong)
+    val want = slice.map(y => BigDecimal(y.getDouble(0) * y.getDouble(1))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(r.head.getAs[Double]("revenue") - want.toDouble) < 1e-4)
+  }
+
   test("q98_supplier_cnt: distinct counts match the pure-Scala recompute; excluded suppliers absent") {
     val r = rows("q98_supplier_cnt")
     assert(r.nonEmpty)
