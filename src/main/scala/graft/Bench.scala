@@ -215,8 +215,38 @@ object Bench {
       .mkString("{", ",", "}")
     val buildsFull = results.collect { case (k, (_, _, b)) if b > 0 =>
       "\"" + k + "\":" + fmt(b) }.mkString("{", ",", "}")
+    // vs_anchor (VERDICT r12 item 5): per-query wall ratio against the
+    // committed anchor medians (bench_anchors/anchor_current.json), so a
+    // bench run SELF-REPORTS its regressions instead of leaving the
+    // anchor join to the reader. Regression flag threshold (NOTES.md):
+    // ratio ≥ 1.3 AND absolute delta ≥ 0.3 s — both conditions, because
+    // single-rep driver runs carry seconds of host noise on this sandbox
+    // and sub-0.3 s queries jitter by whole ratio multiples. Queries
+    // with no anchor entry (new this round) are omitted from the map.
+    val anchor: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_anchors/anchor_current.json")), "UTF-8")
+      val qi = txt.indexOf("\"queries\":{")
+      if (qi < 0) Map.empty
+      else {
+        val seg = txt.substring(qi + 11, txt.indexOf('}', qi))
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(seg)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val ratios: Seq[(String, Double)] = results.toSeq.collect {
+      case (k, (w, c, _)) if c >= 0 && anchor.get(k).exists(_ > 0) =>
+        k -> math.abs(w) / anchor(k)
+    }
+    val vsAnchorFull = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val regressed = ratios.collect {
+      case (k, r) if r >= 1.3 &&
+        results(k)._1.abs - anchor(k) >= 0.3 => k
+    }.sorted
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"failed":$failed,"sf":"$sfDir"$iso}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"regressed":$regressedJson,"anchor_n":${ratios.size},"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
     // /tmp for ad-hoc reads AND a durable in-repo copy (bench_anchors/)
     // so future rounds can audit the per-query detail of any recorded
@@ -240,7 +270,10 @@ object Bench {
     // driver-facing line so a contended run is self-adjudicating: wall
     // far above cpu/32 means host noise, not regression (VERDICT r10 #2);
     // build_sec_total/build_paid summarize first-payer memo cost
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size}$iso}""")
+    // regressed-vs-anchor count + capped name list ride the compact line
+    // too (full ratios live in the stderr/bench_anchors JSON above)
+    val regHead = regressed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"regressed_n":${regressed.size},"regressed":$regHead,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()
   }
 }
