@@ -46,6 +46,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("q92_pricing_summary: cutoff pushed, scan pruned to the 6 referenced columns") {
+    val p = plan("q92_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "shipdate cutoff not pushed to the scan:\n" + p.take(800))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_tax") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unreferenced columns: $readSchema")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("q93_revenue_change: all three predicates pushed, 2-column read schema") {
+    val p = plan("q93_revenue_change")
+    // the PushedFilters list truncates in toString — assert on the scan's
+    // data-filter expressions instead (the q6 audit's technique)
+    assert("""l_shipdate#\d+ >= 1995-01-01""".r.findFirstIn(p).isDefined,
+      "year lower bound not in scan data filters:\n" + p.take(800))
+    assert("""l_shipdate#\d+ < 1996-01-01""".r.findFirstIn(p).isDefined,
+      "year upper bound not in scan data filters")
+    assert("""l_discount#\d+ >= 0.05""".r.findFirstIn(p).isDefined,
+      "discount band not in scan data filters")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no filters pushed to the scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the two aggregated columns plus the three filter columns may
+    // be read; the wide remainder of lineitem must be pruned
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
   test("q2_topk: orderBy+limit plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q2_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
