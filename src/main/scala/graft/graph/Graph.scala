@@ -236,14 +236,16 @@ object Graph {
     * added are bit-identical. */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
                            iterations: Int = 3, alpha: Double = 0.15): DataFrame = {
-    val v = vertices(edges).loopCheckpoint(true) // reused every round
+    // single caller-frame evaluation at entry (see [[pageRank]])
+    val e = edges.select("src", "dst").loopCheckpoint(true)
+    val v = vertices(e).loopCheckpoint(true) // reused every round
     val k = sources.size
     val tele = alpha / k
     val isSrc = col("id").isin(sources: _*)
     var ranks = v.select(col("id"),
       when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")).loopCheckpoint(true)
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val contribs = edges.join(outDeg, "src")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
@@ -325,10 +327,12 @@ object Graph {
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
                   alpha: Double = 0.15, recordKey: Option[String] = None): DataFrame = {
-    val v = vertices(edges).loopCheckpoint(true) // reused every round
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // single caller-frame evaluation at entry (see [[pageRank]])
+    val e = edges.select("src", "dst").loopCheckpoint(true)
+    val v = vertices(e).loopCheckpoint(true) // reused every round
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     var ranks = v.select(col("id"), lit(1.0).as("rank")).loopCheckpoint(true)
-    val contribs = edges.join(outDeg, "src")
+    val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
     var iters = 0
@@ -436,12 +440,16 @@ object Graph {
     * q_contrib is their exact-decimal difference. */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val out6 = DecimalType(18, 6)
+    // the labels frame joins twice below — checkpoint once so a
+    // caller-supplied expensive labeling (a full CC run) is evaluated
+    // once, not per join branch (the r13 single-evaluation contract)
+    val lab = labels.select("id", "component").loopCheckpoint(true)
     val und = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .join(labels.select(col("id").as("u"), col("component").as("cu")), "u")
-      .join(labels.select(col("id").as("v"), col("component").as("cv")), "v")
+      .join(lab.select(col("id").as("u"), col("component").as("cu")), "u")
+      .join(lab.select(col("id").as("v"), col("component").as("cv")), "v")
       .localCheckpoint(true) // feeds m, e_c AND deg_c
     val mEdges = und.agg(count(lit(1)).as("m"))
     val eC = und.filter(col("cu") === col("cv"))
@@ -686,7 +694,7 @@ object Graph {
     * degrading. */
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 30): DataFrame = {
     var live = edges.select("src", "dst").distinct().loopCheckpoint(true)
-    var verts = vertices(edges).loopCheckpoint(true)
+    var verts = vertices(live).loopCheckpoint(true) // from the checkpoint — caller runs once
     // seeded empty so a vertex-less input (legal degenerate call) returns
     // an empty (id, scc) frame instead of NPE-ing on result.orderBy
     var result: DataFrame =
@@ -787,13 +795,17 @@ object Graph {
     * Output (id, scc, level) per vertex, ordered by id. */
   def condensationLevels(edges: DataFrame, scc: DataFrame,
       maxRounds: Int = 500): DataFrame = {
+    // scc is referenced three times below (two cond joins + the level
+    // seed) — checkpoint once so a caller-supplied full SCC pipeline is
+    // evaluated once (the r13 single-evaluation contract)
+    val sc = scc.select("id", "scc").loopCheckpoint(true)
     val cond = edges.select("src", "dst")
-      .join(scc.select(col("id").as("src"), col("scc").as("s")), "src")
-      .join(scc.select(col("id").as("dst"), col("scc").as("t")), "dst")
+      .join(sc.select(col("id").as("src"), col("scc").as("s")), "src")
+      .join(sc.select(col("id").as("dst"), col("scc").as("t")), "dst")
       .filter(col("s") =!= col("t"))
       .select("s", "t").distinct()
       .loopCheckpoint(true)
-    var levels = scc.select(col("scc").as("node")).distinct()
+    var levels = sc.select(col("scc").as("node")).distinct()
       .select(col("node"), lit(0L).as("level")).loopCheckpoint(true)
     var frontier = levels
     var changed = 1L
@@ -815,7 +827,7 @@ object Graph {
       changed = frontier.count()
       levels = next.select("node", "level")
     }
-    scc.join(levels.select(col("node").as("scc"), col("level")), "scc")
+    sc.join(levels.select(col("node").as("scc"), col("level")), "scc")
       .select(col("id"), col("scc"), col("level"))
       .orderBy("id")
   }
@@ -973,8 +985,10 @@ object Graph {
     * broadcast-able anti-join on the canonical pair. */
   def adamicAdar(edges: DataFrame, topK: Int = 20,
                  maxHubDeg: Int = 64): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // directed half checkpointed first so the caller's pipeline runs
+    // once, not once per union branch (see [[labelPropagation]])
+    val ed = edges.select("src", "dst").loopCheckpoint(true)
+    val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .loopCheckpoint(true) // reused: degrees, both wedge sides, anti-join
     val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
@@ -1316,8 +1330,9 @@ object Graph {
     * (the g5 contract — only the stopping rule is Spark-derived). */
   def kCore(edges: DataFrame, k: Int = 10,
             recordKey: Option[String] = None): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // directed half checkpointed first — caller pipeline runs once
+    val ed = edges.select("src", "dst").loopCheckpoint(true)
+    val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().loopCheckpoint(true)
     def degreesOf(e: DataFrame): DataFrame =
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -1547,8 +1562,8 @@ object Graph {
     * exact decimal sums — one IEEE division, identical on both
     * engines. */
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
-    val v = vertices(edges).loopCheckpoint(true)
     val e = edges.loopCheckpoint(true) // probed twice per round
+    val v = vertices(e).loopCheckpoint(true) // from the checkpoint — caller runs once
     var hub = v.select(col("id"), lit(1.0).as("hub")).loopCheckpoint(true)
     var auth = v.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iterations) {

@@ -59,10 +59,18 @@ class GraphSpec extends SparkSpec {
     val algos: Seq[(String, DataFrame => Unit)] = Seq(
       ("pageRank", e => Graph.pageRank(e, iterations = 2).collect()),
       ("pageRankDangling", e => Graph.pageRankDangling(e, iterations = 2).collect()),
+      ("pageRankTol", e => Graph.pageRankTol(e, tol = 0.5).collect()),
+      ("personalizedPageRank",
+        e => Graph.personalizedPageRank(e, sources = Seq(1L), iterations = 2).collect()),
       ("triangleCounts", e => Graph.triangleCounts(e).collect()),
       ("shortestPaths", e => Graph.shortestPaths(e, landmarks = Seq(1L)).collect()),
       ("labelPropagation", e => Graph.labelPropagation(e, rounds = 2).collect()),
-      ("connectedComponents", e => Graph.connectedComponents(e).collect()))
+      ("connectedComponents", e => Graph.connectedComponents(e).collect()),
+      ("adamicAdar", e => Graph.adamicAdar(e).collect()),
+      ("kCore", e => Graph.kCore(e, k = 2).collect()),
+      ("hits", e => Graph.hits(e, iterations = 2).collect()),
+      ("stronglyConnectedComponents",
+        e => Graph.stronglyConnectedComponents(e).collect()))
     for ((name, run) <- algos) {
       val acc = spark.sparkContext.longAccumulator(s"edge_evals_$name")
       val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
@@ -71,6 +79,29 @@ class GraphSpec extends SparkSpec {
       run(instrumented)
       assert(acc.value == 4L,
         s"$name evaluated the caller frame ${acc.value / 4.0} times (want 1)")
+    }
+  }
+
+  test("label-frame consumers evaluate the caller's label frame exactly once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, udf}
+    // modularity and condensationLevels take a LABELING frame (usually a
+    // full CC/SCC pipeline) and reference it 2-3 times — same
+    // single-evaluation contract, pinned on the label side
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val cases: Seq[(String, DataFrame => Unit)] = Seq(
+      ("modularity", lab => Graph.modularity(e,
+        lab.select(col("id"), col("lbl").as("component"))).collect()),
+      ("condensationLevels", lab => Graph.condensationLevels(e,
+        lab.select(col("id"), col("lbl").as("scc"))).collect()))
+    for ((name, run) <- cases) {
+      val acc = spark.sparkContext.longAccumulator(s"label_evals_$name")
+      val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
+      val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "lbl")
+        .select(tick(col("id")).as("id"), col("lbl"))
+      run(labels)
+      assert(acc.value == 4L,
+        s"$name evaluated the caller's label frame ${acc.value / 4.0} times (want 1)")
     }
   }
 
