@@ -49,10 +49,15 @@ object Graph {
     s"""SELECT DISTINCT o_custkey % $m AS src, o_orderkey % $m AS dst
        |FROM orders WHERE o_custkey % $m != o_orderkey % $m""".stripMargin
 
-  /** Distinct endpoint set — the implied vertex table. */
+  /** Distinct endpoint set — the implied vertex table. Explode-based,
+    * NOT a self-union: the input frame is referenced exactly once, so
+    * (a) the edge scan runs once, not once per union branch, and
+    * (b) `vertices(lazyCheckpointedFrame)` is race-free — a self-union
+    * would reference an unmaterialized lazy cache twice inside one job
+    * and could compute it twice (the r13 lazy-entry-checkpoint
+    * contract depends on this). */
   def vertices(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
 
   /** Out-degrees ⋈ in-degrees, full outer so one-sided vertices survive
@@ -91,7 +96,11 @@ object Graph {
     // match graph) runs exactly once, not once per derived frame — and
     // `v` is checkpointed too because the clean variant joins it every
     // iteration (GraphSpec pins single evaluation via accumulator).
-    val e = edges.select("src", "dst").loopCheckpoint(true)
+    // The entry checkpoint is LAZY: v's eager checkpoint job references
+    // e exactly once (explode-based [[vertices]]) and materializes both
+    // — no standalone extra job at gate scale, same one-evaluation
+    // guarantee at caller-pipeline scale.
+    val e = edges.select("src", "dst").loopCheckpoint(false)
     val v = vertices(e).loopCheckpoint(true)
     val n = v.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
@@ -165,8 +174,9 @@ object Graph {
     * `localCheckpoint`) matches [[pageRank]]. */
   def pageRankDangling(edges: DataFrame, iterations: Int,
                        alpha: Double = 0.15): DataFrame = {
-    // single caller-frame evaluation at entry (see [[pageRank]])
-    val e = edges.select("src", "dst").loopCheckpoint(true)
+    // single caller-frame evaluation at entry (see [[pageRank]]; lazy —
+    // v's eager checkpoint job materializes e through its one reference)
+    val e = edges.select("src", "dst").loopCheckpoint(false)
     val v = vertices(e).loopCheckpoint(true) // joined every iteration
     val n = v.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
@@ -236,8 +246,9 @@ object Graph {
     * added are bit-identical. */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
                            iterations: Int = 3, alpha: Double = 0.15): DataFrame = {
-    // single caller-frame evaluation at entry (see [[pageRank]])
-    val e = edges.select("src", "dst").loopCheckpoint(true)
+    // single caller-frame evaluation at entry (see [[pageRank]]; lazy —
+    // v's eager checkpoint job materializes e through its one reference)
+    val e = edges.select("src", "dst").loopCheckpoint(false)
     val v = vertices(e).loopCheckpoint(true) // reused every round
     val k = sources.size
     val tele = alpha / k
@@ -327,8 +338,9 @@ object Graph {
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
                   alpha: Double = 0.15, recordKey: Option[String] = None): DataFrame = {
-    // single caller-frame evaluation at entry (see [[pageRank]])
-    val e = edges.select("src", "dst").loopCheckpoint(true)
+    // single caller-frame evaluation at entry (see [[pageRank]]; lazy —
+    // v's eager checkpoint job materializes e through its one reference)
+    val e = edges.select("src", "dst").loopCheckpoint(false)
     val v = vertices(e).loopCheckpoint(true) // reused every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     var ranks = v.select(col("id"), lit(1.0).as("rank")).loopCheckpoint(true)
@@ -1562,7 +1574,9 @@ object Graph {
     * exact decimal sums — one IEEE division, identical on both
     * engines. */
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
-    val e = edges.loopCheckpoint(true) // probed twice per round
+    // lazy entry checkpoint: v's eager job materializes e through its
+    // single explode-vertices reference; the per-round joins read cache
+    val e = edges.loopCheckpoint(false) // probed twice per round
     val v = vertices(e).loopCheckpoint(true) // from the checkpoint — caller runs once
     var hub = v.select(col("id"), lit(1.0).as("hub")).loopCheckpoint(true)
     var auth = v.select(col("id"), lit(1.0).as("auth"))
