@@ -40,6 +40,14 @@ object SparkEntry {
     graft.plans.Materialized(s, s"tfidf_postings:${Tables.norm(dir)}")(
       TfIdf.postings(Tables.documents(s, dir)))
 
+  /** Stemmed index memo (t15): same dataflow as [[cachedPostings]] with
+    * the light-stemmer term transform (the reference's disabled Stemmer
+    * annotator, MovieSearchEngine.scala:66-68, now has a live analog). */
+  private def cachedStemmedPostings(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"tfidf_stemmed_postings:${Tables.norm(dir)}")(
+      TfIdf.postings(Tables.documents(s, dir),
+        termXform = graft.text.Tokenize.stem))
+
   // ------------------------------------------------------------------
   // Hashed-output representation rule (round 6).
   //
@@ -227,6 +235,12 @@ object SparkEntry {
         }
         TfIdf.searchSingle(TfIdf.readIndex(s, path), "spark")
       }),
+      // single-term search over the STEMMED index: the query literal is
+      // stemmed by the same shared rule set at plan-build time
+      // ("tables" → "table"), so index and query can never drift
+      "t15_stemmed_search" -> ((s: SparkSession, dir: String) =>
+        TfIdf.searchSingle(cachedStemmedPostings(s, dir),
+          graft.text.Tokenize.stemString("tables"))),
     )
 
   private def rawOracleSql: Map[String, String] =
@@ -236,5 +250,7 @@ object SparkEntry {
       "t1_tfidf_single" -> TfIdf.searchSingleSql("spark"),
       "t2_tfidf_multi" -> TfIdf.searchMultiSql(searchTerms),
       "t3_tfidf_persisted" -> TfIdf.searchSingleSql("spark"),
+      "t15_stemmed_search" ->
+        TfIdf.stemmedSearchSingleSql(graft.text.Tokenize.stemString("tables")),
     )
 }

@@ -33,9 +33,14 @@ object TfIdf {
     * df = #docs containing term (ref :144-151), idf = ln(N/df) (ref :163),
     * tfidf = tf·idf (ref :186).
     */
-  def postings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def postings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               termXform: Column => Column = identity): DataFrame = {
+    // termXform (default identity — Catalyst collapses the extra
+    // projection) lets t15 build the index over STEMMED terms with the
+    // exact same downstream dataflow
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(Tokenize.tokens(col(textCol))).as("term"))
+        explode(Tokenize.tokens(col(textCol))).as("term0"))
+      .select(col("doc_id"), termXform(col("term0")).as("term"))
     // materialize tf once: without this, Catalyst column-prunes the df
     // branch into a structurally different aggregate (no count column),
     // which defeats ReuseExchange — the corpus would be scanned and
@@ -138,13 +143,11 @@ object TfIdf {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB CTE prefix building postings over `documents` — must mirror
-    * [[postings]] exactly (natural log; duplicate-preserving tokens). */
-  def postingsSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, t.term
-       |  FROM documents, UNNEST(${Tokenize.tokensSql("text")}) AS t(term)
-       |), tf AS (
+  /** Shared tail from a `toks(doc_id, term)` CTE to the `postings` CTE —
+    * one definition for the raw and stemmed index twins so they cannot
+    * drift. */
+  private def postingsTailSql: String =
+    s""", tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
        |), dfreq AS (
        |  SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -156,6 +159,37 @@ object TfIdf {
        |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
        |)""".stripMargin
+
+  /** DuckDB CTE prefix building postings over `documents` — must mirror
+    * [[postings]] exactly (natural log; duplicate-preserving tokens). */
+  def postingsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.term
+       |  FROM documents, UNNEST(${Tokenize.tokensSql("text")}) AS t(term)
+       |)$postingsTailSql""".stripMargin
+
+  /** Stemmed twin of [[postingsSql]] — the three stem stages run as
+    * staged CTEs (DuckDB lacks bindable expressions; staging avoids
+    * textual self-repetition of the CASE chains). */
+  def stemmedPostingsSql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, t.term AS w
+       |  FROM documents, UNNEST(${Tokenize.tokensSql("text")}) AS t(term)
+       |), tok1 AS (
+       |  SELECT doc_id, ${Tokenize.stemStep1Sql("w").replace("\n", "\n  ")} AS w FROM toks0
+       |), tok2 AS (
+       |  SELECT doc_id, ${Tokenize.stemStep2Sql("w").replace("\n", "\n  ")} AS w FROM tok1
+       |), toks AS (
+       |  SELECT doc_id, ${Tokenize.stemUndoubleSql("w").replace("\n", "\n  ")} AS term FROM tok2
+       |)$postingsTailSql""".stripMargin
+
+  /** Single-term search over the STEMMED index (t15); `term` must
+    * already be stemmed by the caller with [[Tokenize.stemString]]. */
+  def stemmedSearchSingleSql(term: String, k: Int = 10): String =
+    s"""$stemmedPostingsSql
+       |SELECT doc_id, round(tfidf, 6) AS score
+       |FROM postings WHERE term = '$term'
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
   def searchSingleSql(term: String, k: Int = 10): String =
     s"""$postingsSql
