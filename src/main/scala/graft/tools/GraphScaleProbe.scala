@@ -118,6 +118,8 @@ object GraphScaleProbe {
     }
     time("g8_labelPropagation")(drain(Graph.labelPropagation(edges, rounds = 3)))
     time("g14_hits")(drain(Graph.hits(edges, iterations = 4)))
+    time("g2_pageRank")(drain(Graph.pageRank(edges, iterations = 3)))
+    time("g3_connectedComponents")(drain(Graph.connectedComponents(edges)))
     spark.stop()
   }
 }
