@@ -2736,27 +2736,22 @@ object Relational {
     val backfill = ev.join(broadcast(minDay), col("day") === col("d"))
       .filter(col("event_type") =!= "view")
       .select("day", "event_id", "event_type")
-    withDynamicPartitionOverwrite(spark) {
-      backfill.write.mode("overwrite").partitionBy("day").parquet(tmp)
-    }
+    // per-WRITE dynamic overwrite (the DataFrameWriter option), not a
+    // session-conf set/restore: the same hygiene class the r13 CC fix
+    // removed — a concurrent overwrite on the session must never see
+    // this write's mode, and two overlapping calls cannot race a restore
+    dynamicOverwrite(backfill.write).partitionBy("day").parquet(tmp)
     spark.read.parquet(tmp)
       .groupBy("day").agg(count(lit(1)).as("n_rows"))
       .orderBy("day")
   }
 
-  /** Run `body` under `partitionOverwriteMode=dynamic`, restoring the
-    * previous session setting afterwards — shared by [[q79DynamicOverwrite]]
-    * and its spec so both exercise the same save/restore semantics. */
-  def withDynamicPartitionOverwrite[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  /** Dynamic-partition-overwrite as a per-write option — shared by
+    * [[q79DynamicOverwrite]] and its spec so both exercise the same
+    * write semantics without touching session conf. */
+  def dynamicOverwrite[T](w: org.apache.spark.sql.DataFrameWriter[T])
+      : org.apache.spark.sql.DataFrameWriter[T] =
+    w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
 
   def q79DynamicOverwriteSql: String =
     // the trailing NOT EXISTS mirrors dynamic overwrite's no-op edge: if

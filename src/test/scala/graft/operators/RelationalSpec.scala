@@ -563,10 +563,11 @@ class RelationalSpec extends SparkSpec {
     val beforeOther = partFiles(tmp, otherDay)
     val beforeMin = partFiles(tmp, minDay)
     assert(beforeOther.nonEmpty && beforeMin.nonEmpty)
-    Relational.withDynamicPartitionOverwrite(spark) {
-      ev.filter(col("day") === minDay && col("event_type") =!= "view")
-        .write.mode("overwrite").partitionBy("day").parquet(tmp)
-    }
+    // per-write option (session conf untouched — the r13 hygiene rule);
+    // this is the same helper the q79 engine path writes through
+    Relational.dynamicOverwrite(
+        ev.filter(col("day") === minDay && col("event_type") =!= "view").write)
+      .partitionBy("day").parquet(tmp)
     // untouched partition: byte-identical file set; backfilled: new files
     assert(partFiles(tmp, otherDay) == beforeOther,
       "non-target partition files changed under dynamic overwrite")
