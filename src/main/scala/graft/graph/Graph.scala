@@ -888,13 +888,22 @@ object Graph {
     * GraphFrames returns. Self-loops carry no triangles and are dropped
     * with the dedup. Both joins are equi-joins, AQE-skew-splittable.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = edges
+  /** Canonical simple undirected edge frame (a < b, self-loops dropped,
+    * deduped) from a directed edge list. */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .loopCheckpoint(true) // caller frame evaluated once; flat plan below
-    val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
+
+  /** Degree-ordered triangle enumeration over a CANONICAL simple edge
+    * frame: each triangle emitted exactly once as (s, u, w) with
+    * s ≺ u ≺ w under the total (degree, id) order — the O(m^1.5)
+    * wedge machinery shared by [[triangleCounts]] and [[kTruss]]
+    * (which re-runs it per peel round on the shrinking live set).
+    * `canon` must already be checkpointed by the caller. */
+  private def orientedTriangles(canon: DataFrame): DataFrame = {
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = canon
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
@@ -910,11 +919,17 @@ object Graph {
     val o1 = oriented.select(col("s"), col("d").as("u"), col("dd").as("du"))
     val o2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
     val closing = oriented.select(col("s").as("u"), col("d").as("w"))
-    val tris = o1.join(o2, "s")
+    o1.join(o2, "s")
       .filter(col("du") < col("dw") || (col("du") === col("dw") && col("u") < col("w")))
       .join(closing, Seq("u", "w"))
-      .select(col("s").as("a"), col("u").as("b"), col("w").as("c"))
-    val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .select(col("s"), col("u"), col("w"))
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = canonEdges(edges)
+      .loopCheckpoint(true) // caller frame evaluated once; flat plan below
+    val tris = orientedTriangles(canon)
+    val corners = tris.select(explode(array(col("s"), col("u"), col("w"))).as("id"))
     canon.select(col("a").as("id")).union(canon.select(col("b").as("id"))).distinct()
       .join(corners.groupBy("id").agg(count(lit(1)).as("n_tri")), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
@@ -978,6 +993,106 @@ object Graph {
        |cnt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id)
        |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri
        |FROM v LEFT JOIN cnt USING (id) ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------- k-truss
+
+  /** Converged peel-round count per record key for [[kTruss]] — the
+    * record-then-unroll oracle contract (g5/g7/g9). */
+  private[graph] val ktrussRounds =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private[graph] var lastKtrussKey: Option[String] = None
+
+  /** g25: k-truss membership — the maximal subgraph in which EVERY edge
+    * participates in ≥ k−2 triangles (triangles counted WITHIN the
+    * subgraph). The edge-strength refinement of g9's k-core (cores bound
+    * vertex degree; trusses bound edge embeddedness — the standard
+    * community-backbone extractor), and a natural consumer of the
+    * round's degree-ordered triangle machinery: each peel round runs
+    * [[orientedTriangles]] on the LIVE canonical edge set (O(m^1.5)
+    * wedges regardless of skew), explodes every triangle to its 3
+    * id-canonical edges, counts per-edge support, drops edges below
+    * k−2, and repeats until no edge peels. Support only decreases as
+    * edges leave, so the fixpoint is the classic truss.
+    *
+    * Output: the surviving edges with their CONVERGED support values,
+    * (a, b, support), ordered. Scale shape per round: one triangle
+    * enumeration (two equi-joins) + one (a, b) hash aggregate + one
+    * filter — state is one row per live edge, lineage cut per round;
+    * rounds are bounded by peel depth (the recorded count), not |E|.
+    * The oracle ([[kTrussSql]]) re-derives every round independently,
+    * unrolled to the recorded round count — only the round COUNT is
+    * Spark-derived (the g5/g7/g9 contract). */
+  def kTruss(edges: DataFrame, k: Int = 5,
+             recordKey: Option[String] = None): DataFrame = {
+    val minSup = k - 2
+    var live = canonEdges(edges).loopCheckpoint(true) // caller runs once
+    var nLive = live.count()
+    var rounds = 0
+    var converged = false
+    var supported: DataFrame = live.select(col("a"), col("b"), lit(0L).as("support"))
+    while (!converged) {
+      rounds += 1
+      val tris = orientedTriangles(live)
+      val triEdges = tris.select(explode(array(
+          struct(least(col("s"), col("u")).as("a"), greatest(col("s"), col("u")).as("b")),
+          struct(least(col("s"), col("w")).as("a"), greatest(col("s"), col("w")).as("b")),
+          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val sup = live.join(
+          triEdges.groupBy("a", "b").agg(count(lit(1)).as("support")),
+          Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      val keep = sup.filter(col("support") >= minSup).loopCheckpoint(true)
+      val nKeep = keep.count()
+      converged = nKeep == nLive // keep ⊆ live, so equal counts = no peel
+      supported = keep
+      live = keep.select("a", "b")
+      nLive = nKeep
+    }
+    recordKey.foreach { key => ktrussRounds(key) = rounds; lastKtrussKey = Some(key) }
+    supported.orderBy("a", "b")
+  }
+
+  /** Oracle for [[kTruss]]: the peel rounds unrolled as CTEs to the
+    * recorded count — each round re-derives triangles and per-edge
+    * support from the previous round's edge set with the id-canonical
+    * 3-way self-join (same triangle set as the engine's degree-ordered
+    * enumeration), so nothing numeric crosses engines. Fails loudly
+    * (invalid marker SQL) if g25 never recorded a run. */
+  def kTrussSql(k: Int = 5, m: Int = 500, key: Option[String] = None): String = {
+    val recorded = ktrussRounds.readOnlySnapshot()
+    val chosen = key.orElse(lastKtrussKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_g25_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    // and each round references the previous round's edge set ~5 times,
+    // so an inlined unroll re-scans the parquet 5^R times (observed as
+    // fd exhaustion at R=6); materialization makes each round evaluate
+    // exactly once, like the engine's per-round checkpoint
+    val sb = new StringBuilder
+    sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_g)"
+    for (i <- 1 to r) {
+      val p = i - 1
+      sb ++= s""",
+         |t$i AS MATERIALIZED (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e$p e1 JOIN e$p e2 ON e1.b = e2.a
+         |  JOIN e$p e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |te$i AS (
+         |  SELECT a AS x, b AS y FROM t$i
+         |  UNION ALL SELECT a, c FROM t$i
+         |  UNION ALL SELECT b, c FROM t$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT e.a, e.b, CAST(count(te.x) AS BIGINT) AS support
+         |  FROM e$p e LEFT JOIN te$i te ON te.x = e.a AND te.y = e.b
+         |  GROUP BY e.a, e.b),
+         |e$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE support >= ${k - 2})""".stripMargin
+    }
+    sb ++= s"\nSELECT a, b, support FROM s$r WHERE support >= ${k - 2} ORDER BY a, b"
+    sb.toString
+  }
 
   /** g17: Adamic-Adar link prediction — for every non-adjacent vertex
     * pair (a, b) with at least one common neighbor in the undirected
@@ -1794,6 +1909,12 @@ object Graph {
       modularity(cachedEdges(s, dir), cachedComponents(s, dir))),
     "g19_pagerank_dangling" -> ((s: SparkSession, dir: String) =>
       pageRankDangling(cachedEdges(s, dir), iterations = 3).orderBy("id")),
+    // denser mod-500 projection: the mod-2000 gate graph is too
+    // triangle-sparse to cascade (its 3-truss converges in one peel);
+    // m=500 at sf0.01 peels 6 rounds with a 13k-edge surviving truss
+    "g25_ktruss" -> ((s: SparkSession, dir: String) =>
+      kTruss(edgesFromOrders(s, dir, m = 500), k = 5,
+        recordKey = Some(Tables.norm(dir)))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1831,5 +1952,7 @@ object Graph {
     "g22_scc" -> sccSql(),
     "g23_condensation_levels" -> condensationLevelsSql(),
     "g24_modularity" -> modularitySql(),
+    // built after the queries run: unrolls the recorded peel count
+    "g25_ktruss" -> kTrussSql(k = 5, m = 500),
   )
 }

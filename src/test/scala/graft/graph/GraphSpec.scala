@@ -213,6 +213,32 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(e, k = 5).count() == 0L)
   }
 
+  test("kTruss (g25_ktruss): K4 survives k=4 with support 2; pendant triangle peels") {
+    // K4 {1,2,3,4}: every edge sits in exactly 2 triangles → 4-truss.
+    // Pendant triangle {1,5,6}: its edges have support 1 → peel at k=4,
+    // and their removal must NOT disturb K4's supports.
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      1L -> 5L, 5L -> 6L, 6L -> 1L)
+    val got = Graph.kTruss(e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), got.mkString(","))
+  }
+
+  test("kTruss: shared-edge triangle chain cascades to empty at k=4") {
+    // triangles (1,2,3), (2,3,4), (3,4,5): only (2,3) and (3,4) reach
+    // support 2; peeling the support-1 edges destroys every triangle,
+    // so the survivors cascade to support 0 and peel next round — the
+    // multi-round fixpoint the loop exists for
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      3L -> 5L, 4L -> 5L)
+    assert(Graph.kTruss(e, k = 4).count() == 0L)
+    // while k=3 (support ≥ 1) keeps exactly the 7 triangle edges
+    val k3 = Graph.kTruss(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(k3.length == 7 && k3.forall(_._3 >= 1), k3.mkString(","))
+  }
+
   test("covisitation: canonical pairs, counts bounded by co-visiting users") {
     val got = Graph.covisitation(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
