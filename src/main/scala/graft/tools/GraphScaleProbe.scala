@@ -120,6 +120,7 @@ object GraphScaleProbe {
     time("g14_hits")(drain(Graph.hits(edges, iterations = 4)))
     time("g2_pageRank")(drain(Graph.pageRank(edges, iterations = 3)))
     time("g3_connectedComponents")(drain(Graph.connectedComponents(edges)))
+    time("g25_kTruss_k5")(drain(Graph.kTruss(edges, k = 5)))
     spark.stop()
   }
 }
