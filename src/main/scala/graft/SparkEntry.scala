@@ -164,6 +164,8 @@ object SparkEntry {
     "s27_silhouette" -> Seq("mean_s"),
     "m28_w2v_analogy" -> Seq("cos"),
     "g24_modularity" -> Seq("q_contrib"),
+    "g27_betweenness" -> Seq("btw"),
+    "x31_bpe_encode" -> Seq("chars_per_token"),
   )
 
   /** Engine-side projection: every DECIMAL output column → BIGINT

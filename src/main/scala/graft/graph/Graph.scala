@@ -1366,6 +1366,274 @@ object Graph {
        |FROM paths WHERE dist > 0
        |GROUP BY id ORDER BY harmonic DESC, id ASC""".stripMargin
 
+  // ------------------------------------------- weighted shortest paths
+
+  /** Converged relaxation-wave count per record key for
+    * [[weightedSssp]] — the record-then-unroll oracle contract
+    * (g5/g7/g9/g25). */
+  private[graph] val wssspRounds =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private[graph] var lastWssspKey: Option[String] = None
+
+  /** Deterministic positive integer weights for the bench graph:
+    * w = 1 + (3·src + 7·dst) mod 9 ∈ [1, 9]. Purely a test-corpus
+    * weighting (the parquet tables carry no edge weights); any caller
+    * frame with its own (src, dst, w) goes straight to
+    * [[weightedSssp]]. */
+  def weightedEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"),
+      (lit(1L) + (col("src") * 3L + col("dst") * 7L) % 9L).as("w"))
+
+  def weightedEdgesSql(m: Int = 2000): String =
+    s"""SELECT src, dst, 1 + (3 * src + 7 * dst) % 9 AS w
+       |FROM (${edgesSql(m)}) edges_raw""".stripMargin
+
+  /** g26: weighted single-source shortest paths to a landmark set — the
+    * weighted companion of g7's hop-count BFS (GraphFrames has no
+    * weighted variant at all; this is the standard frontier Bellman-Ford
+    * formulation). For every vertex, the minimum total edge weight of a
+    * directed path to each landmark; unreachable pairs absent, exactly
+    * like g7.
+    *
+    * Frontier relaxation, not all-pairs: each wave relaxes edges ONLY
+    * from vertices improved in the previous wave (candidates are
+    * min-combined per (vertex, landmark) BEFORE the distance-table
+    * join, so the shuffle carries at most one row per touched pair),
+    * keeps strict improvements against the global table, and merges
+    * them in (anti-join + union — the table is never rebuilt). Waves =
+    * weighted eccentricity in improvement fronts, each wave one job;
+    * lineage cut per wave. Frontier Bellman-Ford computes exactly the
+    * full-relaxation round-k table at wave k (any full-round
+    * improvement must route through a vertex improved the round
+    * before), which is what makes the unrolled full-relax oracle
+    * ([[weightedSsspSql]]) value-identical, not just convergent.
+    * Weights are integers end-to-end — nothing float crosses engines. */
+  def weightedSssp(edgesW: DataFrame, landmarks: Seq[Long],
+                   recordKey: Option[String] = None): DataFrame = {
+    val e = edgesW.select("src", "dst", "w").loopCheckpoint(true)
+    var dist = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct() // from the checkpoint — caller frame runs once
+      .filter(col("id").isin(landmarks: _*))
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("wdist"))
+      .loopCheckpoint(true)
+    var frontier = dist
+    var rounds = 0
+    var improving = true
+    while (improving) {
+      val cand = e.join(frontier, e("dst") === frontier("id"))
+        .groupBy(e("src").as("id"), col("landmark"))
+        .agg(min(col("wdist") + col("w")).as("cand"))
+      val improved = cand.join(dist, Seq("id", "landmark"), "left_outer")
+        .filter(col("wdist").isNull || col("cand") < col("wdist"))
+        .select(col("id"), col("landmark"), col("cand").as("wdist"))
+        .loopCheckpoint(false) // materialized by the count below
+      val n = improved.count()
+      if (n > 0) {
+        dist = dist
+          .join(improved.select("id", "landmark"), Seq("id", "landmark"), "left_anti")
+          .union(improved)
+          .loopCheckpoint(true)
+        rounds += 1
+      }
+      improving = n > 0
+      frontier = improved
+    }
+    recordKey.foreach { k => wssspRounds(k) = rounds; lastWssspKey = Some(k) }
+    dist.orderBy("landmark", "id")
+  }
+
+  /** Oracle for [[weightedSssp]]: full Bellman-Ford relaxation unrolled
+    * to the recorded wave count — each round takes the (vertex,
+    * landmark)-min over the previous table and one more relaxation step
+    * across every weighted edge. Only the round COUNT is Spark-derived
+    * (the g5/g7 contract). Fails loudly if g26 never recorded a run. */
+  def weightedSsspSql(landmarks: Seq[Long], m: Int = 2000,
+                      key: Option[String] = None): String = {
+    val recorded = wssspRounds.readOnlySnapshot()
+    val chosen = key.orElse(lastWssspKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_g26_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    val lm = landmarks.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH ew AS MATERIALIZED (${weightedEdgesSql(m)}),\n"
+    sb ++= "v AS (SELECT src AS id FROM ew UNION SELECT dst FROM ew),\n"
+    sb ++= s"d0 AS MATERIALIZED (SELECT id, id AS landmark, CAST(0 AS BIGINT) AS wdist FROM v WHERE id IN ($lm))"
+    for (i <- 1 to r) {
+      val p = i - 1
+      sb ++= s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT id, landmark, CAST(min(wdist) AS BIGINT) AS wdist FROM (
+         |    SELECT id, landmark, wdist FROM d$p
+         |    UNION ALL
+         |    SELECT e.src AS id, d.landmark, d.wdist + e.w AS wdist
+         |    FROM d$p d JOIN ew e ON e.dst = d.id
+         |  ) u GROUP BY id, landmark)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, landmark, wdist FROM d$r ORDER BY landmark, id"
+    sb.toString
+  }
+
+  // ------------------------------------------------ betweenness centrality
+
+  /** Forward BFS level count per record key for [[betweenness]] — the
+    * record-then-unroll oracle contract (g5/g7/g9/g25/g26). */
+  private[graph] val btwLevels =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private[graph] var lastBtwKey: Option[String] = None
+
+  /** g27: betweenness centrality over a pivot set — Brandes' algorithm
+    * (Brandes 2001, "A faster algorithm for betweenness centrality"),
+    * the standard shortest-path-load centrality: bc(v) = Σ over pivots
+    * s and targets t of the fraction of s→t shortest paths through v.
+    * Pivot sampling is the same scale contract as g7/g20/g21 landmarks:
+    * exact FOR THE SAMPLED PIVOT SET (full Brandes is one run per
+    * vertex — O(V·E), unpayable at any real size; pivot subsets are the
+    * standard estimator, Brandes/Pich 2007).
+    *
+    * Forward sweep: level-synchronous BFS from all pivots at once
+    * carrying σ (shortest-path counts — a new vertex at level r has
+    * σ = Σ σ(predecessors at r−1), computed by the frontier join's
+    * hash aggregate). Backward sweep: levels processed deepest-first;
+    * each dependency contribution δ-edge (v→w on a shortest path) is
+    * σ_v·(1+δ_w)/σ_w, quantized at birth to 6-dp MICRO-UNIT INTEGERS
+    * via exact integer HALF_UP — ⌊(2p+q)/(2q)⌋ with p = σ_v·(10⁶+δ_w),
+    * q = σ_w — because the first formulation (round(double, 6)) hit a
+    * real half-boundary divergence at the sf0.01 gate: Spark rounds the
+    * double's shortest decimal repr HALF_UP, DuckDB rounds in double
+    * arithmetic, and one of ~50k contributions landed on opposite sides
+    * (one micro off in the final sum). Integer micro-math makes the
+    * recursion bit-exact on both engines — the d17/x27 exact-arithmetic
+    * discipline, no float anywhere. bc(v) = Σ δ over pivots, v ≠ pivot,
+    * reconstructed to DECIMAL(18,6) only at the output boundary.
+    *
+    * Scale shape: 2·levels rounds, each ONE frontier-sized equi-join +
+    * one hash aggregate — state is one row per reached (pivot, vertex),
+    * bounded by |pivots|·|V|; lineage cut per round; no adjacency
+    * lists, no per-vertex loops. σ stays a BIGINT; the micro-math bound
+    * is 2·σ·(10⁶+δ_micro) < 2⁶³ — σ·δ ≲ 4.6×10¹² with δ ≤ |V| per
+    * pivot, comfortably above any graph whose σ fits a BIGINT sum. */
+  def betweenness(edges: DataFrame, pivots: Seq[Long],
+                  recordKey: Option[String] = None): DataFrame = {
+    val e = edges.select("src", "dst").loopCheckpoint(true)
+    val verts = vertices(e) // from the checkpoint — caller frame runs once
+    var nodes = verts
+      .filter(col("id").isin(pivots: _*))
+      .select(col("id"), col("id").as("pivot"), lit(0).as("dist"), lit(1L).as("sigma"))
+      .loopCheckpoint(true)
+    var frontier = nodes
+    var lvl = 0
+    var growing = true
+    while (growing) {
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .groupBy(col("pivot"), e("dst").as("nid"))
+        .agg(sum("sigma").as("sigma"))
+        .withColumnRenamed("nid", "id")
+        .join(nodes.select("pivot", "id"), Seq("pivot", "id"), "left_anti")
+        .select(col("id"), col("pivot"), lit(lvl + 1).as("dist"), col("sigma"))
+        .loopCheckpoint(false) // materialized by the count below
+      val n = next.count()
+      if (n > 0) { nodes = nodes.union(next).loopCheckpoint(true); lvl += 1 }
+      growing = n > 0
+      frontier = next
+    }
+    val levels = lvl
+    recordKey.foreach { k => btwLevels(k) = levels; lastBtwKey = Some(k) }
+    // backward accumulation, deepest level first; δ in micro-unit longs
+    var delta = nodes.filter(col("dist") === levels)
+      .select(col("pivot"), col("id"), lit(0L).as("delta"), col("sigma"))
+      .loopCheckpoint(true)
+    var acc = delta.select("pivot", "id", "delta")
+    for (r <- (levels - 1) to 0 by -1) {
+      val down = delta.select(col("pivot"), col("id").as("wv"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val up = nodes.filter(col("dist") === r)
+        .select(col("pivot"), col("id").as("v"), col("sigma").as("sv"))
+      val contrib = e.select(col("src").as("v"), col("dst").as("wv"))
+        .join(down, Seq("wv"))
+        .join(up, Seq("pivot", "v"))
+        .select(col("pivot"), col("v"),
+          // HALF_UP(σv·(1e6+δw)/σw) in exact integer arithmetic
+          expr("(2 * sv * (1000000 + dw) + sw) div (2 * sw)").as("c"))
+      delta = up
+        .join(contrib.groupBy("pivot", "v").agg(sum("c").as("delta")),
+          Seq("pivot", "v"), "left_outer")
+        .select(col("pivot"), col("v").as("id"),
+          coalesce(col("delta"), lit(0L)).as("delta"), col("sv").as("sigma"))
+        .loopCheckpoint(true)
+      acc = acc.union(delta.select("pivot", "id", "delta"))
+    }
+    val bc = acc.filter(col("id") =!= col("pivot"))
+      .groupBy("id")
+      .agg(sum("delta").as("micro"))
+      // exact reconstruction: micro/1e6 is a 6-dp grid point, the double
+      // is within 1 ulp of it, and round(·, 6) recovers it exactly
+      .select(col("id"),
+        round(col("micro") / lit(1000000.0), 6).cast(DecimalType(18, 6)).as("btw"))
+    verts.join(bc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("btw"), lit(BigDecimal(0)).cast(DecimalType(18, 6))).as("btw"))
+      .orderBy("id")
+  }
+
+  /** Oracle for [[betweenness]]: forward levels and backward dependency
+    * rounds unrolled as MATERIALIZED CTEs to the recorded level count
+    * (each round references the previous several times — the g25
+    * materialization lesson). Every δ contribution is the identical
+    * micro-unit integer HALF_UP expression, so both engines run the
+    * same bit-exact integer recursion (see [[betweenness]] for why the
+    * round(double, 6) formulation was abandoned). Fails loudly if g27
+    * never recorded a run. */
+  def betweennessSql(pivots: Seq[Long], m: Int = 2000,
+                     key: Option[String] = None): String = {
+    val recorded = btwLevels.readOnlySnapshot()
+    val chosen = key.orElse(lastBtwKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_g27_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val l = chosen.get
+    val pv = pivots.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH edges_g AS MATERIALIZED (${edgesSql(m)}),\n"
+    sb ++= "v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),\n"
+    sb ++= s"n0 AS MATERIALIZED (SELECT id, id AS pvt, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM v WHERE id IN ($pv)),\n"
+    sb ++= "f0 AS MATERIALIZED (SELECT * FROM n0)"
+    for (i <- 1 to l) {
+      val p = i - 1
+      sb ++= s""",
+         |f$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, f.pvt, $i AS dist, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f$p f JOIN edges_g e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM n$p n WHERE n.pvt = f.pvt AND n.id = e.dst)
+         |  GROUP BY e.dst, f.pvt),
+         |n$i AS MATERIALIZED (SELECT * FROM n$p UNION ALL SELECT id, pvt, dist, sigma FROM f$i)""".stripMargin
+    }
+    sb ++= s""",
+       |b$l AS MATERIALIZED (
+       |  SELECT pvt, id, sigma, CAST(0 AS BIGINT) AS delta
+       |  FROM n$l WHERE dist = $l)""".stripMargin
+    for (r <- (l - 1) to 0 by -1) {
+      sb ++= s""",
+         |b$r AS MATERIALIZED (
+         |  SELECT cur.pvt, cur.id, cur.sigma,
+         |    CAST(COALESCE(SUM((2 * cur.sigma * (1000000 + dn.delta) + dn.sigma)
+         |      // (2 * dn.sigma)), 0) AS BIGINT) AS delta
+         |  FROM (SELECT pvt, id, sigma FROM n$l WHERE dist = $r) cur
+         |  LEFT JOIN edges_g e ON e.src = cur.id
+         |  LEFT JOIN b${r + 1} dn ON dn.pvt = cur.pvt AND dn.id = e.dst
+         |  GROUP BY cur.pvt, cur.id, cur.sigma)""".stripMargin
+    }
+    val unionAll = (0 to l).map(r => s"SELECT pvt, id, delta FROM b$r")
+      .mkString("\n    UNION ALL ")
+    sb ++= s"""
+       |SELECT v.id, COALESCE(b.btw, CAST(0 AS DECIMAL(18,6))) AS btw
+       |FROM v LEFT JOIN (
+       |  SELECT id, CAST(round(SUM(delta) / 1000000.0, 6) AS DECIMAL(18,6)) AS btw
+       |  FROM ($unionAll) allb
+       |  WHERE id <> pvt GROUP BY id) b USING (id)
+       |ORDER BY id""".stripMargin
+    sb.toString
+  }
+
   // ---------------------------------------------------- label propagation
 
   /** Synchronous label propagation (the GraphFrames `labelPropagation`
@@ -1915,6 +2183,13 @@ object Graph {
     "g25_ktruss" -> ((s: SparkSession, dir: String) =>
       kTruss(edgesFromOrders(s, dir, m = 500), k = 5,
         recordKey = Some(Tables.norm(dir)))),
+    "g26_weighted_sssp" -> ((s: SparkSession, dir: String) =>
+      weightedSssp(weightedEdges(cachedEdges(s, dir)),
+        landmarks = Seq(0L, 1L, 2L, 3L, 4L),
+        recordKey = Some(Tables.norm(dir)))),
+    "g27_betweenness" -> ((s: SparkSession, dir: String) =>
+      betweenness(cachedEdges(s, dir), pivots = Seq(0L, 1L, 2L, 3L, 4L),
+        recordKey = Some(Tables.norm(dir)))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1954,5 +2229,9 @@ object Graph {
     "g24_modularity" -> modularitySql(),
     // built after the queries run: unrolls the recorded peel count
     "g25_ktruss" -> kTrussSql(k = 5, m = 500),
+    // built after the queries run: unrolls the recorded wave count
+    "g26_weighted_sssp" -> weightedSsspSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    // built after the queries run: unrolls the recorded level count
+    "g27_betweenness" -> betweennessSql(Seq(0L, 1L, 2L, 3L, 4L)),
   )
 }

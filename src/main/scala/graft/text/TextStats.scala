@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.plans.Lineage.CheckpointOps
 import graft.sources.Tables
 
 /** Text-analysis operators for large-scale corpus curation: heuristic
@@ -574,6 +575,223 @@ object TextStats {
        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
        |FROM pairs GROUP BY pair
        |ORDER BY n DESC, pair ASC LIMIT $topK""".stripMargin
+
+  // --------------------------------------------- BPE training + encoding
+
+  /** Recorded merge-round count per key for [[bpeMerges]] — the
+    * record-then-unroll oracle contract (g5/g7/g9/g25): small corpora
+    * can exhaust their pair supply before `rounds`, so the oracle
+    * unrolls exactly the rounds that actually merged. */
+  private[text] val bpeRoundsRec =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  @volatile private[text] var lastBpeKey: Option[String] = None
+
+  /** Symbolization of a word as a '##'-bounded symbol string: every
+    * boundary (including both ends) is the DOUBLE separator "##", so a
+    * single-pass left-to-right literal replace of '#'+l+'##'+r+'#' →
+    * '#'+lr+'#' is exactly greedy-leftmost pair merging: the pattern's
+    * outer single '#'s anchor l and r as COMPLETE symbols (a mid-symbol
+    * suffix can never present '#' before itself), and each replacement
+    * consumes one '#' from each flanking double boundary and restores
+    * it, so an immediately adjacent occurrence still sees its leading
+    * '#'. '#' cannot occur in tokens ([[Tokenize.rawTokens]] emits
+    * [a-z0-9]+ only). */
+  private def symInit: Column = // over the in-scope "word" column
+    concat(lit("##"),
+      array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), "##"),
+      lit("##"))
+
+  private def vocab0(docs: DataFrame): DataFrame =
+    docs.select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), symInit.as("sym"))
+
+  /** x30: iterative BPE tokenizer training — the real thing, not just
+    * x13's first-iteration pair statistics: `rounds` merge rounds, each
+    * counting adjacent SYMBOL pairs over the frequency-weighted distinct
+    * vocabulary (every occurrence counted, overlaps included — the
+    * standard convention), merging the (count desc, lhs asc, rhs asc)
+    * argmax everywhere it occurs, and repeating on the merged
+    * symbolization — so later merges combine multi-char symbols, which
+    * is what makes it BPE. Applying merges in rank order is equivalent
+    * to the priority-queue formulation because a merge can never create
+    * a new occurrence of an earlier-rank pair (merging inserts a NEW
+    * symbol; it never makes two pre-existing symbols adjacent).
+    *
+    * The 100 TB shape: the corpus is touched ONCE (tokenize + word
+    * count, map-side combined); all `rounds` iterations run over the
+    * vocab (≪ corpus, Heaps-bounded), each round = one vocab-sized pair
+    * aggregation + a broadcast 1-row argmax + a narrow literal-replace
+    * map — no driver collect anywhere (the argmax rides a
+    * crossJoin(broadcast(limit 1))). Training stops early (recorded)
+    * if a round finds no pair left to merge. */
+  def bpeMerges(docs: DataFrame, rounds: Int = 10,
+                recordKey: Option[String] = None): DataFrame = {
+    var vocab = vocab0(docs).loopCheckpoint(true)
+    var merges: DataFrame = null
+    var done = 0
+    var exhausted = false
+    for (i <- 1 to rounds if !exhausted) {
+      val pairs = vocab
+        .select(col("freq"), expr("filter(split(sym, '##'), s -> s <> '')").as("arr"))
+        .filter(size(col("arr")) >= 2) // sequence(1, 0) is DESCENDING, not empty — x13 lesson
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), j -> struct(element_at(arr, j) AS l, element_at(arr, j + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("freq").as("n"))
+      val best = pairs.orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(1)
+        .select(lit(i).as("merge_rank"), col("lhs"), col("rhs"), col("n"))
+        .loopCheckpoint(true)
+      if (best.isEmpty) exhausted = true
+      else {
+        merges = if (merges == null) best else merges.union(best).loopCheckpoint(true)
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("lhs").as("b_l"), col("rhs").as("b_r"))))
+          .withColumn("sym",
+            expr("replace(sym, '#' || b_l || '##' || b_r || '#', '#' || b_l || b_r || '#')"))
+          .select("word", "freq", "sym")
+          .loopCheckpoint(true)
+        done = i
+      }
+    }
+    recordKey.foreach { k => bpeRoundsRec(k) = done; lastBpeKey = Some(k) }
+    if (merges == null)
+      vocab.limit(0).select(lit(0).as("merge_rank"), lit("").as("lhs"),
+        lit("").as("rhs"), lit(0L).as("n"))
+    else merges.orderBy("merge_rank")
+  }
+
+  /** Replay a trained merge table over a fresh vocab symbolization —
+    * rebuilds the final symbolization WITHOUT re-counting pairs (each
+    * rank is a broadcast 1-row join + a narrow replace; no shuffles
+    * beyond the initial word count). */
+  def bpeApply(docs: DataFrame, merges: DataFrame, rounds: Int): DataFrame = {
+    var vocab = vocab0(docs)
+    for (i <- 1 to rounds) {
+      val b = merges.filter(col("merge_rank") === i)
+        .select(col("lhs").as("b_l"), col("rhs").as("b_r"))
+      vocab = vocab.crossJoin(broadcast(b))
+        .withColumn("sym",
+          expr("replace(sym, '#' || b_l || '##' || b_r || '#', '#' || b_l || b_r || '#')"))
+        .select("word", "freq", "sym")
+    }
+    vocab.loopCheckpoint(true)
+  }
+
+  private def cachedBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"bpe_merges:${Tables.norm(dir)}")(
+      bpeMerges(Tables.documents(s, dir), rounds = 10,
+        recordKey = Some(Tables.norm(dir))))
+
+  private def cachedBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"bpe_vocab:${Tables.norm(dir)}") {
+      val merges = cachedBpeMerges(s, dir) // ensures the round count is recorded
+      bpeApply(Tables.documents(s, dir), merges,
+        bpeRoundsRec.getOrElse(Tables.norm(dir), 0))
+    }
+
+  def xBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    cachedBpeMerges(spark, dir)
+
+  /** x31: encode the corpus under the x30-trained tokenizer — per-doc
+    * BPE token count, char count, and exact chars-per-token compression
+    * ratio (HALF_UP micro-unit integer division — the g27 lesson:
+    * round(double, 6) can land on opposite sides of a half boundary on
+    * the two engines). The corpus-sized stage is one (doc_id, word)
+    * count; symbol counts ride a vocab-sized join on word. */
+  def xBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vsz = cachedBpeVocab(spark, dir).select(col("word"),
+      expr("size(filter(split(sym, '##'), s -> s <> ''))").cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_chr"))
+    val tok = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val agg = tok.join(vsz, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("n_sym")).as("n_tokens"),
+        sum(col("c") * col("n_chr")).as("n_chars"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        when(col("n_tokens") > 0,
+          round(expr("(2 * n_chars * 1000000 + n_tokens) div (2 * n_tokens)")
+            / lit(1000000.0), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE prefix for the x30/x31 oracles: v0 (symbolized
+    * frequency-weighted vocab) plus one (p_i, b_i, v_i) round triple
+    * per RECORDED merge round, all MATERIALIZED (the g25 lesson — each
+    * round references the previous one several times). */
+  private def bpeCtes(r: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""tok AS MATERIALIZED (
+       |  SELECT doc_id, u.word
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq,
+       |    '##' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, CAST(i AS INT), 1)), '##') || '##' AS sym
+       |  FROM tok GROUP BY word)""".stripMargin
+    for (i <- 1 to r) {
+      val p = i - 1
+      sb ++= s""",
+         |p$i AS MATERIALIZED (
+         |  SELECT pl, pr, SUM(freq) AS n FROM (
+         |    SELECT list_extract(arr, CAST(j AS INT)) AS pl,
+         |           list_extract(arr, CAST(j AS INT) + 1) AS pr, freq
+         |    FROM (SELECT freq, list_filter(string_split(sym, '##'), s -> s <> '') AS arr
+         |          FROM v$p) t, UNNEST(range(1, len(arr))) AS u(j)
+         |  ) pp GROUP BY pl, pr),
+         |b$i AS MATERIALIZED (
+         |  SELECT pl AS lhs, pr AS rhs, n FROM p$i ORDER BY n DESC, pl ASC, pr ASC LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(sym, '#' || b.lhs || '##' || b.rhs || '#', '#' || b.lhs || b.rhs || '#') AS sym
+         |  FROM v$p, b$i b)""".stripMargin
+    }
+    sb.toString
+  }
+
+  def xBpeTrainSql(key: Option[String] = None): String = {
+    val recorded = bpeRoundsRec.readOnlySnapshot()
+    val chosen = key.orElse(lastBpeKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_x30_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    val un = (1 to r)
+      .map(i => s"SELECT $i AS merge_rank, lhs, rhs, CAST(n AS BIGINT) AS n FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(r)}
+       |SELECT * FROM (
+       |  $un
+       |) m ORDER BY merge_rank""".stripMargin
+  }
+
+  def xBpeEncodeSql(key: Option[String] = None): String = {
+    val recorded = bpeRoundsRec.readOnlySnapshot()
+    val chosen = key.orElse(lastBpeKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_x31_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    s"""WITH ${bpeCtes(r)},
+       |dt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+       |vs AS (SELECT word,
+       |  len(list_filter(string_split(sym, '##'), s -> s <> '')) AS n_sym,
+       |  length(word) AS n_chr FROM v$r),
+       |ag AS (SELECT doc_id, SUM(c * n_sym) AS n_tokens, SUM(c * n_chr) AS n_chars
+       |  FROM dt JOIN vs USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+       |    THEN round(((2 * a.n_chars * 1000000 + a.n_tokens) // (2 * a.n_tokens)) / 1000000.0, 6)
+       |    ELSE 0 END AS DECIMAL(18,6)) AS chars_per_token
+       |FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   // --------------------------------------------------- unigram LM score
 
@@ -1696,6 +1914,8 @@ object TextStats {
       tokenWaterfill(Tables.documents(s, dir))),
     "x29_dsir_weights" -> ((s: SparkSession, dir: String) =>
       dsirWeights(Tables.documents(s, dir))),
+    "x30_bpe_train" -> xBpeTrain _,
+    "x31_bpe_encode" -> xBpeEncode _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1727,5 +1947,8 @@ object TextStats {
     "x26_filter_funnel" -> filterFunnelSql,
     "x28_token_waterfill" -> tokenWaterfillSql(),
     "x29_dsir_weights" -> dsirWeightsSql,
+    // built after the queries run: unroll the recorded merge rounds
+    "x30_bpe_train" -> xBpeTrainSql(),
+    "x31_bpe_encode" -> xBpeEncodeSql(),
   )
 }

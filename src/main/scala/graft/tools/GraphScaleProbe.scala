@@ -121,6 +121,16 @@ object GraphScaleProbe {
     time("g2_pageRank")(drain(Graph.pageRank(edges, iterations = 3)))
     time("g3_connectedComponents")(drain(Graph.connectedComponents(edges)))
     time("g25_kTruss_k5")(drain(Graph.kTruss(edges, k = 5)))
+    // r13 additions: weighted SSSP (frontier Bellman-Ford waves) and
+    // pivot betweenness — the hub is deliberately a landmark AND a
+    // pivot, so the forward frontier fans across its full neighborhood
+    time("g26_weightedSssp") {
+      drain(Graph.weightedSssp(Graph.weightedEdges(edges),
+        landmarks = Seq(1L, 2L, 3L, 4L, hubId)))
+    }
+    time("g27_betweenness") {
+      drain(Graph.betweenness(edges, pivots = Seq(1L, 2L, 3L, 4L, hubId)))
+    }
     spark.stop()
   }
 }

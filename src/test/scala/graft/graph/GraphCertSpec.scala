@@ -231,4 +231,69 @@ class GraphCertSpec extends CertSpec {
         s"community ${x.getAs[Long]("community")}")
     }
   }
+
+  test("g26_weighted_sssp: exact Dijkstra recompute over the deterministic weights") {
+    val r = rows("g26_weighted_sssp")
+    // distances from v TO a landmark along edge direction = Dijkstra
+    // from the landmark over the REVERSED weighted graph
+    val radj = edges.map { case (s, d) => (d, (s, 1L + (3 * s + 7 * d) % 9)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = Seq(0L, 1L, 2L, 3L, 4L).filter(verts).flatMap { lm =>
+      val dist = scala.collection.mutable.Map[Long, Long](lm -> 0L)
+      val done = scala.collection.mutable.Set[Long]()
+      val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(Ordering.by(t => -t._1))
+      pq.enqueue((0L, lm))
+      while (pq.nonEmpty) {
+        val (d0, u) = pq.dequeue()
+        if (!done(u)) {
+          done += u
+          for ((v, w) <- radj.getOrElse(u, Vector.empty); nd = d0 + w
+               if dist.get(v).forall(nd < _)) {
+            dist(v) = nd; pq.enqueue((nd, v))
+          }
+        }
+      }
+      dist.toSeq.map { case (id, d) => (id, lm, d) }
+    }.toSet
+    val got = r.map(x => (x.getAs[Long]("id"), x.getAs[Long]("landmark"),
+      x.getAs[Long]("wdist"))).toSet
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
+  test("g27_betweenness: exact micro-unit Brandes recompute from the raw edges") {
+    val r = rows("g27_betweenness")
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (s <- Seq(0L, 1L, 2L, 3L, 4L) if verts(s)) {
+      val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = scala.collection.mutable.Map[Long, Long](s -> 1L)
+      val byLevel = scala.collection.mutable.ArrayBuffer[Vector[Long]](Vector(s))
+      var frontier = Vector(s)
+      var level = 0
+      while (frontier.nonEmpty) {
+        level += 1
+        val nextSig = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for (u <- frontier; v <- adj.getOrElse(u, Vector.empty) if !dist.contains(v))
+          nextSig(v) += sigma(u)
+        for ((v, sg) <- nextSig) { dist(v) = level; sigma(v) = sg }
+        frontier = nextSig.keys.toVector
+        if (frontier.nonEmpty) byLevel += frontier
+      }
+      // backward, deepest level first — the engine's exact integer
+      // micro-unit HALF_UP recursion
+      val delta = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (lv <- (byLevel.size - 1) to 0 by -1; v <- byLevel(lv)) {
+        var dsum = 0L
+        for (w <- adj.getOrElse(v, Vector.empty) if dist.get(w).contains(lv + 1))
+          dsum += (2 * sigma(v) * (1000000L + delta(w)) + sigma(w)) / (2 * sigma(w))
+        delta(v) = dsum
+        if (v != s) bc(v) += dsum
+      }
+    }
+    val got = r.map(x => (x.getAs[Long]("id"), micro(x, "btw"))).toMap
+    assert(got.keySet == verts)
+    verts.foreach { v =>
+      assert(got(v) == bc(v), s"vertex $v: got ${got(v)} want ${bc(v)}")
+    }
+  }
 }

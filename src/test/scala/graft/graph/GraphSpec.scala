@@ -70,7 +70,10 @@ class GraphSpec extends SparkSpec {
       ("kCore", e => Graph.kCore(e, k = 2).collect()),
       ("hits", e => Graph.hits(e, iterations = 2).collect()),
       ("stronglyConnectedComponents",
-        e => Graph.stronglyConnectedComponents(e).collect()))
+        e => Graph.stronglyConnectedComponents(e).collect()),
+      ("weightedSssp",
+        e => Graph.weightedSssp(Graph.weightedEdges(e), landmarks = Seq(1L)).collect()),
+      ("betweenness", e => Graph.betweenness(e, pivots = Seq(1L)).collect()))
     for ((name, run) <- algos) {
       val acc = spark.sparkContext.longAccumulator(s"edge_evals_$name")
       val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
@@ -237,6 +240,52 @@ class GraphSpec extends SparkSpec {
     val k3 = Graph.kTruss(e, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(k3.length == 7 && k3.forall(_._3 >= 1), k3.mkString(","))
+  }
+
+  test("weightedSssp (g26_weighted_sssp): weighted route beats the fewer-hop route") {
+    // direct edge 1→9 costs 10; the 3-hop detour 1→2→3→9 costs 3. Hop
+    // BFS (g7) would answer 1; the weighted relaxation must answer 3 —
+    // and needs multiple improvement waves to get there (the direct
+    // edge wins wave 1, the detour overtakes it later).
+    val e = Seq((1L, 9L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.weightedSssp(e, landmarks = Seq(9L), recordKey = Some("spec_g26"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 9L, 3L), (2L, 9L, 2L), (3L, 9L, 1L), (9L, 9L, 0L)),
+      got.mkString(","))
+    // the direct-edge value 10 must have been overwritten in a LATER
+    // wave — at least 2 improving waves recorded
+    assert(Graph.wssspRounds("spec_g26") >= 2)
+  }
+
+  test("weightedSssp: unreachable pairs absent; multiple landmarks independent") {
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 5L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.weightedSssp(e, landmarks = Seq(3L, 5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 10L), (2L, 3L, 5L), (3L, 3L, 0L),
+      (4L, 5L, 1L), (5L, 5L, 0L)), got.mkString(","))
+  }
+
+  test("betweenness (g27_betweenness): path and diamond match hand Brandes") {
+    // path 1→2→3 from pivot 1: δ(2) = 1·(1+0)/1 = 1, endpoints 0
+    val path = edges(1L -> 2L, 2L -> 3L)
+    val gotP = Graph.betweenness(path, pivots = Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
+    assert(gotP == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0), gotP.mkString(","))
+    // diamond 1→{2,3}→4: σ(4)=2, δ(2)=δ(3)=1·(1+0)/2 = 0.5
+    val diamond = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val gotD = Graph.betweenness(diamond, pivots = Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
+    assert(gotD == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0), gotD.mkString(","))
+  }
+
+  test("betweenness: multi-pivot sums dependencies; pivot rows excluded") {
+    // chain 1→2→3→4. Pivot 1: δ(3)=1, δ(2)=1·(1+1)=2. Pivot 2: δ(3)=1.
+    // bc: v2 = 2 (pivot 1 only), v3 = 1+1 = 2, endpoints 0.
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val got = Graph.betweenness(e, pivots = Seq(1L, 2L))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0), got.mkString(","))
   }
 
   test("covisitation: canonical pairs, counts bounded by co-visiting users") {

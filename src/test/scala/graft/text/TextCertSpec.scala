@@ -301,4 +301,65 @@ class TextCertSpec extends CertSpec {
           "the water level sits above every exhausted source")
     }
   }
+
+  // in-memory BPE trainer twin: same freq-weighted pair counts (every
+  // occurrence, overlaps included), same (n desc, lhs, rhs) argmax,
+  // same greedy-leftmost merge, same 10-round cap with early stop
+  private lazy val bpeTwin: (Vector[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    def mergePass(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val freq = tokensById.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    var vocab: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> w.split("").toVector).toMap
+    var merges = Vector.empty[(Int, String, String, Long)]
+    var stop = false
+    while (!stop && merges.size < 10) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((w, syms) <- vocab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) += freq(w)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        merges :+= ((merges.size + 1, l, r, n))
+        vocab = vocab.map { case (w, syms) => w -> mergePass(syms, l, r) }
+      }
+    }
+    (merges, vocab)
+  }
+
+  test("x30_bpe_train: exact in-memory iterative-BPE trainer recompute") {
+    val r = rows("x30_bpe_train")
+    val got = r.map(x => (x.getAs[Int]("merge_rank"), x.getAs[String]("lhs"),
+      x.getAs[String]("rhs"), x.getAs[Long]("n")))
+    assert(got == bpeTwin._1, s"got $got\nwant ${bpeTwin._1}")
+    // real BPE, not first-iteration pair stats: at least one learned
+    // merge must combine a multi-char symbol
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      "no multi-char merge learned — corpus too thin for the cert to bite")
+  }
+
+  test("x31_bpe_encode: per-doc token/char counts recompute under the trained merges") {
+    val r = rows("x31_bpe_encode")
+    val symsBy = bpeTwin._2
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == corpus.map(_._1).toSet)
+    r.foreach { x =>
+      val id = x.getAs[Long]("doc_id")
+      val ws = tokensById(id)
+      val tk = ws.map(w => symsBy(w).size.toLong).sum
+      val ch = ws.map(_.length.toLong).sum
+      assert(x.getAs[Long]("n_tokens") == tk, s"doc $id tokens")
+      assert(x.getAs[Long]("n_chars") == ch, s"doc $id chars")
+      val wantMicro =
+        if (tk == 0) 0L else (2 * ch * 1000000L + tk) / (2 * tk)
+      assert(micro(x, "chars_per_token") == wantMicro, s"doc $id ratio")
+    }
+  }
 }

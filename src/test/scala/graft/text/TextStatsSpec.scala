@@ -43,6 +43,49 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Seq(("an", 5L), ("na", 4L), ("ba", 3L), ("nn", 1L)))
   }
 
+  test("bpeMerges (x30_bpe_train): freq-weighted argmax, multi-char merges, early stop") {
+    // "abab"×2: round 1 merges (a,b) n=4 (two occurrences per word,
+    // weighted by freq 2); round 2 merges the MULTI-CHAR pair (ab,ab)
+    // n=2 — the step x13's first-iteration statistic cannot take;
+    // round 3 finds no pair and stops early (recorded 2 < requested 5)
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(docs, rounds = 5, recordKey = Some("spec_x30"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)), m.mkString(","))
+    assert(TextStats.bpeRoundsRec("spec_x30") == 2)
+  }
+
+  test("bpeMerges: lexicographic tie-break on equal pair counts") {
+    // "ab" and "ba" tie at n=1 → (a,b) wins on lhs asc
+    val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(docs, rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(("a", "b", 1L)), m.mkString(","))
+  }
+
+  test("bpeApply (x31_bpe_encode core): greedy-leftmost overlap, rank-ordered replay") {
+    // "aaa": (a,a) counted per occurrence (2); the merge is
+    // greedy-leftmost → [aa, a]; (aa, a) merges the round after
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(docs, rounds = 5)
+    val got = m.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)), got.mkString(","))
+    val after1 = TextStats.bpeApply(docs, m, 1).select("sym").as[String].collect()
+    assert(after1.toSeq == Seq("##aa##a##"), after1.mkString(","))
+    val after2 = TextStats.bpeApply(docs, m, 2).select("sym").as[String].collect()
+    assert(after2.toSeq == Seq("##aaa##"), after2.mkString(","))
+  }
+
+  test("bpeApply: adjacent merge sites both fire in one pass (boundary anchoring)") {
+    // "abab" with merge (a,b): both non-overlapping occurrences must
+    // merge in a single replace pass — the double-'#' boundary keeps
+    // the second site's leading anchor after the first consumes one '#'
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val m = TextStats.bpeMerges(docs, rounds = 1)
+    val syms = TextStats.bpeApply(docs, m, 1).select("sym").as[String].collect()
+    assert(syms.toSeq == Seq("##ab##ab##"), syms.mkString(","))
+  }
+
   test("rolling fingerprint is order-sensitive, tokenset md5 is not") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val toks = Tokenize.rawTokens(col("text"))
