@@ -1634,6 +1634,86 @@ object Graph {
     sb.toString
   }
 
+  // --------------------------------------------------------- random walks
+
+  /** g28: deterministic random-walk corpus generation — the DeepWalk /
+    * node2vec preprocessing step (Perozzi et al. 2014): one walk per
+    * vertex, `steps` hops, each hop choosing an out-neighbor by a
+    * pseudo-random but DETERMINISTIC draw — neighbor index
+    * md5_32(walk_id:step) mod outdeg under the (dst asc) neighbor
+    * ranking — so the corpus is reproducible across runs, partitionings,
+    * and engines (the x6/x27 md5 idiom; no RNG anywhere). Walks stop
+    * early at sinks (no out-edges), exactly like the original algorithm.
+    *
+    * Scale shape per hop: TWO equi-joins, both one-row-per-walk — the
+    * frontier first joins the |V|-sized degree table to compute its
+    * pick index, THEN equi-joins the ranked adjacency on (src, idx).
+    * Joining adjacency first and filtering after would materialize
+    * deg(v) rows per walk sitting at v — a hub blowup; the
+    * degree-first formulation never widens beyond one row per live
+    * walk. The adjacency ranking itself is one row_number window
+    * partitioned by src (a hub's neighbor list sorts within one
+    * partition — |deg| log |deg| once, reused every hop). Lineage cut
+    * per hop; output ≤ |V|·(steps+1) rows. */
+  def randomWalks(edges: DataFrame, steps: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    graft.functions.Md5Hash32.register(spark)
+    val e = edges.select("src", "dst").loopCheckpoint(true)
+    val adj = e.select(col("src"), col("dst"),
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).as("idx"))
+      .loopCheckpoint(true)
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("odeg")).loopCheckpoint(true)
+    var cur = vertices(e)
+      .select(col("id").as("walk_id"), lit(0).as("step"), col("id").as("v"))
+      .loopCheckpoint(true)
+    var out = cur
+    for (t <- 1 to steps) {
+      val pick = cur.join(deg, cur("v") === deg("src"))
+        .select(col("walk_id"),
+          pmod(graft.functions.Md5Hash32(
+            concat_ws(":", col("walk_id"), lit(t)).cast("string")), col("odeg"))
+            .as("pick"),
+          col("v"))
+      cur = pick.join(adj, pick("v") === adj("src") && pick("pick") === adj("idx"))
+        .select(col("walk_id"), lit(t).as("step"), col("dst").as("v"))
+        .loopCheckpoint(true)
+      out = out.union(cur)
+    }
+    out.orderBy("walk_id", "step")
+  }
+
+  /** Oracle for [[randomWalks]]: the hop chain unrolled to the (fixed)
+    * step count — every draw recomputed from the same md5 formula
+    * ([[graft.operators.Sketch.hash32SqlExpr]]), same (dst asc)
+    * neighbor ranking, same degree-first join shape. Fully static —
+    * nothing Spark-derived at all. */
+  def randomWalksSql(steps: Int = 6, m: Int = 2000): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
+    sb ++= """adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM edges_g),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS odeg FROM adj GROUP BY src),
+       |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
+       |w0 AS MATERIALIZED (SELECT id AS walk_id, 0 AS step, id AS v FROM v)""".stripMargin
+    for (t <- 1 to steps) {
+      val p = t - 1
+      val h = graft.operators.Sketch.hash32SqlExpr(s"w.walk_id || ':' || $t")
+      sb ++= s""",
+         |w$t AS MATERIALIZED (
+         |  SELECT w.walk_id, $t AS step, a.dst AS v
+         |  FROM w$p w
+         |  JOIN dg d ON d.src = w.v
+         |  JOIN adj a ON a.src = w.v AND a.idx = $h % d.odeg)""".stripMargin
+    }
+    val un = (0 to steps).map(t => s"SELECT walk_id, step, v FROM w$t")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"\nSELECT walk_id, step, v FROM (\n  $un\n) allw ORDER BY walk_id, step"
+    sb.toString
+  }
+
   // ---------------------------------------------------- label propagation
 
   /** Synchronous label propagation (the GraphFrames `labelPropagation`
@@ -2190,6 +2270,8 @@ object Graph {
     "g27_betweenness" -> ((s: SparkSession, dir: String) =>
       betweenness(cachedEdges(s, dir), pivots = Seq(0L, 1L, 2L, 3L, 4L),
         recordKey = Some(Tables.norm(dir)))),
+    "g28_random_walks" -> ((s: SparkSession, dir: String) =>
+      randomWalks(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2233,5 +2315,6 @@ object Graph {
     "g26_weighted_sssp" -> weightedSsspSql(Seq(0L, 1L, 2L, 3L, 4L)),
     // built after the queries run: unrolls the recorded level count
     "g27_betweenness" -> betweennessSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    "g28_random_walks" -> randomWalksSql(),
   )
 }

@@ -49,7 +49,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q94_hdr_quantiles",   // mergeable integer histogram + ordered window
     "t14_ndcg_eval",       // k-row metric frame over the memoized ranking
     "s27_silhouette",      // Lloyd refit + per-point distance kernels
-    "st11_hourly_quantiles") // per-window sketch + partitioned read-off
+    "st11_hourly_quantiles", // per-window sketch + partitioned read-off
+    "g27_betweenness",     // two-phase BFS + micro-unit integer recursion
+    "g28_random_walks",    // md5-drawn walk chain over ranked adjacency
+    "x30_bpe_train")       // iterative argmax-merge loop (broadcast 1-row)
 
   private lazy val alt = {
     val s = spark.newSession()

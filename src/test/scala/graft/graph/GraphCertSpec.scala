@@ -296,4 +296,32 @@ class GraphCertSpec extends CertSpec {
       assert(got(v) == bc(v), s"vertex $v: got ${got(v)} want ${bc(v)}")
     }
   }
+
+  test("g28_random_walks: exact in-memory md5-walk recompute") {
+    val r = rows("g28_random_walks")
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val nbrs: Map[Long, Vector[Long]] = edges.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val want = verts.toVector.flatMap { start =>
+      val path = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]((start, 0, start))
+      var v = start
+      var t = 1
+      var alive = true
+      while (alive && t <= 6) {
+        nbrs.get(v) match {
+          case Some(ns) =>
+            v = ns((h32(s"$start:$t") % ns.size).toInt)
+            path += ((start, t, v)); t += 1
+          case None => alive = false
+        }
+      }
+      path
+    }.toSet
+    val got = r.map(x => (x.getAs[Long]("walk_id"), x.getAs[Int]("step"),
+      x.getAs[Long]("v"))).toSet
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
 }

@@ -73,7 +73,8 @@ class GraphSpec extends SparkSpec {
         e => Graph.stronglyConnectedComponents(e).collect()),
       ("weightedSssp",
         e => Graph.weightedSssp(Graph.weightedEdges(e), landmarks = Seq(1L)).collect()),
-      ("betweenness", e => Graph.betweenness(e, pivots = Seq(1L)).collect()))
+      ("betweenness", e => Graph.betweenness(e, pivots = Seq(1L)).collect()),
+      ("randomWalks", e => Graph.randomWalks(e, steps = 2).collect()))
     for ((name, run) <- algos) {
       val acc = spark.sparkContext.longAccumulator(s"edge_evals_$name")
       val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
@@ -286,6 +287,34 @@ class GraphSpec extends SparkSpec {
     val got = Graph.betweenness(e, pivots = Seq(1L, 2L))
       .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
     assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0), got.mkString(","))
+  }
+
+  test("randomWalks (g28_random_walks): forced chain walks; early stop at sinks") {
+    // chain 1→2→3: out-degree 1 everywhere, so every draw is forced —
+    // the walk structure is fully hand-checkable and hash-independent
+    val e = edges(1L -> 2L, 2L -> 3L)
+    val got = Graph.randomWalks(e, steps = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0, 1L), (1L, 1, 2L), (1L, 2, 3L),
+      (2L, 0, 2L), (2L, 1, 3L), (3L, 0, 3L)), got.mkString(","))
+  }
+
+  test("randomWalks: branching draw matches the md5 formula and is reproducible") {
+    // vertex 1 → {2, 3}: step 1 of walk 1 must take neighbor index
+    // md5_32("1:1") mod 2 under the (dst asc) ranking — recompute the
+    // digest here and check the engine took exactly that branch
+    val e = edges(1L -> 2L, 1L -> 3L)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val want = Seq(2L, 3L)((h32("1:1") % 2).toInt)
+    val runA = Graph.randomWalks(e, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(runA.contains((1L, 1, want)), s"walk 1 must step to $want: ${runA.mkString(",")}")
+    val runB = Graph.randomWalks(e, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(runA.toSeq == runB.toSeq, "walks must be run-to-run reproducible")
   }
 
   test("covisitation: canonical pairs, counts bounded by co-visiting users") {
