@@ -1634,6 +1634,130 @@ object Graph {
     sb.toString
   }
 
+  // ------------------------------------------------ greedy modularity moves
+
+  /** g29: one-level Louvain community detection — semi-synchronous
+    * greedy modularity moves (Blondel et al. 2008 phase 1, determinized
+    * the way distributed implementations do it): every vertex starts in
+    * its own community; each round every vertex computes, over the
+    * communities of its neighbors plus its own, the modularity gain of
+    * moving there, and the PARITY-MATCHING half of the vertices adopts
+    * its argmax (round r moves vertices with id ≡ r (mod 2)). The
+    * parity alternation is what makes the synchronous update converge —
+    * a fully synchronous greedy move oscillates on any tight pair (both
+    * endpoints of an edge adopt each other's community forever), the
+    * same bipartite-oscillation failure GraphFrames documents for LPA.
+    *
+    * Scoring is EXACT INTEGER arithmetic: gain ∝ 2m·e_{v→c} −
+    * deg(v)·(deg(c) − [c = c(v)]·deg(v)) — the standard ΔQ numerator
+    * scaled by 2m², so no division, no floats, no cross-engine rounding
+    * surface at all (the g27 micro-math discipline, here exact without
+    * quantizing). Ties break to staying put, then to the smallest
+    * community id. Bound: 2m·e_vc and deg·cdeg both ≤ 2m·max_deg·2 ≪
+    * 2⁶³ for any graph whose degree sums fit a BIGINT.
+    *
+    * Scale shape per round: one |E|-row join of the symmetric edge list
+    * against the label table (partial-aggregated (vertex, community)
+    * counts), one |communities|-sized degree-sum aggregate, one
+    * per-vertex rank window partitioned by vertex (no global sort), 2m
+    * as a broadcast 1-row frame (A7 pattern — no driver action).
+    * Lineage cut per round; label state is |V| rows. */
+  def louvain(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = edges.select("src", "dst").loopCheckpoint(true)
+    val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().loopCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .loopCheckpoint(true)
+    val tm = sym.agg(count(lit(1)).as("twom")) // 2m, broadcast 1-row frame
+    var labels = deg.select(col("id"), col("id").as("community"))
+      .loopCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val commDeg = labels.join(deg, "id")
+        .groupBy("community").agg(sum("deg").as("cdeg"))
+      val nbr = sym
+        .join(labels.select(col("id").as("dst"), col("community")), "dst")
+        .groupBy(col("src").as("id"), col("community"))
+        .agg(count(lit(1)).as("evc"))
+      // the stay-option must exist even with no neighbor in c(v)
+      val own = labels
+        .join(nbr, Seq("id", "community"), "left_outer")
+        .select(col("id"), col("community"), coalesce(col("evc"), lit(0L)).as("evc"))
+      val cands = nbr.unionByName(own)
+        .groupBy("id", "community").agg(max("evc").as("evc"))
+      val w = Window.partitionBy("id").orderBy(
+        desc("score"), desc("is_own"), asc("community"))
+      val pick = cands
+        .join(labels.select(col("id"), col("community").as("c0")), "id")
+        .join(deg, "id")
+        .join(commDeg, "community")
+        .crossJoin(broadcast(tm))
+        .select(col("id"), col("community"), col("c0"),
+          (col("twom") * col("evc") - col("deg") *
+            (col("cdeg") - when(col("community") === col("c0"), col("deg"))
+              .otherwise(lit(0L)))).as("score"),
+          when(col("community") === col("c0"), lit(1)).otherwise(lit(0)).as("is_own"))
+        .select(col("id"), col("community"), col("c0"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+      labels = pick.select(col("id"),
+          when(pmod(col("id"), lit(2)) === lit(r % 2), col("community"))
+            .otherwise(col("c0")).as("community"))
+        .loopCheckpoint(true)
+    }
+    labels.orderBy("id")
+  }
+
+  /** Oracle for [[louvain]]: the (fixed) move rounds unrolled as
+    * MATERIALIZED CTEs — identical integer scoring, identical
+    * stay-then-smallest tie order, identical parity gating. Fully
+    * static — nothing Spark-derived. */
+  def louvainSql(rounds: Int = 4, m: Int = 2000): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
+    sb ++= """sym AS MATERIALIZED (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
+       |dg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+       |tm AS (SELECT count(*) AS twom FROM sym),
+       |l0 AS MATERIALIZED (SELECT id, id AS community FROM dg)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+         |cd$r AS MATERIALIZED (
+         |  SELECT l.community, SUM(d.deg) AS cdeg
+         |  FROM l$p l JOIN dg d USING (id) GROUP BY l.community),
+         |nb$r AS MATERIALIZED (
+         |  SELECT s.src AS id, l.community, count(*) AS evc
+         |  FROM sym s JOIN l$p l ON l.id = s.dst
+         |  GROUP BY s.src, l.community),
+         |cn$r AS MATERIALIZED (
+         |  SELECT id, community, MAX(evc) AS evc FROM (
+         |    SELECT id, community, evc FROM nb$r
+         |    UNION ALL
+         |    SELECT l.id, l.community, COALESCE(n.evc, 0)
+         |    FROM l$p l LEFT JOIN nb$r n ON n.id = l.id AND n.community = l.community
+         |  ) u GROUP BY id, community),
+         |pk$r AS MATERIALIZED (
+         |  SELECT id, community, c0 FROM (
+         |    SELECT c.id, c.community, l.community AS c0,
+         |      row_number() OVER (PARTITION BY c.id ORDER BY
+         |        t.twom * c.evc - d.deg *
+         |          (cd.cdeg - CASE WHEN c.community = l.community THEN d.deg ELSE 0 END) DESC,
+         |        CASE WHEN c.community = l.community THEN 1 ELSE 0 END DESC,
+         |        c.community ASC) AS rn
+         |    FROM cn$r c
+         |    JOIN l$p l USING (id)
+         |    JOIN dg d USING (id)
+         |    JOIN cd$r cd ON cd.community = c.community
+         |    CROSS JOIN tm t
+         |  ) z WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT id, CASE WHEN id % 2 = ${r % 2} THEN community ELSE c0 END AS community
+         |  FROM pk$r)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, community FROM l$rounds ORDER BY id"
+    sb.toString
+  }
+
   // --------------------------------------------------------- random walks
 
   /** g28: deterministic random-walk corpus generation — the DeepWalk /
@@ -2272,6 +2396,8 @@ object Graph {
         recordKey = Some(Tables.norm(dir)))),
     "g28_random_walks" -> ((s: SparkSession, dir: String) =>
       randomWalks(cachedEdges(s, dir))),
+    "g29_louvain" -> ((s: SparkSession, dir: String) =>
+      louvain(cachedEdges(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2316,5 +2442,6 @@ object Graph {
     // built after the queries run: unrolls the recorded level count
     "g27_betweenness" -> betweennessSql(Seq(0L, 1L, 2L, 3L, 4L)),
     "g28_random_walks" -> randomWalksSql(),
+    "g29_louvain" -> louvainSql(),
   )
 }

@@ -324,4 +324,32 @@ class GraphCertSpec extends CertSpec {
       x.getAs[Long]("v"))).toSet
     assert(got == want, s"got ${got.size} rows, want ${want.size}")
   }
+
+  test("g29_louvain: exact in-memory semi-synchronous greedy-modularity recompute") {
+    val r = rows("g29_louvain")
+    val sym: Set[(Long, Long)] = edges.flatMap(e => Seq(e, e.swap)).toSet
+    val adj: Map[Long, Vector[Long]] = sym.toVector.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val deg: Map[Long, Long] = adj.view.mapValues(_.size.toLong).toMap
+    val twoM = sym.size.toLong
+    var lbl: Map[Long, Long] = verts.map(v => v -> v).toMap
+    for (round <- 1 to 4) {
+      val cdeg = lbl.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg(x._1)).sum).toMap
+      val next = verts.map { v =>
+        val c0 = lbl(v)
+        val evc = adj(v).groupBy(lbl).view.mapValues(_.size.toLong).toMap
+        val cands = (evc.keySet + c0).toVector
+        val best = cands.map { c =>
+          val e = evc.getOrElse(c, 0L)
+          val score = twoM * e - deg(v) * (cdeg(c) - (if (c == c0) deg(v) else 0L))
+          (c, score)
+        }.minBy { case (c, s) => (-s, if (c == c0) 0 else 1, c) }._1
+        v -> (if (v % 2 == round % 2) best else c0)
+      }.toMap
+      lbl = next
+    }
+    val got = r.map(x => x.getAs[Long]("id") -> x.getAs[Long]("community")).toMap
+    assert(got == lbl, s"first diff: ${(got.toSet -- lbl.toSet).take(3)}")
+  }
 }

@@ -74,7 +74,8 @@ class GraphSpec extends SparkSpec {
       ("weightedSssp",
         e => Graph.weightedSssp(Graph.weightedEdges(e), landmarks = Seq(1L)).collect()),
       ("betweenness", e => Graph.betweenness(e, pivots = Seq(1L)).collect()),
-      ("randomWalks", e => Graph.randomWalks(e, steps = 2).collect()))
+      ("randomWalks", e => Graph.randomWalks(e, steps = 2).collect()),
+      ("louvain", e => Graph.louvain(e, rounds = 2).collect()))
     for ((name, run) <- algos) {
       val acc = spark.sparkContext.longAccumulator(s"edge_evals_$name")
       val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
@@ -287,6 +288,29 @@ class GraphSpec extends SparkSpec {
     val got = Graph.betweenness(e, pivots = Seq(1L, 2L))
       .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
     assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0), got.mkString(","))
+  }
+
+  test("louvain (g29_louvain): two bridged triangles coalesce into two communities") {
+    // hand-traced through all 4 parity-alternating rounds: triangle
+    // {1,2,3} settles on community 2 (v1 moves first, v3 follows the
+    // tie-break to c2's larger mass), triangle {4,5,6} on community 6;
+    // the bridge 3-4 never pays (negative gain against the full
+    // opposite-triangle degree sum)
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    val got = Graph.louvain(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L),
+      got.mkString(","))
+  }
+
+  test("louvain: parity alternation prevents the tight-pair oscillation") {
+    // a single edge under FULLY synchronous greedy moves swaps labels
+    // forever (both endpoints adopt each other); parity-gated rounds
+    // must settle it into one shared community
+    val e = edges(1L -> 2L)
+    val got = Graph.louvain(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet.size == 1, s"pair must share one community: $got")
   }
 
   test("randomWalks (g28_random_walks): forced chain walks; early stop at sinks") {
