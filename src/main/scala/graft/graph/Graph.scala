@@ -1685,9 +1685,13 @@ object Graph {
         .select(col("id"), col("community"), coalesce(col("evc"), lit(0L)).as("evc"))
       val cands = nbr.unionByName(own)
         .groupBy("id", "community").agg(max("evc").as("evc"))
-      val w = Window.partitionBy("id").orderBy(
-        desc("score"), desc("is_own"), asc("community"))
-      val pick = cands
+      // argmax by (score desc, stay-first, smallest community) as a
+      // MAX-STRUCT hash aggregate — map-side combinable, no per-vertex
+      // sort; lexicographic struct order encodes exactly the old rank
+      // window's (score DESC, is_own DESC, community ASC): max score,
+      // then max is_own, then max(-community) = min community. The
+      // oracle keeps the window formulation — same winner by identity.
+      val best = cands
         .join(labels.select(col("id"), col("community").as("c0")), "id")
         .join(deg, "id")
         .join(commDeg, "community")
@@ -1697,10 +1701,12 @@ object Graph {
             (col("cdeg") - when(col("community") === col("c0"), col("deg"))
               .otherwise(lit(0L)))).as("score"),
           when(col("community") === col("c0"), lit(1)).otherwise(lit(0)).as("is_own"))
-        .select(col("id"), col("community"), col("c0"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-      labels = pick.select(col("id"),
+        .groupBy("id", "c0") // c0 is functionally dependent on id — same
+        .agg(max(struct(col("score"), col("is_own"), // cardinality, and it
+          (-col("community")).as("negc"))).as("m"))  // saves a join-back
+        .select(col("id"), col("c0"), (-col("m.negc")).as("community"))
+      labels = best
+        .select(col("id"),
           when(pmod(col("id"), lit(2)) === lit(r % 2), col("community"))
             .otherwise(col("c0")).as("community"))
         .loopCheckpoint(true)
@@ -1869,10 +1875,14 @@ object Graph {
       val cnt = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("vid"), col("label"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("vid").orderBy(desc("n"), asc("label"))
-      val best = cnt.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vid").as("id"), col("label").as("best"))
+      // most-frequent label, smallest on ties, as a MAX-STRUCT hash
+      // aggregate (map-side combinable, no per-vertex sort) — struct
+      // order (n DESC via max, then max(-label) = min label) encodes
+      // exactly the old rank window; oracle keeps the window form
+      val best = cnt
+        .groupBy(col("vid").as("id"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("best"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("best"), col("label")).as("label"))
         .loopCheckpoint(true)
