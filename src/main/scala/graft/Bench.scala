@@ -83,7 +83,36 @@ object Bench {
       }
     report(results.toMap, reps = envReps,
       sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-      isolated = Some(chunk))
+      isolated = Some(chunk), regime = Regime.empty, fullRun = false)
+  }
+
+  /** Host-regime evidence captured by an in-process run so a contended
+    * reading self-identifies (VERDICT r13 finding 1 — the 1710 s
+    * BENCH_r13 needed judge archaeology to adjudicate as host noise):
+    *  - `gc` / `gcTotal`: per-query process GC seconds
+    *    (GarbageCollectorMXBean collection-time deltas; queries run
+    *    sequentially so the delta attributes exactly),
+    *  - `load`: OS 1-min load average at pass start / midpoint / end
+    *    (co-tenant pressure is visible as load ≫ 32 on this host),
+    *  - `refProbe`: wall seconds of one FIXED pure-compute reference
+    *    job (range-sum, no IO, no memo) at start / midpoint / end —
+    *    identical work every time, so drift across the pass IS the
+    *    regime moving,
+    *  - `blocks` / `blocksMax`: persistent-RDD count after each query
+    *    (post-sweep) and the pass-wide pre-sweep max — the bounded-
+    *    block-store telemetry for finding 2. */
+  private final case class Regime(
+    gc: Map[String, Double], load: Seq[Double], refProbe: Seq[Double],
+    blocks: Map[String, Int], blocksMax: Int)
+  private object Regime { val empty = Regime(Map.empty, Nil, Nil, Map.empty, 0) }
+
+  /** One fixed CPU-bound reference job: sum of 4×10⁸ modulos across 32
+    * partitions. No IO, no shuffle beyond the final 32-row agg, no memo
+    * interaction — its wall clock moves only when the host does. */
+  private def refProbeSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 400000000L, 1L, 32).selectExpr("sum(id % 1000)").collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def runInProcess(): Unit = {
@@ -151,10 +180,46 @@ object Bench {
       case _ => None
     }
     def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Between-query block sweep (VERDICT r13 finding 2): superseded
+    // loop generations and within-query multi-consumer checkpoints die
+    // with their query, but their blocks linger until the driver GCs
+    // the DataFrame reference and ContextCleaner catches up — across a
+    // 266-query pass that's monotonic block-store growth (the plausible
+    // amplifier behind BENCH_r13's GC-storm signature). Unpersist
+    // everything the session memo does NOT own; Materialized frames
+    // are spared because unpersisting a localCheckpoint is
+    // unrecoverable and the memo IS the cross-query amortization.
+    def sweepBlocks(): Unit = {
+      val live = graft.plans.Materialized.liveRddIds
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(r => !live.contains(r.id)).foreach(_.unpersist(blocking = false))
+    }
     // drop warmup-phase build records so the per-query attribution
     // below starts clean (VERDICT r11 item 4)
     graft.plans.Materialized.drainBuildLog()
-    val results = SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
+    val qseq = SparkEntry.queries.filter(kv => selected(kv._1)).toSeq
+    val fullRun = only.isEmpty && qseq.size == SparkEntry.queries.size
+    val mid = qseq.size / 2
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gcByQ = scala.collection.mutable.Map.empty[String, Double]
+    val blocksByQ = scala.collection.mutable.Map.empty[String, Int]
+    var blocksMax = 0
+    def regimePoint(): Unit = { loads += loadAvg; probes += refProbeSec(spark) }
+    refProbeSec(spark) // discard one cold read: the first run pays the
+    refProbeSec(spark) // probe's own codegen/JIT (measured 4 s vs 0.2 s
+    // warm), which would dominate probe_drift on every run
+    regimePoint() // pass start (post-warmup)
+    val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == mid && qi > 0) regimePoint() // pass midpoint
+      val g0 = gcMillis
       val reads = (1 to reps).map { _ =>
         val c0 = cpuNanos
         val t0 = System.nanoTime()
@@ -171,6 +236,10 @@ object Bench {
         // mistaken for a fast pass in bench totals
         (if (ok) sec else -sec, cpu)
       }
+      gcByQ(name) = (gcMillis - g0) / 1e3
+      blocksMax = math.max(blocksMax, spark.sparkContext.getPersistentRDDs.size)
+      sweepBlocks() // outside the timing; memo entries spared
+      blocksByQ(name) = spark.sparkContext.getPersistentRDDs.size
       // shared-memo builds this query's reps paid (first-payer cost):
       // queries run strictly sequentially, so the drain attributes
       // exactly — a nonzero value explains a first-payer-reassignment
@@ -181,13 +250,18 @@ object Bench {
       val wall = if (reads.exists(_._1 < 0)) -median else median
       appendTsv(name, wall, cpuMedian, buildSec)
       name -> (wall, cpuMedian, buildSec)
-    }
+    }.toMap
+    regimePoint() // pass end
+    val regime = Regime(gcByQ.toMap, loads.toSeq, probes.toSeq,
+      blocksByQ.toMap, blocksMax)
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
-    report(results, reps, sfDir, isolated = None)
+    report(results, reps, sfDir, isolated = None, regime = regime,
+      fullRun = fullRun)
   }
 
   private def report(results: Map[String, (Double, Double, Double)], reps: Int,
-                     sfDir: String, isolated: Option[Int]): Unit = {
+                     sfDir: String, isolated: Option[Int],
+                     regime: Regime, fullRun: Boolean): Unit = {
     val failed = results.count(_._2._1 < 0)
     // cpu < 0 marks an isolated-mode query with NO reading (child crashed
     // before reaching it): it counts in `failed` but contributes nothing
@@ -245,13 +319,39 @@ object Bench {
         results(k)._1.abs - anchor(k) >= 0.3 => k
     }.sorted
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Regime self-report (VERDICT r13 item 1b): per-query GC seconds,
+    // load average + fixed reference-probe wall at start/mid/end, and
+    // the block telemetry. gc_frac = Σ GC / Σ wall; probe_drift =
+    // max/min of the identical-work reference job — either far from
+    // its quiet band means the HOST moved, not the tree.
+    val gcTotal = regime.gc.values.sum
+    val gcFull = regime.gc.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val blocksFull = regime.blocks.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+    val gcFrac = if (total > 0) gcTotal / total else 0.0
+    val probeDrift =
+      if (regime.refProbe.nonEmpty && regime.refProbe.min > 0)
+        regime.refProbe.max / regime.refProbe.min else 0.0
+    val regimeFull =
+      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"regressed":$regressedJson,"anchor_n":${ratios.size},"failed":$failed,"sf":"$sfDir"$iso}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"regressed":$regressedJson,"anchor_n":${ratios.size}$regimeFull,"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
     // /tmp for ad-hoc reads AND a durable in-repo copy (bench_anchors/)
     // so future rounds can audit the per-query detail of any recorded
-    // run without re-measuring (VERDICT r11 item 1)
-    for (p <- Seq("/tmp/graft_bench_full.json", "bench_anchors/bench_full_last.json"))
+    // run without re-measuring (VERDICT r11 item 1). Full-registry runs
+    // ADDITIONALLY write a timestamped copy so one round's forensic
+    // evidence is never clobbered by the next invocation (VERDICT r13
+    // finding 3 — bench_full_last.json alone lost the driver's r13 run).
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val outs = Seq("/tmp/graft_bench_full.json",
+      "bench_anchors/bench_full_last.json") ++
+      (if (fullRun) Seq(s"bench_anchors/bench_full_$stamp.json") else Nil)
+    for (p <- outs)
       try {
         val path = java.nio.file.Paths.get(p)
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -273,7 +373,14 @@ object Bench {
     // regressed-vs-anchor count + capped name list ride the compact line
     // too (full ratios live in the stderr/bench_anchors JSON above)
     val regHead = regressed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"regressed_n":${regressed.size},"regressed":$regHead,"sf":"$sfDir","n_queries":${results.size}$iso}""")
+    // one-field-per-signal regime index on the compact line too: a
+    // reader sees gc_frac ≫ the quiet band (~0.03), load ≫ 32, or
+    // probe_drift ≫ 1.5 and knows the run measured the host's hour,
+    // not the tree — without the archaeology BENCH_r13 needed
+    val regimeHead = if (regime.refProbe.nonEmpty)
+      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"blocks_max":${regime.blocksMax}"""
+    else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"regressed_n":${regressed.size},"regressed":$regHead$regimeHead,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.plans.Lineage
 import graft.plans.Lineage.CheckpointOps
 import graft.sources.Tables
 
@@ -34,18 +35,30 @@ import graft.sources.Tables
 object Graph {
   private val Dec = DecimalType(32, 16)
 
+  /** Vertex-id projection modulus shared by every graph query's engine
+    * builder AND its DuckDB oracle twin: the gate graph is
+    * (o_custkey % ProjMod, o_orderkey % ProjMod). ONE definition site —
+    * a bare literal duplicated across ~20 builders and ~20 oracles is a
+    * silent engine/oracle drift waiting to happen (VERDICT r13 item 7). */
+  val ProjMod = 2000
+
+  /** Denser projection for k-truss (g25) only: the mod-[[ProjMod]] gate
+    * graph is too sparse to carry a 5-truss, so g25 projects mod-500 —
+    * again one definition shared by the builder and the oracle. */
+  val TrussProjMod = 500
+
   /** Deterministic test graph derived from `orders`: directed edges
     * (o_custkey % m, o_orderkey % m), self-loops dropped, deduped.
     * Mirrors the reference's integer-id edge list ingestion
     * (ref EpinionsGraphFrameAnalysis.scala:49-58). */
-  def edgesFromOrders(spark: SparkSession, dir: String, m: Int = 2000): DataFrame =
+  def edgesFromOrders(spark: SparkSession, dir: String, m: Int = ProjMod): DataFrame =
     Tables.orders(spark, dir)
       .select((col("o_custkey") % m).cast("long").as("src"),
         (col("o_orderkey") % m).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-  def edgesSql(m: Int = 2000): String =
+  def edgesSql(m: Int = ProjMod): String =
     s"""SELECT DISTINCT o_custkey % $m AS src, o_orderkey % $m AS dst
        |FROM orders WHERE o_custkey % $m != o_orderkey % $m""".stripMargin
 
@@ -105,7 +118,11 @@ object Graph {
     val n = v.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val init = if (refQuirks) 10.0 else 1.0 / n
-    var ranks = v.select(col("id"), lit(init).as("rank")).loopCheckpoint(true)
+    // generation-tracked loop variable: each eager roll releases the
+    // grandparent generation's blocks (keep-2, see Lineage.Gen) so the
+    // loop's block-store residency is O(1), not O(iterations)
+    val rgen = Lineage.gen()
+    var ranks = rgen.roll(v.select(col("id"), lit(init).as("rank")), true)
     val contribs = e.join(outDeg, "src") // pre-joined once, reused per iter
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
@@ -117,11 +134,11 @@ object Graph {
         .agg(sum("contrib").cast("double").as("mass"))
       val updated = spread.select(col("dst").as("id"),
         (lit(alpha / n) + lit(1.0 - alpha) * col("mass")).as("rank"))
-      ranks =
-        (if (refQuirks) updated // ref drops vertices with no in-links
-         else v.join(updated, Seq("id"), "left_outer")
-           .select(col("id"), coalesce(col("rank"), lit(alpha / n)).as("rank")))
-          .loopCheckpoint(true)
+      ranks = rgen.roll(
+        if (refQuirks) updated // ref drops vertices with no in-links
+        else v.join(updated, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("rank"), lit(alpha / n)).as("rank")),
+        true)
     }
     ranks.select(col("id"), round(col("rank"), 12).as("rank"))
   }
@@ -154,7 +171,7 @@ object Graph {
 
   /** DuckDB oracle for [[pageRank]] (clean variant), iterations unrolled as
     * CTEs — must mirror the double/DECIMAL dance exactly. */
-  def pageRankSql(iterations: Int, alpha: Double = 0.15, m: Int = 2000): String =
+  def pageRankSql(iterations: Int, alpha: Double = 0.15, m: Int = ProjMod): String =
     s"""WITH ${pageRankCtesSql(edgesSql(m), iterations, alpha)}
        |SELECT id, round(rank, 12) AS rank FROM r$iterations ORDER BY id""".stripMargin
 
@@ -180,7 +197,8 @@ object Graph {
     val v = vertices(e).loopCheckpoint(true) // joined every iteration
     val n = v.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    var ranks = v.select(col("id"), lit(1.0 / n).as("rank")).loopCheckpoint(true)
+    val rgen = Lineage.gen() // keep-2 generation tracking (see pageRank)
+    var ranks = rgen.roll(v.select(col("id"), lit(1.0 / n).as("rank")), true)
     val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
@@ -197,12 +215,12 @@ object Graph {
       val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("rank").cast(Dec)), lit(0).cast(Dec))
           .cast("double").as("dm"))
-      ranks = v.join(spread, v("id") === spread("dst"), "left_outer")
+      ranks = rgen.roll(v.join(spread, v("id") === spread("dst"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(v("id"),
           (lit(alpha / n) + lit(1.0 - alpha) *
-            (coalesce(col("mass"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .loopCheckpoint(true)
+            (coalesce(col("mass"), lit(0.0)) + col("dm") / n)).as("rank")),
+        true)
     }
     ranks.select(col("id"), round(col("rank"), 12).as("rank"))
   }
@@ -211,7 +229,7 @@ object Graph {
     * unrolling plus a per-iteration dangling-sum CTE, mirroring the
     * decimal/double dance exactly. */
   def pageRankDanglingSql(iterations: Int, alpha: Double = 0.15,
-                          m: Int = 2000): String = {
+                          m: Int = ProjMod): String = {
     val base =
       s"""WITH edges_g AS (${edgesSql(m)}),
          |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
@@ -253,8 +271,9 @@ object Graph {
     val k = sources.size
     val tele = alpha / k
     val isSrc = col("id").isin(sources: _*)
-    var ranks = v.select(col("id"),
-      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")).loopCheckpoint(true)
+    val rgen = Lineage.gen() // keep-2 generation tracking (see pageRank)
+    var ranks = rgen.roll(v.select(col("id"),
+      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")), true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
@@ -263,11 +282,12 @@ object Graph {
       val spread = contribs.join(ranks, contribs("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
         .groupBy("dst").agg(sum("contrib").cast("double").as("mass"))
-      ranks = v.join(spread.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
-        .select(col("id"),
-          (when(isSrc, lit(tele)).otherwise(lit(0.0)) +
-            lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank"))
-        .loopCheckpoint(true)
+      ranks = rgen.roll(
+        v.join(spread.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+          .select(col("id"),
+            (when(isSrc, lit(tele)).otherwise(lit(0.0)) +
+              lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank")),
+        true)
     }
     ranks.select(col("id"), round(col("rank"), 12).as("rank")).orderBy("id")
   }
@@ -275,7 +295,7 @@ object Graph {
   /** Oracle for [[personalizedPageRank]]: the [[pageRankSql]] unroll with
     * the teleport CASE restricted to the source set. */
   def personalizedPageRankSql(sources: Seq[Long], iterations: Int = 3,
-                              alpha: Double = 0.15, m: Int = 2000): String = {
+                              alpha: Double = 0.15, m: Int = ProjMod): String = {
     val k = sources.size
     val tele = alpha / k
     val srcList = sources.mkString(", ")
@@ -343,7 +363,11 @@ object Graph {
     val e = edges.select("src", "dst").loopCheckpoint(false)
     val v = vertices(e).loopCheckpoint(true) // reused every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    var ranks = v.select(col("id"), lit(1.0).as("rank")).loopCheckpoint(true)
+    // one Gen for the ranks chain (init + every round's lazy `next`):
+    // the max-delta action materializes each generation before the next
+    // roll, so keep-2 release is always of a consumed generation
+    val rgen = Lineage.gen()
+    var ranks = rgen.roll(v.select(col("id"), lit(1.0).as("rank")), true)
     val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
@@ -362,10 +386,11 @@ object Graph {
       val newRank = lit(alpha) + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))
       // lazy checkpoint — the max-delta action materializes it (see
       // connectedComponents: one job per round, not two)
-      val next = ranks.join(spread, ranks("id") === spread("dst"), "left_outer")
-        .select(col("id"), newRank.as("rank"),
-          abs(newRank - col("rank")).as("delta"))
-        .loopCheckpoint(false)
+      val next = rgen.roll(
+        ranks.join(spread, ranks("id") === spread("dst"), "left_outer")
+          .select(col("id"), newRank.as("rank"),
+            abs(newRank - col("rank")).as("delta")),
+        false)
       maxDelta = next.agg(max("delta")).head().getDouble(0)
       ranks = next.select("id", "rank")
       iters += 1
@@ -385,7 +410,7 @@ object Graph {
     * as CTEs; every rank recomputed independently by DuckDB. The count is
     * looked up per record key (explicit `key`, else the last-recorded
     * run's); fails loudly (invalid marker SQL) only if no run recorded. */
-  def pageRankTolSql(alpha: Double = 0.15, m: Int = 2000,
+  def pageRankTolSql(alpha: Double = 0.15, m: Int = ProjMod,
                      key: Option[String] = None): String = {
     val recorded = tolIterations.readOnlySnapshot()
     // explicit key wins; otherwise the most recently recorded run (the
@@ -486,7 +511,7 @@ object Graph {
   /** DuckDB oracle for [[modularity]] over the g3 labeling: the CC
     * closure CTE for labels, then the same canonical-edge/aggregate
     * arithmetic. */
-  def modularitySql(m: Int = 2000): String =
+  def modularitySql(m: Int = ProjMod): String =
     s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
        |undl AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
        |v AS (SELECT src AS id FROM undl UNION SELECT dst FROM undl),
@@ -516,7 +541,7 @@ object Graph {
        |FROM degc d LEFT JOIN ec e USING (community) CROSS JOIN mt
        |ORDER BY d.community""".stripMargin
 
-  def communitySizesSql(k: Int = 5, m: Int = 2000): String =
+  def communitySizesSql(k: Int = 5, m: Int = ProjMod): String =
     s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
        |und AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
        |v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
@@ -571,9 +596,15 @@ object Graph {
     // no re-evaluation, no doubled block-store residency.
     val ed = edges.select("src", "dst").loopCheckpoint(true)
     val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = ed.select(col("src").as("id"))
+    // two generation chains (keep-2 each, see Lineage.Gen): the labels
+    // chain (init + each round's lazy `next`, materialized by the
+    // changed-count) and the intermediate `stepped` chain — releasing
+    // superseded generations bounds the loop's block residency at O(1)
+    val lgen = Lineage.gen()
+    val sgen = Lineage.gen()
+    var labels = lgen.roll(ed.select(col("src").as("id"))
       .union(ed.select(col("dst").as("id"))).distinct()
-      .select(col("id"), col("id").as("component")).loopCheckpoint(true)
+      .select(col("id"), col("id").as("component")), true)
     // Edge-mass-scaled shuffle parallelism (round-12 100× probe
     // finding): the session's fixed shuffle-partition count is sized
     // for the registered fact tables, not for a match graph a caller
@@ -607,19 +638,20 @@ object Graph {
       val nbrMin = undIn.join(labIn, undIn("src") === labIn("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          col("component").as("prev"))
-        .loopCheckpoint(false)
+      val stepped = sgen.roll(
+        labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+            col("component").as("prev")),
+        false)
       // pointer jump: follow each label to ITS label (component values
       // are always live node ids, so the inner self-join keeps all rows)
       val jump = stepped.select(col("id").as("jid"), col("component").as("jcomp"))
-      val next = stepped.join(jump, stepped("component") === jump("jid"))
+      val next = lgen.roll(stepped.join(jump, stepped("component") === jump("jid"))
         .select(stepped("id"),
           least(stepped("component"), col("jcomp")).as("component"),
-          (least(stepped("component"), col("jcomp")) < col("prev")).as("changed"))
-        .loopCheckpoint(false)
+          (least(stepped("component"), col("jcomp")) < col("prev")).as("changed")),
+        false)
       changed = next.filter(col("changed")).count()
       labels = next.select("id", "component")
       // (A Borůvka-style per-round edge contraction was probed here on
@@ -634,7 +666,7 @@ object Graph {
 
   /** DuckDB oracle for [[connectedComponents]]: transitive closure via
     * recursive CTE, then min reachable label per vertex. */
-  def connectedComponentsSql(m: Int = 2000): String =
+  def connectedComponentsSql(m: Int = ProjMod): String =
     s"""WITH RECURSIVE edges_g AS (${edgesSql(m)}),
        |und AS (SELECT src, dst FROM edges_g UNION SELECT dst, src FROM edges_g),
        |v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
@@ -652,24 +684,27 @@ object Graph {
     * halves per round). Backward reach = the same fixpoint on reversed
     * edges. */
   private def minReachLabels(edges: DataFrame, verts: DataFrame): DataFrame = {
-    var labels = verts
-      .select(col("id"), col("id").as("lbl")).loopCheckpoint(true)
+    val lgen = Lineage.gen() // keep-2 chains, see connectedComponents
+    val sgen = Lineage.gen()
+    var labels = lgen.roll(verts
+      .select(col("id"), col("id").as("lbl")), true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("lbl").as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev"))
-        .loopCheckpoint(false)
+      val stepped = sgen.roll(
+        labels.join(nbrMin, labels("id") === nbrMin("id2"), "left_outer")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+            col("lbl").as("prev")),
+        false)
       val jump = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val next = stepped.join(jump, stepped("lbl") === jump("jid"))
+      val next = lgen.roll(stepped.join(jump, stepped("lbl") === jump("jid"))
         .select(stepped("id"),
           least(stepped("lbl"), col("jlbl")).as("lbl"),
-          (least(stepped("lbl"), col("jlbl")) < col("prev")).as("changed"))
-        .loopCheckpoint(false)
+          (least(stepped("lbl"), col("jlbl")) < col("prev")).as("changed")),
+        false)
       changed = next.filter(col("changed")).count()
       labels = next.select("id", "lbl")
     }
@@ -705,8 +740,16 @@ object Graph {
     * not n: the convergence guard fails loudly rather than silently
     * degrading. */
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 30): DataFrame = {
-    var live = edges.select("src", "dst").distinct().loopCheckpoint(true)
-    var verts = vertices(live).loopCheckpoint(true) // from the checkpoint — caller runs once
+    // keep-2 generation chains for the shrinking live/verts frames and
+    // the per-trim-round keep set (see Lineage.Gen). The per-round
+    // peeled/assigned frames are NOT chained: `result` is an
+    // un-checkpointed union over ALL of them, so every one stays
+    // referenced until the final orderBy.
+    val egen = Lineage.gen()
+    val vgen = Lineage.gen()
+    val kgen = Lineage.gen()
+    var live = egen.roll(edges.select("src", "dst").distinct(), true)
+    var verts = vgen.roll(vertices(live), true) // from the checkpoint — caller runs once
     // seeded empty so a vertex-less input (legal degenerate call) returns
     // an empty (id, scc) frame instead of NPE-ing on result.orderBy
     var result: DataFrame =
@@ -722,17 +765,17 @@ object Graph {
       while (trimmed > 0 && remaining > 0) {
         val haveIn = live.select(col("dst").as("id")).distinct()
         val haveOut = live.select(col("src").as("id")).distinct()
-        val keep = haveIn.join(haveOut, "id").loopCheckpoint(true)
+        val keep = kgen.roll(haveIn.join(haveOut, "id"), true)
         val peeled = verts.join(keep, Seq("id"), "left_anti")
           .select(col("id"), col("id").as("scc")).loopCheckpoint(true)
         trimmed = peeled.count()
         if (trimmed > 0) {
           add(peeled)
-          verts = verts.join(keep, Seq("id")).loopCheckpoint(true)
-          live = live
+          verts = vgen.roll(verts.join(keep, Seq("id")), true)
+          live = egen.roll(live
             .join(verts.select(col("id").as("src")), "src")
             .join(verts.select(col("id").as("dst")), "dst")
-            .select("src", "dst").loopCheckpoint(true)
+            .select("src", "dst"), true)
           remaining -= trimmed
         }
       }
@@ -749,13 +792,13 @@ object Graph {
         val nAssigned = assigned.count()
         require(nAssigned > 0, "SCC: FW-BW round assigned nothing (bug)")
         add(assigned)
-        verts = verts.join(assigned, Seq("id"), "left_anti").loopCheckpoint(true)
+        verts = vgen.roll(verts.join(assigned, Seq("id"), "left_anti"), true)
         remaining -= nAssigned
         if (remaining > 0)
-          live = live
+          live = egen.roll(live
             .join(verts.select(col("id").as("src")), "src")
             .join(verts.select(col("id").as("dst")), "dst")
-            .select("src", "dst").loopCheckpoint(true)
+            .select("src", "dst"), true)
       }
     }
     result.orderBy("id")
@@ -780,7 +823,7 @@ object Graph {
        |  FROM v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id)""".stripMargin
 
   /** DuckDB oracle for [[stronglyConnectedComponents]]. */
-  def sccSql(m: Int = 2000): String =
+  def sccSql(m: Int = ProjMod): String =
     s"""WITH RECURSIVE ${sccCtes(m)}
        |SELECT id, scc FROM sccl ORDER BY id""".stripMargin
 
@@ -817,8 +860,10 @@ object Graph {
       .filter(col("s") =!= col("t"))
       .select("s", "t").distinct()
       .loopCheckpoint(true)
-    var levels = sc.select(col("scc").as("node")).distinct()
-      .select(col("node"), lit(0L).as("level")).loopCheckpoint(true)
+    val lgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): levels…
+    val fgen = Lineage.gen() // …and frontier; each round materializes both
+    var levels = lgen.roll(sc.select(col("scc").as("node")).distinct()
+      .select(col("node"), lit(0L).as("level")), true)
     var frontier = levels
     var changed = 1L
     var rounds = 0
@@ -829,13 +874,14 @@ object Graph {
       val cand = cond.join(frontier, cond("s") === frontier("node"))
         .groupBy(col("t").as("node2"))
         .agg((max("level") + 1L).as("cand"))
-      val next = levels.join(cand, levels("node") === cand("node2"), "left_outer")
-        .select(col("node"),
-          greatest(col("level"), coalesce(col("cand"), col("level"))).as("level"),
-          (coalesce(col("cand"), col("level")) > col("level")).as("raised"))
-        .loopCheckpoint(false)
-      frontier = next.filter(col("raised")).select("node", "level")
-        .loopCheckpoint(true)
+      val next = lgen.roll(
+        levels.join(cand, levels("node") === cand("node2"), "left_outer")
+          .select(col("node"),
+            greatest(col("level"), coalesce(col("cand"), col("level"))).as("level"),
+            (coalesce(col("cand"), col("level")) > col("level")).as("raised")),
+        false)
+      frontier = fgen.roll(next.filter(col("raised")).select("node", "level"),
+        true)
       changed = frontier.count()
       levels = next.select("node", "level")
     }
@@ -849,7 +895,7 @@ object Graph {
     * recursive (node, d) enumeration seeded at the DAG sources (UNION
     * dedups pairs; d is bounded by depth, so it terminates), max(d) per
     * node. */
-  def condensationLevelsSql(m: Int = 2000): String =
+  def condensationLevelsSql(m: Int = ProjMod): String =
     s"""WITH RECURSIVE ${sccCtes(m)},
        |cond AS (
        |  SELECT DISTINCT a.scc AS s, b.scc AS t
@@ -961,7 +1007,7 @@ object Graph {
       .orderBy("id")
   }
 
-  def clusteringCoeffSql(m: Int = 2000): String =
+  def clusteringCoeffSql(m: Int = ProjMod): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_g),
        |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
@@ -980,7 +1026,7 @@ object Graph {
        |    ELSE 0.0 END AS DECIMAL(18,6)) AS coeff
        |FROM v LEFT JOIN cnt USING (id) LEFT JOIN deg USING (id) ORDER BY id""".stripMargin
 
-  def triangleCountsSql(m: Int = 2000): String =
+  def triangleCountsSql(m: Int = ProjMod): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_g),
        |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
@@ -1025,7 +1071,10 @@ object Graph {
   def kTruss(edges: DataFrame, k: Int = 5,
              recordKey: Option[String] = None): DataFrame = {
     val minSup = k - 2
-    var live = canonEdges(edges).loopCheckpoint(true) // caller runs once
+    // one keep-2 chain: initial canon edges + each round's surviving
+    // `keep` set (live/supported are views over the chain's latest)
+    val kgen = Lineage.gen()
+    var live = kgen.roll(canonEdges(edges), true) // caller runs once
     var nLive = live.count()
     var rounds = 0
     var converged = false
@@ -1042,7 +1091,7 @@ object Graph {
           triEdges.groupBy("a", "b").agg(count(lit(1)).as("support")),
           Seq("a", "b"), "left_outer")
         .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
-      val keep = sup.filter(col("support") >= minSup).loopCheckpoint(true)
+      val keep = kgen.roll(sup.filter(col("support") >= minSup), true)
       val nKeep = keep.count()
       converged = nKeep == nLive // keep ⊆ live, so equal counts = no peel
       supported = keep
@@ -1059,7 +1108,7 @@ object Graph {
     * 3-way self-join (same triangle set as the engine's degree-ordered
     * enumeration), so nothing numeric crosses engines. Fails loudly
     * (invalid marker SQL) if g25 never recorded a run. */
-  def kTrussSql(k: Int = 5, m: Int = 500, key: Option[String] = None): String = {
+  def kTrussSql(k: Int = 5, m: Int = TrussProjMod, key: Option[String] = None): String = {
     val recorded = ktrussRounds.readOnlySnapshot()
     val chosen = key.orElse(lastKtrussKey).flatMap(recorded.get)
     if (chosen.isEmpty)
@@ -1136,7 +1185,7 @@ object Graph {
       .limit(topK)
   }
 
-  def adamicAdarSql(topK: Int = 20, maxHubDeg: Int = 64, m: Int = 2000): String =
+  def adamicAdarSql(topK: Int = 20, maxHubDeg: Int = 64, m: Int = ProjMod): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
        |deg AS (SELECT src AS w, count(*) AS deg FROM sym GROUP BY src HAVING count(*) <= $maxHubDeg),
@@ -1196,7 +1245,7 @@ object Graph {
         .cast(Out6).as("intercept"))
   }
 
-  def degreePowerlawSql(m: Int = 2000): String =
+  def degreePowerlawSql(m: Int = ProjMod): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
        |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
@@ -1258,22 +1307,23 @@ object Graph {
   def shortestPaths(edges: DataFrame, landmarks: Seq[Long],
                     recordKey: Option[String] = None): DataFrame = {
     val e = edges.select("src", "dst").loopCheckpoint(true)
-    var dist = vertices(e) // from the checkpoint — caller frame runs once
+    val dgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): dist…
+    val fgen = Lineage.gen() // …and the per-wave frontier
+    var dist = dgen.roll(vertices(e) // from the checkpoint — caller frame runs once
       .filter(col("id").isin(landmarks: _*))
-      .select(col("id"), col("id").as("landmark"), lit(0L).as("dist"))
-      .loopCheckpoint(true)
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("dist")), true)
     var frontier = dist
     var rounds = 0
     var growing = true
     while (growing) {
-      val next = e.join(frontier, e("dst") === frontier("id"))
+      val next = fgen.roll(e.join(frontier, e("dst") === frontier("id"))
         .select(e("src").as("id"), col("landmark"), (col("dist") + 1L).as("dist"))
         .distinct()
-        .join(dist.select("id", "landmark"), Seq("id", "landmark"), "left_anti")
-        .loopCheckpoint(false) // materialized by the count below
+        .join(dist.select("id", "landmark"), Seq("id", "landmark"), "left_anti"),
+        false) // materialized by the count below
       val n = next.count()
       if (n > 0) {
-        dist = dist.union(next).loopCheckpoint(true)
+        dist = dgen.roll(dist.union(next), true)
         rounds += 1
       }
       growing = n > 0
@@ -1286,7 +1336,7 @@ object Graph {
   /** Oracle for [[shortestPaths]]: all directed walks up to the recorded
     * round count via recursive CTE, min length per (vertex, landmark).
     * Fails loudly (invalid marker SQL) if g7 never recorded a run. */
-  def shortestPathsSql(landmarks: Seq[Long], m: Int = 2000,
+  def shortestPathsSql(landmarks: Seq[Long], m: Int = ProjMod,
                        key: Option[String] = None): String = {
     val recorded = bfsRounds.readOnlySnapshot()
     val chosen = key.orElse(lastBfsKey).flatMap(recorded.get)
@@ -1324,7 +1374,7 @@ object Graph {
       .orderBy("dist")
   }
 
-  def distanceHistogramSql(landmarks: Seq[Long], m: Int = 2000): String =
+  def distanceHistogramSql(landmarks: Seq[Long], m: Int = ProjMod): String =
     s"""WITH paths AS (
        |  ${shortestPathsSql(landmarks, m).replace("\n", "\n  ")}
        |)
@@ -1356,7 +1406,7 @@ object Graph {
           .as("harmonic"))
       .orderBy(desc("harmonic"), asc("id"))
 
-  def harmonicCentralitySql(landmarks: Seq[Long], m: Int = 2000): String =
+  def harmonicCentralitySql(landmarks: Seq[Long], m: Int = ProjMod): String =
     s"""WITH paths AS (
        |  ${shortestPathsSql(landmarks, m).replace("\n", "\n  ")}
        |)
@@ -1384,7 +1434,7 @@ object Graph {
     edges.select(col("src"), col("dst"),
       (lit(1L) + (col("src") * 3L + col("dst") * 7L) % 9L).as("w"))
 
-  def weightedEdgesSql(m: Int = 2000): String =
+  def weightedEdgesSql(m: Int = ProjMod): String =
     s"""SELECT src, dst, 1 + (3 * src + 7 * dst) % 9 AS w
        |FROM (${edgesSql(m)}) edges_raw""".stripMargin
 
@@ -1411,11 +1461,12 @@ object Graph {
   def weightedSssp(edgesW: DataFrame, landmarks: Seq[Long],
                    recordKey: Option[String] = None): DataFrame = {
     val e = edgesW.select("src", "dst", "w").loopCheckpoint(true)
-    var dist = e.select(explode(array(col("src"), col("dst"))).as("id"))
+    val dgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): dist…
+    val fgen = Lineage.gen() // …and the per-wave improvement frontier
+    var dist = dgen.roll(e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct() // from the checkpoint — caller frame runs once
       .filter(col("id").isin(landmarks: _*))
-      .select(col("id"), col("id").as("landmark"), lit(0L).as("wdist"))
-      .loopCheckpoint(true)
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("wdist")), true)
     var frontier = dist
     var rounds = 0
     var improving = true
@@ -1423,16 +1474,16 @@ object Graph {
       val cand = e.join(frontier, e("dst") === frontier("id"))
         .groupBy(e("src").as("id"), col("landmark"))
         .agg(min(col("wdist") + col("w")).as("cand"))
-      val improved = cand.join(dist, Seq("id", "landmark"), "left_outer")
+      val improved = fgen.roll(cand.join(dist, Seq("id", "landmark"), "left_outer")
         .filter(col("wdist").isNull || col("cand") < col("wdist"))
-        .select(col("id"), col("landmark"), col("cand").as("wdist"))
-        .loopCheckpoint(false) // materialized by the count below
+        .select(col("id"), col("landmark"), col("cand").as("wdist")),
+        false) // materialized by the count below
       val n = improved.count()
       if (n > 0) {
-        dist = dist
+        dist = dgen.roll(dist
           .join(improved.select("id", "landmark"), Seq("id", "landmark"), "left_anti")
-          .union(improved)
-          .loopCheckpoint(true)
+          .union(improved),
+          true)
         rounds += 1
       }
       improving = n > 0
@@ -1447,7 +1498,7 @@ object Graph {
     * landmark)-min over the previous table and one more relaxation step
     * across every weighted edge. Only the round COUNT is Spark-derived
     * (the g5/g7 contract). Fails loudly if g26 never recorded a run. */
-  def weightedSsspSql(landmarks: Seq[Long], m: Int = 2000,
+  def weightedSsspSql(landmarks: Seq[Long], m: Int = ProjMod,
                       key: Option[String] = None): String = {
     val recorded = wssspRounds.readOnlySnapshot()
     val chosen = key.orElse(lastWssspKey).flatMap(recorded.get)
@@ -1517,28 +1568,47 @@ object Graph {
                   recordKey: Option[String] = None): DataFrame = {
     val e = edges.select("src", "dst").loopCheckpoint(true)
     val verts = vertices(e) // from the checkpoint — caller frame runs once
-    var nodes = verts
+    // keep-2 chains for the forward sweep (see Lineage.Gen). The
+    // backward sweep's `delta` is deliberately NOT chained: `acc` is an
+    // un-checkpointed union referencing every delta generation until
+    // the final aggregate, and the level count (BFS depth) bounds it.
+    val ngen = Lineage.gen()
+    val fgen = Lineage.gen()
+    var nodes = ngen.roll(verts
       .filter(col("id").isin(pivots: _*))
-      .select(col("id"), col("id").as("pivot"), lit(0).as("dist"), lit(1L).as("sigma"))
-      .loopCheckpoint(true)
+      .select(col("id"), col("id").as("pivot"), lit(0).as("dist"), lit(1L).as("sigma")),
+      true)
     var frontier = nodes
     var lvl = 0
     var growing = true
     while (growing) {
-      val next = e.join(frontier, e("src") === frontier("id"))
+      val next = fgen.roll(e.join(frontier, e("src") === frontier("id"))
         .groupBy(col("pivot"), e("dst").as("nid"))
         .agg(sum("sigma").as("sigma"))
         .withColumnRenamed("nid", "id")
         .join(nodes.select("pivot", "id"), Seq("pivot", "id"), "left_anti")
-        .select(col("id"), col("pivot"), lit(lvl + 1).as("dist"), col("sigma"))
-        .loopCheckpoint(false) // materialized by the count below
+        .select(col("id"), col("pivot"), lit(lvl + 1).as("dist"), col("sigma")),
+        false) // materialized by the count below
       val n = next.count()
-      if (n > 0) { nodes = nodes.union(next).loopCheckpoint(true); lvl += 1 }
+      if (n > 0) { nodes = ngen.roll(nodes.union(next), true); lvl += 1 }
       growing = n > 0
       frontier = next
     }
     val levels = lvl
     recordKey.foreach { k => btwLevels(k) = levels; lastBtwKey = Some(k) }
+    // Runtime guard for the documented micro-math bound (ADVICE r13): σ
+    // grows multiplicatively on diamond-dense graphs (exponential in BFS
+    // depth), so CHECK — not assume — that every backward contribution
+    // 2·σ_v·(10⁶+δ_w)+σ_w fits a BIGINT. δ_micro ≤ 10⁶·|V| per pivot
+    // (δ is a sum of path fractions over at most |V|−1 targets), so the
+    // worst term is below 2·σ_max·10⁶·(|V|+1)+σ_max; overflow now fails
+    // loudly instead of silently wrapping the HALF_UP recursion. One
+    // tiny aggregate over the already-checkpointed BFS table.
+    val guard = nodes.agg(max("sigma"), countDistinct("id")).head()
+    val (smax, nv) = (guard.getLong(0), guard.getLong(1))
+    require(BigInt(2) * smax * 1000000L * (nv + 1) + smax < BigInt(Long.MaxValue),
+      s"betweenness: max sigma=$smax at |V|=$nv would overflow the " +
+        "micro-unit BIGINT backward recursion (2*sigma*(1e6+delta) >= 2^63)")
     // backward accumulation, deepest level first; δ in micro-unit longs
     var delta = nodes.filter(col("dist") === levels)
       .select(col("pivot"), col("id"), lit(0L).as("delta"), col("sigma"))
@@ -1584,7 +1654,7 @@ object Graph {
     * same bit-exact integer recursion (see [[betweenness]] for why the
     * round(double, 6) formulation was abandoned). Fails loudly if g27
     * never recorded a run. */
-  def betweennessSql(pivots: Seq[Long], m: Int = 2000,
+  def betweennessSql(pivots: Seq[Long], m: Int = ProjMod,
                      key: Option[String] = None): String = {
     val recorded = btwLevels.readOnlySnapshot()
     val chosen = key.orElse(lastBtwKey).flatMap(recorded.get)
@@ -1659,19 +1729,21 @@ object Graph {
     * Scale shape per round: one |E|-row join of the symmetric edge list
     * against the label table (partial-aggregated (vertex, community)
     * counts), one |communities|-sized degree-sum aggregate, one
-    * per-vertex rank window partitioned by vertex (no global sort), 2m
-    * as a broadcast 1-row frame (A7 pattern — no driver action).
-    * Lineage cut per round; label state is |V| rows. */
+    * MAX-STRUCT hash aggregate for the per-vertex argmax (map-side
+    * combinable, no per-vertex sort — lexicographic struct order
+    * encodes the (score desc, stay-first, smallest community) tie
+    * chain), 2m as a broadcast 1-row frame (A7 pattern — no driver
+    * action). Lineage cut per round; label state is |V| rows. */
   def louvain(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ed = edges.select("src", "dst").loopCheckpoint(true)
     val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().loopCheckpoint(true)
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .loopCheckpoint(true)
     val tm = sym.agg(count(lit(1)).as("twom")) // 2m, broadcast 1-row frame
-    var labels = deg.select(col("id"), col("id").as("community"))
-      .loopCheckpoint(true)
+    val lgen = Lineage.gen() // keep-2 label chain (see Lineage.Gen)
+    var labels = lgen.roll(deg.select(col("id"), col("id").as("community")),
+      true)
     for (r <- 1 to rounds) {
       val commDeg = labels.join(deg, "id")
         .groupBy("community").agg(sum("deg").as("cdeg"))
@@ -1705,11 +1777,11 @@ object Graph {
         .agg(max(struct(col("score"), col("is_own"), // cardinality, and it
           (-col("community")).as("negc"))).as("m"))  // saves a join-back
         .select(col("id"), col("c0"), (-col("m.negc")).as("community"))
-      labels = best
+      labels = lgen.roll(best
         .select(col("id"),
           when(pmod(col("id"), lit(2)) === lit(r % 2), col("community"))
-            .otherwise(col("c0")).as("community"))
-        .loopCheckpoint(true)
+            .otherwise(col("c0")).as("community")),
+        true)
     }
     labels.orderBy("id")
   }
@@ -1718,7 +1790,7 @@ object Graph {
     * MATERIALIZED CTEs — identical integer scoring, identical
     * stay-then-smallest tie order, identical parity gating. Fully
     * static — nothing Spark-derived. */
-  def louvainSql(rounds: Int = 4, m: Int = 2000): String = {
+  def louvainSql(rounds: Int = 4, m: Int = ProjMod): String = {
     val sb = new StringBuilder
     sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
     sb ++= """sym AS MATERIALIZED (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),
@@ -1818,7 +1890,7 @@ object Graph {
     * ([[graft.operators.Sketch.hash32SqlExpr]]), same (dst asc)
     * neighbor ranking, same degree-first join shape. Fully static —
     * nothing Spark-derived at all. */
-  def randomWalksSql(steps: Int = 6, m: Int = 2000): String = {
+  def randomWalksSql(steps: Int = 6, m: Int = ProjMod): String = {
     val sb = new StringBuilder
     sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
     sb ++= """adj AS MATERIALIZED (
@@ -1856,21 +1928,23 @@ object Graph {
     *
     * Scale shape per round: one equi-join of the (bounded) label table
     * against edges on dst, one partial-aggregated count on (vertex,
-    * label), and one per-vertex rank window partitioned by vertex (no
-    * global sort). Labels are bigints — the shuffle carries |E| rows of
+    * label), and one MAX-STRUCT hash aggregate for the per-vertex
+    * argmax (map-side combinable, no per-vertex sort — struct order
+    * encodes the (count desc, smallest label) tie chain). Labels are
+    * bigints — the shuffle carries |E| rows of
     * three longs, never adjacency lists; lineage is cut per round like
     * every iterative loop here. Entirely integer arithmetic — no
     * cross-engine float concern at all. */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // checkpoint the DIRECTED half once; symmetry and vertices derive from
     // the checkpoint so the caller's pipeline runs exactly once (the CC
     // round-12 pattern — the old shape evaluated `edges` three times)
     val ed = edges.select("src", "dst").loopCheckpoint(true)
     val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().loopCheckpoint(true)
-    var labels = vertices(ed).select(col("id"), col("id").as("label"))
-      .loopCheckpoint(true)
+    val lgen = Lineage.gen() // keep-2 label chain (see Lineage.Gen)
+    var labels = lgen.roll(vertices(ed).select(col("id"), col("id").as("label")),
+      true)
     for (_ <- 1 to rounds) {
       val cnt = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("vid"), col("label"))
@@ -1883,9 +1957,9 @@ object Graph {
         .groupBy(col("vid").as("id"))
         .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
         .select(col("id"), (-col("m.neg")).as("best"))
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("best"), col("label")).as("label"))
-        .loopCheckpoint(true)
+      labels = lgen.roll(labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("best"), col("label")).as("label")),
+        true)
     }
     labels.orderBy("id")
   }
@@ -1893,7 +1967,7 @@ object Graph {
   /** Oracle for [[labelPropagation]]: the same synchronous rounds
     * unrolled as CTEs (every round is re-derived independently by
     * DuckDB — nothing Spark-side feeds the oracle). */
-  def labelPropagationSql(rounds: Int = 3, m: Int = 2000): String = {
+  def labelPropagationSql(rounds: Int = 3, m: Int = ProjMod): String = {
     val sb = new StringBuilder
     sb ++= s"WITH edges_g AS (${edgesSql(m)}),\n"
     sb ++= "sym AS (SELECT src, dst FROM edges_g UNION SELECT dst AS src, src AS dst FROM edges_g),\n"
@@ -1945,8 +2019,9 @@ object Graph {
       .distinct().loopCheckpoint(true)
     def degreesOf(e: DataFrame): DataFrame =
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    var alive = degreesOf(sym).filter(col("deg") >= k)
-      .select("id").loopCheckpoint(true)
+    val agen = Lineage.gen() // keep-2 alive-set chain (see Lineage.Gen)
+    var alive = agen.roll(degreesOf(sym).filter(col("deg") >= k)
+      .select("id"), true)
     var n = alive.count()
     var rounds = 1 // the initial filter is peel round 1
     var converged = false
@@ -1955,8 +2030,8 @@ object Graph {
         .join(alive, sym("src") === alive("id"), "left_semi")
         .join(alive.withColumnRenamed("id", "id2"),
           col("dst") === col("id2"), "left_semi")
-      val next = degreesOf(induced).filter(col("deg") >= k)
-        .select("id").loopCheckpoint(true)
+      val next = agen.roll(degreesOf(induced).filter(col("deg") >= k)
+        .select("id"), true)
       val m = next.count()
       converged = m == n
       if (!converged) { alive = next; n = m; rounds += 1 }
@@ -1971,7 +2046,7 @@ object Graph {
 
   /** Oracle for [[kCore]]: the peel rounds unrolled as CTEs to the
     * recorded count (fails loudly if g9 never recorded a run). */
-  def kCoreSql(k: Int = 10, m: Int = 2000, key: Option[String] = None): String = {
+  def kCoreSql(k: Int = 10, m: Int = ProjMod, key: Option[String] = None): String = {
     val recorded = kcoreRounds.readOnlySnapshot()
     val chosen = key.orElse(lastKcoreKey).flatMap(recorded.get)
     if (chosen.isEmpty)
@@ -2175,7 +2250,9 @@ object Graph {
     // single explode-vertices reference; the per-round joins read cache
     val e = edges.loopCheckpoint(false) // probed twice per round
     val v = vertices(e).loopCheckpoint(true) // from the checkpoint — caller runs once
-    var hub = v.select(col("id"), lit(1.0).as("hub")).loopCheckpoint(true)
+    val hgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): hub…
+    val agen = Lineage.gen() // …and auth half-steps
+    var hub = hgen.roll(v.select(col("id"), lit(1.0).as("hub")), true)
     var auth = v.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iterations) {
       val araw = e.join(hub, e("src") === hub("id"))
@@ -2186,22 +2263,24 @@ object Graph {
       // that cut auth's checkpoint (4 materializations instead of 8)
       // measured the SAME or slower medians — the deeper hub plans eat
       // the saved job latency. Do not re-try.
-      auth = v.join(araw.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
-        .crossJoin(broadcast(asum))
-        .select(col("id"),
-          (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
-            col("s").cast("double")).as("auth"))
-        .loopCheckpoint(true)
+      auth = agen.roll(
+        v.join(araw.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+          .crossJoin(broadcast(asum))
+          .select(col("id"),
+            (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
+              col("s").cast("double")).as("auth")),
+        true)
       val hraw = e.join(auth, e("dst") === auth("id"))
         .select(col("src"), col("auth").cast(Dec).as("c"))
         .groupBy("src").agg(sum("c").as("hraw"))
       val hsum = hraw.agg(sum("hraw").as("s"))
-      hub = v.join(hraw.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
-        .crossJoin(broadcast(hsum))
-        .select(col("id"),
-          (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /
-            col("s").cast("double")).as("hub"))
-        .loopCheckpoint(true)
+      hub = hgen.roll(
+        v.join(hraw.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
+          .crossJoin(broadcast(hsum))
+          .select(col("id"),
+            (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /
+              col("s").cast("double")).as("hub")),
+        true)
     }
     auth.join(hub, "id")
       .select(col("id"), round(col("auth"), 12).as("auth"),
@@ -2212,7 +2291,7 @@ object Graph {
   /** Oracle for [[hits]]: iterations unrolled as CTE pairs, mirroring
     * the decimal-sum / double-division dance exactly (the [[pageRankSql]]
     * pattern). */
-  def hitsSql(iterations: Int = 4, m: Int = 2000): String = {
+  def hitsSql(iterations: Int = 4, m: Int = ProjMod): String = {
     val base =
       s"""WITH edges_g AS (${edgesSql(m)}),
          |v AS (SELECT src AS id FROM edges_g UNION SELECT dst FROM edges_g),
@@ -2282,7 +2361,7 @@ object Graph {
         .otherwise(lit(0.0)).cast(DecimalType(18, 6)).as("r"))
   }
 
-  def assortativitySql(m: Int = 2000): String =
+  def assortativitySql(m: Int = ProjMod): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |outd AS (SELECT src, count(*) AS x FROM edges_g GROUP BY src),
        |ind AS (SELECT dst, count(*) AS y FROM edges_g GROUP BY dst),
@@ -2327,7 +2406,7 @@ object Graph {
           .otherwise(lit(0.0)).cast(DecimalType(18, 6)).as("reciprocity"))
   }
 
-  def reciprocitySql(m: Int = 2000): String =
+  def reciprocitySql(m: Int = ProjMod): String =
     s"""WITH edges_g AS (${edgesSql(m)}),
        |r AS (
        |  SELECT count(*) AS n_recip FROM edges_g e
@@ -2395,7 +2474,7 @@ object Graph {
     // triangle-sparse to cascade (its 3-truss converges in one peel);
     // m=500 at sf0.01 peels 6 rounds with a 13k-edge surviving truss
     "g25_ktruss" -> ((s: SparkSession, dir: String) =>
-      kTruss(edgesFromOrders(s, dir, m = 500), k = 5,
+      kTruss(edgesFromOrders(s, dir, m = TrussProjMod), k = 5,
         recordKey = Some(Tables.norm(dir)))),
     "g26_weighted_sssp" -> ((s: SparkSession, dir: String) =>
       weightedSssp(weightedEdges(cachedEdges(s, dir)),
@@ -2446,7 +2525,7 @@ object Graph {
     "g23_condensation_levels" -> condensationLevelsSql(),
     "g24_modularity" -> modularitySql(),
     // built after the queries run: unrolls the recorded peel count
-    "g25_ktruss" -> kTrussSql(k = 5, m = 500),
+    "g25_ktruss" -> kTrussSql(k = 5, m = TrussProjMod),
     // built after the queries run: unrolls the recorded wave count
     "g26_weighted_sssp" -> weightedSsspSql(Seq(0L, 1L, 2L, 3L, 4L)),
     // built after the queries run: unrolls the recorded level count

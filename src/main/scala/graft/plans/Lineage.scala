@@ -34,4 +34,42 @@ object Lineage {
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
     def loopCheckpoint(eager: Boolean): DataFrame = checkpoint(df, eager)
   }
+
+  /** Generation tracker for ONE loop variable (VERDICT r13 finding 2):
+    * `var frame = gen.roll(step(frame), eager)` bounds the variable's
+    * resident checkpoint blocks at TWO generations for the whole loop,
+    * instead of leaving every superseded generation in the block store
+    * until the driver GCs the DataFrame reference and ContextCleaner
+    * catches up — across a 266-query pass that lag is monotonic
+    * block-store growth and GC pressure; on real executors it evicts
+    * useful cache.
+    *
+    * Release policy is keep-2: rolling generation N unpersists
+    * generation N−2 (non-blocking). N−1 is retained one extra roll
+    * because a LAZY generation N materializes only at the caller's next
+    * action, reading N−1's blocks — and localCheckpoint TRUNCATES
+    * lineage, so an early unpersist is unrecoverable (fail-loud
+    * "checkpoint block not found", never wrong data). Keep-2 is safe
+    * under the loop contract every graft loop already satisfies: each
+    * generation is materialized (eager roll, or lazy roll followed by
+    * a count) before the variable rolls again.
+    *
+    * NOT for accumulator frames whose un-checkpointed union plan
+    * references every generation (betweenness' `acc`, randomWalks'
+    * `out`) — those must keep all generations until the final
+    * aggregate; their round counts are small (BFS depth / fixed steps)
+    * and bounded by construction. */
+  final class Gen private[Lineage] () {
+    private val pending =
+      scala.collection.mutable.Queue.empty[org.apache.spark.rdd.RDD[_]]
+    def roll(df: DataFrame, eager: Boolean): DataFrame = {
+      val out = checkpoint(df, eager)
+      LineageStats.checkpointRdd(out).foreach(pending.enqueue(_))
+      while (pending.size > 2) pending.dequeue().unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** Fresh per-loop-variable generation tracker. */
+  def gen(): Gen = new Gen()
 }

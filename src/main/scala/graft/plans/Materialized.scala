@@ -82,6 +82,17 @@ object Materialized {
     })
   }
 
+  /** RDD ids backing the live memo entries — the set a block sweep must
+    * SPARE: memo frames are localCheckpoint'd, so unpersisting one is
+    * unrecoverable (truncated lineage), unlike a plain cache. Bench's
+    * between-query sweep (VERDICT r13 finding 2) unpersists every
+    * persistent RDD NOT in this set — superseded loop generations and
+    * within-query multi-consumer checkpoints whose frames died with
+    * their query. */
+  def liveRddIds: Set[Int] =
+    cache.values.flatMap(df =>
+      org.apache.spark.sql.graft.LineageStats.checkpointRdd(df).map(_.id)).toSet
+
   /** Drop all entries (context-end listener, tests; a production engine
     * would evict by LRU). */
   def clear(): Unit = {

@@ -622,13 +622,19 @@ object TextStats {
     * count, map-side combined); all `rounds` iterations run over the
     * vocab (≪ corpus, Heaps-bounded), each round = one vocab-sized pair
     * aggregation + a broadcast 1-row argmax + a narrow literal-replace
-    * map — no driver collect anywhere (the argmax rides a
-    * crossJoin(broadcast(limit 1))). Training stops early (recorded)
-    * if a round finds no pair left to merge. */
+    * map. No data row is ever collected to the driver (the argmax rides
+    * a crossJoin(broadcast(limit 1))); the driver pays exactly one
+    * 1-row action per round (the early-stop emptiness probe — ADVICE
+    * r13 wording fix). Per-round 1-row merge frames accumulate in a
+    * local Seq and union ONCE after the loop (each is already
+    * checkpointed), not re-checkpointing the whole growing table every
+    * round — the old shape was O(rounds²) tiny checkpoints. Training
+    * stops early (recorded) if a round finds no pair left to merge. */
   def bpeMerges(docs: DataFrame, rounds: Int = 10,
                 recordKey: Option[String] = None): DataFrame = {
-    var vocab = vocab0(docs).loopCheckpoint(true)
-    var merges: DataFrame = null
+    val vgen = graft.plans.Lineage.gen() // keep-2 vocab chain (Lineage.Gen)
+    var vocab = vgen.roll(vocab0(docs), true)
+    var merges = Vector.empty[DataFrame] // 1-row frames, each checkpointed
     var done = 0
     var exhausted = false
     for (i <- 1 to rounds if !exhausted) {
@@ -644,21 +650,21 @@ object TextStats {
         .loopCheckpoint(true)
       if (best.isEmpty) exhausted = true
       else {
-        merges = if (merges == null) best else merges.union(best).loopCheckpoint(true)
-        vocab = vocab
+        merges = merges :+ best
+        vocab = vgen.roll(vocab
           .crossJoin(broadcast(best.select(col("lhs").as("b_l"), col("rhs").as("b_r"))))
           .withColumn("sym",
             expr("replace(sym, '#' || b_l || '##' || b_r || '#', '#' || b_l || b_r || '#')"))
-          .select("word", "freq", "sym")
-          .loopCheckpoint(true)
+          .select("word", "freq", "sym"),
+          true)
         done = i
       }
     }
     recordKey.foreach { k => bpeRoundsRec(k) = done; lastBpeKey = Some(k) }
-    if (merges == null)
+    if (merges.isEmpty)
       vocab.limit(0).select(lit(0).as("merge_rank"), lit("").as("lhs"),
         lit("").as("rhs"), lit(0L).as("n"))
-    else merges.orderBy("merge_rank")
+    else merges.reduce(_ union _).orderBy("merge_rank")
   }
 
   /** Replay a trained merge table over a fresh vocab symbolization —
