@@ -103,16 +103,39 @@ object Bench {
     *    block-store telemetry for finding 2. */
   private final case class Regime(
     gc: Map[String, Double], load: Seq[Double], refProbe: Seq[Double],
-    blocks: Map[String, Int], blocksMax: Int)
-  private object Regime { val empty = Regime(Map.empty, Nil, Nil, Map.empty, 0) }
+    blocks: Map[String, Int], blocksMax: Int, stealPct: Seq[Double])
+  private object Regime {
+    val empty = Regime(Map.empty, Nil, Nil, Map.empty, 0, Nil)
+  }
+
+  /** Cumulative steal jiffies from /proc/stat (-1 if unreadable). Steal
+    * is the DIRECT co-tenant signal on this host: the boot-average is
+    * ~18% of non-idle time while the load average stays ~2, so load
+    * alone cannot adjudicate a slow pass. Report converts deltas
+    * between regime points to % of total machine capacity. */
+  private def stealJiffies: Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        .lift(7).getOrElse(-1L)
+      finally f.close()
+    } catch { case _: Throwable => -1L }
 
   /** One fixed CPU-bound reference job: sum of 4×10⁸ modulos across 32
     * partitions. No IO, no shuffle beyond the final 32-row agg, no memo
-    * interaction — its wall clock moves only when the host does. */
+    * interaction — its wall clock moves only when the host does.
+    * Min-of-2: the generated class gets evicted from the codegen LRU by
+    * the hundreds of plans a full pass compiles, so a single read
+    * mid-pass pays ~0.3-0.4 s of RE-COMPILATION (measured: 0.14 s at
+    * pass start vs 0.5 s mid-pass on an idle host) — the first run
+    * re-warms the cache, the min is the pure-execution host reading. */
   private def refProbeSec(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    spark.range(0L, 400000000L, 1L, 32).selectExpr("sum(id % 1000)").collect()
-    (System.nanoTime() - t0) / 1e9
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32).selectExpr("sum(id % 1000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
   }
 
   private def runInProcess(): Unit = {
@@ -125,6 +148,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // some SF dirs store events.ts as TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The default 100-entry codegen class cache thrashes under a
+      // 266-query pass (hundreds of distinct generated classes): every
+      // eviction re-pays Janino compilation AND the C2 JIT warmup, and
+      // the storms land on whole queries (measured: s25 at 19.4 s wall
+      // / 208 CPU-s / 0.1 s GC in one full pass vs 1.6 s in a 20-query
+      // pass — recompilation across 32 threads, not query work; the
+      // regime probe's own mid-pass 0.14→0.5 s eviction signature
+      // confirmed the mechanism). Static conf — must be set before the
+      // first session. 2000 entries ≈ the registry's distinct-plan
+      // count with headroom; metaspace cost is tens of MB.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup of EVERY query on the tiny SF: absorbs one-time
@@ -196,7 +230,11 @@ object Bench {
     // everything the session memo does NOT own; Materialized frames
     // are spared because unpersisting a localCheckpoint is
     // unrecoverable and the memo IS the cross-query amortization.
-    def sweepBlocks(): Unit = {
+    // SPARK_GRAFT_NO_SWEEP=1 (dev-only diagnostic; driver never sets
+    // it): disable the sweep so an interleaved A/B can attribute an
+    // in-pass timing delta to the sweep itself within one host regime
+    val noSweep = sys.env.contains("SPARK_GRAFT_NO_SWEEP")
+    def sweepBlocks(): Unit = if (!noSweep) {
       val live = graft.plans.Materialized.liveRddIds
       spark.sparkContext.getPersistentRDDs.values
         .filter(r => !live.contains(r.id)).foreach(_.unpersist(blocking = false))
@@ -209,10 +247,14 @@ object Bench {
     val mid = qseq.size / 2
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val steals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val gcByQ = scala.collection.mutable.Map.empty[String, Double]
     val blocksByQ = scala.collection.mutable.Map.empty[String, Int]
     var blocksMax = 0
-    def regimePoint(): Unit = { loads += loadAvg; probes += refProbeSec(spark) }
+    def regimePoint(): Unit = {
+      loads += loadAvg; steals += ((stealJiffies, System.nanoTime()))
+      probes += refProbeSec(spark)
+    }
     refProbeSec(spark) // discard one cold read: the first run pays the
     refProbeSec(spark) // probe's own codegen/JIT (measured 4 s vs 0.2 s
     // warm), which would dominate probe_drift on every run
@@ -252,8 +294,15 @@ object Bench {
       name -> (wall, cpuMedian, buildSec)
     }.toMap
     regimePoint() // pass end
+    // steal between consecutive regime points as % of total machine
+    // capacity (ncpu × elapsed × 100 jiffies/cpu-sec)
+    val ncpu = Runtime.getRuntime.availableProcessors()
+    val stealPct = steals.toSeq.sliding(2).collect {
+      case Seq((j0, t0), (j1, t1)) if j0 >= 0 && j1 >= 0 && t1 > t0 =>
+        100.0 * (j1 - j0) / (ncpu * 100.0 * (t1 - t0) / 1e9)
+    }.toSeq
     val regime = Regime(gcByQ.toMap, loads.toSeq, probes.toSeq,
-      blocksByQ.toMap, blocksMax)
+      blocksByQ.toMap, blocksMax, stealPct)
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
     report(results, reps, sfDir, isolated = None, regime = regime,
       fullRun = fullRun)
@@ -335,7 +384,7 @@ object Bench {
       if (regime.refProbe.nonEmpty && regime.refProbe.min > 0)
         regime.refProbe.max / regime.refProbe.min else 0.0
     val regimeFull =
-      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull"""
+      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"regressed":$regressedJson,"anchor_n":${ratios.size}$regimeFull,"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
@@ -378,7 +427,7 @@ object Bench {
     // probe_drift ≫ 1.5 and knows the run measured the host's hour,
     // not the tree — without the archaeology BENCH_r13 needed
     val regimeHead = if (regime.refProbe.nonEmpty)
-      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"blocks_max":${regime.blocksMax}"""
+      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax}"""
     else ""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"regressed_n":${regressed.size},"regressed":$regHead$regimeHead,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()

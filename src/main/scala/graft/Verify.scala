@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // some SF dirs store events.ts as TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 100-entry default codegen cache thrashes under a full-registry
+      // pass — see the measured storm note in Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -65,9 +65,20 @@ object Lineage {
     def roll(df: DataFrame, eager: Boolean): DataFrame = {
       val out = checkpoint(df, eager)
       LineageStats.checkpointRdd(out).foreach(pending.enqueue(_))
-      while (pending.size > 2) pending.dequeue().unpersist(blocking = false)
+      while (pending.size > 2) {
+        val old = pending.dequeue()
+        if (!Gen.keepAll) old.unpersist(blocking = false)
+      }
       out
     }
+  }
+
+  object Gen {
+    /** Diagnostic kill-switch (dev-only; never set by the driver):
+      * SPARK_GRAFT_GEN_KEEPALL=1 disables generation release so an
+      * interleaved A/B can attribute a timing delta to the release
+      * mechanism itself within one host regime. */
+    private[Lineage] val keepAll = sys.env.contains("SPARK_GRAFT_GEN_KEEPALL")
   }
 
   /** Fresh per-loop-variable generation tracker. */
