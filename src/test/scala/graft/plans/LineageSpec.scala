@@ -55,4 +55,47 @@ class LineageSpec extends SparkSpec {
     assert(sizeBits(wrapped) <= 64)
     assert(wrapped.count() == 2)
   }
+
+  /** Round-14 keep-2 generation release: rolling a loop variable must
+    * bound its resident checkpoint blocks at two generations AND leave
+    * results untouched (a wrongly-released generation fails loudly —
+    * localCheckpoint lineage is truncated — so a green run plus the
+    * block bound IS the contract). */
+  test("Gen.roll bounds resident generations at two (eager chain)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def trackedIds(dfs: Seq[DataFrame]): Set[Int] = dfs.flatMap(df =>
+      org.apache.spark.sql.graft.LineageStats.checkpointRdd(df).map(_.id)).toSet
+    val gen = Lineage.gen()
+    var df = gen.roll(Seq((1L, 5L), (2L, 3L), (3L, 7L)).toDF("id", "v"), true)
+    val gens = scala.collection.mutable.ArrayBuffer(df)
+    for (_ <- 1 to 6) {
+      df = gen.roll(df.select(col("id"), (col("v") + 1L).as("v")), true)
+      gens += df
+    }
+    val persisted = sc.getPersistentRDDs.keySet
+    val mine = trackedIds(gens.toSeq)
+    // only the last two generations' RDDs may still be persisted
+    val resident = mine intersect persisted
+    val lastTwo = trackedIds(gens.takeRight(2).toSeq)
+    assert(resident == (lastTwo intersect persisted),
+      s"stale generations resident: ${resident -- lastTwo}")
+    assert(resident.size <= 2)
+    // and the final generation still computes correctly
+    assert(df.orderBy("id").collect().map(_.getLong(1)).toSeq == Seq(11L, 9L, 13L))
+  }
+
+  test("Gen.roll lazy generations stay readable across the keep-2 window") {
+    import spark.implicits._
+    val gen = Lineage.gen()
+    var df = gen.roll(Seq((1L, 10L), (2L, 4L)).toDF("id", "v"), true)
+    for (_ <- 1 to 5) {
+      // lazy roll + immediate materialization: the loop contract every
+      // graft loop satisfies (a count or an eager descendant per round)
+      df = gen.roll(df.select(col("id"), (col("v") * 2L).as("v")), false)
+      assert(df.count() == 2)
+    }
+    assert(df.orderBy("id").collect().map(_.getLong(1)).toSeq ==
+      Seq(320L, 128L))
+  }
 }
