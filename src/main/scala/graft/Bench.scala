@@ -103,9 +103,10 @@ object Bench {
     *    block-store telemetry for finding 2. */
   private final case class Regime(
     gc: Map[String, Double], load: Seq[Double], refProbe: Seq[Double],
-    blocks: Map[String, Int], blocksMax: Int, stealPct: Seq[Double])
+    blocks: Map[String, Int], blocksMax: Int, stealPct: Seq[Double],
+    jit: Map[String, Double])
   private object Regime {
-    val empty = Regime(Map.empty, Nil, Nil, Map.empty, 0, Nil)
+    val empty = Regime(Map.empty, Nil, Nil, Map.empty, 0, Nil, Map.empty)
   }
 
   /** Cumulative steal jiffies from /proc/stat (-1 if unreadable). Steal
@@ -219,6 +220,16 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // cumulative JIT compiler thread time: the per-query delta is the
+    // episode discriminator the gc/steal columns can't provide — a
+    // query at cpu≈wall with gc≈0 and jit≈cpu was a COMPILATION storm
+    // (the codegen-cache class of episode), not host contention
+    def jitMillis: Long = {
+      val b = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (b != null && b.isCompilationTimeMonitoringSupported)
+        b.getTotalCompilationTime
+      else -1L
+    }
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Between-query block sweep (VERDICT r13 finding 2): superseded
@@ -249,6 +260,7 @@ object Bench {
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val steals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val gcByQ = scala.collection.mutable.Map.empty[String, Double]
+    val jitByQ = scala.collection.mutable.Map.empty[String, Double]
     val blocksByQ = scala.collection.mutable.Map.empty[String, Int]
     var blocksMax = 0
     def regimePoint(): Unit = {
@@ -262,6 +274,7 @@ object Bench {
     val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi == mid && qi > 0) regimePoint() // pass midpoint
       val g0 = gcMillis
+      val j0 = jitMillis
       val reads = (1 to reps).map { _ =>
         val c0 = cpuNanos
         val t0 = System.nanoTime()
@@ -279,6 +292,7 @@ object Bench {
         (if (ok) sec else -sec, cpu)
       }
       gcByQ(name) = (gcMillis - g0) / 1e3
+      jitByQ(name) = if (j0 < 0) -1.0 else (jitMillis - j0) / 1e3
       blocksMax = math.max(blocksMax, spark.sparkContext.getPersistentRDDs.size)
       sweepBlocks() // outside the timing; memo entries spared
       blocksByQ(name) = spark.sparkContext.getPersistentRDDs.size
@@ -302,7 +316,7 @@ object Bench {
         100.0 * (j1 - j0) / (ncpu * 100.0 * (t1 - t0) / 1e9)
     }.toSeq
     val regime = Regime(gcByQ.toMap, loads.toSeq, probes.toSeq,
-      blocksByQ.toMap, blocksMax, stealPct)
+      blocksByQ.toMap, blocksMax, stealPct, jitByQ.toMap)
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
     report(results, reps, sfDir, isolated = None, regime = regime,
       fullRun = fullRun)
@@ -383,8 +397,11 @@ object Bench {
     val probeDrift =
       if (regime.refProbe.nonEmpty && regime.refProbe.min > 0)
         regime.refProbe.max / regime.refProbe.min else 0.0
+    val jitTotal = regime.jit.values.filter(_ >= 0).sum
+    val jitFull = regime.jit.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val regimeFull =
-      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull"""
+      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"jit_total":${fmt(jitTotal)},"jit":$jitFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"regressed":$regressedJson,"anchor_n":${ratios.size}$regimeFull,"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
