@@ -83,7 +83,8 @@ object Bench {
       }
     report(results.toMap, reps = envReps,
       sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-      isolated = Some(chunk), regime = Regime.empty, fullRun = false)
+      isolated = Some(chunk), regime = Regime.empty, fullRun = false,
+      episodes = Map.empty)
   }
 
   /** Host-regime evidence captured by an in-process run so a contended
@@ -121,6 +122,140 @@ object Bench {
         .lift(7).getOrElse(-1L)
       finally f.close()
     } catch { case _: Throwable => -1L }
+
+  // ---- process counters shared by the timed loop and the episode
+  // watchdog (hoisted from runInProcess when the watchdog landed)
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  // cumulative JIT compiler thread time: the per-query delta is the
+  // episode discriminator the gc/steal columns can't provide — a
+  // query at cpu≈wall with gc≈0 and jit≈cpu was a COMPILATION storm
+  // (the codegen-cache class of episode), not host contention
+  private def jitMillis: Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime
+    else -1L
+  }
+  private def loadAvg: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+  /** Cumulative Janino (whole-stage/expression codegen) compile count —
+    * the counter CompilationMXBean structurally cannot see: Janino runs
+    * in ordinary threads, so a codegen storm reads as plain process CPU
+    * (BENCH_r14's s22: 651.7 cpu-s, gc 0.13 s, JIT-bean 3.1 s).
+    * Spark's own CodegenMetrics histogram counts every compile. */
+  private def janinoCount: Long =
+    try org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    catch { case _: Throwable => -1L }
+  private def janinoMeanMs: Double =
+    try org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getSnapshot.getMean
+    catch { case _: Throwable => -1.0 }
+
+  /** On-threshold in-pass profiler (VERDICT r14 item 1 — the round's
+    * one open question). BENCH_r14 had three queries absorb 35-51 s of
+    * PROCESS CPU each (s22: 13 cores busy inside this JVM, gc≈0,
+    * JIT-bean≈3 s) on a provably quiet host, reproducing at 11.2 s in
+    * 3-rep re-runs — a pass-context-only, in-JVM episode class no
+    * existing column could name. This watchdog makes the next episode
+    * carry its own diagnosis: while a query runs, a daemon thread
+    * checks elapsed wall against max(3× its anchor median, 5 s
+    * [SPARK_GRAFT_EPISODE_SEC overrides the floor, dev-only]); on
+    * breach it dumps (a) jit/gc/Janino-compile-count deltas since the
+    * query began and (b) three aggregated all-thread stack samples 1 s
+    * apart — each sample = the top RUNNABLE stack signatures with
+    * thread counts — into the full bench JSON under "episodes". A
+    * Janino storm names itself via janino_n plus
+    * org.codehaus.janino frames; an interpreted-fallback expression
+    * via InterpretedUnsafeProjection/InterpretedOrdering frames; a
+    * BigDecimal path via java.math frames. Sampling runs OUTSIDE the
+    * hot path (4 Hz poll, ~3 stack walks per episode) and only after
+    * the query is already anomalous — zero cost on clean passes. */
+  private final class EpisodeWatchdog(anchorWarm: Map[String, Double]) {
+    private val floorSec = sys.env.get("SPARK_GRAFT_EPISODE_SEC")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(5.0)
+    // (name, startNanos, thresholdSec, baseJitMs, baseGcMs, baseJanino)
+    @volatile private var current: Option[(String, Long, Double, Long, Long, Long)] = None
+    private val out = scala.collection.concurrent.TrieMap[String, String]()
+    def episodes: Map[String, String] = out.toMap
+    def begin(name: String): Unit = {
+      val thr = math.max(floorSec, 3.0 * anchorWarm.getOrElse(name, 0.0))
+      current = Some((name, System.nanoTime(), thr, jitMillis, gcMillis, janinoCount))
+    }
+    def end(): Unit = current = None
+    private def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    /** One aggregated stack sample: top-of-stack signatures (6 frames,
+      * class.method only) of all RUNNABLE threads, grouped with counts
+      * so 13 identical codegen workers read as one line, not 13. */
+    private def sampleStacks(): String = {
+      import scala.jdk.CollectionConverters._
+      val sigs = Thread.getAllStackTraces.asScala.toSeq.collect {
+        case (t, st) if t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+          t.getName != "graft-episode-watchdog" =>
+          st.take(6).map(f => s"${f.getClassName}.${f.getMethodName}")
+            .mkString(" <- ")
+      }
+      sigs.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (s, n) => (-n, s) }.take(6)
+        .map { case (s, n) => s"""{"n":$n,"stack":"${esc(s)}"}""" }
+        .mkString("[", ",", "]")
+    }
+    private def capture(name: String, t0: Long, baseJit: Long,
+                        baseGc: Long, baseJan: Long): Unit = {
+      val atSec = (System.nanoTime() - t0) / 1e9
+      val samples = scala.collection.mutable.ArrayBuffer(sampleStacks())
+      var i = 0
+      while (i < 2 && current.exists(_._1 == name)) {
+        Thread.sleep(1000)
+        if (current.exists(_._1 == name)) samples += sampleStacks()
+        i += 1
+      }
+      val jitD = if (baseJit < 0) -1L else jitMillis - baseJit
+      out(name) =
+        s"""{"at_sec":${f(atSec)},"threshold_sec":${f(math.max(floorSec, 3.0 * anchorWarm.getOrElse(name, 0.0)))},"jit_ms":$jitD,"gc_ms":${gcMillis - baseGc},"janino_n":${if (baseJan < 0) -1L else janinoCount - baseJan},"janino_mean_ms":${f(janinoMeanMs)},"samples":${samples.mkString("[", ",", "]")}}"""
+    }
+    private def f(v: Double) = f"$v%.3f"
+    private val thread = new Thread(() => {
+      while (true) {
+        Thread.sleep(250)
+        current match {
+          case Some((name, t0, thr, bj, bg, bn))
+            if !out.contains(name) && (System.nanoTime() - t0) / 1e9 > thr =>
+            try capture(name, t0, bj, bg, bn)
+            catch { case _: InterruptedException => () case _: Throwable => () }
+          case _ => ()
+        }
+      }
+    }, "graft-episode-watchdog")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  /** Parse an anchor JSON's named map of "key":number pairs (the anchor
+    * files are written by this object — flat one-level maps, so the
+    * regex parse is safe). Returns empty on any failure. */
+  private def anchorMap(field: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_anchors/anchor_current.json")), "UTF-8")
+    val qi = txt.indexOf("\"" + field + "\":{")
+    if (qi < 0) Map.empty
+    else {
+      val seg = txt.substring(qi + field.length + 4, txt.indexOf('}', qi))
+      "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(seg)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty }
 
   /** One fixed CPU-bound reference job: sum of 4×10⁸ modulos across 32
     * partitions. No IO, no shuffle beyond the final 32-row agg, no memo
@@ -195,6 +330,18 @@ object Bench {
     // (NOTES.md) — medians make the per-query detail trustworthy without
     // touching the driver-facing line's semantics.
     val reps = envReps
+    // SPARK_GRAFT_SLOW_Q=name:ms (dev-only gate-validation hook, VERDICT
+    // r14 item 2 done-check): sleep ms INSIDE the timed region of one
+    // named query, simulating a real plan regression — wall grows with
+    // no build/jit attribution, so the methodology-aware regression
+    // flag must still fire on it while staying ≈0 on clean cold runs.
+    val slowQ: Option[(String, Long)] = sys.env.get("SPARK_GRAFT_SLOW_Q")
+      .flatMap { s =>
+        s.split(':') match {
+          case Array(n, ms) => ms.toLongOption.map(n -> _)
+          case _ => None
+        }
+      }
     // child mode under SPARK_GRAFT_ISOLATE: stream each query's reading
     // to the parent AS IT COMPLETES, so a later query's crash never
     // discards the chunk's finished work (ADVICE r10)
@@ -207,31 +354,6 @@ object Bench {
           java.nio.file.StandardOpenOption.APPEND)
         catch { case _: Throwable => () }
       }
-    // whole-process CPU time: attributable per query because queries run
-    // strictly sequentially in this JVM. Contention-immune — the noise
-    // diagnostic wall clock can never be on this host (NOTES.md).
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-      case b: com.sun.management.OperatingSystemMXBean => Some(b)
-      case _ => None
-    }
-    def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
-    def gcMillis: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    }
-    // cumulative JIT compiler thread time: the per-query delta is the
-    // episode discriminator the gc/steal columns can't provide — a
-    // query at cpu≈wall with gc≈0 and jit≈cpu was a COMPILATION storm
-    // (the codegen-cache class of episode), not host contention
-    def jitMillis: Long = {
-      val b = java.lang.management.ManagementFactory.getCompilationMXBean
-      if (b != null && b.isCompilationTimeMonitoringSupported)
-        b.getTotalCompilationTime
-      else -1L
-    }
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     // Between-query block sweep (VERDICT r13 finding 2): superseded
     // loop generations and within-query multi-consumer checkpoints die
     // with their query, but their blocks linger until the driver GCs
@@ -241,6 +363,10 @@ object Bench {
     // everything the session memo does NOT own; Materialized frames
     // are spared because unpersisting a localCheckpoint is
     // unrecoverable and the memo IS the cross-query amortization.
+    // blocking=true: the sweep runs OUTSIDE the timed region, and the
+    // post-sweep blocksByQ sample below must read the block store AFTER
+    // removal completes — an async sweep overstated the residual in the
+    // very telemetry added to prove the sweep works (ADVICE r14).
     // SPARK_GRAFT_NO_SWEEP=1 (dev-only diagnostic; driver never sets
     // it): disable the sweep so an interleaved A/B can attribute an
     // in-pass timing delta to the sweep itself within one host regime
@@ -248,7 +374,7 @@ object Bench {
     def sweepBlocks(): Unit = if (!noSweep) {
       val live = graft.plans.Materialized.liveRddIds
       spark.sparkContext.getPersistentRDDs.values
-        .filter(r => !live.contains(r.id)).foreach(_.unpersist(blocking = false))
+        .filter(r => !live.contains(r.id)).foreach(_.unpersist(blocking = true))
     }
     // drop warmup-phase build records so the per-query attribution
     // below starts clean (VERDICT r11 item 4)
@@ -271,17 +397,23 @@ object Bench {
     refProbeSec(spark) // probe's own codegen/JIT (measured 4 s vs 0.2 s
     // warm), which would dominate probe_drift on every run
     regimePoint() // pass start (post-warmup)
+    val watchdog = new EpisodeWatchdog(anchorMap("queries"))
     val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi == mid && qi > 0) regimePoint() // pass midpoint
       val g0 = gcMillis
       val j0 = jitMillis
+      watchdog.begin(name)
       val reads = (1 to reps).map { _ =>
         val c0 = cpuNanos
         val t0 = System.nanoTime()
         // noop sink: materializes every output column (a bare count() would
         // let Catalyst prune unreferenced expressions and undercount work)
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            slowQ.foreach { case (n, ms) => if (n == name) Thread.sleep(ms) }
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
@@ -291,8 +423,14 @@ object Bench {
         // mistaken for a fast pass in bench totals
         (if (ok) sec else -sec, cpu)
       }
-      gcByQ(name) = (gcMillis - g0) / 1e3
-      jitByQ(name) = if (j0 < 0) -1.0 else (jitMillis - j0) / 1e3
+      watchdog.end()
+      // GC/JIT deltas span ALL reps, but the per-query wall below is a
+      // single-rep median — divide by reps so gc_frac/jit compare
+      // like-for-like (at reps=1, the driver's mode, this is identity;
+      // at reps=3 the undivided delta read ~3× its true share and a
+      // clean multi-rep run self-reported as contaminated — ADVICE r14)
+      gcByQ(name) = (gcMillis - g0) / 1e3 / reps
+      jitByQ(name) = if (j0 < 0) -1.0 else (jitMillis - j0) / 1e3 / reps
       blocksMax = math.max(blocksMax, spark.sparkContext.getPersistentRDDs.size)
       sweepBlocks() // outside the timing; memo entries spared
       blocksByQ(name) = spark.sparkContext.getPersistentRDDs.size
@@ -319,12 +457,13 @@ object Bench {
       blocksByQ.toMap, blocksMax, stealPct, jitByQ.toMap)
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
     report(results, reps, sfDir, isolated = None, regime = regime,
-      fullRun = fullRun)
+      fullRun = fullRun, episodes = watchdog.episodes)
   }
 
   private def report(results: Map[String, (Double, Double, Double)], reps: Int,
                      sfDir: String, isolated: Option[Int],
-                     regime: Regime, fullRun: Boolean): Unit = {
+                     regime: Regime, fullRun: Boolean,
+                     episodes: Map[String, String]): Unit = {
     val failed = results.count(_._2._1 < 0)
     // cpu < 0 marks an isolated-mode query with NO reading (child crashed
     // before reaching it): it counts in `failed` but contributes nothing
@@ -360,26 +499,35 @@ object Bench {
     // single-rep driver runs carry seconds of host noise on this sandbox
     // and sub-0.3 s queries jitter by whole ratio multiples. Queries
     // with no anchor entry (new this round) are omitted from the map.
-    val anchor: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_anchors/anchor_current.json")), "UTF-8")
-      val qi = txt.indexOf("\"queries\":{")
-      if (qi < 0) Map.empty
-      else {
-        val seg = txt.substring(qi + 11, txt.indexOf('}', qi))
-        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(seg)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    val anchor: Map[String, Double] = anchorMap("queries")
+    // Methodology-aware ratio (VERDICT r14 item 2 / findings 2-3): the
+    // anchor medians are WARM multi-rep readings (rep 1 pays family
+    // builds + compilation; the median doesn't), but a single-rep run —
+    // every driver run — pays each memo build and each JIT warmup inside
+    // its one timed read. That gap alone flagged 109-115 of 266 queries
+    // on provably quiet passes (jit_total 134-140 s of a ~300-440 s
+    // pass), drowning the one consumer the flag exists for. So at
+    // reps=1 the ratio discounts the run's OWN per-query attributions —
+    // shared-memo build seconds and JIT-compiler seconds — before
+    // comparing; at reps≥2 the median is already warm and the raw wall
+    // compares like-for-like. The discount can only shrink the ratio
+    // (a real plan regression burns wall with no build/jit attribution
+    // and still flags — validated by the SPARK_GRAFT_SLOW_Q dev hook).
+    val discounted = reps == 1
+    def adjWall(k: String): Double = {
+      val raw = math.abs(results(k)._1)
+      if (!discounted) raw
+      else math.max(0.0,
+        raw - results(k)._3 - math.max(0.0, regime.jit.getOrElse(k, 0.0)))
+    }
     val ratios: Seq[(String, Double)] = results.toSeq.collect {
-      case (k, (w, c, _)) if c >= 0 && anchor.get(k).exists(_ > 0) =>
-        k -> math.abs(w) / anchor(k)
+      case (k, (_, c, _)) if c >= 0 && anchor.get(k).exists(_ > 0) =>
+        k -> adjWall(k) / anchor(k)
     }
     val vsAnchorFull = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val regressed = ratios.collect {
-      case (k, r) if r >= 1.3 &&
-        results(k)._1.abs - anchor(k) >= 0.3 => k
+      case (k, r) if r >= 1.3 && adjWall(k) - anchor(k) >= 0.3 => k
     }.sorted
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Regime self-report (VERDICT r13 item 1b): per-query GC seconds,
@@ -400,10 +548,14 @@ object Bench {
     val jitTotal = regime.jit.values.filter(_ >= 0).sum
     val jitFull = regime.jit.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // on-threshold episode captures (VERDICT r14 item 1): values are
+    // pre-rendered JSON objects from the watchdog — empty on clean passes
+    val episodesFull = episodes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regimeFull =
-      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"jit_total":${fmt(jitTotal)},"jit":$jitFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull"""
+      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"jit_total":${fmt(jitTotal)},"jit":$jitFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull,"episodes":$episodesFull"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"regressed":$regressedJson,"anchor_n":${ratios.size}$regimeFull,"failed":$failed,"sf":"$sfDir"$iso}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"vs_anchor_discounted":$discounted,"regressed":$regressedJson,"anchor_n":${ratios.size}$regimeFull,"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
     // /tmp for ad-hoc reads AND a durable in-repo copy (bench_anchors/)
     // so future rounds can audit the per-query detail of any recorded
@@ -444,7 +596,7 @@ object Bench {
     // probe_drift ≫ 1.5 and knows the run measured the host's hour,
     // not the tree — without the archaeology BENCH_r13 needed
     val regimeHead = if (regime.refProbe.nonEmpty)
-      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax}"""
+      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"episodes_n":${episodes.size}"""
     else ""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"regressed_n":${regressed.size},"regressed":$regHead$regimeHead,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()

@@ -1046,6 +1046,7 @@ object Graph {
     * record-then-unroll oracle contract (g5/g7/g9). */
   private[graph] val ktrussRounds =
     scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
   @volatile private[graph] var lastKtrussKey: Option[String] = None
 
   /** g25: k-truss membership — the maximal subgraph in which EVERY edge
@@ -1279,6 +1280,7 @@ object Graph {
     * same record-then-unroll oracle contract as [[tolIterations]]. */
   private[graph] val bfsRounds =
     scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
   @volatile private[graph] var lastBfsKey: Option[String] = None
 
   /** Landmark shortest-path distances (the GraphFrames
@@ -1423,6 +1425,7 @@ object Graph {
     * (g5/g7/g9/g25). */
   private[graph] val wssspRounds =
     scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
   @volatile private[graph] var lastWssspKey: Option[String] = None
 
   /** Deterministic positive integer weights for the bench graph:
@@ -1531,6 +1534,7 @@ object Graph {
     * record-then-unroll oracle contract (g5/g7/g9/g25/g26). */
   private[graph] val btwLevels =
     scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
   @volatile private[graph] var lastBtwKey: Option[String] = None
 
   /** g27: betweenness centrality over a pivot set — Brandes' algorithm
@@ -1605,10 +1609,16 @@ object Graph {
     // loudly instead of silently wrapping the HALF_UP recursion. One
     // tiny aggregate over the already-checkpointed BFS table.
     val guard = nodes.agg(max("sigma"), countDistinct("id")).head()
-    val (smax, nv) = (guard.getLong(0), guard.getLong(1))
-    require(BigInt(2) * smax * 1000000L * (nv + 1) + smax < BigInt(Long.MaxValue),
-      s"betweenness: max sigma=$smax at |V|=$nv would overflow the " +
-        "micro-unit BIGINT backward recursion (2*sigma*(1e6+delta) >= 2^63)")
+    // max over an EMPTY BFS table is NULL (no pivots / no edges — a
+    // degenerate-but-legal input SCC explicitly supports): skip the
+    // check rather than NPE; an empty sweep trivially cannot overflow
+    // (ADVICE r14)
+    if (!guard.isNullAt(0)) {
+      val (smax, nv) = (guard.getLong(0), guard.getLong(1))
+      require(BigInt(2) * smax * 1000000L * (nv + 1) + smax < BigInt(Long.MaxValue),
+        s"betweenness: max sigma=$smax at |V|=$nv would overflow the " +
+          "micro-unit BIGINT backward recursion (2*sigma*(1e6+delta) >= 2^63)")
+    }
     // backward accumulation, deepest level first; δ in micro-unit longs
     var delta = nodes.filter(col("dist") === levels)
       .select(col("pivot"), col("id"), lit(0L).as("delta"), col("sigma"))
@@ -1996,6 +2006,7 @@ object Graph {
     * record-then-unroll oracle contract (g5/g7). */
   private[graph] val kcoreRounds =
     scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
   @volatile private[graph] var lastKcoreKey: Option[String] = None
 
   /** k-core decomposition membership: the maximal induced subgraph of

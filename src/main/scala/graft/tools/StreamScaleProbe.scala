@@ -73,10 +73,17 @@ object StreamScaleProbe {
     }
     rmRf(new java.io.File(dir))
     // event-time-ordered chunk files, written sequentially so the file
-    // source's modification-time ordering replays them in stream order
-    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    // source's modification-time ordering replays them in stream order.
+    // Chunks come from RANGE partitioning on (ts, event_id), not a
+    // partitionBy-less ntile window — the global window sorts the whole
+    // F×-scaled set in ONE task, an OOM/latency hazard at exactly the
+    // factors this probe exists to test (ADVICE r14). Range partitions
+    // are ordered, so spark_partition_id IS the event-time chunk index;
+    // boundary sampling makes sizes approximate, which the replay
+    // doesn't care about.
     val chunked = withDups
-      .withColumn("chunk", ntile(chunks).over(w)).localCheckpoint(true)
+      .repartitionByRange(chunks, col("ts"), col("event_id"))
+      .withColumn("chunk", spark_partition_id() + 1).localCheckpoint(true)
     new java.io.File(streamDir).mkdirs()
     for (i <- 1 to chunks) {
       chunked.filter(col("chunk") === i).drop("chunk")
