@@ -584,6 +584,7 @@ object TextStats {
     * unrolls exactly the rounds that actually merged. */
   private[text] val bpeRoundsRec =
     scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[graft.graph.Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
   @volatile private[text] var lastBpeKey: Option[String] = None
 
   /** Symbolization of a word as a '##'-bounded symbol string: every
@@ -606,6 +607,17 @@ object TextStats {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), symInit.as("sym"))
 
+  /** Adjacent-symbol pair counts over a symbolized vocab — the
+    * vocab-sized aggregation both BPE trainers ([[bpeMerges]],
+    * [[bpeMergesBatched]]) run once per round. */
+  private def pairCounts(vocab: DataFrame): DataFrame = vocab
+    .select(col("freq"), expr("filter(split(sym, '##'), s -> s <> '')").as("arr"))
+    .filter(size(col("arr")) >= 2) // sequence(1, 0) is DESCENDING, not empty — x13 lesson
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(arr) - 1), j -> struct(element_at(arr, j) AS l, element_at(arr, j + 1) AS r))")).as("p"))
+    .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+    .agg(sum("freq").as("n"))
+
   /** x30: iterative BPE tokenizer training — the real thing, not just
     * x13's first-iteration pair statistics: `rounds` merge rounds, each
     * counting adjacent SYMBOL pairs over the frequency-weighted distinct
@@ -626,26 +638,34 @@ object TextStats {
     * a crossJoin(broadcast(limit 1))); the driver pays exactly one
     * 1-row action per round (the early-stop emptiness probe — ADVICE
     * r13 wording fix). Per-round 1-row merge frames accumulate in a
-    * local Seq and union ONCE after the loop (each is already
-    * checkpointed), not re-checkpointing the whole growing table every
-    * round — the old shape was O(rounds²) tiny checkpoints. Training
-    * stops early (recorded) if a round finds no pair left to merge. */
+    * local Seq and union AFTER the loop in a balanced pairwise tree
+    * (each is already checkpointed), not re-checkpointing the whole
+    * growing table every round — the old shape was O(rounds²) tiny
+    * checkpoints. Training stops early (recorded) if a round finds no
+    * pair left to merge. */
   def bpeMerges(docs: DataFrame, rounds: Int = 10,
-                recordKey: Option[String] = None): DataFrame = {
+                recordKey: Option[String] = None): DataFrame =
+    bpeMergesFromWordCounts(
+      docs.select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      rounds, recordKey)
+
+  /** [[bpeMerges]] over a pre-built (word, freq) frame — the probe
+    * entry point: the registered corpora cap out at a 31-word vocab
+    * (89 merges to exhaustion), so realistic merge counts need a
+    * FABRICATED rich vocabulary (BpeMergeProbe), and fabricating word
+    * counts directly skips re-materializing a giant synthetic corpus
+    * whose only purpose is to be re-counted. */
+  private[graft] def bpeMergesFromWordCounts(wc: DataFrame, rounds: Int,
+                                             recordKey: Option[String] = None): DataFrame = {
     val vgen = graft.plans.Lineage.gen() // keep-2 vocab chain (Lineage.Gen)
-    var vocab = vgen.roll(vocab0(docs), true)
+    var vocab = vgen.roll(
+      wc.select(col("word"), col("freq"), symInit.as("sym")), true)
     var merges = Vector.empty[DataFrame] // 1-row frames, each checkpointed
     var done = 0
     var exhausted = false
     for (i <- 1 to rounds if !exhausted) {
-      val pairs = vocab
-        .select(col("freq"), expr("filter(split(sym, '##'), s -> s <> '')").as("arr"))
-        .filter(size(col("arr")) >= 2) // sequence(1, 0) is DESCENDING, not empty — x13 lesson
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(arr) - 1), j -> struct(element_at(arr, j) AS l, element_at(arr, j + 1) AS r))")).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum("freq").as("n"))
-      val best = pairs.orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(1)
+      val best = pairCounts(vocab).orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(1)
         .select(lit(i).as("merge_rank"), col("lhs"), col("rhs"), col("n"))
         .loopCheckpoint(true)
       if (best.isEmpty) exhausted = true
@@ -664,8 +684,134 @@ object TextStats {
     if (merges.isEmpty)
       vocab.limit(0).select(lit(0).as("merge_rank"), lit("").as("lhs"),
         lit("").as("rhs"), lit(0L).as("n"))
-    else merges.reduce(_ union _).orderBy("merge_rank")
+    else {
+      // balanced pairwise union, NOT a left fold: each Dataset.union
+      // eagerly re-analyzes the growing flattened Union, so a linear
+      // fold over one 1-row frame per merge is O(rounds²) plan
+      // construction on the driver — fine at rounds=10, a bottleneck
+      // at BpeMergeProbe's 10³+ targets. Tree shape analyzes
+      // O(rounds·log rounds) nodes total (ADVICE r14).
+      var layer = merges
+      while (layer.size > 1)
+        layer = layer.grouped(2)
+          .map(g => if (g.size == 2) g(0).union(g(1)) else g(0)).toVector
+      layer.head.orderBy("merge_rank")
+    }
   }
+
+  /** Recorded batch-round count per key for [[bpeMergesBatched]] —
+    * same record-then-unroll oracle contract as [[bpeRoundsRec]]. */
+  private[text] val bpeBatchRec =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  // last-write-wins no-arg-oracle fallback: safe because the gate runs one sf-dir per JVM — rationale at [[graft.graph.Graph.lastRecordKey]]'s doc + NOTES.md "ADVICE r13 item 4 (oracle last-key fallback)"
+  @volatile private[text] var lastBpeBatchKey: Option[String] = None
+
+  /** x32: BATCHED symbol-disjoint BPE training — the real-corpus scale
+    * path the per-merge loop can't reach. Sequential BPE pays one
+    * driver-coordinated round per merge: probe-measured FLAT at
+    * ~0.2-0.3 s/merge (SCALE.md round-14/15), which is driver round
+    * latency, not vocab work — fine at the registered rounds=10,
+    * 40 min at a real tokenizer's 10⁴ merges. Each batched round
+    * instead selects up to `batchSize` pairs GREEDILY by the canonical
+    * (count desc, lhs, rhs) rank, skipping any pair sharing a SYMBOL
+    * with an already-selected pair, and applies them all at once.
+    * Symbol-disjointness makes the batch order-independent AND makes
+    * the round-start counts valid for every selected pair (a merge can
+    * only change counts of pairs touching its symbols), so a batch of
+    * B costs ONE driver round instead of B — merge throughput scales
+    * with B (probe-measured in SCALE.md). The batched rule sequence is
+    * a different (coarser) canonical sequence than sequential BPE —
+    * standard practice in distributed tokenizer training — which is
+    * why it ships as its OWN query (x32) with its own oracle twin
+    * rather than replacing x30.
+    *
+    * Plan shape per round: vocab-sized pair aggregation → top-`candCap`
+    * rank (TakeOrderedAndProject) → ONE-row candidate array →
+    * `aggregate()` greedy fold (codegen'd, no driver collect) →
+    * broadcast crossJoin back onto the vocab → one `aggregate()` of
+    * literal replaces. The only driver action per round is the same
+    * 1-row early-stop emptiness probe x30 pays. The greedy scan is
+    * capped at `candCap` ranked candidates (both engines use the same
+    * cap, so the rule sequence is engine-independent); a batch may
+    * select fewer than `batchSize` when top candidates interlock. */
+  /** Registered x32 parameters — shared with the oracle builder so the
+    * two engines run the SAME greedy: the candidate cap bounds the scan
+    * identically on both sides. */
+  private[text] val bpeBatchRounds = 4
+  private[text] val bpeBatchSize = 6
+  private[text] val bpeBatchCap = 32
+
+  def bpeMergesBatched(docs: DataFrame, batches: Int = bpeBatchRounds,
+                       batchSize: Int = bpeBatchSize,
+                       candCap: Int = bpeBatchCap,
+                       recordKey: Option[String] = None): DataFrame =
+    bpeMergesBatchedFromWordCounts(
+      docs.select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      batches, batchSize, candCap, recordKey)
+
+  private[graft] def bpeMergesBatchedFromWordCounts(
+      wc: DataFrame, batches: Int, batchSize: Int, candCap: Int,
+      recordKey: Option[String] = None): DataFrame = {
+    val vgen = graft.plans.Lineage.gen()
+    var vocab = vgen.roll(
+      wc.select(col("word"), col("freq"), symInit.as("sym")), true)
+    var ruleFrames = Vector.empty[DataFrame]
+    var done = 0
+    var exhausted = false
+    val selType = "array<struct<lhs:string,rhs:string,n:bigint>>"
+    for (b <- 1 to batches if !exhausted) {
+      val pairs = vocab
+        .select(col("freq"), expr("filter(split(sym, '##'), s -> s <> '')").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), j -> struct(element_at(arr, j) AS l, element_at(arr, j + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("freq").as("n"))
+      // one row holding the rank-ordered candidate array: struct sorts
+      // field-by-field, so (-n, lhs, rhs) ascending IS the canonical
+      // (n desc, lhs, rhs) merge rank
+      val sel = pairs
+        .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(candCap)
+        .agg(expr("sort_array(collect_list(struct(-n AS nn, lhs, rhs, n)))").as("cands"))
+        .select(expr(
+          s"""aggregate(cands, cast(array() as $selType), (acc, p) ->
+             |  CASE WHEN size(acc) >= $batchSize
+             |            OR exists(acc, q -> q.lhs = p.lhs OR q.lhs = p.rhs
+             |                             OR q.rhs = p.lhs OR q.rhs = p.rhs)
+             |  THEN acc
+             |  ELSE concat(acc, array(named_struct('lhs', p.lhs, 'rhs', p.rhs, 'n', p.n))) END)""".stripMargin).as("sel"))
+        .loopCheckpoint(true)
+      val batchRules = sel
+        .select(posexplode(col("sel")).as(Seq("pos0", "r")))
+        .select(lit(b).as("batch"), (col("pos0") + 1).cast("int").as("pos"),
+          col("r.lhs").as("lhs"), col("r.rhs").as("rhs"), col("r.n").as("n"))
+      if (batchRules.isEmpty) exhausted = true
+      else {
+        ruleFrames = ruleFrames :+ batchRules
+        vocab = vgen.roll(vocab
+          .crossJoin(broadcast(sel))
+          .withColumn("sym", expr(
+            "aggregate(sel, sym, (s, r) -> replace(s, '#' || r.lhs || '##' || r.rhs || '#', '#' || r.lhs || r.rhs || '#'))"))
+          .select("word", "freq", "sym"),
+          true)
+        done = b
+      }
+    }
+    recordKey.foreach { k => bpeBatchRec(k) = done; lastBpeBatchKey = Some(k) }
+    if (ruleFrames.isEmpty)
+      vocab.limit(0).select(lit(0).as("batch"), lit(0).as("pos"),
+        lit("").as("lhs"), lit("").as("rhs"), lit(0L).as("n"))
+    else ruleFrames.reduce(_ union _).orderBy("batch", "pos")
+  }
+
+  private def cachedBpeBatch(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"bpe_batch:${Tables.norm(dir)}")(
+      bpeMergesBatched(Tables.documents(s, dir),
+        recordKey = Some(Tables.norm(dir))))
+
+  def xBpeBatch(spark: SparkSession, dir: String): DataFrame =
+    cachedBpeBatch(spark, dir)
 
   /** Replay a trained merge table over a fresh vocab symbolization —
     * rebuilds the final symbolization WITHOUT re-counting pairs (each
@@ -797,6 +943,94 @@ object TextStats {
        |    THEN round(((2 * a.n_chars * 1000000 + a.n_tokens) // (2 * a.n_tokens)) / 1000000.0, 6)
        |    ELSE 0 END AS DECIMAL(18,6)) AS chars_per_token
        |FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Unrolled batch-round CTEs for the x32 oracle: per round, DuckDB
+    * independently recomputes the pair counts, the (n desc, lhs, rhs)
+    * candidate rank, the GREEDY symbol-disjoint selection (a recursive
+    * CTE folding over the ranked candidates — rk 0 seeds empty
+    * used/sel lists, each step admits candidate rk+1 iff neither
+    * symbol was used and the batch has room), and the simultaneous
+    * application. Only the batch COUNT is Spark-derived (the g5
+    * record-then-unroll contract). The apply chain nests LINEARLY:
+    * sel[j] out of bounds is NULL in DuckDB, so COALESCE turns the
+    * needle into chr(1) (never present in a sym string) and the
+    * replace is an identity — no 2^B CASE duplication. */
+  private def bpeBatchCtes(r: Int): String = {
+    val b = bpeBatchSize
+    val k = bpeBatchCap
+    val sb = new StringBuilder
+    sb ++= s"""tok AS MATERIALIZED (
+       |  SELECT doc_id, u.word
+       |  FROM documents, UNNEST(${Tokenize.rawTokensSql("text")}) AS u(word)),
+       |bv0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq,
+       |    '##' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, CAST(i AS INT), 1)), '##') || '##' AS sym
+       |  FROM tok GROUP BY word)""".stripMargin
+    for (i <- 1 to r) {
+      val p = i - 1
+      val ok = s"len(g.sel) < $b AND NOT list_contains(g.used, c.lhs)" +
+        " AND NOT list_contains(g.used, c.rhs)"
+      var apply = "v.sym"
+      for (j <- 1 to b)
+        apply =
+          s"""replace($apply,
+             |      COALESCE('#' || s.sel[$j].lhs || '##' || s.sel[$j].rhs || '#', chr(1)),
+             |      COALESCE('#' || s.sel[$j].lhs || s.sel[$j].rhs || '#', ''))""".stripMargin
+      sb ++= s""",
+         |bp$i AS MATERIALIZED (
+         |  SELECT pl, pr, SUM(freq) AS n FROM (
+         |    SELECT list_extract(arr, CAST(j AS INT)) AS pl,
+         |           list_extract(arr, CAST(j AS INT) + 1) AS pr, freq
+         |    FROM (SELECT freq, list_filter(string_split(sym, '##'), s -> s <> '') AS arr
+         |          FROM bv$p) t, UNNEST(range(1, len(arr))) AS u(j)
+         |  ) pp GROUP BY pl, pr),
+         |bc$i AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT pl AS lhs, pr AS rhs, n,
+         |           row_number() OVER (ORDER BY n DESC, pl ASC, pr ASC) AS rk
+         |    FROM bp$i) rr WHERE rk <= $k),
+         |bg$i AS (
+         |  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+         |         CAST([] AS STRUCT(lhs VARCHAR, rhs VARCHAR, n BIGINT)[]) AS sel
+         |  UNION ALL
+         |  SELECT c.rk,
+         |    CASE WHEN $ok THEN g.used || [c.lhs, c.rhs] ELSE g.used END,
+         |    CASE WHEN $ok
+         |         THEN g.sel || [{'lhs': c.lhs, 'rhs': c.rhs, 'n': CAST(c.n AS BIGINT)}]
+         |         ELSE g.sel END
+         |  FROM bg$i g JOIN bc$i c ON c.rk = g.rk + 1
+         |  WHERE g.rk < $k),
+         |bs$i AS MATERIALIZED (
+         |  SELECT sel FROM bg$i ORDER BY rk DESC LIMIT 1),
+         |bv$i AS MATERIALIZED (
+         |  SELECT word, freq, $apply AS sym
+         |  FROM bv$p v, bs$i s)""".stripMargin
+    }
+    sb.toString
+  }
+
+  def xBpeBatchSql(key: Option[String] = None): String = {
+    val recorded = bpeBatchRec.readOnlySnapshot()
+    val chosen = key.orElse(lastBpeBatchKey).flatMap(recorded.get)
+    if (chosen.isEmpty)
+      return s"SELECT graft_error_x32_oracle_without_recorded_run /* keys=${recorded.keys.mkString(";")} */"
+    val r = chosen.get
+    if (r == 0)
+      return """SELECT CAST(0 AS INT) AS batch, CAST(0 AS INT) AS pos,
+               |  '' AS lhs, '' AS rhs, CAST(0 AS BIGINT) AS n WHERE FALSE""".stripMargin
+    val un = (1 to r).map(i =>
+      s"""SELECT $i AS batch, CAST(u.x.pos AS INT) AS pos, u.x.lhs AS lhs,
+         |       u.x.rhs AS rhs, CAST(u.x.n AS BIGINT) AS n
+         |  FROM (SELECT list_transform(sel, (x, ix) ->
+         |          {'pos': ix, 'lhs': x.lhs, 'rhs': x.rhs, 'n': x.n}) AS sel2
+         |        FROM bs$i) t, UNNEST(t.sel2) AS u(x)""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE ${bpeBatchCtes(r)}
+       |SELECT * FROM (
+       |  $un
+       |) m ORDER BY batch, pos""".stripMargin
   }
 
   // --------------------------------------------------- unigram LM score
@@ -1922,6 +2156,7 @@ object TextStats {
       dsirWeights(Tables.documents(s, dir))),
     "x30_bpe_train" -> xBpeTrain _,
     "x31_bpe_encode" -> xBpeEncode _,
+    "x32_bpe_batch" -> xBpeBatch _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1956,5 +2191,6 @@ object TextStats {
     // built after the queries run: unroll the recorded merge rounds
     "x30_bpe_train" -> xBpeTrainSql(),
     "x31_bpe_encode" -> xBpeEncodeSql(),
+    "x32_bpe_batch" -> xBpeBatchSql(),
   )
 }

@@ -42,9 +42,17 @@ object StreamScaleProbe {
     val f = args(1).toInt
     val chunks = if (args.length > 2) args(2).toInt else 24
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE=n decouples state-store count from compute
+    // (VERDICT r14 item 5): a stateful streaming query creates one
+    // state store per shuffle partition and COMMITS each of them every
+    // micro-batch — at 32 partitions × 24 chunks × 4 join stores the
+    // commit count, not the event volume, is the suspected wall floor
+    // (st6 read ~2 min for 110k events). Varying this knob at fixed
+    // local[32] isolates batches × stores × commit-latency from data.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -94,7 +102,7 @@ object StreamScaleProbe {
 
     def line(probe: String, mode: String, sec: Double,
              stateRows: Long = -1, stateMb: Double = -1): Unit =
-      println(f"""{"probe":"$probe","mode":"$mode","factor":$f,"sec":$sec%.3f,"state_rows_peak":$stateRows,"state_mb_peak":$stateMb%.1f,"events":$n}""")
+      println(f"""{"probe":"$probe","mode":"$mode","factor":$f,"sec":$sec%.3f,"state_rows_peak":$stateRows,"state_mb_peak":$stateMb%.1f,"events":$n,"shuffle":$shuffle,"chunks":$chunks}""")
 
     def timed[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()

@@ -86,6 +86,95 @@ class TextStatsSpec extends SparkSpec {
     assert(syms.toSeq == Seq("##ab##ab##"), syms.mkString(","))
   }
 
+  // ---- x32 batched BPE: driver-side reference implementation --------
+  // Independent of the engine's string-replace encoding: symbols live in
+  // Vector[String], merges are greedy-leftmost scans, pair counts are
+  // freq-weighted with overlaps — the documented x30 conventions.
+  private def mergeAll(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refBatched(wordFreq: Map[String, Long], batches: Int, b: Int,
+                         k: Int): Seq[(Int, Int, String, String, Long)] = {
+    var vocab: Map[String, (Vector[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }
+    val rules = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var batch = 1
+    var stop = false
+    while (batch <= batches && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for { (_, (syms, f)) <- vocab; w <- syms.sliding(2) if w.length == 2 }
+        counts((w(0), w(1))) = counts.getOrElse((w(0), w(1)), 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val ranked = counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.take(k)
+        var used = Set.empty[String]
+        var cnt = 0
+        val sel = Seq.newBuilder[((String, String), Long)]
+        for (((l, r), n) <- ranked if cnt < b && !used(l) && !used(r)) {
+          sel += (((l, r), n)); used = used + l + r; cnt += 1
+        }
+        val s = sel.result()
+        s.zipWithIndex.foreach { case (((l, r), n), i) =>
+          rules += ((batch, i + 1, l, r, n))
+        }
+        vocab = vocab.map { case (w, (syms, f)) =>
+          var cur = syms
+          for (((l, r), _) <- s) cur = mergeAll(cur, l, r)
+          w -> (cur, f)
+        }
+        batch += 1
+      }
+    }
+    rules.result()
+  }
+
+  test("bpeMergesBatched (x32): matches the driver-side reference on an interlocking corpus") {
+    // shared letters force the greedy to SKIP interlocked candidates:
+    // the reference recomputes rank + greedy + simultaneous apply
+    // independently of the engine's sym-string encoding
+    val text1 = "the cat sat on the mat and the rat ate"
+    val text2 = "that hat that chat then that the thatch"
+    val docs = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+    val wf = (text1.split(" ") ++ text2.split(" ")).toSeq
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val got = TextStats.bpeMergesBatched(docs, batches = 3, batchSize = 3,
+      candCap = 10, recordKey = Some("spec_x32"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val want = refBatched(wf, batches = 3, b = 3, k = 10)
+    assert(got == want, s"\ngot  = ${got.mkString(",")}\nwant = ${want.mkString(",")}")
+    assert(TextStats.bpeBatchRec("spec_x32") == 3)
+    // within-batch symbol-disjointness (the property that makes the
+    // batch order-independent and its round-start counts valid)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val syms = rs.flatMap(r => Seq(r._3, r._4))
+      assert(syms.distinct.size == syms.size, s"batch shares symbols: $rs")
+    }
+  }
+
+  test("bpeMergesBatched: batch 1 rule 1 is sequential BPE's first merge; exhaustion recorded") {
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val seqFirst = TextStats.bpeMerges(docs, rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    val got = TextStats.bpeMergesBatched(docs, batches = 3, batchSize = 4,
+      candCap = 8, recordKey = Some("spec_x32_exh"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got.head._3 == seqFirst._1 && got.head._4 == seqFirst._2 &&
+      got.head._5 == seqFirst._3)
+    // "ab": batch 1 merges (a,b); nothing remains → stops early
+    assert(got == Seq((1, 1, "a", "b", 3L)), got.mkString(","))
+    assert(TextStats.bpeBatchRec("spec_x32_exh") == 1)
+  }
+
   test("rolling fingerprint is order-sensitive, tokenset md5 is not") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val toks = Tokenize.rawTokens(col("text"))
