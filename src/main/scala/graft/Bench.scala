@@ -181,17 +181,25 @@ object Bench {
     * BigDecimal path via java.math frames. Sampling runs OUTSIDE the
     * hot path (4 Hz poll, ~3 stack walks per episode) and only after
     * the query is already anomalous — zero cost on clean passes. */
-  private final class EpisodeWatchdog(anchorWarm: Map[String, Double]) {
+  private final class EpisodeWatchdog(anchorWarm: Map[String, Double],
+                                      anchorBuild: Map[String, Double]) {
     private val floorSec = sys.env.get("SPARK_GRAFT_EPISODE_SEC")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(5.0)
     // (name, startNanos, thresholdSec, baseJitMs, baseGcMs, baseJanino)
     @volatile private var current: Option[(String, Long, Double, Long, Long, Long)] = None
     private val out = scala.collection.concurrent.TrieMap[String, String]()
     def episodes: Map[String, String] = out.toMap
-    def begin(name: String): Unit = {
-      val thr = math.max(floorSec, 3.0 * anchorWarm.getOrElse(name, 0.0))
-      current = Some((name, System.nanoTime(), thr, jitMillis, gcMillis, janinoCount))
-    }
+    // threshold covers ONE rep (begin/end bracket each rep, not the reps
+    // loop — at reps=3 a whole-query bracket tripled the measured window
+    // and fired 33 spurious captures in one pass) and adds the anchor's
+    // recorded first-payer build: a memo-family first payer legitimately
+    // spends its anchor-recorded build seconds before any per-rep work
+    private def thresholdFor(name: String): Double =
+      math.max(floorSec, 3.0 * anchorWarm.getOrElse(name, 0.0)) +
+        anchorBuild.getOrElse(name, 0.0)
+    def begin(name: String): Unit =
+      current = Some((name, System.nanoTime(), thresholdFor(name),
+        jitMillis, gcMillis, janinoCount))
     def end(): Unit = current = None
     private def esc(s: String) =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -211,7 +219,7 @@ object Bench {
         .map { case (s, n) => s"""{"n":$n,"stack":"${esc(s)}"}""" }
         .mkString("[", ",", "]")
     }
-    private def capture(name: String, t0: Long, baseJit: Long,
+    private def capture(name: String, t0: Long, thr: Double, baseJit: Long,
                         baseGc: Long, baseJan: Long): Unit = {
       val atSec = (System.nanoTime() - t0) / 1e9
       val samples = scala.collection.mutable.ArrayBuffer(sampleStacks())
@@ -223,7 +231,7 @@ object Bench {
       }
       val jitD = if (baseJit < 0) -1L else jitMillis - baseJit
       out(name) =
-        s"""{"at_sec":${f(atSec)},"threshold_sec":${f(math.max(floorSec, 3.0 * anchorWarm.getOrElse(name, 0.0)))},"jit_ms":$jitD,"gc_ms":${gcMillis - baseGc},"janino_n":${if (baseJan < 0) -1L else janinoCount - baseJan},"janino_mean_ms":${f(janinoMeanMs)},"samples":${samples.mkString("[", ",", "]")}}"""
+        s"""{"at_sec":${f(atSec)},"threshold_sec":${f(thr)},"jit_ms":$jitD,"gc_ms":${gcMillis - baseGc},"janino_n":${if (baseJan < 0) -1L else janinoCount - baseJan},"janino_mean_ms":${f(janinoMeanMs)},"samples":${samples.mkString("[", ",", "]")}}"""
     }
     private def f(v: Double) = f"$v%.3f"
     private val thread = new Thread(() => {
@@ -232,7 +240,7 @@ object Bench {
         current match {
           case Some((name, t0, thr, bj, bg, bn))
             if !out.contains(name) && (System.nanoTime() - t0) / 1e9 > thr =>
-            try capture(name, t0, bj, bg, bn)
+            try capture(name, t0, thr, bj, bg, bn)
             catch { case _: InterruptedException => () case _: Throwable => () }
           case _ => ()
         }
@@ -397,13 +405,13 @@ object Bench {
     refProbeSec(spark) // probe's own codegen/JIT (measured 4 s vs 0.2 s
     // warm), which would dominate probe_drift on every run
     regimePoint() // pass start (post-warmup)
-    val watchdog = new EpisodeWatchdog(anchorMap("queries"))
+    val watchdog = new EpisodeWatchdog(anchorMap("queries"), anchorMap("builds"))
     val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi == mid && qi > 0) regimePoint() // pass midpoint
       val g0 = gcMillis
       val j0 = jitMillis
-      watchdog.begin(name)
       val reads = (1 to reps).map { _ =>
+        watchdog.begin(name)
         val c0 = cpuNanos
         val t0 = System.nanoTime()
         // noop sink: materializes every output column (a bare count() would
@@ -421,9 +429,9 @@ object Bench {
         val cpu = if (c0 < 0) 0.0 else (cpuNanos - c0) / 1e9
         // failed queries report negative elapsed so they can never be
         // mistaken for a fast pass in bench totals
+        watchdog.end()
         (if (ok) sec else -sec, cpu)
       }
-      watchdog.end()
       // GC/JIT deltas span ALL reps, but the per-query wall below is a
       // single-rep median — divide by reps so gc_frac/jit compare
       // like-for-like (at reps=1, the driver's mode, this is identity;
@@ -542,9 +550,16 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     val gcFrac = if (total > 0) gcTotal / total else 0.0
+    // max/MEDIAN, not max/min: drift flags the regime MOVING (one
+    // contended reading anywhere in the pass); an unusually FAST
+    // reading is not contamination, but under max/min it inflated the
+    // ratio the same way (a 0.08 s end reading pushed one quiet pass
+    // to "drift 2.27" while all three readings sat inside the band)
     val probeDrift =
-      if (regime.refProbe.nonEmpty && regime.refProbe.min > 0)
-        regime.refProbe.max / regime.refProbe.min else 0.0
+      if (regime.refProbe.nonEmpty && regime.refProbe.min > 0) {
+        val med = regime.refProbe.sorted.apply(regime.refProbe.size / 2)
+        regime.refProbe.max / med
+      } else 0.0
     val jitTotal = regime.jit.values.filter(_ >= 0).sum
     val jitFull = regime.jit.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
