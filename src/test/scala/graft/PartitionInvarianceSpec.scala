@@ -52,7 +52,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "st11_hourly_quantiles", // per-window sketch + partitioned read-off
     "g27_betweenness",     // two-phase BFS + micro-unit integer recursion
     "g28_random_walks",    // md5-drawn walk chain over ranked adjacency
-    "x30_bpe_train")       // iterative argmax-merge loop (broadcast 1-row)
+    "x30_bpe_train",       // iterative argmax-merge loop (broadcast 1-row)
+    "x32_bpe_batch")       // sorted-candidate greedy fold (batched BPE)
 
   private lazy val alt = {
     val s = spark.newSession()
