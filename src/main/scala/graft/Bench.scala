@@ -171,10 +171,12 @@ object Bench {
     * carry its own diagnosis: while a query runs, a daemon thread
     * checks elapsed wall against max(3× its anchor median, 5 s
     * [SPARK_GRAFT_EPISODE_SEC overrides the floor, dev-only]); on
-    * breach it dumps (a) jit/gc/Janino-compile-count deltas since the
-    * query began and (b) three aggregated all-thread stack samples 1 s
-    * apart — each sample = the top RUNNABLE stack signatures with
-    * thread counts — into the full bench JSON under "episodes". A
+    * breach it dumps (a) jit/gc/Janino-compile-count deltas from rep
+    * start to capture end and (b) aggregated all-thread stack samples
+    * on an exponential-backoff schedule spanning ~64 s of breach —
+    * each sample = the top RUNNABLE stack signatures with thread
+    * counts, stamped with its elapsed offset — into the full bench
+    * JSON under "episodes". A
     * Janino storm names itself via janino_n plus
     * org.codehaus.janino frames; an interpreted-fallback expression
     * via InterpretedUnsafeProjection/InterpretedOrdering frames; a
@@ -222,12 +224,21 @@ object Bench {
     private def capture(name: String, t0: Long, thr: Double, baseJit: Long,
                         baseGc: Long, baseJan: Long): Unit = {
       val atSec = (System.nanoTime() - t0) / 1e9
-      val samples = scala.collection.mutable.ArrayBuffer(sampleStacks())
-      var i = 0
-      while (i < 2 && current.exists(_._1 == name)) {
-        Thread.sleep(1000)
-        if (current.exists(_._1 == name)) samples += sampleStacks()
-        i += 1
+      // exponential-backoff sampling (1,1,2,4,8,16,32 s gaps): the r14
+      // episode class burned 35-51 s — a fixed 2 s sample window would
+      // profile only the onset, so one capture spans ~64 s of breach,
+      // each sample stamped with its own elapsed offset; sampling stops
+      // the moment the rep ends
+      val samples = scala.collection.mutable.ArrayBuffer(
+        s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"stacks":${sampleStacks()}}""")
+      val gaps = Seq(1000L, 1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
+      for (g <- gaps if current.exists(_._1 == name)) {
+        var slept = 0L
+        while (slept < g && current.exists(_._1 == name)) {
+          Thread.sleep(250); slept += 250
+        }
+        if (current.exists(_._1 == name))
+          samples += s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"stacks":${sampleStacks()}}"""
       }
       val jitD = if (baseJit < 0) -1L else jitMillis - baseJit
       out(name) =
