@@ -207,8 +207,14 @@ object Bench {
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     /** One aggregated stack sample: top-of-stack signatures (6 frames,
       * class.method only) of all RUNNABLE threads, grouped with counts
-      * so 13 identical codegen workers read as one line, not 13. */
-    private def sampleStacks(): String = {
+      * so 13 identical codegen workers read as one line, not 13.
+      * Returns (runnableThreadCount, topSignaturesJson): the raw count
+      * is the parallelism-collapse discriminator the top-6 cut can't
+      * show — the r15 dress-rehearsal episodes read cpu≈wall (ONE busy
+      * core on 32-partition stages, ordinary execution frames, low
+      * janino), a signature distinct from both host steal and the r14
+      * compilation storms. */
+    private def sampleStacks(): (Int, String) = {
       import scala.jdk.CollectionConverters._
       val sigs = Thread.getAllStackTraces.asScala.toSeq.collect {
         case (t, st) if t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
@@ -216,10 +222,11 @@ object Bench {
           st.take(6).map(f => s"${f.getClassName}.${f.getMethodName}")
             .mkString(" <- ")
       }
-      sigs.groupBy(identity).view.mapValues(_.size).toSeq
+      val top = sigs.groupBy(identity).view.mapValues(_.size).toSeq
         .sortBy { case (s, n) => (-n, s) }.take(6)
         .map { case (s, n) => s"""{"n":$n,"stack":"${esc(s)}"}""" }
         .mkString("[", ",", "]")
+      (sigs.size, top)
     }
     private def capture(name: String, t0: Long, thr: Double, baseJit: Long,
                         baseGc: Long, baseJan: Long): Unit = {
@@ -229,8 +236,11 @@ object Bench {
       // profile only the onset, so one capture spans ~64 s of breach,
       // each sample stamped with its own elapsed offset; sampling stops
       // the moment the rep ends
-      val samples = scala.collection.mutable.ArrayBuffer(
-        s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"stacks":${sampleStacks()}}""")
+      def oneSample(): String = {
+        val (busy, top) = sampleStacks()
+        s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"busy_threads":$busy,"stacks":$top}"""
+      }
+      val samples = scala.collection.mutable.ArrayBuffer(oneSample())
       val gaps = Seq(1000L, 1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
       for (g <- gaps if current.exists(_._1 == name)) {
         var slept = 0L
@@ -238,7 +248,7 @@ object Bench {
           Thread.sleep(250); slept += 250
         }
         if (current.exists(_._1 == name))
-          samples += s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"stacks":${sampleStacks()}}"""
+          samples += oneSample()
       }
       val jitD = if (baseJit < 0) -1L else jitMillis - baseJit
       out(name) =

@@ -936,7 +936,7 @@ object Graph {
     */
   /** Canonical simple undirected edge frame (a < b, self-loops dropped,
     * deduped) from a directed edge list. */
-  private def canonEdges(edges: DataFrame): DataFrame =
+  private[graph] def canonEdges(edges: DataFrame): DataFrame =
     edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -948,7 +948,7 @@ object Graph {
     * wedge machinery shared by [[triangleCounts]] and [[kTruss]]
     * (which re-runs it per peel round on the shrinking live set).
     * `canon` must already be checkpointed by the caller. */
-  private def orientedTriangles(canon: DataFrame): DataFrame = {
+  private[graph] def orientedTriangles(canon: DataFrame): DataFrame = {
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = canon
