@@ -20,6 +20,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Self-contained dump: persisted-fit artifacts (and the oracle SQL
+    // paths that reference them) live INSIDE the out dir, so the gate
+    // survives any concurrent graft JVM's /tmp sweep (VERDICT r15 #1).
+    graft.sources.Artifacts.setRoot(s"$outDir/_artifacts")
     // dev-only subset filter (comma-separated query names); the driver
     // never sets it, so the gate always runs the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -25,6 +25,20 @@ object Artifacts {
   private val ns: Long = ProcessHandle.current().pid()
   private val tmpRoot: String = System.getProperty("java.io.tmpdir")
 
+  // Verify redirects the whole namespace under its OUT dir so the dump +
+  // oracle_sql.json form one self-contained unit: the oracle SQL it embeds
+  // then points inside the dump, immune to any other JVM's startup sweep
+  // (VERDICT r15 finding 1 — a concurrent sbt-test JVM swept the exited
+  // Verify JVM's /tmp/graft_<pid> dir mid-comparison and 10 artifact-backed
+  // queries failed with IO errors).
+  @volatile private var rootOverride: Option[String] = None
+
+  /** Redirect all subsequent artifact paths under `dir` (made absolute).
+    * Call before any query runs; the pid sweep is skipped for redirected
+    * paths since nothing under `dir` is pid-namespaced. */
+  def setRoot(dir: String): Unit =
+    rootOverride = Some(Paths.get(dir).toAbsolutePath.toString)
+
   // One-time startup sweep: delete graft_<pid> dirs whose JVM is gone.
   // Only exact `graft_<digits>` names are considered, and only when the
   // pid is verifiably absent — a live concurrent run is never touched.
@@ -49,10 +63,12 @@ object Artifacts {
   private[sources] def sanitize(tag: String): String =
     tag.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** `/tmp/graft_<pid>/<sanitized tag>` — parquet directory for one
-    * artifact. */
-  def path(tag: String): String = {
-    swept
-    s"$tmpRoot/graft_$ns/${sanitize(tag)}"
+  /** `<root>/<sanitized tag>` — parquet directory for one artifact, where
+    * root is the redirected dir (Verify gate runs) or `/tmp/graft_<pid>`. */
+  def path(tag: String): String = rootOverride match {
+    case Some(r) => s"$r/${sanitize(tag)}"
+    case None =>
+      swept
+      s"$tmpRoot/graft_$ns/${sanitize(tag)}"
   }
 }
