@@ -713,11 +713,16 @@ object TextStats {
     * latency, not vocab work — fine at the registered rounds=10,
     * 40 min at a real tokenizer's 10⁴ merges. Each batched round
     * instead selects up to `batchSize` pairs GREEDILY by the canonical
-    * (count desc, lhs, rhs) rank, skipping any pair sharing a SYMBOL
-    * with an already-selected pair, and applies them all at once.
-    * Symbol-disjointness makes the batch order-independent AND makes
-    * the round-start counts valid for every selected pair (a merge can
-    * only change counts of pairs touching its symbols), so a batch of
+    * (count desc, lhs, rhs) rank, skipping any pair whose symbol triple
+    * {lhs, rhs, concat(lhs,rhs)} — inputs AND merged output — overlaps
+    * an already-selected pair's triple, and applies them all at once.
+    * Input-only disjointness is NOT enough: (a,b) and (ab,c) have
+    * disjoint inputs, yet rule (ab,c) would also merge adjacencies rule
+    * (a,b) just created (ADVICE r15). Triple-disjointness makes the
+    * batch order-independent AND makes the round-start counts valid for
+    * every selected pair (a merge can only change counts of pairs
+    * touching its input symbols, and no rule's input is — or can be
+    * produced as — another rule's output), so a batch of
     * B costs ONE driver round instead of B — merge throughput scales
     * with B (probe-measured in SCALE.md). The batched rule sequence is
     * a different (coarser) canonical sequence than sequential BPE —
@@ -761,24 +766,24 @@ object TextStats {
     var exhausted = false
     val selType = "array<struct<lhs:string,rhs:string,n:bigint>>"
     for (b <- 1 to batches if !exhausted) {
-      val pairs = vocab
-        .select(col("freq"), expr("filter(split(sym, '##'), s -> s <> '')").as("arr"))
-        .filter(size(col("arr")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(arr) - 1), j -> struct(element_at(arr, j) AS l, element_at(arr, j + 1) AS r))")).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum("freq").as("n"))
       // one row holding the rank-ordered candidate array: struct sorts
       // field-by-field, so (-n, lhs, rhs) ascending IS the canonical
-      // (n desc, lhs, rhs) merge rank
-      val sel = pairs
+      // (n desc, lhs, rhs) merge rank. Disjointness is over each pair's
+      // input symbols AND its merged OUTPUT symbol (concat(lhs,rhs)):
+      // input-only disjointness admits e.g. (a,b) + (ab,c) in one batch
+      // — {a,b} ∩ {ab,c} = ∅ — but rule (ab,c) would then also merge
+      // adjacencies rule (a,b) just created, breaking both batch
+      // order-independence and round-start-count validity (ADVICE r15).
+      val sel = pairCounts(vocab)
         .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(candCap)
         .agg(expr("sort_array(collect_list(struct(-n AS nn, lhs, rhs, n)))").as("cands"))
         .select(expr(
           s"""aggregate(cands, cast(array() as $selType), (acc, p) ->
              |  CASE WHEN size(acc) >= $batchSize
-             |            OR exists(acc, q -> q.lhs = p.lhs OR q.lhs = p.rhs
-             |                             OR q.rhs = p.lhs OR q.rhs = p.rhs)
+             |            OR exists(acc, q ->
+             |                 arrays_overlap(
+             |                   array(q.lhs, q.rhs, concat(q.lhs, q.rhs)),
+             |                   array(p.lhs, p.rhs, concat(p.lhs, p.rhs))))
              |  THEN acc
              |  ELSE concat(acc, array(named_struct('lhs', p.lhs, 'rhs', p.rhs, 'n', p.n))) END)""".stripMargin).as("sel"))
         .loopCheckpoint(true)
@@ -970,8 +975,11 @@ object TextStats {
        |  FROM tok GROUP BY word)""".stripMargin
     for (i <- 1 to r) {
       val p = i - 1
+      // disjointness over inputs AND the merged output symbol, mirroring
+      // the engine's arrays_overlap triple (ADVICE r15)
       val ok = s"len(g.sel) < $b AND NOT list_contains(g.used, c.lhs)" +
-        " AND NOT list_contains(g.used, c.rhs)"
+        " AND NOT list_contains(g.used, c.rhs)" +
+        " AND NOT list_contains(g.used, c.lhs || c.rhs)"
       var apply = "v.sym"
       for (j <- 1 to b)
         apply =
@@ -996,7 +1004,7 @@ object TextStats {
          |         CAST([] AS STRUCT(lhs VARCHAR, rhs VARCHAR, n BIGINT)[]) AS sel
          |  UNION ALL
          |  SELECT c.rk,
-         |    CASE WHEN $ok THEN g.used || [c.lhs, c.rhs] ELSE g.used END,
+         |    CASE WHEN $ok THEN g.used || [c.lhs, c.rhs, c.lhs || c.rhs] ELSE g.used END,
          |    CASE WHEN $ok
          |         THEN g.sel || [{'lhs': c.lhs, 'rhs': c.rhs, 'n': CAST(c.n AS BIGINT)}]
          |         ELSE g.sel END

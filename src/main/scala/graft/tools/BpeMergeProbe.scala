@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * corpus: the registered corpora cap out at a 31-word vocab that
   * EXHAUSTS after 89 merges (SCALE.md round-14), so realistic merge
   * counts are unreachable on real test data by construction. Words are
-  * 2-6 syllables drawn deterministically from a 24-syllable inventory
+  * 2-6 syllables drawn deterministically from a 25-syllable inventory
   * (shared substructure → meaningful high-count pairs deep into
   * training), frequency ~ N/rank (Zipf). The fabrication feeds
   * bpeMergesFromWordCounts directly — the corpus-sized tokenize+count

@@ -118,8 +118,11 @@ class TextStatsSpec extends SparkSpec {
         var used = Set.empty[String]
         var cnt = 0
         val sel = Seq.newBuilder[((String, String), Long)]
-        for (((l, r), n) <- ranked if cnt < b && !used(l) && !used(r)) {
-          sel += (((l, r), n)); used = used + l + r; cnt += 1
+        // disjointness over inputs AND the merged output symbol — (a,b)
+        // and (ab,c) must not share a batch (ADVICE r15)
+        for (((l, r), n) <- ranked
+             if cnt < b && !used(l) && !used(r) && !used(l + r)) {
+          sel += (((l, r), n)); used = used + l + r + (l + r); cnt += 1
         }
         val s = sel.result()
         s.zipWithIndex.foreach { case (((l, r), n), i) =>
@@ -152,10 +155,12 @@ class TextStatsSpec extends SparkSpec {
     val want = refBatched(wf, batches = 3, b = 3, k = 10)
     assert(got == want, s"\ngot  = ${got.mkString(",")}\nwant = ${want.mkString(",")}")
     assert(TextStats.bpeBatchRec("spec_x32") == 3)
-    // within-batch symbol-disjointness (the property that makes the
-    // batch order-independent and its round-start counts valid)
+    // within-batch symbol-disjointness over inputs AND outputs (the
+    // property that makes the batch order-independent and its
+    // round-start counts valid — a rule's output colliding with another
+    // rule's input would cascade merges within the batch)
     got.groupBy(_._1).foreach { case (_, rs) =>
-      val syms = rs.flatMap(r => Seq(r._3, r._4))
+      val syms = rs.flatMap(r => Seq(r._3, r._4, r._3 + r._4))
       assert(syms.distinct.size == syms.size, s"batch shares symbols: $rs")
     }
   }
