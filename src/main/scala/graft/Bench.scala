@@ -190,7 +190,18 @@ object Bench {
     // (name, startNanos, thresholdSec, baseJitMs, baseGcMs, baseJanino)
     @volatile private var current: Option[(String, Long, Double, Long, Long, Long)] = None
     private val out = scala.collection.concurrent.TrieMap[String, String]()
+    // true while capture() is writing an episode: report() must flush
+    // before reading, or a capture racing the pass's final breaching
+    // query can miss the emitted JSON entirely (ADVICE r15)
+    @volatile private var inFlight = false
     def episodes: Map[String, String] = out.toMap
+    /** Block until any in-flight capture has written its episode (the
+      * backoff loop notices end() within ~250 ms + one stack sample, so
+      * the bound is never approached on a healthy pass). */
+    def flush(maxMs: Long = 5000): Unit = {
+      var waited = 0L
+      while (inFlight && waited < maxMs) { Thread.sleep(50); waited += 50 }
+    }
     // threshold covers ONE rep (begin/end bracket each rep, not the reps
     // loop — at reps=3 a whole-query bracket tripled the measured window
     // and fired 33 spurious captures in one pass) and adds the anchor's
@@ -214,7 +225,7 @@ object Bench {
       * core on 32-partition stages, ordinary execution frames, low
       * janino), a signature distinct from both host steal and the r14
       * compilation storms. */
-    private def sampleStacks(): (Int, String) = {
+    private def sampleStacks(): (Int, Int, String) = {
       import scala.jdk.CollectionConverters._
       val sigs = Thread.getAllStackTraces.asScala.toSeq.collect {
         case (t, st) if t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
@@ -222,11 +233,19 @@ object Bench {
           st.take(6).map(f => s"${f.getClassName}.${f.getMethodName}")
             .mkString(" <- ")
       }
+      // RUNNABLE-but-idle native waiters (netty epoll, NIO selectors,
+      // LockSupport.park shows RUNNABLE briefly) inflate the raw count —
+      // the r15 episodes read busy 8-9 with 6 of those epollWait. The
+      // ACTIVE count (idle top frames excluded) is what classification
+      // keys on: 1-2 active on ordinary frames = parallelism collapse.
+      val idleTop = Seq("epollWait", "EPoll.wait", "kevent", "socketAccept",
+        "Unsafe.park", "SelectorImpl.select")
+      val active = sigs.count(s => !idleTop.exists(s.takeWhile(_ != '<').contains))
       val top = sigs.groupBy(identity).view.mapValues(_.size).toSeq
         .sortBy { case (s, n) => (-n, s) }.take(6)
         .map { case (s, n) => s"""{"n":$n,"stack":"${esc(s)}"}""" }
         .mkString("[", ",", "]")
-      (sigs.size, top)
+      (sigs.size, active, top)
     }
     private def capture(name: String, t0: Long, thr: Double, baseJit: Long,
                         baseGc: Long, baseJan: Long): Unit = {
@@ -236,23 +255,47 @@ object Bench {
       // profile only the onset, so one capture spans ~64 s of breach,
       // each sample stamped with its own elapsed offset; sampling stops
       // the moment the rep ends
+      val actives = scala.collection.mutable.ArrayBuffer.empty[Int]
       def oneSample(): String = {
-        val (busy, top) = sampleStacks()
-        s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"busy_threads":$busy,"stacks":$top}"""
+        val (busy, active, top) = sampleStacks()
+        actives += active
+        s"""{"t":${f((System.nanoTime() - t0) / 1e9)},"busy_threads":$busy,"busy_active":$active,"stacks":$top}"""
       }
       val samples = scala.collection.mutable.ArrayBuffer(oneSample())
       val gaps = Seq(1000L, 1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
-      for (g <- gaps if current.exists(_._1 == name)) {
+      // liveness = same name AND same rep t0: name alone kept a capture
+      // sampling into the NEXT rep of the same query with offsets
+      // computed against the stale t0 (ADVICE r15)
+      def live = current.exists(c => c._1 == name && c._2 == t0)
+      for (g <- gaps if live) {
         var slept = 0L
-        while (slept < g && current.exists(_._1 == name)) {
+        while (slept < g && live) {
           Thread.sleep(250); slept += 250
         }
-        if (current.exists(_._1 == name))
+        if (live)
           samples += oneSample()
       }
       val jitD = if (baseJit < 0) -1L else jitMillis - baseJit
+      val gcD = gcMillis - baseGc
+      val janD = if (baseJan < 0) -1L else janinoCount - baseJan
+      // auto-classification (VERDICT r15 item 3) — the three episode
+      // classes the r14/r15 forensics distinguished by hand:
+      //   gc_pressure:          GC dominates the breach window
+      //   parallelism_collapse: ≤3 ACTIVE threads on ordinary execution
+      //                         frames (external throttling invisible to
+      //                         steal% — the r15 class)
+      //   compilation_storm:    many active cores AND heavy Janino churn
+      //                         (the r14 codegen-cache class)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      val activeMed =
+        if (actives.isEmpty) 0 else actives.sorted.apply(actives.size / 2)
+      val cls =
+        if (gcD >= 0.5 * elapsedMs) "gc_pressure"
+        else if (activeMed <= 3) "parallelism_collapse"
+        else if (janD >= 20 && activeMed >= 8) "compilation_storm"
+        else "mixed"
       out(name) =
-        s"""{"at_sec":${f(atSec)},"threshold_sec":${f(thr)},"jit_ms":$jitD,"gc_ms":${gcMillis - baseGc},"janino_n":${if (baseJan < 0) -1L else janinoCount - baseJan},"janino_mean_ms":${f(janinoMeanMs)},"samples":${samples.mkString("[", ",", "]")}}"""
+        s"""{"at_sec":${f(atSec)},"threshold_sec":${f(thr)},"class":"$cls","busy_active_median":$activeMed,"jit_ms":$jitD,"gc_ms":$gcD,"janino_n":$janD,"janino_mean_ms":${f(janinoMeanMs)},"samples":${samples.mkString("[", ",", "]")}}"""
     }
     private def f(v: Double) = f"$v%.3f"
     private val thread = new Thread(() => {
@@ -261,8 +304,10 @@ object Bench {
         current match {
           case Some((name, t0, thr, bj, bg, bn))
             if !out.contains(name) && (System.nanoTime() - t0) / 1e9 > thr =>
+            inFlight = true
             try capture(name, t0, thr, bj, bg, bn)
             catch { case _: InterruptedException => () case _: Throwable => () }
+            finally inFlight = false
           case _ => ()
         }
       }
@@ -285,6 +330,17 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   } catch { case _: Throwable => Map.empty }
+
+  /** Parse an anchor JSON's named flat array of numbers (same writer,
+    * same safety argument as [[anchorMap]]). Empty on any failure. */
+  private def anchorArr(field: String): Seq[Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_anchors/anchor_current.json")), "UTF-8")
+    val qi = txt.indexOf("\"" + field + "\":[")
+    if (qi < 0) Nil
+    else txt.substring(qi + field.length + 4, txt.indexOf(']', qi))
+      .split(',').toSeq.flatMap(_.trim.toDoubleOption)
+  } catch { case _: Throwable => Nil }
 
   /** One fixed CPU-bound reference job: sum of 4×10⁸ modulos across 32
     * partitions. No IO, no shuffle beyond the final 32-row agg, no memo
@@ -364,10 +420,17 @@ object Bench {
     // named query, simulating a real plan regression — wall grows with
     // no build/jit attribution, so the methodology-aware regression
     // flag must still fire on it while staying ≈0 on clean cold runs.
-    val slowQ: Option[(String, Long)] = sys.env.get("SPARK_GRAFT_SLOW_Q")
+    // `name:ms` sleeps (zero jit attribution — validates the discount's
+    // floor); `name:ms:spin` burns the same wall through FRESHLY
+    // GENERATED codegen classes (a new modulus literal per iteration →
+    // a new plan → Janino + C2 churn), carrying the jit attribution a
+    // REAL plan regression carries — validating that the capped jit
+    // discount cannot mask that class either (ADVICE r15).
+    val slowQ: Option[(String, Long, Boolean)] = sys.env.get("SPARK_GRAFT_SLOW_Q")
       .flatMap { s =>
         s.split(':') match {
-          case Array(n, ms) => ms.toLongOption.map(n -> _)
+          case Array(n, ms) => ms.toLongOption.map((n, _, false))
+          case Array(n, ms, "spin") => ms.toLongOption.map((n, _, true))
           case _ => None
         }
       }
@@ -440,7 +503,19 @@ object Bench {
         val ok =
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            slowQ.foreach { case (n, ms) => if (n == name) Thread.sleep(ms) }
+            slowQ.foreach { case (n, ms, spin) =>
+              if (n == name) {
+                if (spin) {
+                  val deadline = System.nanoTime() + ms * 1000000L
+                  var k = 3L
+                  while (System.nanoTime() < deadline) {
+                    spark.range(0L, 2000000L, 1L, 8)
+                      .selectExpr(s"sum(id % $k)").collect()
+                    k += 2
+                  }
+                } else Thread.sleep(ms)
+              }
+            }
             true
           }
           catch { case e: Throwable =>
@@ -485,6 +560,7 @@ object Bench {
     val regime = Regime(gcByQ.toMap, loads.toSeq, probes.toSeq,
       blocksByQ.toMap, blocksMax, stealPct, jitByQ.toMap)
     spark.stop() // stop BEFORE printing so no shutdown logs trail the JSON
+    watchdog.flush() // join any capture racing the final query's end()
     report(results, reps, sfDir, isolated = None, regime = regime,
       fullRun = fullRun, episodes = watchdog.episodes)
   }
@@ -546,17 +622,43 @@ object Bench {
     def adjWall(k: String): Double = {
       val raw = math.abs(results(k)._1)
       if (!discounted) raw
-      else math.max(0.0,
-        raw - results(k)._3 - math.max(0.0, regime.jit.getOrElse(k, 0.0)))
+      else {
+        // jit discount CAPPED at half the measured wall (ADVICE r15):
+        // CompilationMXBean time sums across compiler threads and runs
+        // largely CONCURRENT with execution, and a real plan regression
+        // triggers fresh codegen/JIT of its own — an uncapped
+        // subtraction would discount part of a genuine regression's
+        // signal in exactly the single-rep driver mode the flag serves
+        // (validated by the SLOW_Q :spin hook, which burns wall through
+        // freshly generated classes and must still flag). Builds stay
+        // uncapped: memo builds are wall-serial by construction.
+        val jit = math.max(0.0, regime.jit.getOrElse(k, 0.0))
+        math.max(0.0, raw - results(k)._3 - math.min(jit, 0.5 * raw))
+      }
     }
+    // Regime term (VERDICT r15 item 2): this run's fixed reference-probe
+    // median over the ANCHOR run's — identical pure-compute work in both
+    // windows, so the ratio is the host-speed factor between them, and
+    // a uniformly throttled pass self-reports "regime X, ~0 plan-level
+    // flags" instead of crying wolf on dozens of names (38 phantom flags
+    // in the r15 driver pass, zero real). Floored at 1.0 — a faster-
+    // than-anchor host must not inflate ratios — and inert (1.0) when
+    // either side lacks probe readings (isolated mode, missing anchor).
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val anchorProbe = anchorArr("ref_probe")
+    val regimeFactor =
+      if (regime.refProbe.nonEmpty && anchorProbe.nonEmpty &&
+          med(anchorProbe) > 0)
+        math.max(1.0, med(regime.refProbe) / med(anchorProbe))
+      else 1.0
     val ratios: Seq[(String, Double)] = results.toSeq.collect {
       case (k, (_, c, _)) if c >= 0 && anchor.get(k).exists(_ > 0) =>
-        k -> adjWall(k) / anchor(k)
+        k -> adjWall(k) / (anchor(k) * regimeFactor)
     }
     val vsAnchorFull = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val regressed = ratios.collect {
-      case (k, r) if r >= 1.3 && adjWall(k) - anchor(k) >= 0.3 => k
+      case (k, r) if r >= 1.3 && adjWall(k) / regimeFactor - anchor(k) >= 0.3 => k
     }.sorted
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Regime self-report (VERDICT r13 item 1b): per-query GC seconds,
@@ -589,7 +691,7 @@ object Bench {
     val episodesFull = episodes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regimeFull =
-      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"jit_total":${fmt(jitTotal)},"jit":$jitFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull,"episodes":$episodesFull"""
+      s""","gc_total":${fmt(gcTotal)},"gc_frac":${fmt(gcFrac)},"gc":$gcFull,"jit_total":${fmt(jitTotal)},"jit":$jitFull,"load":${arr(regime.load)},"ref_probe":${arr(regime.refProbe)},"probe_drift":${fmt(probeDrift)},"regime_factor":${fmt(regimeFactor)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"blocks":$blocksFull,"episodes":$episodesFull"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qsFull,"cpu_total":${fmt(cpuTotal)},"cpu":$cpuFull,"build_sec_total":${fmt(buildTotal)},"builds":$buildsFull,"vs_anchor":$vsAnchorFull,"vs_anchor_discounted":$discounted,"regressed":$regressedJson,"anchor_n":${ratios.size}$regimeFull,"failed":$failed,"sf":"$sfDir"$iso}"""
     System.err.println(fullJson)
@@ -632,7 +734,7 @@ object Bench {
     // probe_drift ≫ 1.5 and knows the run measured the host's hour,
     // not the tree — without the archaeology BENCH_r13 needed
     val regimeHead = if (regime.refProbe.nonEmpty)
-      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"episodes_n":${episodes.size}"""
+      s""","gc_frac":${fmt(gcFrac)},"load":${arr(regime.load)},"probe_drift":${fmt(probeDrift)},"regime_factor":${fmt(regimeFactor)},"steal_pct":${arr(regime.stealPct)},"blocks_max":${regime.blocksMax},"episodes_n":${episodes.size}"""
     else ""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"build_sec_total":${fmt(buildTotal)},"build_paid":$buildPaid,"queries":$qs,"failed":$failed,"regressed_n":${regressed.size},"regressed":$regHead$regimeHead,"sf":"$sfDir","n_queries":${results.size}$iso}""")
     System.out.flush()
