@@ -35,6 +35,36 @@ import graft.sources.Tables
   * per-group state O(1) (start, last, count). Watermark bounds state.
   */
 object EventStream {
+  /** Default state-store count for stateful streaming queries — the
+    * sizing rule the StreamScaleProbe measured (SCALE.md round-15): a
+    * stateful query creates one state store per shuffle partition and
+    * commits EVERY store EVERY micro-batch (~50 ms each through one
+    * local filesystem), so the stream's wall floor is
+    * `batches × stores × commit-latency` — a commit-path cost decoupled
+    * from both event volume and compute parallelism. Cutting stores 8×
+    * below local[32]'s session default cut st6's stream wall 8.0× with
+    * identical state rows; 8 stores carried the 30× volume re-run at
+    * 1× cost. Size stores to state volume (rows per store), never to
+    * core count; on a real cluster the same rule reads "stores ≈
+    * state-heavy executor count", not "stores = total cores". */
+  val defaultStateStores = 8
+
+  /** Per-QUERY state-store sizing: a conf-cloned session (shared
+    * SparkContext, independent SQLConf) whose shuffle-partition count —
+    * which IS the state-store count for any stateful streaming query
+    * planned on it — is `stores`. The per-query analog of q79's
+    * per-write dynamic-overwrite option: no session set/restore, so a
+    * concurrent query planned on the base session can never observe
+    * this query's sizing, and the count is baked into the query's
+    * checkpoint at first start regardless of later conf changes. Build
+    * the stream's WHOLE plan (source included) on the returned session. */
+  def sessionWithStores(spark: SparkSession,
+                        stores: Int = defaultStateStores): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", stores.toString)
+    s
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),

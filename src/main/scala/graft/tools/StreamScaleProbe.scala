@@ -49,7 +49,12 @@ object StreamScaleProbe {
     // commit count, not the event volume, is the suspected wall floor
     // (st6 read ~2 min for 110k events). Varying this knob at fixed
     // local[32] isolates batches × stores × commit-latency from data.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // default = the right-sized store count the round-15 sweep landed on
+    // (EventStream.defaultStateStores), NOT core count: the probe now
+    // practices the sizing rule it taught; pass SPARK_GRAFT_SHUFFLE=32
+    // to reproduce the old stores-=-cores readings
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.streaming.EventStream.defaultStateStores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

@@ -663,6 +663,36 @@ class EventStreamSpec extends SparkSpec {
       s"recovered trending store wrong: ${h1.mkString(",")}")
   }
 
+  test("sessionWithStores: per-query state-store sizing with batch parity and base-session isolation") {
+    val s2 = EventStream.sessionWithStores(spark, stores = 2)
+    implicit val sqlCtx = s2.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.attributionStream(
+      vIn.toDF().toDF("view_user", "view_ts"),
+      cIn.toDF().toDF("click_user", "click_ts"))
+      .select(col("view_user"), col("view_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName("attr_sized")
+      .outputMode("append").start()
+    try {
+      val m = (h: Int, min: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+      vIn.addData((1L, m(0, 0)))
+      cIn.addData((1L, m(0, 30)), (2L, m(0, 10)))
+      q.processAllAvailable()
+      // batch-twin parity is preserved under the re-sized store count
+      val got = s2.table("attr_sized").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(got.toSeq == Seq((1L, m(0, 0), m(0, 30))), got.mkString(","))
+      // the stateful operator really ran at 2 state stores, not the
+      // session default — numShufflePartitions IS the store count
+      val parts = q.lastProgress.stateOperators.map(_.numShufflePartitions)
+      assert(parts.nonEmpty && parts.forall(_ == 2L), parts.mkString(","))
+      // and the BASE session's conf is untouched (per-query isolation,
+      // the q79 no-set/restore hygiene)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    } finally q.stop()
+  }
+
   test("dedupDelivery restores exactly-once counts from at-least-once feed") {
     val events = graft.sources.Tables.events(spark, sf("sf0.001"))
     val got = EventStream.dedupDelivery(events).collect()
