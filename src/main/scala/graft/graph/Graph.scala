@@ -101,6 +101,49 @@ object Graph {
     * Each iteration ends in `localCheckpoint(eager=true)` so lineage stays
     * flat (fixes the reference's unbounded-plan hazard, SURVEY §4).
     */
+  /** Implied vertex set hash-keyed on `id` at the loop partition count
+    * — the variant of [[vertices]] for loops that join `v` every round:
+    * the repartition lands BEFORE the distinct, so the aggregate reuses
+    * the exchange and the checkpoint carries hash(id, np) forward
+    * (round-16: exchange-free per-round joins, guide §2.4). */
+  private def keyedVertices(e: DataFrame, np: Int): DataFrame = {
+    val ids = e.select(explode(array(col("src"), col("dst"))).as("id"))
+    if (np <= 1) ids.distinct() // SinglePartition input: no exchange
+    else ids.repartition(np, col("id")).distinct()
+  }
+
+  /** Entry keying for an iterative loop (round 16, guide §2.4 "remove
+    * shuffles outright"): materialize the caller's edge pipeline once,
+    * size the loop partition count from its ACTUAL bytes
+    * ([[Lineage.sizedParts]]), and re-key it hash(`key`, np) so every
+    * per-round join/aggregate on that key is exchange-free (the
+    * checkpoint re-attaches the executed plan's partitioning — see
+    * LineageStats.preservePartitioning). Returns (keyedFrame, np).
+    * The sizing checkpoint's blocks are released once the keyed copy
+    * is materialized. */
+  private[graph] def keyedEntry(frame: DataFrame, key: String): (DataFrame, Int) = {
+    val raw = frame.loopCheckpoint(true)
+    val np = Lineage.sizedParts(raw)
+    // a 1-partition frame is already universally co-partitioned
+    // (SinglePartition claim) — re-keying it would only add jobs
+    if (np == 1 && rawParts(raw) == 1) (raw, 1)
+    else {
+      val keyed = Lineage.checkpoint(raw.repartition(np, col(key)), eager = true)
+      Lineage.release(raw)
+      (keyed, np)
+    }
+  }
+
+  private def rawParts(cp: DataFrame): Int =
+    org.apache.spark.sql.graft.LineageStats.checkpointRdd(cp)
+      .map(_.getNumPartitions).getOrElse(-1)
+
+  /** Hash-rekey for the loop's one fundamental per-round shuffle —
+    * skipped at np == 1 where the input is already SinglePartition and
+    * the downstream aggregate needs no exchange at all. */
+  private def maybeRekey(df: DataFrame, np: Int, key: String): DataFrame =
+    if (np <= 1) df else df.repartition(np, col(key))
+
   def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                refQuirks: Boolean = false): DataFrame = {
     // Checkpoint the caller's edge frame ONCE at entry (the CC round-12
@@ -109,12 +152,22 @@ object Graph {
     // match graph) runs exactly once, not once per derived frame — and
     // `v` is checkpointed too because the clean variant joins it every
     // iteration (GraphSpec pins single evaluation via accumulator).
-    // The entry checkpoint is LAZY: v's eager checkpoint job references
-    // e exactly once (explode-based [[vertices]]) and materializes both
-    // — no standalone extra job at gate scale, same one-evaluation
-    // guarantee at caller-pipeline scale.
-    val e = edges.select("src", "dst").loopCheckpoint(false)
-    val v = vertices(e).loopCheckpoint(true)
+    //
+    // Round-16 (guide §2.4 — remove shuffles outright): the edge frame
+    // is hash-keyed on src at the size-derived loop partition count ONCE
+    // (the GraphX partitionBy discipline) and every checkpoint
+    // re-attaches the executed plan's partitioning (see LineageStats),
+    // so outDeg / contribs build exchange-free AND every iteration's
+    // contribs ⋈ ranks is exchange-free: ranks re-acquires hash(id, np)
+    // each roll because the round's final join streams the keyed `v`.
+    // The only per-round exchange left is the mass re-key to dst — the
+    // one shuffle fixed-point PageRank fundamentally needs (explicit
+    // repartition(np, dst) so the aggregate reuses it and the update
+    // join stays co-partitioned with v at any session conf). At cluster
+    // scale this is the difference between shuffling the edge list
+    // every iteration and never re-shuffling it.
+    val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
+    val v = keyedVertices(e, np).loopCheckpoint(true)
     val n = v.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val init = if (refQuirks) 10.0 else 1.0 / n
@@ -122,21 +175,28 @@ object Graph {
     // grandparent generation's blocks (keep-2, see Lineage.Gen) so the
     // loop's block-store residency is O(1), not O(iterations)
     val rgen = Lineage.gen()
-    var ranks = rgen.roll(v.select(col("id"), lit(init).as("rank")), true)
+    // rank₀ is a projection of the already-checkpointed v — no roll
+    // needed (nothing new to materialize, partitioning flows through)
+    var ranks: DataFrame = v.select(col("id"), lit(init).as("rank"))
     val contribs = e.join(outDeg, "src") // pre-joined once, reused per iter
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+      // shuffle_hash hint on the ranks side: co-partitioned hash join —
+      // no per-round broadcast job, no sort of the edge-sized stream
+      // side, no |V|-sized broadcast at scale
+      val spread = contribs
+        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
         .select(col("dst"),
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+      val mass = maybeRekey(spread, np, "dst")
         .groupBy("dst")
         .agg(sum("contrib").cast("double").as("mass"))
-      val updated = spread.select(col("dst").as("id"),
+      val updated = mass.select(col("dst").as("id"),
         (lit(alpha / n) + lit(1.0 - alpha) * col("mass")).as("rank"))
       ranks = rgen.roll(
         if (refQuirks) updated // ref drops vertices with no in-links
-        else v.join(updated, Seq("id"), "left_outer")
+        else v.join(updated.hint("shuffle_hash"), Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("rank"), lit(alpha / n)).as("rank")),
         true)
     }
@@ -191,14 +251,15 @@ object Graph {
     * `localCheckpoint`) matches [[pageRank]]. */
   def pageRankDangling(edges: DataFrame, iterations: Int,
                        alpha: Double = 0.15): DataFrame = {
-    // single caller-frame evaluation at entry (see [[pageRank]]; lazy —
-    // v's eager checkpoint job materializes e through its one reference)
-    val e = edges.select("src", "dst").loopCheckpoint(false)
-    val v = vertices(e).loopCheckpoint(true) // joined every iteration
+    // keyed loop entry (round 16, see [[pageRank]]): one size-adaptive
+    // hash(src) keying of the edge frame, co-partitioned exchange-free
+    // per-round joins, one fundamental shuffle per round (mass by dst)
+    val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
+    val v = keyedVertices(e, np).loopCheckpoint(true)
     val n = v.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val rgen = Lineage.gen() // keep-2 generation tracking (see pageRank)
-    var ranks = rgen.roll(v.select(col("id"), lit(1.0 / n).as("rank")), true)
+    var ranks: DataFrame = v.select(col("id"), lit(1.0 / n).as("rank"))
     val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
@@ -207,15 +268,19 @@ object Graph {
         Seq("id"), "left_anti")
       .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+      val spread = contribs
+        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
         .select(col("dst"),
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+      val mass = maybeRekey(spread, np, "dst")
         .groupBy("dst")
         .agg(sum("contrib").cast("double").as("mass"))
-      val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
+      val dangling = ranks.join(danglingIds.hint("shuffle_hash"),
+          Seq("id"), "left_semi")
         .agg(coalesce(sum(col("rank").cast(Dec)), lit(0).cast(Dec))
           .cast("double").as("dm"))
-      ranks = rgen.roll(v.join(spread, v("id") === spread("dst"), "left_outer")
+      ranks = rgen.roll(v.join(mass.hint("shuffle_hash"),
+          v("id") === mass("dst"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(v("id"),
           (lit(alpha / n) + lit(1.0 - alpha) *
@@ -264,26 +329,28 @@ object Graph {
     * added are bit-identical. */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
                            iterations: Int = 3, alpha: Double = 0.15): DataFrame = {
-    // single caller-frame evaluation at entry (see [[pageRank]]; lazy —
-    // v's eager checkpoint job materializes e through its one reference)
-    val e = edges.select("src", "dst").loopCheckpoint(false)
-    val v = vertices(e).loopCheckpoint(true) // reused every round
+    // keyed loop entry (round 16, see [[pageRank]])
+    val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
+    val v = keyedVertices(e, np).loopCheckpoint(true)
     val k = sources.size
     val tele = alpha / k
     val isSrc = col("id").isin(sources: _*)
     val rgen = Lineage.gen() // keep-2 generation tracking (see pageRank)
-    var ranks = rgen.roll(v.select(col("id"),
-      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank")), true)
+    var ranks: DataFrame = v.select(col("id"),
+      when(isSrc, lit(1.0 / k)).otherwise(lit(0.0)).as("rank"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val contribs = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+      val spread = contribs
+        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+      val mass = maybeRekey(spread, np, "dst")
         .groupBy("dst").agg(sum("contrib").cast("double").as("mass"))
       ranks = rgen.roll(
-        v.join(spread.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        v.join(mass.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+            Seq("id"), "left_outer")
           .select(col("id"),
             (when(isSrc, lit(tele)).otherwise(lit(0.0)) +
               lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("rank")),
@@ -358,14 +425,10 @@ object Graph {
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
                   alpha: Double = 0.15, recordKey: Option[String] = None): DataFrame = {
-    // single caller-frame evaluation at entry (see [[pageRank]]; lazy —
-    // v's eager checkpoint job materializes e through its one reference)
-    val e = edges.select("src", "dst").loopCheckpoint(false)
-    val v = vertices(e).loopCheckpoint(true) // reused every round
+    // keyed loop entry (round 16, see [[pageRank]])
+    val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
+    val v = keyedVertices(e, np).loopCheckpoint(true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // one Gen for the ranks chain (init + every round's lazy `next`):
-    // the max-delta action materializes each generation before the next
-    // roll, so keep-2 release is always of a consumed generation
     val rgen = Lineage.gen()
     var ranks = rgen.roll(v.select(col("id"), lit(1.0).as("rank")), true)
     val contribs = e.join(outDeg, "src")
@@ -374,23 +437,26 @@ object Graph {
     var iters = 0
     var maxDelta = Double.MaxValue
     while (maxDelta >= tol) {
-      val spread = contribs.join(ranks, contribs("src") === ranks("id"))
+      val spread = contribs
+        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
         .select(col("dst"),
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
+      val mass = maybeRekey(spread, np, "dst")
         .groupBy("dst")
         .agg(sum("contrib").cast("double").as("mass"))
       // ranks always carries the full vertex set, so the update joins it
-      // directly and computes the per-vertex delta in the same pass — one
-      // join per round, and the convergence check is a bare aggregate
-      // over the checkpointed frame
+      // directly and computes the per-vertex delta in the same pass.
+      // The roll is EAGER since round 16: the executed plan's
+      // partitioning claim is what keeps the NEXT round exchange-free,
+      // and the max-delta aggregate then reads the fresh cache — still
+      // effectively one materializing pass per round.
       val newRank = lit(alpha) + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))
-      // lazy checkpoint — the max-delta action materializes it (see
-      // connectedComponents: one job per round, not two)
       val next = rgen.roll(
-        ranks.join(spread, ranks("id") === spread("dst"), "left_outer")
+        ranks.join(mass.hint("shuffle_hash"),
+            ranks("id") === mass("dst"), "left_outer")
           .select(col("id"), newRank.as("rank"),
             abs(newRank - col("rank")).as("delta")),
-        false)
+        true)
       maxDelta = next.agg(max("delta")).head().getDouble(0)
       ranks = next.select("id", "rank")
       iters += 1
@@ -957,10 +1023,20 @@ object Graph {
     // orient low-(deg, id) → high-(deg, id); carry the dst's degree so the
     // wedge pair-ordering below needs no extra join back to `deg`
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // The wedge self-join is compute-heavy on FEW bytes (Σ out-deg²
+    // pairs enumerated from a KB-sized edge list), so AQE's byte-based
+    // coalescing serializes it onto one core — measured 5+ s of
+    // single-task CPU in g25 at sf0.1 (round 16). Key the oriented
+    // frame on the wedge center at the session parallelism: the
+    // self-join is then co-partitioned (zero exchange) AND spread
+    // across cores; the degree orientation already bounds per-center
+    // wedge counts, so hash(s) cannot be skewed by hubs.
+    val kp = canon.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val oriented = withDeg.select(
         when(fwd, col("a")).otherwise(col("b")).as("s"),
         when(fwd, col("b")).otherwise(col("a")).as("d"),
         when(fwd, col("db")).otherwise(col("da")).as("dd"))
+      .repartition(kp, col("s"))
       .loopCheckpoint(true) // reused 3× below (two wedge legs + closure)
     val o1 = oriented.select(col("s"), col("d").as("u"), col("dd").as("du"))
     val o2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
@@ -2257,36 +2333,51 @@ object Graph {
     * exact decimal sums — one IEEE division, identical on both
     * engines. */
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
-    // lazy entry checkpoint: v's eager job materializes e through its
-    // single explode-vertices reference; the per-round joins read cache
-    val e = edges.loopCheckpoint(false) // probed twice per round
-    val v = vertices(e).loopCheckpoint(true) // from the checkpoint — caller runs once
+    // keyed loop entry (round 16, see [[pageRank]]); HITS probes the
+    // edge list on BOTH endpoints, so it keeps a src-keyed and a
+    // dst-keyed copy (at np == 1 they are the same frame — free; at
+    // cluster scale two one-time shuffles replace 2 per round)
+    val (eSrc, np) = keyedEntry(edges.select("src", "dst"), "src")
+    val eDst =
+      if (np <= 1) eSrc
+      else Lineage.checkpoint(eSrc.repartition(np, col("dst")), eager = true)
+    val v = keyedVertices(eSrc, np).loopCheckpoint(true)
     val hgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): hub…
     val agen = Lineage.gen() // …and auth half-steps
-    var hub = hgen.roll(v.select(col("id"), lit(1.0).as("hub")), true)
+    val rgen = Lineage.gen() // …and the raw mass frames (araw/hraw),
+    // materialized once per half-step so the normalizer sum AND the
+    // update join both read the same cache — without an exchange in the
+    // plan (the np == 1 co-partitioned case) there is no ReusedExchange
+    // node to dedup them, and the broadcast normalizer would otherwise
+    // recompute the whole half-step subtree
+    var hub: DataFrame = v.select(col("id"), lit(1.0).as("hub"))
     var auth = v.select(col("id"), lit(1.0).as("auth"))
     for (_ <- 1 to iterations) {
-      val araw = e.join(hub, e("src") === hub("id"))
+      val araw0 = eSrc.join(hub.hint("shuffle_hash"), eSrc("src") === hub("id"))
         .select(col("dst"), col("hub").cast(Dec).as("c"))
-        .groupBy("dst").agg(sum("c").as("araw"))
+      val araw = rgen.roll(maybeRekey(araw0, np, "dst")
+        .groupBy("dst").agg(sum("c").as("araw")), true)
       val asum = araw.agg(sum("araw").as("s"))
       // checkpointing each half-step is load-bearing: a round-11 probe
       // that cut auth's checkpoint (4 materializations instead of 8)
       // measured the SAME or slower medians — the deeper hub plans eat
       // the saved job latency. Do not re-try.
       auth = agen.roll(
-        v.join(araw.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        v.join(araw.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+            Seq("id"), "left_outer")
           .crossJoin(broadcast(asum))
           .select(col("id"),
             (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
               col("s").cast("double")).as("auth")),
         true)
-      val hraw = e.join(auth, e("dst") === auth("id"))
+      val hraw0 = eDst.join(auth.hint("shuffle_hash"), eDst("dst") === auth("id"))
         .select(col("src"), col("auth").cast(Dec).as("c"))
-        .groupBy("src").agg(sum("c").as("hraw"))
+      val hraw = rgen.roll(maybeRekey(hraw0, np, "src")
+        .groupBy("src").agg(sum("c").as("hraw")), true)
       val hsum = hraw.agg(sum("hraw").as("s"))
       hub = hgen.roll(
-        v.join(hraw.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
+        v.join(hraw.withColumnRenamed("src", "id").hint("shuffle_hash"),
+            Seq("id"), "left_outer")
           .crossJoin(broadcast(hsum))
           .select(col("id"),
             (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /

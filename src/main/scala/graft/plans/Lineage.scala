@@ -26,8 +26,16 @@ object Lineage {
     * (`eager = false`) still truncates the plan immediately — the
     * single downstream action materializes the blocks, same contract
     * as bare `localCheckpoint(false)`. */
-  def checkpoint(df: DataFrame, eager: Boolean): DataFrame =
-    LineageStats.clampCheckpointStats(df.localCheckpoint(eager))
+  def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val cp = LineageStats.clampCheckpointStats(df.localCheckpoint(eager))
+    // Eager checkpoints re-attach the executed plan's true hash
+    // partitioning (AQE erases it at capture — see
+    // LineageStats.preservePartitioning): loop joins/aggregates keyed
+    // like the previous round's output then skip their per-iteration
+    // Exchange. Lazy checkpoints have no executed plan to read; they
+    // keep the stock behavior.
+    if (eager) LineageStats.preservePartitioning(df, cp) else cp
+  }
 
   /** Postfix form so loop bodies read like the bare API:
     * `frame.loopCheckpoint(true)`. */
@@ -83,4 +91,33 @@ object Lineage {
 
   /** Fresh per-loop-variable generation tracker. */
   def gen(): Gen = new Gen()
+
+  /** Release a consumed checkpoint's blocks (non-blocking). Only for
+    * frames that will never be read again — localCheckpoint lineage is
+    * truncated, so a later read fails loudly. */
+  def release(cp: DataFrame): Unit =
+    LineageStats.checkpointRdd(cp).foreach(_.unpersist(blocking = false))
+
+  /** Size-adaptive partition count for an iterative loop's keyed frames
+    * (round 16; guide §2.2 "fewer, larger partitions" / task rule "derive
+    * partitioning from input size, not a constant"): the MEASURED bytes
+    * of an eagerly checkpointed frame divided by the session's AQE
+    * advisory partition size. At gate scale a graph's working set is a
+    * handful of KB → 1 partition (single-task loop stages, zero
+    * scheduling fan-out); at cluster scale the same code yields
+    * bytes/64 MB partitions. Every keyed frame in one loop must share
+    * this count for its hash partitionings to be join-compatible.
+    * Falls back to `default` when the frame has no materialized blocks
+    * (not a checkpoint, or evicted). */
+  def sizedParts(cp: DataFrame, default: Int = 1): Int = {
+    val s = cp.sparkSession
+    val adv = try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    catch { case _: Throwable => 64L * 1024 * 1024 }
+    LineageStats.checkpointRdd(cp).flatMap { r =>
+      s.sparkContext.getRDDStorageInfo.find(_.id == r.id)
+        .map(i => math.max(1L, i.memSize + i.diskSize))
+    }.map(b => math.max(1, math.ceil(b.toDouble / adv).toInt))
+      .getOrElse(default)
+  }
 }

@@ -38,6 +38,83 @@ import org.apache.spark.sql.execution.LogicalRDD
 object LineageStats {
   private val Cap = BigInt(Long.MaxValue)
 
+  /** Re-attach the TRUE output partitioning to an eagerly-checkpointed
+    * frame (round-16 optimization: exchange-free co-partitioned loop
+    * joins).
+    *
+    * `LogicalRDD.fromDataset` tries to carry the physical plan's
+    * `outputPartitioning` across the checkpoint, but under AQE the top
+    * node is `AdaptiveSparkPlanExec`, whose reported partitioning at
+    * capture time is unusable — so every checkpointed frame comes back
+    * `UnknownPartitioning` and every downstream join/aggregate on the
+    * loop key pays a full Exchange per iteration (measured: the
+    * PageRank/HITS/label-propagation family spends most of its wall on
+    * those per-round exchanges, not on compute).
+    *
+    * For an EAGER checkpoint the adaptive plan has already executed, so
+    * its `finalPhysicalPlan` — and therefore its true, materialized
+    * `outputPartitioning` — is known. This helper copies a
+    * `HashPartitioning` from the final plan onto the checkpoint's
+    * [[LogicalRDD]], remapping attributes positionally (final-plan
+    * output(i) → LogicalRDD output(i), same contract
+    * `LogicalRDD.fromDataset` uses). The claim is always truthful: the
+    * checkpointed RDD is `finalPlan.execute().map(_.copy())` —
+    * partition-for-partition the final plan's layout.
+    *
+    * Bails (returns `cp` unchanged) whenever the partitioning is not a
+    * plain `HashPartitioning` over attribute references, or any
+    * attribute cannot be remapped — worst case is the status quo, never
+    * a wrong claim. */
+  def preservePartitioning(origin: org.apache.spark.sql.DataFrame,
+                           cp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning, SinglePartition}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    try {
+      val ds = cp.asInstanceOf[Dataset[Row]]
+      val lr = ds.queryExecution.logical match {
+        case l: LogicalRDD => l
+        case _ => return cp
+      }
+      // already carried (non-AQE path) — nothing to do
+      if (lr.outputPartitioning.isInstanceOf[HashPartitioning] ||
+        lr.outputPartitioning == SinglePartition) return cp
+      val oqe = origin.asInstanceOf[Dataset[Row]].queryExecution
+      val finalPlan = oqe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+        case p => p
+      }
+      def rewrap(p: Partitioning): org.apache.spark.sql.DataFrame = {
+        val rewrapped = new LogicalRDD(
+          lr.output, lr.rdd, p, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          ds.sparkSession, Some(lr.computeStats()), None)
+        Dataset.ofRows(ds.sparkSession, rewrapped)
+      }
+      finalPlan.outputPartitioning match {
+        // a 1-partition layout is SinglePartition by definition — it
+        // satisfies every clustered distribution, so downstream joins /
+        // aggregates over it never exchange (the np=1 gate-scale case)
+        case SinglePartition => rewrap(SinglePartition)
+        case _ if lr.rdd.getNumPartitions == 1 => rewrap(SinglePartition)
+        case hp: HashPartitioning
+          if hp.expressions.forall(_.isInstanceOf[AttributeReference]) =>
+          val src = finalPlan.output
+          val dst = lr.output
+          if (src.size != dst.size) return cp
+          val byExprId = src.zip(dst).map { case (s, d) => s.exprId -> d }.toMap
+          val remapped = hp.expressions.map {
+            case a: AttributeReference => byExprId.get(a.exprId)
+            case _ => None
+          }
+          if (remapped.exists(_.isEmpty)) return cp
+          rewrap(HashPartitioning(
+            remapped.map(_.get.asInstanceOf[Attribute]), hp.numPartitions))
+        case _ => cp
+      }
+    } catch { case _: Throwable => cp }
+  }
+
   /** The checkpoint-backing RDD of a localCheckpoint'd frame: the
     * [[LogicalRDD]] root's `rdd` field — exactly the RDD
     * `Dataset.localCheckpoint` persisted (and the id that appears in
