@@ -273,18 +273,21 @@ object Dedup {
         .otherwise(col(s"$b.c_name")).as("a_name"),
       when(col(s"$a.c_custkey") < col(s"$b.c_custkey"), col(s"$b.c_name"))
         .otherwise(col(s"$a.c_name")).as("b_name"))
+    // EXPLICIT numbered repartitions on the block/cell keys: the pair
+    // census' shuffle BYTES are tiny while its per-block join COST is
+    // quadratic, so AQE's byte-based coalescing merges everything into
+    // one task and serializes the whole enumeration + levenshtein
+    // (measured round 16: d24's pair job = 3.4 s on ONE core of 32; the
+    // hot path measured the same effect in round 12 — 69 → 33 s without
+    // the pin, 69 → 4.1 s with, on the 4500-row-hot-block skew corpus).
+    // A user-specified numPartitions is exempt from AQE coalescing and
+    // the self-join reuses the partitioning (zero further exchange).
+    val n = c.sparkSession.sessionState.conf.numShufflePartitions
     val cold = c.join(broadcast(hotKeys), Seq("blk"), "left_anti")
+      .repartition(n, col("blk"))
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
       .select(canon("a", "b"): _*)
-    // EXPLICIT numbered repartitions on the cell keys: a hot block's
-    // shuffle BYTES are tiny while its per-cell join COST is quadratic,
-    // so AQE's byte-based coalescing would merge every cell back into
-    // one task and resurrect the straggler the decomposition exists to
-    // kill (measured: 69 → 33 s without, 69 → 4.1 s with, on the 4500-
-    // row-hot-block skew corpus). A user-specified numPartitions is
-    // exempt from AQE coalescing and the join reuses the partitioning.
-    val n = c.sparkSession.sessionState.conf.numShufflePartitions
     val hot = c.join(broadcast(hotKeys), Seq("blk"))
       .withColumn("bkt", pmod(hash(col("c_custkey")), lit(s)))
     val hotDiag = hot.repartition(n, col("blk"), col("bkt"))

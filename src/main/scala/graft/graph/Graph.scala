@@ -661,7 +661,6 @@ object Graph {
     // each round's symmetric view is two selects over the checkpoint —
     // no re-evaluation, no doubled block-store residency.
     val ed = edges.select("src", "dst").loopCheckpoint(true)
-    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
     // two generation chains (keep-2 each, see Lineage.Gen): the labels
     // chain (init + each round's lazy `next`, materialized by the
     // changed-count) and the intermediate `stepped` chain — releasing
@@ -697,11 +696,24 @@ object Graph {
     val sessParts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val scaled = math.min(2048L, ed.count() / edgeRowsPerTask + 1).toInt
     val spreadJoin = scaled > sessParts
-    val undIn = if (spreadJoin) und.repartition(scaled, col("src")) else und
+    // Round 16 (guide §2.4): the symmetric view is checkpointed ONCE,
+    // hash-keyed on src at the edge-mass-scaled width (size-adaptive:
+    // max of the measured-bytes count and the round-13 spread width),
+    // so the |E|-carrying side of every round's join never exchanges
+    // again — the checkpoint carries the partitioning claim (see
+    // LineageStats.preservePartitioning). This supersedes the per-round
+    // `undIn`/`labIn` repartitions: the labels side still exchanges at
+    // the und width each round (ER matches the claimed side's count),
+    // which is the |V|-sized cheap half.
+    val npE = math.max(
+      Lineage.sizedParts(ed) * 2, // symmetric view doubles the bytes
+      if (spreadJoin) scaled else 1)
+    val und = Lineage.checkpoint(
+      ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(npE, col("src")), eager = true)
     var changed = 1L
     while (changed > 0) {
-      val labIn = if (spreadJoin) labels.repartition(scaled, col("id")) else labels
-      val nbrMin = undIn.join(labIn, undIn("src") === labIn("id"))
+      val nbrMin = und.join(labels.hint("shuffle_hash"), und("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr_min"))
       val stepped = sgen.roll(
@@ -1539,7 +1551,9 @@ object Graph {
     * Weights are integers end-to-end — nothing float crosses engines. */
   def weightedSssp(edgesW: DataFrame, landmarks: Seq[Long],
                    recordKey: Option[String] = None): DataFrame = {
-    val e = edgesW.select("src", "dst", "w").loopCheckpoint(true)
+    // round 16: relaxation probes the edge list on dst every wave —
+    // key it once (see pageRank); the frontier side is the tiny half
+    val (e, _) = keyedEntry(edgesW.select("src", "dst", "w"), "dst")
     val dgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): dist…
     val fgen = Lineage.gen() // …and the per-wave improvement frontier
     var dist = dgen.roll(e.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -1646,7 +1660,14 @@ object Graph {
     * pivot, comfortably above any graph whose σ fits a BIGINT sum. */
   def betweenness(edges: DataFrame, pivots: Seq[Long],
                   recordKey: Option[String] = None): DataFrame = {
-    val e = edges.select("src", "dst").loopCheckpoint(true)
+    // round 16: the forward sweep probes e on src every level, the
+    // backward sweep on dst every level — keep one keyed copy per
+    // direction (free at np == 1, two one-time shuffles at scale;
+    // see pageRank / hits)
+    val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
+    val eDst =
+      if (np <= 1) e
+      else Lineage.checkpoint(e.repartition(np, col("dst")), eager = true)
     val verts = vertices(e) // from the checkpoint — caller frame runs once
     // keep-2 chains for the forward sweep (see Lineage.Gen). The
     // backward sweep's `delta` is deliberately NOT chained: `acc` is an
@@ -1662,7 +1683,8 @@ object Graph {
     var lvl = 0
     var growing = true
     while (growing) {
-      val next = fgen.roll(e.join(frontier, e("src") === frontier("id"))
+      val next = fgen.roll(e.join(frontier.hint("shuffle_hash"),
+          e("src") === frontier("id"))
         .groupBy(col("pivot"), e("dst").as("nid"))
         .agg(sum("sigma").as("sigma"))
         .withColumnRenamed("nid", "id")
@@ -1705,9 +1727,9 @@ object Graph {
         col("sigma").as("sw"), col("delta").as("dw"))
       val up = nodes.filter(col("dist") === r)
         .select(col("pivot"), col("id").as("v"), col("sigma").as("sv"))
-      val contrib = e.select(col("src").as("v"), col("dst").as("wv"))
-        .join(down, Seq("wv"))
-        .join(up, Seq("pivot", "v"))
+      val contrib = eDst.select(col("src").as("v"), col("dst").as("wv"))
+        .join(down.hint("shuffle_hash"), Seq("wv"))
+        .join(up.hint("shuffle_hash"), Seq("pivot", "v"))
         .select(col("pivot"), col("v"),
           // HALF_UP(σv·(1e6+δw)/σw) in exact integer arithmetic
           expr("(2 * sv * (1000000 + dw) + sw) div (2 * sw)").as("c"))
@@ -1822,8 +1844,12 @@ object Graph {
     * action). Lineage cut per round; label state is |V| rows. */
   def louvain(edges: DataFrame, rounds: Int = 4): DataFrame = {
     val ed = edges.select("src", "dst").loopCheckpoint(true)
-    val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().loopCheckpoint(true)
+    // round 16: sym is probed on dst every round — key it once at the
+    // size-derived width (see pageRank / labelPropagation)
+    val np = math.max(1, Lineage.sizedParts(ed) * 2)
+    val sym = Lineage.checkpoint(
+      ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(np, col("dst")), eager = true)
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .loopCheckpoint(true)
     val tm = sym.agg(count(lit(1)).as("twom")) // 2m, broadcast 1-row frame
@@ -1831,16 +1857,22 @@ object Graph {
     var labels = lgen.roll(deg.select(col("id"), col("id").as("community")),
       true)
     for (r <- 1 to rounds) {
-      val commDeg = labels.join(deg, "id")
+      val commDeg = labels.join(deg.hint("shuffle_hash"), "id")
         .groupBy("community").agg(sum("deg").as("cdeg"))
       val nbr = sym
-        .join(labels.select(col("id").as("dst"), col("community")), "dst")
+        .join(labels.select(col("id").as("dst"), col("community"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("id"), col("community"))
         .agg(count(lit(1)).as("evc"))
-      // the stay-option must exist even with no neighbor in c(v)
+      // the stay-option must exist even with no neighbor in c(v):
+      // union a zero-evc row per (vertex, own community) under the max
+      // — IDENTICAL to the old left-outer-join formulation (present in
+      // nbr → max(evc, 0) = evc; absent → 0) but references nbr ONCE.
+      // The old shape referenced it twice, and unionByName's attribute
+      // dedup re-ids one branch so ReusedExchange cannot dedup them —
+      // the |E|-row join ran TWICE per round (round-16 plan audit).
       val own = labels
-        .join(nbr, Seq("id", "community"), "left_outer")
-        .select(col("id"), col("community"), coalesce(col("evc"), lit(0L)).as("evc"))
+        .select(col("id"), col("community"), lit(0L).as("evc"))
       val cands = nbr.unionByName(own)
         .groupBy("id", "community").agg(max("evc").as("evc"))
       // argmax by (score desc, stay-first, smallest community) as a
@@ -1948,6 +1980,9 @@ object Graph {
     val spark = edges.sparkSession
     graft.functions.Md5Hash32.register(spark)
     val e = edges.select("src", "dst").loopCheckpoint(true)
+    // round 16: both per-step joins probe on src — the window already
+    // hash-partitions by src, so the checkpoints carry that claim and
+    // the walk loop re-exchanges only the (tiny) frontier side
     val adj = e.select(col("src"), col("dst"),
         (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).as("idx"))
       .loopCheckpoint(true)
@@ -2026,13 +2061,18 @@ object Graph {
     // the checkpoint so the caller's pipeline runs exactly once (the CC
     // round-12 pattern — the old shape evaluated `edges` three times)
     val ed = edges.select("src", "dst").loopCheckpoint(true)
-    val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().loopCheckpoint(true)
+    // round 16: the symmetric view is keyed on dst at the size-derived
+    // width, so the |E|-carrying side of each round's join never
+    // re-exchanges (see pageRank / connectedComponents)
+    val np = math.max(1, Lineage.sizedParts(ed) * 2)
+    val sym = Lineage.checkpoint(
+      ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(np, col("dst")), eager = true)
     val lgen = Lineage.gen() // keep-2 label chain (see Lineage.Gen)
     var labels = lgen.roll(vertices(ed).select(col("id"), col("id").as("label")),
       true)
     for (_ <- 1 to rounds) {
-      val cnt = sym.join(labels, sym("dst") === labels("id"))
+      val cnt = sym.join(labels.hint("shuffle_hash"), sym("dst") === labels("id"))
         .groupBy(sym("src").as("vid"), col("label"))
         .agg(count(lit(1)).as("n"))
       // most-frequent label, smallest on ties, as a MAX-STRUCT hash
