@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,7 +65,7 @@ object Dedup {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0).select(h.as("h")).distinct()
     val incoming = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), h.as("h"))
-      .localCheckpoint(true) // consumed by the fate join AND the min-id branch
+      .loopCheckpoint(true) // consumed by the fate join AND the min-id branch
     val firsts = incoming.groupBy("h").agg(min("doc_id").as("first_id"))
     incoming
       .join(corpus.withColumn("in_corpus", lit(1L)), Seq("h"), "left_outer")
@@ -111,7 +112,7 @@ object Dedup {
     val h = md5(col("text").cast("binary"))
     val corpusHashes = docs.filter(col("doc_id") % 5 =!= 0).select(h.as("h")).distinct()
     val incoming = docs.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), h.as("h")).localCheckpoint(true)
+      .select(col("doc_id"), h.as("h")).loopCheckpoint(true)
     val firsts = incoming.groupBy("h").agg(min("doc_id").as("first_id"))
 
     val (corpusBands, corpusSets) = d21CorpusIndex(s, dir)
@@ -323,7 +324,7 @@ object Dedup {
     // power-law name regime) splits into bounded cells.
     val c = customer.select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 1, 16).as("blk"))
-      .localCheckpoint(true) // both sides of the blocking self-join
+      .loopCheckpoint(true) // both sides of the blocking self-join
     // levenshtein is the GROUP KEY, and the range filter runs on the
     // CHECKPOINTED aggregate (≤ name-length rows): without the barrier
     // the optimizer pushes `dist BETWEEN 1 AND 2` through the aggregate
@@ -339,7 +340,7 @@ object Dedup {
     val census = blockedCandidatePairs(c)
       .groupBy(levenshtein(col("a_name"), col("b_name"), maxDist).as("dist"))
       .agg(count(lit(1)).as("n_pairs"))
-      .localCheckpoint(true) // tiny: one row per distinct distance
+      .loopCheckpoint(true) // tiny: one row per distinct distance
     census.filter(col("dist") >= 1 && col("dist") <= maxDist)
       .orderBy("dist")
   }
@@ -372,7 +373,7 @@ object Dedup {
   def entityResolution(customer: DataFrame, maxDist: Int = 2): DataFrame = {
     val c = customer.select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 1, 16).as("blk"))
-      .localCheckpoint(true) // both sides of the blocking self-join
+      .loopCheckpoint(true) // both sides of the blocking self-join
     // `lev BETWEEN 1 AND k` in a join condition evaluates the full
     // O(len²) DP twice per enumerated pair (no subexpression reuse in
     // join predicates — d22's measured 2× pathology). Equivalent form
@@ -545,7 +546,7 @@ object Dedup {
       docs.select(col("doc_id"), shingles(col("text")).as("sh"))
         .select(col("doc_id"), col("sh"),
           transform(col("sh"), s => xxhash64(s)).as("shh"), size(col("sh")).as("n"))
-        .localCheckpoint(true),
+        .loopCheckpoint(true),
       minJaccard)
 
   /** Same over a pre-materialized base frame, with an optional
@@ -561,7 +562,7 @@ object Dedup {
     // bands feeds both sides of the candidate self-join
     val bands = lanes.getOrElse(minhashLanesFromShingles(base)).select(col("doc_id"),
       posexplode(array((0 until 8).map(i => col(s"mh$i")): _*)).as(Seq("band", "key")))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -625,7 +626,7 @@ object Dedup {
     ngramJaccardTopFromBase(
       docs.select(col("doc_id"), shingles(col("text")).as("sh"))
         .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("shh"))
-        .localCheckpoint(true),
+        .loopCheckpoint(true),
       topK, maxShingleDf)
 
   /** Same over a pre-materialized [[shingleBase]]-shaped frame (only
@@ -652,7 +653,7 @@ object Dedup {
     val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("s")
     val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     // per-doc size over the capped universe (shingles are distinct per doc)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // aggregate on the slim (doc_a, doc_b) key only; attach set sizes
@@ -684,7 +685,7 @@ object Dedup {
     containmentTopFromBase(
       docs.select(col("doc_id"), shingles(col("text")).as("sh"))
         .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("shh"))
-        .localCheckpoint(true),
+        .loopCheckpoint(true),
       topK, maxShingleDf)
 
   def containmentTopFromBase(base: DataFrame, topK: Int = 20,
@@ -853,7 +854,7 @@ object Dedup {
     // (or one same-value group), so no pair-level dedup is needed at all.
     val groups = sig
       .groupBy("simhash").agg(collect_list("doc_id").as("ids"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val vblocks = groups.select(col("simhash"), col("ids"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "key")))
@@ -954,7 +955,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("split", graft.text.TextStats.assignSplit(col("cluster")))
-      .localCheckpoint(true) // feeds the stats AND both audit probes
+      .loopCheckpoint(true) // feeds the stats AND both audit probes
     val stats = assigned.groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("cluster").as("n_clusters"))
@@ -1049,7 +1050,7 @@ object Dedup {
   def curationPipelineFromPairs(docs: DataFrame, pairs: DataFrame,
                                 minChars: Int = 150): DataFrame = {
     val survivors = qualityDedupStage(docs, minChars)
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").loopCheckpoint(true)
     val nearDupLosers = pairs
       .join(survivors.select(col("doc_id").as("doc_a")), "doc_a")
       .join(survivors.select(col("doc_id").as("doc_b")), "doc_b")
@@ -1110,7 +1111,7 @@ object Dedup {
       .join(base.select(col("doc_id"), col("shh")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("split"),
         coalesce(col("shh"), array().cast("array<bigint>")).as("shh"))
-      .localCheckpoint(true) // feeds the vocab branch AND the eval branch
+      .loopCheckpoint(true) // feeds the vocab branch AND the eval branch
     val trainVocab = hashed.filter(col("split") === "train")
       .select(explode(col("shh")).as("sh")).distinct()
     val evalDocs = hashed.filter(col("split") === "test")
@@ -1266,7 +1267,7 @@ object Dedup {
     }
     docs.select(col("doc_id"), explode(filter(joined, s => s.isNotNull)).as("s"))
       .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
   }
 
   /** Span-hash frame memoized per (session, sf-dir) — d12 and d13 walk
@@ -1307,7 +1308,7 @@ object Dedup {
   def crossSourceContamination(docs: DataFrame, spans: DataFrame): DataFrame = {
     val sh = spans.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("h")).distinct()
-      .localCheckpoint(true) // consumed by counts AND both join sides
+      .loopCheckpoint(true) // consumed by counts AND both join sides
     val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -1491,7 +1492,7 @@ object Dedup {
       // prefix length n − ⌈n/2⌉ + 1, in exact integer arithmetic
       .filter(col("pos") <= col("n") - (col("n") + 1).divide(2).cast("long") + 1)
       .select("doc_id", "s")
-      .localCheckpoint(true) // feeds both sides of the candidate join
+      .loopCheckpoint(true) // feeds both sides of the candidate join
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -553,7 +553,7 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
       .join(lab.select(col("id").as("u"), col("component").as("cu")), "u")
       .join(lab.select(col("id").as("v"), col("component").as("cv")), "v")
-      .localCheckpoint(true) // feeds m, e_c AND deg_c
+      .loopCheckpoint(true) // feeds m, e_c AND deg_c
     val mEdges = und.agg(count(lit(1)).as("m"))
     val eC = und.filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("community"))

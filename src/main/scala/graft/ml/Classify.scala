@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
@@ -403,7 +404,7 @@ object Classify {
     val isTrain = graft.text.TextStats.hashBucket(col("doc_id")) < 204
     val toks = docs.select(col("doc_id"), col("lang"), isTrain.as("tr"),
         explode(graft.text.Tokenize.rawTokens(col("text"))).as("word"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
 
     // ---- fit (aggregates over the train split)
     val train = toks.filter(col("tr"))
@@ -416,7 +417,7 @@ object Classify {
           .cast(Out6).as("lprior"))
     val counts = train.groupBy(col("lang").as("l"), col("word"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val vocab = counts.agg(countDistinct("word").cast("long").as("v"))
     val langTotals = counts.groupBy("l").agg(sum("c").cast("long").as("t"))
       .crossJoin(broadcast(vocab))
@@ -523,7 +524,7 @@ object Classify {
     val dw = docs.select(col("doc_id"), col("lang"),
         explode(array_distinct(graft.text.Tokenize.rawTokens(col("text")))).as("word"))
       .groupBy(col("lang").as("l"), col("word")).agg(count(lit(1)).as("a"))
-      .localCheckpoint(true) // consumed by the word marginal AND the grid join
+      .loopCheckpoint(true) // consumed by the word marginal AND the grid join
     val dfW = dw.groupBy("word").agg(sum("a").cast("long").as("df_w"))
     val perLang = docs.groupBy(col("lang").as("l")).agg(count(lit(1)).as("n_l"))
     val total = perLang.agg(sum("n_l").cast("long").as("n_total"))

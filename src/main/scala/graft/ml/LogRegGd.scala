@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.plans.Lineage.CheckpointOps
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -97,7 +98,7 @@ object LogRegGd {
     * (doc_id, p, pred, correct). */
   def logregGd(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
                steps: Int = 2): DataFrame = {
-    val f = features(docs).localCheckpoint(true)
+    val f = features(docs).loopCheckpoint(true)
     val (w1, w2, b) = trainWeights(f, lr, steps)
     f.select(col("doc_id"), pCol(w1, w2, b).as("p"), col("y"))
       .select(col("doc_id"), col("p"),
@@ -390,7 +391,7 @@ object LogRegGd {
                   steps: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val f = features(docs).localCheckpoint(true)
+    val f = features(docs).loopCheckpoint(true)
     val (w1, w2, b) = trainWeights(f, lr, steps)
     val grid = ts.map(_.toDouble).toDF("t")
     val z = (lit(w1) * col("x1") + lit(w2) * col("x2") + lit(b)).cast("double")
@@ -413,7 +414,7 @@ object LogRegGd {
       .select(col("t"),
         round(col("nll_sum").cast("double") / col("n"), 6).cast(Out6).as("avg_nll"),
         round(col("brier_sum").cast("double") / col("n"), 6).cast(Out6).as("avg_brier"))
-      .localCheckpoint(true) // |grid| rows; feeds the min AND the flag join
+      .loopCheckpoint(true) // |grid| rows; feeds the min AND the flag join
     val best = perT.agg(min("avg_nll").as("min_nll"))
     perT.crossJoin(broadcast(best))
       .select(col("t"), col("avg_nll"), col("avg_brier"),
@@ -557,7 +558,7 @@ object LogRegGd {
         (col("lang") === "en").cast("long").as("y"))
       .groupBy("source", "fold")
       .agg(count(lit(1)).as("n_fold"), sum("y").cast("long").as("s_fold"))
-      .localCheckpoint(true) // |cats|·K rows; feeds roll-ups AND the output
+      .loopCheckpoint(true) // |cats|·K rows; feeds roll-ups AND the output
     val perCat = cells.groupBy("source")
       .agg(sum("n_fold").cast("long").as("n_tot"),
         sum("s_fold").cast("long").as("s_tot"))
@@ -800,7 +801,7 @@ object LogRegGd {
     * that would destroy the control. */
   def learningCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
                     steps: Int = 2): DataFrame =
-    curveFrames(features(docs).localCheckpoint(true), lr, steps)
+    curveFrames(features(docs).loopCheckpoint(true), lr, steps)
 
   /** m23 features: the m21 feature pair recentred (x1 = kilo-chars
     * MINUS 0.3, so the class boundary sits near z = 0 and is reachable
@@ -837,7 +838,7 @@ object LogRegGd {
     * stay flat; see its scaladoc before touching either. */
   def learnableCurve(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("2.0"),
                      steps: Int = 10): DataFrame =
-    curveFrames(learnableFeatures(docs).localCheckpoint(true), lr, steps)
+    curveFrames(learnableFeatures(docs).loopCheckpoint(true), lr, steps)
 
   private def curveFrames(f: DataFrame, lr: JBigDecimal, steps: Int): DataFrame = {
     val n = f.count()
@@ -915,7 +916,7 @@ object LogRegGd {
     * unrolled GD CTE chain. */
   def modelWeights(docs: DataFrame, lr: JBigDecimal = new JBigDecimal("0.5"),
                    steps: Int = 2): DataFrame = {
-    val f = features(docs).localCheckpoint(true)
+    val f = features(docs).loopCheckpoint(true)
     val (w1, w2, b) = trainWeights(f, lr, steps)
     val spark = docs.sparkSession
     import spark.implicits._

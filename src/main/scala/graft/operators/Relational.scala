@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -768,7 +769,7 @@ object Relational {
   def q52Retention(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint(true) // consumed by the cohort aggregate AND the join
+      .loopCheckpoint(true) // consumed by the cohort aggregate AND the join
     val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
     days.join(first, "user_id")
       .select(col("cohort_day"),
@@ -850,7 +851,7 @@ object Relational {
     val days = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day")).distinct()
       .filter(dayofmonth(col("day")) % 7 =!= 3)
-      .localCheckpoint(true) // consumed by the range agg AND the anti join
+      .loopCheckpoint(true) // consumed by the range agg AND the anti join
     val bounds = days.agg(min("day").as("lo"), max("day").as("hi"))
     val calendar = bounds
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
@@ -1193,7 +1194,7 @@ object Relational {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
-      .localCheckpoint(true) // scanned by all three passes
+      .loopCheckpoint(true) // scanned by all three passes
     val med = ev.groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("med"))
     val mad = ev.join(broadcast(med), "event_type")
@@ -2115,7 +2116,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .join(broadcast(pids), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .localCheckpoint(true) // feeds the threshold aggregate AND the probe
+      .loopCheckpoint(true) // feeds the threshold aggregate AND the probe
     val thr = l.groupBy(col("l_partkey").as("t_partkey"))
       .agg((lit(0.2) * (sum(col("l_quantity").cast(D204)).cast("double") /
         count(lit(1)))).as("thr"))
@@ -2163,7 +2164,7 @@ object Relational {
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1).otherwise(0))
         .as("late"))
-      .localCheckpoint(true) // feeds the per-order rollup AND the pair filter
+      .loopCheckpoint(true) // feeds the per-order rollup AND the pair filter
     val perOrder = perSupp.groupBy(col("l_orderkey").as("g_orderkey"))
       .agg(count(lit(1)).as("n_supps"), sum("late").cast("long").as("n_late"))
       .filter(col("n_supps") >= 2 && col("n_late") === 1)
@@ -2258,7 +2259,7 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .cast(D204)).as("rev_dec"))
-      .localCheckpoint(true) // feeds the max aggregate AND the equality filter
+      .loopCheckpoint(true) // feeds the max aggregate AND the equality filter
     val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
     rev.crossJoin(broadcast(mx))
       .filter(col("rev_dec") === col("max_dec"))

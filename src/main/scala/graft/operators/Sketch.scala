@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -114,7 +115,7 @@ object Sketch {
       .agg(new MisraGriesAggregator(2 * k + 1).toColumn.name("s"))
       .toDF("g", "s")
       .select(col("s._1").as("cands"), col("s._2").as("n_total"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val candidates = sketch.select(explode(col("cands")).as("word"))
     val total = sketch.select(col("n_total"))
     // pass 2: exact counts for candidates only
@@ -350,7 +351,7 @@ object Sketch {
     val wordCounts = docs
       .select(explode(graft.text.Tokenize.rawTokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // vocab-sized; consumed by counters AND top-k
+      .loopCheckpoint(true) // vocab-sized; consumed by counters AND top-k
     val posFor = (i: Int, word: Column) =>
       (hash32(concat(lit(s"$i:"), word)) % w).cast("long")
     val counters = wordCounts
@@ -421,12 +422,12 @@ object Sketch {
         explode(graft.text.Tokenize.rawTokens(col("text"))).as("tok"))
       .select(col("source"), hash32(col("tok")).as("hv"))
       .distinct()
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(asc("hv"))
     val sk = h.withColumn("rk", row_number().over(ws)).filter(col("rk") <= k)
       .select(col("source"), col("hv"))
-      .localCheckpoint(true) // S·k rows — sketch-side from here on
+      .loopCheckpoint(true) // S·k rows — sketch-side from here on
     val srcs = sk.select("source").distinct()
     val pairs = srcs.select(col("source").as("sa"))
       .crossJoin(srcs.select(col("source").as("sb")))
@@ -568,7 +569,7 @@ object Sketch {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("lb").rowsBetween(Long.MinValue, 0)
     val cum = hist.select(col("lb"), sum("c").over(w).as("cum"))
-      .localCheckpoint(true) // sketch-sized; feeds the total AND every probe
+      .loopCheckpoint(true) // sketch-sized; feeds the total AND every probe
     val tot = cum.agg(max("cum").as("n"))
     import orders.sparkSession.implicits._
     val targets = qs.toDF("q")

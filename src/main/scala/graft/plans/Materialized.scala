@@ -76,7 +76,7 @@ object Materialized {
     })
     cache.getOrElseUpdate((sessionKey(spark), key), {
       val t0 = System.nanoTime()
-      val built = build.localCheckpoint(true)
+      val built = Lineage.checkpoint(build, eager = true)
       buildLog.add(key -> (System.nanoTime() - t0) / 1e9)
       built
     })

@@ -1,5 +1,6 @@
 package graft.search
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -72,7 +73,7 @@ object Rank {
   private def bm25Scores(postings: DataFrame, qterms: DataFrame,
                          dlOpt: Option[DataFrame] = None): DataFrame = {
     val dl = dlOpt.getOrElse(postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint(true)) // feeds both the scalar stats and the score join
+      .loopCheckpoint(true)) // feeds both the scalar stats and the score join
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     // df for the query terms only — the aggregate runs AFTER the
     // broadcast semi-join prunes the postings scan to the query terms
@@ -136,13 +137,13 @@ object Rank {
   private def qlScores(postings: DataFrame, qterms: DataFrame,
                        mu: Double, dlOpt: Option[DataFrame]): DataFrame = {
     val dl = dlOpt.getOrElse(postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint(true))
+      .loopCheckpoint(true))
     val stats = dl.agg(sum("dl").as("total_dl"))
     // collection frequency for the query terms only — aggregated AFTER
     // the broadcast semi-join prunes the postings to the query terms
     val qpost = postings.join(broadcast(qterms), "term")
       .select("qid", "term", "doc_id", "tf")
-      .localCheckpoint(true) // feeds cf AND the per-doc scores
+      .loopCheckpoint(true) // feeds cf AND the per-doc scores
     val cf = qpost.groupBy("qid", "term").agg(sum("tf").as("cf"))
     val nq = qterms.groupBy("qid").agg(count(lit(1)).as("n_terms"))
     val matchTerm = qpost
@@ -249,7 +250,7 @@ object Rank {
         round(col("tf").cast("double") / col("dl").cast("double"), 12).cast(Dec))
       .groupBy("term").agg(sum("contrib").as("rm_dec"))
       .orderBy(desc("rm_dec"), asc("term")).limit(fbTerms)
-      .localCheckpoint(true) // M rows; feeds the normalizer AND the weights
+      .loopCheckpoint(true) // M rows; feeds the normalizer AND the weights
     val z = rm.agg(sum("rm_dec").as("z_dec"))
     val wExp = rm.crossJoin(broadcast(z))
       .select(col("term"), (lit(1.0 - lambda) *
@@ -286,13 +287,13 @@ object Rank {
                 fbDocs: Int = 10, fbTerms: Int = 10, lambda: Double = 0.5,
                 mu: Double = 2000.0, dlOpt: Option[DataFrame] = None): DataFrame = {
     val dl = dlOpt.getOrElse(postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint(true))
+      .loopCheckpoint(true))
     val weights = rm3Weights(postings, terms, fbDocs, fbTerms, lambda, mu, dl)
-      .localCheckpoint(true) // ≤ |q|+M rows; feeds the probe AND the scorer
+      .loopCheckpoint(true) // ≤ |q|+M rows; feeds the probe AND the scorer
     val stats = dl.agg(sum("dl").as("total_dl"))
     val qpost = postings.join(broadcast(weights.select("term")), "term")
       .select("term", "doc_id", "tf")
-      .localCheckpoint(true) // feeds cf AND the per-doc scores
+      .loopCheckpoint(true) // feeds cf AND the per-doc scores
     val cf = qpost.groupBy("term").agg(sum("tf").as("cf"))
     val matchSum = qpost
       .join(broadcast(cf), "term")
@@ -398,7 +399,7 @@ object Rank {
     val pos = docs.select(col("doc_id"),
         posexplode(Tokenize.rawTokens(col("text"))).as(Seq("pos", "term")))
       .filter(col("term").isin(w1, w2))
-      .localCheckpoint(true) // two-term postings only; feeds both join sides
+      .loopCheckpoint(true) // two-term postings only; feeds both join sides
     val a = pos.filter(col("term") === w1).select(col("doc_id"), col("pos"))
     val b = pos.filter(col("term") === w2)
       .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
@@ -843,7 +844,7 @@ object Rank {
       .distinct()
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
       .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true) // vocabulary-sized; PR reads it 3+ times
+      .loopCheckpoint(true) // vocabulary-sized; PR reads it 3+ times
     graft.graph.Graph.pageRank(edges, iterations)
       .orderBy(desc("rank"), asc("id"))
       .limit(topK)
@@ -999,7 +1000,7 @@ object Rank {
         coalesce(col("rel"), lit(0)).as("rel"))
       .withColumn("pos", row_number().over(w))
       .withColumn("gain", expr("CAST(shiftleft(1, rel) AS BIGINT)") - 1L)
-      .localCheckpoint(true) // k rows; feeds DCG, the ideal re-rank, MRR
+      .loopCheckpoint(true) // k rows; feeds DCG, the ideal re-rank, MRR
     val iw = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rel"), asc("pos"))
     val ideal = base

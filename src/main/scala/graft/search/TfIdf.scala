@@ -1,5 +1,6 @@
 package graft.search
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -47,7 +48,7 @@ object TfIdf {
     // tokenized TWICE, once per branch (verified via the final AQE plan).
     // tf is the small distinct-(doc,term) frame, cheap to hold.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "term")

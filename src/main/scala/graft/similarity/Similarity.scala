@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.plans.Lineage.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -176,7 +177,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), qvExpr.as("qv"))
       .withColumn("qn",
         aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
-      .localCheckpoint(true) // corpus scanned once; both rankings reuse
+      .loopCheckpoint(true) // corpus scanned once; both rankings reuse
     val probes = quant.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("qv").as("qqv"), col("qn").as("qqn"),
@@ -287,12 +288,12 @@ object Similarity {
                 dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10): DataFrame = {
     VectorDotExact.register(emb.sparkSession)
     val base = spread(emb).select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val probes = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cands = base.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
-      .localCheckpoint(true) // |queries|·corpus slim rows; scored |dims|+1 times
+      .loopCheckpoint(true) // |queries|·corpus slim rows; scored |dims|+1 times
     def topAt(d: Option[Int]) = {
       def cut(c: Column) = d.map(n => slice(c, 1, n)).getOrElse(c)
       val e = cut(col("embedding"))
@@ -305,7 +306,7 @@ object Similarity {
               .cast(Out6)).as("score")), k)
     }
     val full = topAt(None).select(col("qid"), col("doc_id"))
-      .localCheckpoint(true) // k·|queries| rows; joined once per width
+      .loopCheckpoint(true) // k·|queries| rows; joined once per width
     dims.map { d =>
       topAt(Some(d)).select(col("qid"), col("doc_id"), lit(1L).as("hit"))
         .join(full, Seq("qid", "doc_id"), "right_outer")
@@ -372,7 +373,7 @@ object Similarity {
           (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
           .cast(Out6).as("rel"))
       .orderBy(desc("rel"), asc("vec_id")).limit(n)
-      .localCheckpoint(true) // n rows: feeds the sim matrix AND every greedy step
+      .loopCheckpoint(true) // n rows: feeds the sim matrix AND every greedy step
     val a = cands.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
       col("n2").as("na"))
     val b = cands.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
@@ -381,7 +382,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         round(dotCol(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))), 6)
           .cast(Out6).as("sim"))
-      .localCheckpoint(true) // ≤ n² rows
+      .loopCheckpoint(true) // ≤ n² rows
     var sel = Vector.empty[Long]
     val picks = Vector.newBuilder[(Int, Long, java.math.BigDecimal)]
     for (r <- 1 to k) {
@@ -639,7 +640,7 @@ object Similarity {
   def scoredPairs(emb: DataFrame, p: Int = 6): DataFrame = {
     VectorDotExact.register(emb.sparkSession)
     // materialize once — both sides of the pair self-join reuse it
-    val b = buckets(emb, l = 1, p = p).select("vec_id", "bucket").localCheckpoint(true)
+    val b = buckets(emb, l = 1, p = p).select("vec_id", "bucket").loopCheckpoint(true)
     val pairs = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
@@ -961,7 +962,7 @@ object Similarity {
       .fit(trainVecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("prediction").as("centroid"))
-      .localCheckpoint(true) // reused for probe selection + candidate scan
+      .loopCheckpoint(true) // reused for probe selection + candidate scan
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), norm2Col(col("embedding")).as("qnorm2"))
     // nprobe centroids closest to the query vector (tiny: k centroid
@@ -1182,8 +1183,8 @@ object Similarity {
         round(dotCol(col("embedding"), col("qe")) /
           (sqrt(norm2Col(col("embedding"))) * sqrt(col("qnorm2"))), 6)
           .cast(Out6).as("cos"))
-      .localCheckpoint(true) // one scan; every sweep point reuses
-    val brute = knnBrute(emb, queryId, k).select("vec_id").localCheckpoint(true)
+      .loopCheckpoint(true) // one scan; every sweep point reuses
+    val brute = knnBrute(emb, queryId, k).select("vec_id").loopCheckpoint(true)
     nprobes.map { np =>
       scored.filter(col("pr") <= np)
         .orderBy(desc("cos"), asc("vec_id")).limit(k)
@@ -1466,16 +1467,16 @@ object Similarity {
     val exId = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val mu = exId.groupBy("d")
       .agg(round((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).cast(Dec), 6)
         .cast(Out6).as("mu"))
     val centered = exId.join(broadcast(mu), "d")
       .select(col("vec_id"), col("d"),
         (col("x") - col("mu").cast("double")).as("xc"))
-      .localCheckpoint(true) // reused twice per iteration
+      .loopCheckpoint(true) // reused twice per iteration
     var v: DataFrame = (0 until dims).map(d => (d, 1.0 / dims)).toDF("d", "v")
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     for (_ <- 1 to iters) {
       val s = centered.join(broadcast(v), "d")
         .select(col("vec_id"), (col("xc") * col("v")).cast(Dec).as("t"))
@@ -1486,7 +1487,7 @@ object Similarity {
       val n = w.agg(sum(abs(col("w")).cast(Dec)).cast("double").as("n"))
       v = w.crossJoin(broadcast(n))
         .select(col("d"), (col("w") / col("n")).as("v"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
     }
     v.select(col("d"), round(col("v"), 6).cast(Out6).as("loading")).orderBy("d")
   }
@@ -1898,7 +1899,7 @@ object Similarity {
     // exchange pays.
     val base = emb
       .select(col("vec_id"), col("embedding"), norm2Col(col("embedding")).as("norm2"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     // init: the k lowest vec_ids' raw vectors as double arrays
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
@@ -1994,12 +1995,24 @@ object Similarity {
     * rounded to 6 dp at birth; cluster means are exact-decimal sums over
     * those. Singleton clusters score s = 1 (a = 0), the simplified
     * form's documented convention. */
-  def silhouette(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+  def silhouette(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
+    silhouetteFrom(emb, kmeans(emb, k, iters))
+
+  /** One memoized Lloyd run (assignment only) serves s10 AND s27. */
+  private def cachedKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(s, s"kmeans_assign:4:2:${Tables.norm(dir)}")(
+      kmeans(Tables.embeddings(s, dir)))
+
+  /** [[silhouette]] over a PRE-COMPUTED assignment — so the registry can
+    * share one memoized Lloyd run between s10 and s27 (round 16; the
+    * assignment is a bounded (vec_id, cluster) frame, well inside the
+    * Materialized small-frame policy). */
+  def silhouetteFrom(emb: DataFrame, assign: DataFrame): DataFrame = {
     VectorDotExact.register(emb.sparkSession)
     val base = emb
       .select(col("vec_id"), col("embedding"), norm2Col(col("embedding")).as("norm2"))
-      .join(kmeans(emb, k, iters), "vec_id")
-      .localCheckpoint(true) // feeds the centroid build AND the dist scan
+      .join(assign, "vec_id")
+      .loopCheckpoint(true) // feeds the centroid build AND the dist scan
     val cents = base
       .select(col("cluster").as("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy("cid", "d")
@@ -2161,7 +2174,7 @@ object Similarity {
           col("cnorm2")).as("dist2"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select("vec_id", "embedding", "norm2", "cid")
-      .localCheckpoint(true) // delta-sized; feeds the near join AND the output
+      .loopCheckpoint(true) // delta-sized; feeds the near join AND the output
     val denom = sqrt(col("a.norm2")) * sqrt(col("b.norm2"))
     val exactHit = round(dotCol(col("a.embedding"), col("b.embedding")) /
       denom, 6).cast(Out6) >= lit(tau)
@@ -2211,7 +2224,7 @@ object Similarity {
       val base = spread(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0))
         .select(col("vec_id"), col("embedding"),
           norm2Col(col("embedding")).as("norm2"))
-        .localCheckpoint(true)
+        .loopCheckpoint(true)
       // init: the k lowest CORPUS vec_ids' raw vectors (kmeans's rule,
       // restated for a corpus that excludes the delta ids)
       val initIds = base.select("vec_id").orderBy("vec_id").limit(k)
@@ -2496,7 +2509,7 @@ object Similarity {
       .select(col("vec_id"), explode(array(subs: _*)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
       .withColumn("norm2", norm2Col(col("sv")))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     var cents = base.filter(col("vec_id") < kc)
       .select(col("sub"), col("vec_id").as("cid"),
         transform(col("sv"), x => x.cast("double")).as("ce"))
@@ -2877,9 +2890,9 @@ object Similarity {
     "s9_centroid_assign" -> ((s: SparkSession, dir: String) =>
       centroidAssign(Tables.embeddings(s, dir))),
     "s10_kmeans" -> ((s: SparkSession, dir: String) =>
-      kmeans(Tables.embeddings(s, dir))),
+      cachedKmeans(s, dir).orderBy("vec_id")),
     "s27_silhouette" -> ((s: SparkSession, dir: String) =>
-      silhouette(Tables.embeddings(s, dir))),
+      silhouetteFrom(Tables.embeddings(s, dir), cachedKmeans(s, dir))),
     "s11_knn_graph" -> ((s: SparkSession, dir: String) =>
       knnGraphFromScored(cachedScoredPairs(s, dir))),
     "s12_semantic_dedup" -> ((s: SparkSession, dir: String) =>

@@ -50,6 +50,16 @@ object Tables {
       case _ => raw
     }
   }
+  // Round-16 NEGATIVE RESULT (recorded so it is not re-tried): a
+  // row-derived hash-repartition of the documents scan (to spread the
+  // tokenization CPU of the single-row-group gate files across cores)
+  // multiplied per-doc expression cost ~8-10× — the post-exchange
+  // projection loses the scan stage's whole-stage-codegen subexpression
+  // sharing and the higher-order-function-heavy pipelines re-evaluate
+  // each rawTokens reference interpreted — for flat wall at 32 cores
+  // and a large regression at the driver's low-core bench. Corpus
+  // parallelism must come from the FILE layout (many row groups /
+  // files), not a post-scan shuffle.
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.plans.Lineage.CheckpointOps
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
@@ -783,7 +784,7 @@ object EventStream {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("wstart").orderBy("lb").rowsBetween(Long.MinValue, 0)
     val cum = hist.select(col("wstart"), col("lb"), sum("c").over(w).as("cum"))
-      .localCheckpoint(true) // sketch-sized; feeds the totals AND the probes
+      .loopCheckpoint(true) // sketch-sized; feeds the totals AND the probes
     val tot = cum.groupBy("wstart").agg(max("cum").as("n"))
     cum.join(tot, "wstart").crossJoin(broadcast(qs.toDF("q")))
       .filter(col("cum") >=

@@ -1068,7 +1068,7 @@ object TextStats {
     val tok = docs
       .select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val vocab = tok.groupBy("word").agg(sum("c").cast("long").as("n_w"))
     val total = vocab.agg(sum("n_w").cast("long").as("n_total"))
     val scored = vocab.crossJoin(broadcast(total))
@@ -1177,10 +1177,10 @@ object TextStats {
       x => x.isNotNull)
     val tc = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val corpus = tc.groupBy("bg").agg(sum("c").cast("long").as("n_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     val prefix = corpus.groupBy("w1").agg(sum("n_bg").cast("long").as("n_w1"))
     val scored = corpus.join(prefix, "w1")
       .select(col("bg"),
@@ -1391,7 +1391,7 @@ object TextStats {
     val tok = docs
       .select(col("source"), explode(Tokenize.rawTokens(col("text"))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // consumed by both marginals AND the score join
+      .loopCheckpoint(true) // consumed by both marginals AND the score join
     val vocab = tok.groupBy("word").agg(sum("c").cast("long").as("n_w"))
     val totals = tok.groupBy("source").agg(sum("c").cast("long").as("n_s"))
     val grand = vocab.agg(sum("n_w").cast("long").as("n_total"))
@@ -1466,7 +1466,7 @@ object TextStats {
     val tok = docs
       .select(col("source"), explode(Tokenize.rawTokens(col("text"))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // self-joined below — never tokenize twice
+      .loopCheckpoint(true) // self-joined below — never tokenize twice
     val totals = tok.groupBy("source").agg(sum("c").cast("long").as("n"))
     val shared = tok.select(col("source").as("s1"), col("word"), col("c").as("ca"))
       .join(tok.select(col("source").as("s2"), col("word"), col("c").as("cb")), "word")
@@ -1702,7 +1702,7 @@ object TextStats {
     val toks = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("w"))
       .crossJoin(broadcast(maxId))
       .select(expr(s"(doc_id * $nBuckets) div (max_id + 1)").as("bucket"), col("w"))
-      .localCheckpoint(true) // feeds the token mass AND first-occurrence aggs
+      .loopCheckpoint(true) // feeds the token mass AND first-occurrence aggs
     val tokMass = toks.groupBy("bucket").agg(count(lit(1)).as("toks"))
     val newVocab = toks.groupBy("w").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("vocab"))
@@ -2058,7 +2058,7 @@ object TextStats {
       .select(col("doc_id"), col("is_target"),
         hashBucket(col("word")).cast("long").as("b"))
       .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds both marginals AND the score join
+      .loopCheckpoint(true) // feeds both marginals AND the score join
     val tgt = tok.filter(col("is_target"))
       .groupBy("b").agg(sum("c").cast("long").as("ct"))
     val raw = tok.filter(!col("is_target"))
