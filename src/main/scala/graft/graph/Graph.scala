@@ -1564,17 +1564,26 @@ object Graph {
     var rounds = 0
     var improving = true
     while (improving) {
-      val cand = e.join(frontier, e("dst") === frontier("id"))
+      // round 17: explicit shuffle_hash on the settled/frontier sides —
+      // with truthful measured checkpoint stats (LineageStats.measuredSize)
+      // these joins would otherwise flip to per-wave broadcasts (a
+      // BroadcastExchange job per wave); the hinted SHJ reads the claimed
+      // co-partitioning instead (exchange-free at np == 1)
+      val cand = e.join(frontier.hint("shuffle_hash"), e("dst") === frontier("id"))
         .groupBy(e("src").as("id"), col("landmark"))
         .agg(min(col("wdist") + col("w")).as("cand"))
-      val improved = fgen.roll(cand.join(dist, Seq("id", "landmark"), "left_outer")
+      // eager roll (was lazy + count): the claim and measured stats only
+      // attach to EAGER checkpoints, and the count below reads the cache
+      val improved = fgen.roll(cand.join(dist.hint("shuffle_hash"),
+          Seq("id", "landmark"), "left_outer")
         .filter(col("wdist").isNull || col("cand") < col("wdist"))
         .select(col("id"), col("landmark"), col("cand").as("wdist")),
-        false) // materialized by the count below
+        true)
       val n = improved.count()
       if (n > 0) {
         dist = dgen.roll(dist
-          .join(improved.select("id", "landmark"), Seq("id", "landmark"), "left_anti")
+          .join(improved.select("id", "landmark").hint("shuffle_hash"),
+            Seq("id", "landmark"), "left_anti")
           .union(improved),
           true)
         rounds += 1
@@ -2382,48 +2391,78 @@ object Graph {
       if (np <= 1) eSrc
       else Lineage.checkpoint(eSrc.repartition(np, col("dst")), eager = true)
     val v = keyedVertices(eSrc, np).loopCheckpoint(true)
-    val hgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): hub…
-    val agen = Lineage.gen() // …and auth half-steps
-    val rgen = Lineage.gen() // …and the raw mass frames (araw/hraw),
-    // materialized once per half-step so the normalizer sum AND the
-    // update join both read the same cache — without an exchange in the
-    // plan (the np == 1 co-partitioned case) there is no ReusedExchange
-    // node to dedup them, and the broadcast normalizer would otherwise
-    // recompute the whole half-step subtree
-    var hub: DataFrame = v.select(col("id"), lit(1.0).as("hub"))
-    var auth = v.select(col("id"), lit(1.0).as("auth"))
-    for (_ <- 1 to iterations) {
-      val araw0 = eSrc.join(hub.hint("shuffle_hash"), eSrc("src") === hub("id"))
-        .select(col("dst"), col("hub").cast(Dec).as("c"))
-      val araw = rgen.roll(maybeRekey(araw0, np, "dst")
-        .groupBy("dst").agg(sum("c").as("araw")), true)
-      val asum = araw.agg(sum("araw").as("s"))
-      // checkpointing each half-step is load-bearing: a round-11 probe
-      // that cut auth's checkpoint (4 materializations instead of 8)
-      // measured the SAME or slower medians — the deeper hub plans eat
-      // the saved job latency. Do not re-try.
-      auth = agen.roll(
-        v.join(araw.withColumnRenamed("dst", "id").hint("shuffle_hash"),
-            Seq("id"), "left_outer")
-          .crossJoin(broadcast(asum))
-          .select(col("id"),
-            (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
-              col("s").cast("double")).as("auth")),
-        true)
-      val hraw0 = eDst.join(auth.hint("shuffle_hash"), eDst("dst") === auth("id"))
-        .select(col("src"), col("auth").cast(Dec).as("c"))
-      val hraw = rgen.roll(maybeRekey(hraw0, np, "src")
-        .groupBy("src").agg(sum("c").as("hraw")), true)
-      val hsum = hraw.agg(sum("hraw").as("s"))
-      hub = hgen.roll(
-        v.join(hraw.withColumnRenamed("src", "id").hint("shuffle_hash"),
-            Seq("id"), "left_outer")
-          .crossJoin(broadcast(hsum))
-          .select(col("id"),
-            (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /
-              col("s").cast("double")).as("hub")),
-        true)
+    val agen = Lineage.gen() // keep-2 chains (see Lineage.Gen): auth-raw…
+    val hgen = Lineage.gen() // …and hub-raw half-step aggregates
+    // Round 17 (guide §1.2/§2.4 — the VERDICT r16 "HITS normalizer
+    // floor" item): each half-step is ONE materialization, the raw mass
+    // aggregate. The L1 normalization auth = araw/Σaraw is fused into
+    // the NEXT half-step's edge join — the division happens per edge
+    // contribution where it is consumed, instead of materializing a
+    // |V|-row normalized frame per half-step (previously 4
+    // checkpoints + 2 broadcasts per iteration; now 2 checkpoints, and
+    // the full-|V| normalized frames are built exactly once, at the
+    // output boundary). Equivalence with the unrolled oracle: a vertex
+    // absent from araw has auth exactly 0, so its edges contribute
+    // CAST(0.0 AS DECIMAL) to the next decimal sum — dropping those
+    // rows (inner join on the raw aggregate instead of the |V| frame)
+    // changes no sum, and the final left-join restores the 0-score
+    // vertices. The per-edge quantization CAST(araw/s AS DECIMAL(32,16))
+    // is the identical expression the normalized frame carried.
+    //
+    // Normalizer transport: at np == 1 the half-step aggregate is a
+    // claimed SinglePartition frame, so Σ is attached IN THE SAME
+    // materialization as a grand-total window column — no per-half-step
+    // broadcast job at all (8 jobs/run saved). At np > 1 an
+    // unpartitioned window would collapse the aggregate to one
+    // partition, so the sum travels as the usual 1-row broadcast
+    // (scale-safe; the window shortcut is size-derived via np, not a
+    // local-mode constant).
+    val W = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    def withTotal(agg: DataFrame, valueCol: String): DataFrame =
+      if (np <= 1) agg.withColumn("s", sum(col(valueCol)).over(W))
+      else agg
+    def attachTotal(agg: DataFrame): DataFrame =
+      if (np <= 1) agg
+      else agg.crossJoin(broadcast(agg.agg(sum(agg.columns(1)).as("s"))))
+    var araw: DataFrame = null
+    var hraw: DataFrame = null
+    for (i <- 1 to iterations) {
+      // normalized contribution, computed per VERTEX on the (small)
+      // build side — the per-edge work after the join is only the hash
+      // probe and the decimal sum, not |E| divisions/decimal casts
+      def normalized(raw: DataFrame, key: String, value: String): DataFrame =
+        attachTotal(raw).select(col(key),
+          (col(value).cast("double") / col("s").cast("double"))
+            .cast(Dec).as("c"))
+      val aContrib =
+        if (i == 1) eSrc.select(col("dst"), lit(1.0).cast(Dec).as("c"))
+        else eSrc.join(normalized(hraw, "src", "hraw").hint("shuffle_hash"),
+            Seq("src"))
+          .select(col("dst"), col("c"))
+      araw = agen.roll(withTotal(maybeRekey(aContrib, np, "dst")
+        .groupBy("dst").agg(sum("c").as("araw")), "araw"), true)
+      val hContrib = eDst.join(normalized(araw, "dst", "araw").hint("shuffle_hash"),
+          Seq("dst"))
+        .select(col("src"), col("c"))
+      hraw = hgen.roll(withTotal(maybeRekey(hContrib, np, "src")
+        .groupBy("src").agg(sum("c").as("hraw")), "hraw"), true)
     }
+    // output boundary: rebuild the full-|V| normalized frames once
+    val asum = araw.agg(sum("araw").as("s"))
+    val hsum = hraw.agg(sum("hraw").as("s"))
+    val auth = v.join(araw.select(col("dst").as("id"), col("araw"))
+        .hint("shuffle_hash"), Seq("id"), "left_outer")
+      .crossJoin(broadcast(asum))
+      .select(col("id"),
+        (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
+          col("s").cast("double")).as("auth"))
+    val hub = v.join(hraw.select(col("src").as("id"), col("hraw"))
+        .hint("shuffle_hash"), Seq("id"), "left_outer")
+      .crossJoin(broadcast(hsum))
+      .select(col("id"),
+        (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /
+          col("s").cast("double")).as("hub"))
     auth.join(hub, "id")
       .select(col("id"), round(col("auth"), 12).as("auth"),
         round(col("hub"), 12).as("hub"))

@@ -32,9 +32,15 @@ object Lineage {
     // partitioning (AQE erases it at capture — see
     // LineageStats.preservePartitioning): loop joins/aggregates keyed
     // like the previous round's output then skip their per-iteration
-    // Exchange. Lazy checkpoints have no executed plan to read; they
+    // Exchange. They also swap the carried join-product size ESTIMATE
+    // for the MEASURED block bytes (LineageStats.measuredSize) — since
+    // SPARK-41986 a SinglePartition join child whose estimate exceeds
+    // spark.sql.maxSinglePartitionBytes is force-re-shuffled, so a
+    // phantom-huge estimate re-introduced two Exchanges per loop join.
+    // Lazy checkpoints have no executed plan or blocks to read; they
     // keep the stock behavior.
-    if (eager) LineageStats.preservePartitioning(df, cp) else cp
+    if (eager) LineageStats.measuredSize(LineageStats.preservePartitioning(df, cp))
+    else cp
   }
 
   /** Postfix form so loop bodies read like the bare API:

@@ -115,6 +115,54 @@ object LineageStats {
     } catch { case _: Throwable => cp }
   }
 
+  /** Replace an EAGER checkpoint's carried size ESTIMATE with its
+    * MEASURED size (round 17; the stats sibling of
+    * [[preservePartitioning]]).
+    *
+    * `LogicalRDD.fromDataset` carries the pre-checkpoint plan's
+    * estimated `sizeInBytes` forward. For a loop-body frame that
+    * estimate is a join-product fiction (a 60 KB rank frame at gate
+    * scale carries a ~600 GiB estimate), and since SPARK-41986
+    * EnsureRequirements consults exactly that number: a SinglePartition
+    * join child whose ESTIMATED size exceeds
+    * `spark.sql.maxSinglePartitionBytes` (128 MB) is force-re-shuffled
+    * to `spark.sql.shuffle.partitions` for parallelism — so every
+    * claimed-SinglePartition loop join was paying two phantom Exchanges
+    * plus their AQE stage jobs per round (measured: the g14 auth/hub
+    * update joins, g26/g27 frontier joins, g29 community joins).
+    *
+    * An eager checkpoint's blocks are materialized, so the TRUE bytes
+    * are known — the same block-store measurement
+    * `graft.plans.Lineage.sizedParts` already uses for loop partition
+    * counts. Carrying the measured number is truthful at every scale:
+    * at gate scale the frame really is KBs (keep SinglePartition, no
+    * exchange); on a cluster the measured bytes are real GBs and the
+    * maxSinglePartitionBytes guard — and every other size-based
+    * decision — keeps behaving exactly as designed. Returns `cp`
+    * unchanged when the blocks are not measurable (lazy checkpoint,
+    * evicted, non-checkpoint root). */
+  def measuredSize(cp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = cp.asInstanceOf[Dataset[Row]]
+    ds.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val sc = ds.sparkSession.sparkContext
+        val measured = sc.getRDDStorageInfo.find(_.id == lr.rdd.id)
+          .map(i => math.max(1L, i.memSize + i.diskSize))
+        measured match {
+          case Some(bytes) if BigInt(bytes) != lr.computeStats().sizeInBytes =>
+            val st = lr.computeStats().copy(
+              sizeInBytes = BigInt(bytes), rowCount = None)
+            val clean = new LogicalRDD(
+              lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+              lr.isStreaming, lr.stream)(
+              ds.sparkSession, Some(st), None)
+            Dataset.ofRows(ds.sparkSession, clean)
+          case _ => cp
+        }
+      case _ => cp
+    }
+  }
+
   /** The checkpoint-backing RDD of a localCheckpoint'd frame: the
     * [[LogicalRDD]] root's `rdd` field — exactly the RDD
     * `Dataset.localCheckpoint` persisted (and the id that appears in

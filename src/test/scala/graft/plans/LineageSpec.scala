@@ -85,6 +85,40 @@ class LineageSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(1)).toSeq == Seq(11L, 9L, 13L))
   }
 
+  /** Round-17 truthful carried size: an EAGER checkpoint's stats are the
+    * MEASURED block bytes, not the origin plan's join-product estimate.
+    * This is load-bearing for loop plan shape: since SPARK-41986,
+    * EnsureRequirements re-shuffles a SinglePartition join child whose
+    * ESTIMATED sizeInBytes exceeds spark.sql.maxSinglePartitionBytes
+    * (128 MB) — a KB-sized loop frame carrying a GB-sized estimate paid
+    * two phantom Exchanges per loop join. */
+  test("eager checkpoint carries measured bytes, and claimed joins stay exchange-free") {
+    import spark.implicits._
+    // loop-entry contract (keyedEntry): a 1-partition materialized frame
+    // whose checkpoint claims SinglePartition
+    var df: DataFrame = Lineage.checkpoint(
+      Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "v").coalesce(1),
+      eager = true)
+    // several join-shaped generations: the ESTIMATE would compound into
+    // the GB range (see the tests above); the measured size must stay
+    // at the physical few-hundred-bytes of 3 rows
+    for (_ <- 1 to 4) df = Lineage.checkpoint(step(df), eager = true)
+    val carried = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(carried < BigInt(1L << 20),
+      s"carried stats should be measured (KBs), got $carried bytes")
+    // and a hinted equi-join of two such checkpoints plans NO shuffle:
+    // both sides claim SinglePartition and the measured size is under
+    // maxSinglePartitionBytes, so EnsureRequirements keeps them
+    val other = Lineage.checkpoint(
+      Seq((1L, 7L), (2L, 9L)).toDF("jid", "w").coalesce(1), eager = true)
+    val joined = df.join(other.hint("shuffle_hash"), df("id") === other("jid"))
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("hashpartitioning"),
+      s"claimed single-partition join must not re-shuffle:\n$plan")
+    assert(joined.orderBy("id").collect().map(_.getLong(3)).toSeq == Seq(7L, 9L))
+  }
+
   test("Gen.roll lazy generations stay readable across the keep-2 window") {
     import spark.implicits._
     val gen = Lineage.gen()
