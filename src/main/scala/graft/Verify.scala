@@ -21,9 +21,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Self-contained dump: persisted-fit artifacts (and the oracle SQL
-    // paths that reference them) live INSIDE the out dir, so the gate
-    // survives any concurrent graft JVM's /tmp sweep (VERDICT r15 #1).
-    graft.sources.Artifacts.setRoot(s"$outDir/_artifacts")
+    // paths that reference them) live NEXT TO the out dir — same parent,
+    // so the gate still survives any concurrent graft JVM's /tmp sweep
+    // (VERDICT r15 #1) — but OUTSIDE the tree the driver's oracle scans
+    // as query dumps: in round 16 `<outDir>/_artifacts` was picked up as
+    // a 268th "query" and recorded as a pyarrow error in
+    // CORRECTNESS_r16.json (VERDICT r16 #2).
+    graft.sources.Artifacts.setRoot(s"${outDir.stripSuffix("/")}_artifacts")
     // dev-only subset filter (comma-separated query names); the driver
     // never sets it, so the gate always runs the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -167,8 +167,9 @@ object Graph {
     // scale this is the difference between shuffling the edge list
     // every iteration and never re-shuffling it.
     val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
-    val v = keyedVertices(e, np).loopCheckpoint(true)
-    val n = v.count()
+    // round 17: |V| rides the vertex checkpoint's materialization as an
+    // observed metric — no separate count() job (Lineage.checkpointCounted)
+    val (v, n) = Lineage.checkpointCounted(keyedVertices(e, np))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val init = if (refQuirks) 10.0 else 1.0 / n
     // generation-tracked loop variable: each eager roll releases the
@@ -255,8 +256,8 @@ object Graph {
     // hash(src) keying of the edge frame, co-partitioned exchange-free
     // per-round joins, one fundamental shuffle per round (mass by dst)
     val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
-    val v = keyedVertices(e, np).loopCheckpoint(true)
-    val n = v.count()
+    // round 17: |V| rides the vertex checkpoint (see pageRank)
+    val (v, n) = Lineage.checkpointCounted(keyedVertices(e, np))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val rgen = Lineage.gen() // keep-2 generation tracking (see pageRank)
     var ranks: DataFrame = v.select(col("id"), lit(1.0 / n).as("rank"))
@@ -425,9 +426,10 @@ object Graph {
 
   def pageRankTol(edges: DataFrame, tol: Double = 0.01,
                   alpha: Double = 0.15, recordKey: Option[String] = None): DataFrame = {
-    // keyed loop entry (round 16, see [[pageRank]])
+    // keyed loop entry (round 16, see [[pageRank]]); round 17: |V| for
+    // the final normalization rides the vertex checkpoint
     val (e, np) = keyedEntry(edges.select("src", "dst"), "src")
-    val v = keyedVertices(e, np).loopCheckpoint(true)
+    val (v, nV) = Lineage.checkpointCounted(keyedVertices(e, np))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val rgen = Lineage.gen()
     var ranks = rgen.roll(v.select(col("id"), lit(1.0).as("rank")), true)
@@ -451,13 +453,16 @@ object Graph {
       // and the max-delta aggregate then reads the fresh cache — still
       // effectively one materializing pass per round.
       val newRank = lit(alpha) + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))
-      val next = rgen.roll(
+      // round 17: the tolerance gate max(delta) rides the roll's own
+      // materialization as an observed metric (Lineage.rollObserved) —
+      // no per-round aggregate job + driver head()
+      val (next, gate) = rgen.rollObserved(
         ranks.join(mass.hint("shuffle_hash"),
             ranks("id") === mass("dst"), "left_outer")
           .select(col("id"), newRank.as("rank"),
             abs(newRank - col("rank")).as("delta")),
-        true)
-      maxDelta = next.agg(max("delta")).head().getDouble(0)
+        max(col("delta")).as("m"))
+      maxDelta = gate.getDouble(0)
       ranks = next.select("id", "rank")
       iters += 1
     }
@@ -465,9 +470,8 @@ object Graph {
     recordKey.foreach { k => tolIterations(k) = iters; lastRecordKey = Some(k) }
     // normalize rank sum to N (GraphX SPARK-18847); the sum is
     // decimal-quantized so the scale factor is fold-order-independent
-    val n = v.count()
     val scale = ranks.agg(
-      (lit(n.toDouble) / sum(col("rank").cast(Dec)).cast("double")).as("scale"))
+      (lit(nV.toDouble) / sum(col("rank").cast(Dec)).cast("double")).as("scale"))
     ranks.crossJoin(broadcast(scale))
       .select(col("id"), round(col("rank") * col("scale"), 10).as("rank"))
   }
@@ -660,7 +664,9 @@ object Graph {
     // The checkpoint holds the directed half only (half the storage);
     // each round's symmetric view is two selects over the checkpoint —
     // no re-evaluation, no doubled block-store residency.
-    val ed = edges.select("src", "dst").loopCheckpoint(true)
+    // round 17: the edge count for the scaled width rides the entry
+    // checkpoint's materialization (Lineage.checkpointCounted)
+    val (ed, nEd) = Lineage.checkpointCounted(edges.select("src", "dst"))
     // two generation chains (keep-2 each, see Lineage.Gen): the labels
     // chain (init + each round's lazy `next`, materialized by the
     // changed-count) and the intermediate `stepped` chain — releasing
@@ -694,7 +700,7 @@ object Graph {
     // partitioning-invariant (PartitionInvarianceSpec), so only cost
     // changes.
     val sessParts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val scaled = math.min(2048L, ed.count() / edgeRowsPerTask + 1).toInt
+    val scaled = math.min(2048L, nEd / edgeRowsPerTask + 1).toInt
     val spreadJoin = scaled > sessParts
     // Round 16 (guide §2.4): the symmetric view is checkpointed ONCE,
     // hash-keyed on src at the edge-mass-scaled width (size-adaptive:
@@ -725,12 +731,17 @@ object Graph {
       // pointer jump: follow each label to ITS label (component values
       // are always live node ids, so the inner self-join keeps all rows)
       val jump = stepped.select(col("id").as("jid"), col("component").as("jcomp"))
-      val next = lgen.roll(stepped.join(jump, stepped("component") === jump("jid"))
-        .select(stepped("id"),
-          least(stepped("component"), col("jcomp")).as("component"),
-          (least(stepped("component"), col("jcomp")) < col("prev")).as("changed")),
-        false)
-      changed = next.filter(col("changed")).count()
+      // round 17: eager counted roll — the convergence gate rides the
+      // materialization as an observed metric (same single job the lazy
+      // roll + filtered count paid), and the eager checkpoint now also
+      // carries its claim and measured stats
+      val (next, nChanged) = lgen.rollCounted(
+        stepped.join(jump, stepped("component") === jump("jid"))
+          .select(stepped("id"),
+            least(stepped("component"), col("jcomp")).as("component"),
+            (least(stepped("component"), col("jcomp")) < col("prev")).as("changed")),
+        col("changed"))
+      changed = nChanged
       labels = next.select("id", "component")
       // (A Borůvka-style per-round edge contraction was probed here on
       // the 30× dense match graph and measured SLOWER — 52 s vs 35 s
@@ -778,12 +789,14 @@ object Graph {
             col("lbl").as("prev")),
         false)
       val jump = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val next = lgen.roll(stepped.join(jump, stepped("lbl") === jump("jid"))
-        .select(stepped("id"),
-          least(stepped("lbl"), col("jlbl")).as("lbl"),
-          (least(stepped("lbl"), col("jlbl")) < col("prev")).as("changed")),
-        false)
-      changed = next.filter(col("changed")).count()
+      // round 17: eager counted roll — see connectedComponents
+      val (next, nChanged) = lgen.rollCounted(
+        stepped.join(jump, stepped("lbl") === jump("jid"))
+          .select(stepped("id"),
+            least(stepped("lbl"), col("jlbl")).as("lbl"),
+            (least(stepped("lbl"), col("jlbl")) < col("prev")).as("changed")),
+        col("changed"))
+      changed = nChanged
       labels = next.select("id", "lbl")
     }
     labels
@@ -827,13 +840,17 @@ object Graph {
     val vgen = Lineage.gen()
     val kgen = Lineage.gen()
     var live = egen.roll(edges.select("src", "dst").distinct(), true)
-    var verts = vgen.roll(vertices(live), true) // from the checkpoint — caller runs once
+    // round 17: counted rolls/checkpoints throughout the trim/FW-BW
+    // loop — every gate count rides its materialization as an observed
+    // metric instead of a separate count() job
+    val (verts0, nVerts) = vgen.rollCounted(vertices(live))
+    var verts = verts0 // from the checkpoint — caller runs once
     // seeded empty so a vertex-less input (legal degenerate call) returns
     // an empty (id, scc) frame instead of NPE-ing on result.orderBy
     var result: DataFrame =
       verts.select(col("id"), col("id").as("scc")).limit(0)
     def add(a: DataFrame): Unit = result = result.union(a)
-    var remaining = verts.count()
+    var remaining = nVerts
     var outer = 0
     while (remaining > 0) {
       outer += 1
@@ -844,9 +861,10 @@ object Graph {
         val haveIn = live.select(col("dst").as("id")).distinct()
         val haveOut = live.select(col("src").as("id")).distinct()
         val keep = kgen.roll(haveIn.join(haveOut, "id"), true)
-        val peeled = verts.join(keep, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("scc")).loopCheckpoint(true)
-        trimmed = peeled.count()
+        val (peeled, nPeeled) = Lineage.checkpointCounted(
+          verts.join(keep, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc")))
+        trimmed = nPeeled
         if (trimmed > 0) {
           add(peeled)
           verts = vgen.roll(verts.join(keep, Seq("id")), true)
@@ -863,11 +881,10 @@ object Graph {
         val rev = live.select(col("dst").as("src"), col("src").as("dst"))
         val b = minReachLabels(rev, verts)
           .select(col("id"), col("lbl").as("blbl"))
-        val assigned = f.join(b, "id")
-          .filter(col("lbl") === col("blbl"))
-          .select(col("id"), col("lbl").as("scc"))
-          .loopCheckpoint(true)
-        val nAssigned = assigned.count()
+        val (assigned, nAssigned) = Lineage.checkpointCounted(
+          f.join(b, "id")
+            .filter(col("lbl") === col("blbl"))
+            .select(col("id"), col("lbl").as("scc")))
         require(nAssigned > 0, "SCC: FW-BW round assigned nothing (bug)")
         add(assigned)
         verts = vgen.roll(verts.join(assigned, Seq("id"), "left_anti"), true)
@@ -958,9 +975,12 @@ object Graph {
             greatest(col("level"), coalesce(col("cand"), col("level"))).as("level"),
             (coalesce(col("cand"), col("level")) > col("level")).as("raised")),
         false)
-      frontier = fgen.roll(next.filter(col("raised")).select("node", "level"),
-        true)
-      changed = frontier.count()
+      // round 17: counted roll — the gate count rides the frontier's
+      // materialization as an observed metric (no separate count job)
+      val (f2, nRaised) = fgen.rollCounted(
+        next.filter(col("raised")).select("node", "level"))
+      frontier = f2
+      changed = nRaised
       levels = next.select("node", "level")
     }
     sc.join(levels.select(col("node").as("scc"), col("level")), "scc")
@@ -1163,8 +1183,10 @@ object Graph {
     // one keep-2 chain: initial canon edges + each round's surviving
     // `keep` set (live/supported are views over the chain's latest)
     val kgen = Lineage.gen()
-    var live = kgen.roll(canonEdges(edges), true) // caller runs once
-    var nLive = live.count()
+    // round 17: counted roll — |live| rides the entry materialization
+    val (live0, nLive0) = kgen.rollCounted(canonEdges(edges)) // caller runs once
+    var live = live0
+    var nLive = nLive0
     var rounds = 0
     var converged = false
     var supported: DataFrame = live.select(col("a"), col("b"), lit(0L).as("support"))
@@ -1180,8 +1202,9 @@ object Graph {
           triEdges.groupBy("a", "b").agg(count(lit(1)).as("support")),
           Seq("a", "b"), "left_outer")
         .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
-      val keep = kgen.roll(sup.filter(col("support") >= minSup), true)
-      val nKeep = keep.count()
+      // round 17: counted roll — the peel-gate count rides the
+      // materialization as an observed metric (no separate count job)
+      val (keep, nKeep) = kgen.rollCounted(sup.filter(col("support") >= minSup))
       converged = nKeep == nLive // keep ⊆ live, so equal counts = no peel
       supported = keep
       live = keep.select("a", "b")
@@ -1406,12 +1429,13 @@ object Graph {
     var rounds = 0
     var growing = true
     while (growing) {
-      val next = fgen.roll(e.join(frontier, e("dst") === frontier("id"))
-        .select(e("src").as("id"), col("landmark"), (col("dist") + 1L).as("dist"))
-        .distinct()
-        .join(dist.select("id", "landmark"), Seq("id", "landmark"), "left_anti"),
-        false) // materialized by the count below
-      val n = next.count()
+      // round 17: eager counted roll (was lazy + count) — claims attach
+      // and the level-gate count rides the materialization
+      val (next, n) = fgen.rollCounted(
+        e.join(frontier, e("dst") === frontier("id"))
+          .select(e("src").as("id"), col("landmark"), (col("dist") + 1L).as("dist"))
+          .distinct()
+          .join(dist.select("id", "landmark"), Seq("id", "landmark"), "left_anti"))
       if (n > 0) {
         dist = dgen.roll(dist.union(next), true)
         rounds += 1
@@ -1572,14 +1596,14 @@ object Graph {
       val cand = e.join(frontier.hint("shuffle_hash"), e("dst") === frontier("id"))
         .groupBy(e("src").as("id"), col("landmark"))
         .agg(min(col("wdist") + col("w")).as("cand"))
-      // eager roll (was lazy + count): the claim and measured stats only
-      // attach to EAGER checkpoints, and the count below reads the cache
-      val improved = fgen.roll(cand.join(dist.hint("shuffle_hash"),
+      // eager counted roll (was lazy + count): the claim and measured
+      // stats only attach to EAGER checkpoints, and the wave-gate count
+      // rides the materialization as an observed metric — no per-wave
+      // count() job (Lineage.rollCounted)
+      val (improved, n) = fgen.rollCounted(cand.join(dist.hint("shuffle_hash"),
           Seq("id", "landmark"), "left_outer")
         .filter(col("wdist").isNull || col("cand") < col("wdist"))
-        .select(col("id"), col("landmark"), col("cand").as("wdist")),
-        true)
-      val n = improved.count()
+        .select(col("id"), col("landmark"), col("cand").as("wdist")))
       if (n > 0) {
         dist = dgen.roll(dist
           .join(improved.select("id", "landmark").hint("shuffle_hash"),
@@ -1692,15 +1716,21 @@ object Graph {
     var lvl = 0
     var growing = true
     while (growing) {
-      val next = fgen.roll(e.join(frontier.hint("shuffle_hash"),
+      // round 17: eager counted roll (was lazy + count) — the
+      // partitioning claim and measured stats only attach to EAGER
+      // checkpoints, so the next level's e ⋈ frontier join runs off the
+      // claimed co-partitioning, and the level-gate count rides the
+      // materialization as an observed metric (no per-level count()
+      // job). The anti-join side is hinted so the now-truthfully-small
+      // nodes frame doesn't flip it to a per-level broadcast job.
+      val (next, n) = fgen.rollCounted(e.join(frontier.hint("shuffle_hash"),
           e("src") === frontier("id"))
         .groupBy(col("pivot"), e("dst").as("nid"))
         .agg(sum("sigma").as("sigma"))
         .withColumnRenamed("nid", "id")
-        .join(nodes.select("pivot", "id"), Seq("pivot", "id"), "left_anti")
-        .select(col("id"), col("pivot"), lit(lvl + 1).as("dist"), col("sigma")),
-        false) // materialized by the count below
-      val n = next.count()
+        .join(nodes.select("pivot", "id").hint("shuffle_hash"),
+          Seq("pivot", "id"), "left_anti")
+        .select(col("id"), col("pivot"), lit(lvl + 1).as("dist"), col("sigma")))
       if (n > 0) { nodes = ngen.roll(nodes.union(next), true); lvl += 1 }
       growing = n > 0
       frontier = next
@@ -1731,6 +1761,10 @@ object Graph {
       .select(col("pivot"), col("id"), lit(0L).as("delta"), col("sigma"))
       .loopCheckpoint(true)
     var acc = delta.select("pivot", "id", "delta")
+    // per-level contribution aggregates are keep-2 gen-chained (each is
+    // consumed by its own level's eager delta checkpoint); delta itself
+    // stays un-chained — acc references every generation (see above)
+    val cgen = Lineage.gen()
     for (r <- (levels - 1) to 0 by -1) {
       val down = delta.select(col("pivot"), col("id").as("wv"),
         col("sigma").as("sw"), col("delta").as("dw"))
@@ -1742,9 +1776,14 @@ object Graph {
         .select(col("pivot"), col("v"),
           // HALF_UP(σv·(1e6+δw)/σw) in exact integer arithmetic
           expr("(2 * sv * (1000000 + dw) + sw) div (2 * sw)").as("c"))
+      // round 17: the per-level aggregate is checkpointed BEFORE the
+      // delta update join — the update's children are then both measured
+      // leaf checkpoints, so it plans exchange-free off the claims
+      // instead of being force-re-shuffled on its join-product estimate
+      val contribAgg = cgen.roll(
+        contrib.groupBy("pivot", "v").agg(sum("c").as("delta")), true)
       delta = up
-        .join(contrib.groupBy("pivot", "v").agg(sum("c").as("delta")),
-          Seq("pivot", "v"), "left_outer")
+        .join(contribAgg.hint("shuffle_hash"), Seq("pivot", "v"), "left_outer")
         .select(col("pivot"), col("v").as("id"),
           coalesce(col("delta"), lit(0L)).as("delta"), col("sv").as("sigma"))
         .loopCheckpoint(true)
@@ -1859,31 +1898,57 @@ object Graph {
     val sym = Lineage.checkpoint(
       ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(np, col("dst")), eager = true)
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // round 17 (guide §2.4, VERDICT r16 item 4 — the louvain job floor):
+    // the degree table is keyed hash(id, np) ONCE and carries 2m as a
+    // column (one broadcast per RUN instead of one per round), so every
+    // per-round join on id — labels ⋈ degT, cands ⋈ labels ⋈ degT, and
+    // the argmax aggregate — runs exchange-free off the claimed
+    // checkpoints. The per-round community-degree join is replaced by a
+    // window: cdeg(community) rides the label rows as SUM(deg) OVER
+    // (PARTITION BY community) after the round's ONE |V|-row re-key to
+    // hash(community) — identical exact-integer sums, no commDeg frame,
+    // no join back on community, and the candidate stream (≥ |V| rows)
+    // never leaves hash(id). Neighbor counts and the stay-option merge
+    // into ONE aggregate: per-edge rows carry evc = 1 and the own row
+    // evc = 0, so SUM(evc) ≡ the old COUNT(*)-then-MAX(evc, 0) by
+    // identity; cdeg is functionally dependent on the grouped community,
+    // so MAX(cdeg) = cdeg. Fundamental per-round exchanges: the
+    // hash(community) re-key of the |V| label rows, the labelsC re-key
+    // to the edge join's dst, and the candidate re-key to hash(id) —
+    // down from ~10 exchange stages per round.
+    val degT = sym.select(col("src").as("id"))
+      .repartition(np, col("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(sym.agg(count(lit(1)).as("twom"))))
       .loopCheckpoint(true)
-    val tm = sym.agg(count(lit(1)).as("twom")) // 2m, broadcast 1-row frame
     val lgen = Lineage.gen() // keep-2 label chain (see Lineage.Gen)
-    var labels = lgen.roll(deg.select(col("id"), col("id").as("community")),
+    var labels = lgen.roll(degT.select(col("id"), col("id").as("community")),
       true)
+    val WC = org.apache.spark.sql.expressions.Window.partitionBy("community")
     for (r <- 1 to rounds) {
-      val commDeg = labels.join(deg.hint("shuffle_hash"), "id")
-        .groupBy("community").agg(sum("deg").as("cdeg"))
-      val nbr = sym
-        .join(labels.select(col("id").as("dst"), col("community"))
+      val labelsC = labels.join(degT.hint("shuffle_hash"), "id")
+        .repartition(np, col("community"))
+        .withColumn("cdeg", sum("deg").over(WC))
+      val nbrRows = sym
+        .join(labelsC.select(col("id").as("dst"), col("community"), col("cdeg"))
           .hint("shuffle_hash"), "dst")
-        .groupBy(col("src").as("id"), col("community"))
-        .agg(count(lit(1)).as("evc"))
-      // the stay-option must exist even with no neighbor in c(v):
-      // union a zero-evc row per (vertex, own community) under the max
-      // — IDENTICAL to the old left-outer-join formulation (present in
-      // nbr → max(evc, 0) = evc; absent → 0) but references nbr ONCE.
-      // The old shape referenced it twice, and unionByName's attribute
-      // dedup re-ids one branch so ReusedExchange cannot dedup them —
-      // the |E|-row join ran TWICE per round (round-16 plan audit).
-      val own = labels
-        .select(col("id"), col("community"), lit(0L).as("evc"))
-      val cands = nbr.unionByName(own)
-        .groupBy("id", "community").agg(max("evc").as("evc"))
+        .select(col("src").as("id"), col("community"), col("cdeg"),
+          lit(1L).as("evc"))
+      val ownRows = labelsC
+        .select(col("id"), col("community"), col("cdeg"), lit(0L).as("evc"))
+      // repartition-then-agg, deliberately: a direct groupBy(id,
+      // community) would partial-aggregate map-side (guide §2.3), but
+      // Louvain's early rounds have near-singleton (vertex, community)
+      // groups — measured r17: the partial buffers reduced nothing and
+      // the aggregated stream paid an EXTRA re-key to hash(id) for the
+      // join chain below (46 jobs / 21.8 MB shuffled / 3.2 s task time
+      // vs 34 / 15.5 / 2.5 for this shape). The explicit hash(id) re-key
+      // is the round's one candidate-stream shuffle, reused by the
+      // aggregate AND every downstream id-join.
+      val cands = nbrRows.unionByName(ownRows)
+        .repartition(np, col("id"))
+        .groupBy("id", "community")
+        .agg(sum("evc").as("evc"), max("cdeg").as("cdeg"))
       // argmax by (score desc, stay-first, smallest community) as a
       // MAX-STRUCT hash aggregate — map-side combinable, no per-vertex
       // sort; lexicographic struct order encodes exactly the old rank
@@ -1891,10 +1956,9 @@ object Graph {
       // then max is_own, then max(-community) = min community. The
       // oracle keeps the window formulation — same winner by identity.
       val best = cands
-        .join(labels.select(col("id"), col("community").as("c0")), "id")
-        .join(deg, "id")
-        .join(commDeg, "community")
-        .crossJoin(broadcast(tm))
+        .join(labels.select(col("id"), col("community").as("c0"))
+          .hint("shuffle_hash"), "id")
+        .join(degT.hint("shuffle_hash"), "id")
         .select(col("id"), col("community"), col("c0"),
           (col("twom") * col("evc") - col("deg") *
             (col("cdeg") - when(col("community") === col("c0"), col("deg"))
@@ -2156,9 +2220,12 @@ object Graph {
     def degreesOf(e: DataFrame): DataFrame =
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val agen = Lineage.gen() // keep-2 alive-set chain (see Lineage.Gen)
-    var alive = agen.roll(degreesOf(sym).filter(col("deg") >= k)
-      .select("id"), true)
-    var n = alive.count()
+    // round 17: counted rolls — the peel-gate counts ride the
+    // materializations as observed metrics (no separate count jobs)
+    val (alive0, n0) = agen.rollCounted(degreesOf(sym)
+      .filter(col("deg") >= k).select("id"))
+    var alive = alive0
+    var n = n0
     var rounds = 1 // the initial filter is peel round 1
     var converged = false
     while (!converged) {
@@ -2166,9 +2233,8 @@ object Graph {
         .join(alive, sym("src") === alive("id"), "left_semi")
         .join(alive.withColumnRenamed("id", "id2"),
           col("dst") === col("id2"), "left_semi")
-      val next = agen.roll(degreesOf(induced).filter(col("deg") >= k)
-        .select("id"), true)
-      val m = next.count()
+      val (next, m) = agen.rollCounted(degreesOf(induced)
+        .filter(col("deg") >= k).select("id"))
       converged = m == n
       if (!converged) { alive = next; n = m; rounds += 1 }
     }

@@ -85,6 +85,36 @@ object Lineage {
       }
       out
     }
+
+    /** Eager roll + piggybacked row count (round 17): a
+      * `Dataset.observe` count node rides the checkpoint's own
+      * materialization, replacing the separate per-round count() job
+      * every count-gated loop used to pay (one driver round-trip per
+      * iteration). The optional gate predicate makes the metric
+      * `count(when(pred, 1))` — the number `filter(pred).count()` would
+      * return. Falls back to a real count when the observed metric is
+      * unavailable — never wrong, only slower. */
+    def rollCounted(df: DataFrame,
+                    pred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)): (DataFrame, Long) = {
+      val observed = observing(df, pred)
+      val out = roll(observed, eager = true)
+      (out, observedN(observed, out, pred))
+    }
+
+    /** Eager roll + an arbitrary piggybacked observed AGGREGATE (the
+      * [[rollCounted]] mechanism for non-count gates, e.g. a tolerance
+      * loop's max(delta)): returns the rolled frame and the 1-row
+      * aggregate result, computed during the same materialization.
+      * Falls back to re-aggregating the cached checkpoint when the
+      * observed metric is unavailable. */
+    def rollObserved(df: DataFrame,
+                     aggr: org.apache.spark.sql.Column): (DataFrame, org.apache.spark.sql.Row) = {
+      val observed = df.observe("graft_roll_agg", aggr)
+      val out = roll(observed, eager = true)
+      val row = LineageStats.observedRow(observed, "graft_roll_agg")
+        .getOrElse(out.agg(aggr).head())
+      (out, row)
+    }
   }
 
   object Gen {
@@ -97,6 +127,27 @@ object Lineage {
 
   /** Fresh per-loop-variable generation tracker. */
   def gen(): Gen = new Gen()
+
+  /** [[Gen.rollCounted]] for one-shot (non-generation-tracked)
+    * checkpoints: eager checkpoint + piggybacked (optionally gated)
+    * row count, no separate count() job. */
+  def checkpointCounted(df: DataFrame,
+                        pred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true)): (DataFrame, Long) = {
+    val observed = observing(df, pred)
+    val out = checkpoint(observed, eager = true)
+    (out, observedN(observed, out, pred))
+  }
+
+  private def observing(df: DataFrame,
+                        pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, when}
+    df.observe("graft_roll_n", count(when(pred, lit(1))).as("n"))
+  }
+
+  private def observedN(observed: DataFrame, out: DataFrame,
+                        pred: org.apache.spark.sql.Column): Long =
+    LineageStats.observedCount(observed, "graft_roll_n")
+      .getOrElse(out.filter(pred).count())
 
   /** Release a consumed checkpoint's blocks (non-blocking). Only for
     * frames that will never be read again — localCheckpoint lineage is

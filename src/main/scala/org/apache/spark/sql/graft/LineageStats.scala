@@ -163,6 +163,23 @@ object LineageStats {
     }
   }
 
+  /** An observed metric's first column from an EXECUTED query (round
+    * 17): after an eager checkpoint materializes a plan carrying a
+    * `Dataset.observe(name, count(...))` node, the collected value is
+    * on the QueryExecution — so a count-gated loop reads its per-round
+    * row count from the materialization it already paid for instead of
+    * running a separate count() job. None when the metric did not
+    * populate (caller falls back to a real count — never wrong, only
+    * slower). */
+  def observedCount(df: org.apache.spark.sql.DataFrame, name: String): Option[Long] =
+    observedRow(df, name).map(_.getLong(0))
+
+  /** The full observed-metrics row for `name` — None when it did not
+    * populate (see [[observedCount]]). */
+  def observedRow(df: org.apache.spark.sql.DataFrame, name: String): Option[Row] =
+    try df.asInstanceOf[Dataset[Row]].queryExecution.observedMetrics.get(name)
+    catch { case _: Throwable => None }
+
   /** The checkpoint-backing RDD of a localCheckpoint'd frame: the
     * [[LogicalRDD]] root's `rdd` field — exactly the RDD
     * `Dataset.localCheckpoint` persisted (and the id that appears in

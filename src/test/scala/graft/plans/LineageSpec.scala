@@ -119,6 +119,30 @@ class LineageSpec extends SparkSpec {
     assert(joined.orderBy("id").collect().map(_.getLong(3)).toSeq == Seq(7L, 9L))
   }
 
+  /** Round-17: the per-round loop-gate count rides the eager
+    * checkpoint's own materialization as an observed metric instead of
+    * a separate count() job. Correctness contract: the returned count
+    * must equal what filter(pred).count() would say, and the rolled
+    * frame must be intact. */
+  test("Gen.rollCounted piggybacks the gate count on the materialization") {
+    import spark.implicits._
+    val gen = Lineage.gen()
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, true))
+      .toDF("id", "flag").coalesce(1)
+    val (all, nAll) = gen.rollCounted(df)
+    assert(nAll == 4)
+    assert(all.count() == 4)
+    val (gated, nGated) = gen.rollCounted(
+      all.select(col("id"), col("flag")), col("flag"))
+    assert(nGated == 3, s"gated count: $nGated")
+    assert(gated.count() == 4) // the FRAME is ungated; only the metric is
+    // and a join-shaped generation (the AQE path) still reports exactly
+    val stepped = gated.join(gated.select(col("id").as("jid")), col("id") === col("jid"))
+    val (joined, nJoined) = gen.rollCounted(stepped)
+    assert(nJoined == 4, s"join-shaped count: $nJoined")
+    assert(joined.count() == 4)
+  }
+
   test("Gen.roll lazy generations stay readable across the keep-2 window") {
     import spark.implicits._
     val gen = Lineage.gen()
