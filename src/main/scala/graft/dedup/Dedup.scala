@@ -108,6 +108,7 @@ object Dedup {
     * The delta side is the small side throughout (broadcastable when a
     * day's crawl fits). */
   def nearDupIngest(s: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.SortedIntersectCount.register(s)
     val docs = Tables.documents(s, dir)
     val h = md5(col("text").cast("binary"))
     val corpusHashes = docs.filter(col("doc_id") % 5 =!= 0).select(h.as("h")).distinct()
@@ -125,7 +126,8 @@ object Dedup {
     val near = cand
       .join(delta.select(col("doc_id").as("did"), col("shh").as("sa"), col("n").as("na")), "did")
       .join(corpusSets.select(col("doc_id").as("cid"), col("shh").as("sb"), col("n").as("nb")), "cid")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("int"))
       .filter(round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
         .cast(Out6) >= minJaccard)
       .select(col("did").as("doc_id")).distinct().withColumn("near", lit(1L))
@@ -516,8 +518,14 @@ object Dedup {
       val lanes = (0 until 8).map { i =>
         min(substring(col(if (i < 4) "h0" else "h1"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
       }
+      // round 17: the hashed shingle sets are SORTED once per document
+      // here — every pair-verification consumer then counts the
+      // intersection with the compiled sorted-merge kernel
+      // (graft.functions.SortedIntersectCount) instead of
+      // array_intersect's per-pair hash set. Consumers are
+      // order-insensitive (see above), so only speed changes.
       val aggs = lanes.tail ++ Seq(
-        collect_list(col("sh64")).as("shh"), count(lit(1)).as("n"))
+        sort_array(collect_list(col("sh64"))).as("shh"), count(lit(1)).as("n"))
       ex.groupBy("doc_id").agg(lanes.head, aggs: _*)
     }
 
@@ -545,7 +553,8 @@ object Dedup {
     lshNearDupsFromBase(
       docs.select(col("doc_id"), shingles(col("text")).as("sh"))
         .select(col("doc_id"), col("sh"),
-          transform(col("sh"), s => xxhash64(s)).as("shh"), size(col("sh")).as("n"))
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
+          size(col("sh")).as("n"))
         .loopCheckpoint(true),
       minJaccard)
 
@@ -559,6 +568,7 @@ object Dedup {
     * odds ~#shingles²/2⁶⁵) so the string-based oracle is unchanged. */
   def lshNearDupsFromBase(base: DataFrame, minJaccard: Double = 0.1,
                           lanes: Option[DataFrame] = None): DataFrame = {
+    graft.functions.SortedIntersectCount.register(base.sparkSession)
     // bands feeds both sides of the candidate self-join
     val bands = lanes.getOrElse(minhashLanesFromShingles(base)).select(col("doc_id"),
       posexplode(array((0 until 8).map(i => col(s"mh$i")): _*)).as(Seq("band", "key")))
@@ -571,7 +581,8 @@ object Dedup {
     pairs
       .join(base.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"), col("n").as("na")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .cast(Out6).as("jaccard"))
@@ -1483,6 +1494,7 @@ object Dedup {
     * back to the memoized 64-bit shingle arrays (array_intersect), as
     * d3 does. */
   def prefixFilterPairs(base: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(base.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(asc("df_s"), asc("s"))
     val inv = base.select(col("doc_id"), col("n"), explode(col("shh")).as("s"))
@@ -1500,7 +1512,15 @@ object Dedup {
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"), col("n").as("na")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // size prefilter (round 17, VERDICT r16 item 10): inter ≤ min(na,
+      // nb), so a pair can only survive inter·3 ≥ na+nb if 3·min ≥
+      // na+nb — a necessary condition checked on two ints BEFORE the
+      // O(na+nb) per-pair set intersect. Sound: never drops a pair the
+      // threshold would keep; the oracle keeps the plain form (the
+      // dropped pairs produce no output row on either engine).
+      .filter(least(col("na"), col("nb")) * 3 >= col("na") + col("nb"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .filter(col("inter") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)

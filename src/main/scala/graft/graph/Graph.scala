@@ -144,6 +144,31 @@ object Graph {
   private def maybeRekey(df: DataFrame, np: Int, key: String): DataFrame =
     if (np <= 1) df else df.repartition(np, col(key))
 
+  /** shuffle_hash hint with a build-side guard (round 17, VERDICT r16
+    * item 9): the loop joins hint SHJ because the co-partitioned build
+    * side is a KB-to-MB state frame — but a hinted SHJ whose build
+    * partition does NOT fit execution memory OOMs where sort-merge
+    * would spill. When the build frame's size is MEASURABLE (a
+    * checkpoint, or a narrow projection of one — its carried stats are
+    * the measured block bytes since round 17, see
+    * LineageStats.measuredSize), the hint is applied only while the
+    * per-partition build estimate stays within the session's advisory
+    * partition size; above that the planner keeps its default
+    * (sort-merge, graceful spill). Frames whose size cannot be
+    * measured (mid-plan join products) keep the hint — the status quo,
+    * and every such site is structurally |V|-bounded (see call sites). */
+  private[graph] def shj(df: DataFrame, np: Int): DataFrame = {
+    val fits = org.apache.spark.sql.graft.LineageStats.measurableBytes(df)
+      .forall { b =>
+        val adv = try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          df.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+        catch { case _: Throwable => 64L * 1024 * 1024 }
+        b / math.max(1, np) <= BigInt(adv)
+      }
+    if (fits) df.hint("shuffle_hash") else df
+  }
+
   def pageRank(edges: DataFrame, iterations: Int, alpha: Double = 0.15,
                refQuirks: Boolean = false): DataFrame = {
     // Checkpoint the caller's edge frame ONCE at entry (the CC round-12
@@ -187,7 +212,7 @@ object Graph {
       // no per-round broadcast job, no sort of the edge-sized stream
       // side, no |V|-sized broadcast at scale
       val spread = contribs
-        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
+        .join(shj(ranks, np), contribs("src") === ranks("id"))
         .select(col("dst"),
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
       val mass = maybeRekey(spread, np, "dst")
@@ -270,13 +295,13 @@ object Graph {
       .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
       val spread = contribs
-        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
+        .join(shj(ranks, np), contribs("src") === ranks("id"))
         .select(col("dst"),
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
       val mass = maybeRekey(spread, np, "dst")
         .groupBy("dst")
         .agg(sum("contrib").cast("double").as("mass"))
-      val dangling = ranks.join(danglingIds.hint("shuffle_hash"),
+      val dangling = ranks.join(shj(danglingIds, np),
           Seq("id"), "left_semi")
         .agg(coalesce(sum(col("rank").cast(Dec)), lit(0).cast(Dec))
           .cast("double").as("dm"))
@@ -345,7 +370,7 @@ object Graph {
       .loopCheckpoint(true)
     for (_ <- 1 to iterations) {
       val spread = contribs
-        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
+        .join(shj(ranks, np), contribs("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
       val mass = maybeRekey(spread, np, "dst")
         .groupBy("dst").agg(sum("contrib").cast("double").as("mass"))
@@ -440,7 +465,7 @@ object Graph {
     var maxDelta = Double.MaxValue
     while (maxDelta >= tol) {
       val spread = contribs
-        .join(ranks.hint("shuffle_hash"), contribs("src") === ranks("id"))
+        .join(shj(ranks, np), contribs("src") === ranks("id"))
         .select(col("dst"),
           (col("rank") / col("out_deg")).cast(Dec).as("contrib"))
       val mass = maybeRekey(spread, np, "dst")
@@ -719,7 +744,7 @@ object Graph {
         .repartition(npE, col("src")), eager = true)
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = und.join(labels.hint("shuffle_hash"), und("src") === labels("id"))
+      val nbrMin = und.join(shj(labels, npE), und("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr_min"))
       val stepped = sgen.roll(
@@ -1577,7 +1602,7 @@ object Graph {
                    recordKey: Option[String] = None): DataFrame = {
     // round 16: relaxation probes the edge list on dst every wave —
     // key it once (see pageRank); the frontier side is the tiny half
-    val (e, _) = keyedEntry(edgesW.select("src", "dst", "w"), "dst")
+    val (e, np) = keyedEntry(edgesW.select("src", "dst", "w"), "dst")
     val dgen = Lineage.gen() // keep-2 chains (see Lineage.Gen): dist…
     val fgen = Lineage.gen() // …and the per-wave improvement frontier
     var dist = dgen.roll(e.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -1593,20 +1618,20 @@ object Graph {
       // these joins would otherwise flip to per-wave broadcasts (a
       // BroadcastExchange job per wave); the hinted SHJ reads the claimed
       // co-partitioning instead (exchange-free at np == 1)
-      val cand = e.join(frontier.hint("shuffle_hash"), e("dst") === frontier("id"))
+      val cand = e.join(shj(frontier, np), e("dst") === frontier("id"))
         .groupBy(e("src").as("id"), col("landmark"))
         .agg(min(col("wdist") + col("w")).as("cand"))
       // eager counted roll (was lazy + count): the claim and measured
       // stats only attach to EAGER checkpoints, and the wave-gate count
       // rides the materialization as an observed metric — no per-wave
       // count() job (Lineage.rollCounted)
-      val (improved, n) = fgen.rollCounted(cand.join(dist.hint("shuffle_hash"),
+      val (improved, n) = fgen.rollCounted(cand.join(shj(dist, np),
           Seq("id", "landmark"), "left_outer")
         .filter(col("wdist").isNull || col("cand") < col("wdist"))
         .select(col("id"), col("landmark"), col("cand").as("wdist")))
       if (n > 0) {
         dist = dgen.roll(dist
-          .join(improved.select("id", "landmark").hint("shuffle_hash"),
+          .join(shj(improved.select("id", "landmark"), np),
             Seq("id", "landmark"), "left_anti")
           .union(improved),
           true)
@@ -1723,12 +1748,12 @@ object Graph {
       // materialization as an observed metric (no per-level count()
       // job). The anti-join side is hinted so the now-truthfully-small
       // nodes frame doesn't flip it to a per-level broadcast job.
-      val (next, n) = fgen.rollCounted(e.join(frontier.hint("shuffle_hash"),
+      val (next, n) = fgen.rollCounted(e.join(shj(frontier, np),
           e("src") === frontier("id"))
         .groupBy(col("pivot"), e("dst").as("nid"))
         .agg(sum("sigma").as("sigma"))
         .withColumnRenamed("nid", "id")
-        .join(nodes.select("pivot", "id").hint("shuffle_hash"),
+        .join(shj(nodes.select("pivot", "id"), np),
           Seq("pivot", "id"), "left_anti")
         .select(col("id"), col("pivot"), lit(lvl + 1).as("dist"), col("sigma")))
       if (n > 0) { nodes = ngen.roll(nodes.union(next), true); lvl += 1 }
@@ -1771,8 +1796,8 @@ object Graph {
       val up = nodes.filter(col("dist") === r)
         .select(col("pivot"), col("id").as("v"), col("sigma").as("sv"))
       val contrib = eDst.select(col("src").as("v"), col("dst").as("wv"))
-        .join(down.hint("shuffle_hash"), Seq("wv"))
-        .join(up.hint("shuffle_hash"), Seq("pivot", "v"))
+        .join(shj(down, np), Seq("wv"))
+        .join(shj(up, np), Seq("pivot", "v"))
         .select(col("pivot"), col("v"),
           // HALF_UP(σv·(1e6+δw)/σw) in exact integer arithmetic
           expr("(2 * sv * (1000000 + dw) + sw) div (2 * sw)").as("c"))
@@ -1783,7 +1808,7 @@ object Graph {
       val contribAgg = cgen.roll(
         contrib.groupBy("pivot", "v").agg(sum("c").as("delta")), true)
       delta = up
-        .join(contribAgg.hint("shuffle_hash"), Seq("pivot", "v"), "left_outer")
+        .join(shj(contribAgg, np), Seq("pivot", "v"), "left_outer")
         .select(col("pivot"), col("v").as("id"),
           coalesce(col("delta"), lit(0L)).as("delta"), col("sv").as("sigma"))
         .loopCheckpoint(true)
@@ -1926,7 +1951,7 @@ object Graph {
       true)
     val WC = org.apache.spark.sql.expressions.Window.partitionBy("community")
     for (r <- 1 to rounds) {
-      val labelsC = labels.join(degT.hint("shuffle_hash"), "id")
+      val labelsC = labels.join(shj(degT, np), "id")
         .repartition(np, col("community"))
         .withColumn("cdeg", sum("deg").over(WC))
       val nbrRows = sym
@@ -1956,9 +1981,8 @@ object Graph {
       // then max is_own, then max(-community) = min community. The
       // oracle keeps the window formulation — same winner by identity.
       val best = cands
-        .join(labels.select(col("id"), col("community").as("c0"))
-          .hint("shuffle_hash"), "id")
-        .join(degT.hint("shuffle_hash"), "id")
+        .join(shj(labels.select(col("id"), col("community").as("c0")), np), "id")
+        .join(shj(degT, np), "id")
         .select(col("id"), col("community"), col("c0"),
           (col("twom") * col("evc") - col("deg") *
             (col("cdeg") - when(col("community") === col("c0"), col("deg"))
@@ -2145,7 +2169,7 @@ object Graph {
     var labels = lgen.roll(vertices(ed).select(col("id"), col("id").as("label")),
       true)
     for (_ <- 1 to rounds) {
-      val cnt = sym.join(labels.hint("shuffle_hash"), sym("dst") === labels("id"))
+      val cnt = sym.join(shj(labels, np), sym("dst") === labels("id"))
         .groupBy(sym("src").as("vid"), col("label"))
         .agg(count(lit(1)).as("n"))
       // most-frequent label, smallest on ties, as a MAX-STRUCT hash
@@ -2503,12 +2527,12 @@ object Graph {
             .cast(Dec).as("c"))
       val aContrib =
         if (i == 1) eSrc.select(col("dst"), lit(1.0).cast(Dec).as("c"))
-        else eSrc.join(normalized(hraw, "src", "hraw").hint("shuffle_hash"),
+        else eSrc.join(shj(normalized(hraw, "src", "hraw"), np),
             Seq("src"))
           .select(col("dst"), col("c"))
       araw = agen.roll(withTotal(maybeRekey(aContrib, np, "dst")
         .groupBy("dst").agg(sum("c").as("araw")), "araw"), true)
-      val hContrib = eDst.join(normalized(araw, "dst", "araw").hint("shuffle_hash"),
+      val hContrib = eDst.join(shj(normalized(araw, "dst", "araw"), np),
           Seq("dst"))
         .select(col("src"), col("c"))
       hraw = hgen.roll(withTotal(maybeRekey(hContrib, np, "src")
@@ -2517,14 +2541,14 @@ object Graph {
     // output boundary: rebuild the full-|V| normalized frames once
     val asum = araw.agg(sum("araw").as("s"))
     val hsum = hraw.agg(sum("hraw").as("s"))
-    val auth = v.join(araw.select(col("dst").as("id"), col("araw"))
-        .hint("shuffle_hash"), Seq("id"), "left_outer")
+    val auth = v.join(shj(araw.select(col("dst").as("id"), col("araw")), np),
+      Seq("id"), "left_outer")
       .crossJoin(broadcast(asum))
       .select(col("id"),
         (coalesce(col("araw"), lit(0).cast(Dec)).cast("double") /
           col("s").cast("double")).as("auth"))
-    val hub = v.join(hraw.select(col("src").as("id"), col("hraw"))
-        .hint("shuffle_hash"), Seq("id"), "left_outer")
+    val hub = v.join(shj(hraw.select(col("src").as("id"), col("hraw")), np),
+      Seq("id"), "left_outer")
       .crossJoin(broadcast(hsum))
       .select(col("id"),
         (coalesce(col("hraw"), lit(0).cast(Dec)).cast("double") /

@@ -104,8 +104,12 @@ object TextStats {
   /** Document quality heuristics: lengths, ratios, mean token length.
     * The composite score is a fixed linear blend — arbitrary but stable,
     * the shape a quality-filter stage needs at scale. */
-  def qualityCols(text: Column): Seq[Column] = {
-    val raw = Tokenize.rawTokens(text)
+  def qualityCols(text: Column): Seq[Column] =
+    qualityCols(text, Tokenize.rawTokens(text))
+
+  /** [[qualityCols]] with the token array supplied by the caller — the
+    * [[docsTok]] sources pass their memoized column; values identical. */
+  def qualityCols(text: Column, raw: Column): Seq[Column] = {
     val nTok = size(raw)
     val nStop = size(filter(raw, t => t.isin(Tokenize.stopwords: _*)))
     val nChars = length(text)
@@ -119,6 +123,34 @@ object TextStats {
         .as("mean_tok_len"),
     )
   }
+
+  // ------------------------------------------- shared tokenized corpus
+
+  /** Column name of the memoized rawTokens column on [[docsTok]]. */
+  private val RawCol = "graft_raw_tokens"
+
+  /** Shared tokenized-corpus memo (round 17, VERDICT r16 item 8; guide
+    * §2.4 "share one exchange/scan"): the registered documents table
+    * plus its [[Tokenize.rawTokens]] column, materialized once per
+    * session. A dozen x-family queries each re-tokenized the same
+    * corpus inside their own serial scan task; they now read this
+    * claimed, measured checkpoint and only the first payer tokenizes
+    * (build cost surfaced through the Materialized build log like every
+    * family memo). Tokenize-once is also the scale-correct pipeline
+    * shape — a production curation stack writes the tokenized corpus
+    * once and fans its stages out from it. */
+  def docsTok(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Materialized(spark, s"doc_raw_tokens:${Tables.norm(dir)}")(
+      Tables.documents(spark, dir)
+        .withColumn(RawCol, Tokenize.rawTokens(col("text"))))
+
+  /** rawTokens over `docs`: the memoized column when present
+    * ([[docsTok]] sources), computed on the fly otherwise (tests,
+    * streaming frames, any caller-supplied corpus). Same expression,
+    * same values — only WHERE the tokenization runs changes. */
+  private def rawOf(docs: DataFrame): Column =
+    if (docs.columns.contains(RawCol)) col(RawCol)
+    else Tokenize.rawTokens(col("text"))
 
   // ------------------------------------------------------------ registry
 
@@ -154,8 +186,8 @@ object TextStats {
     * the text is tokenized once instead of once per language. */
   def xLangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("tok"))
+    val docs = docsTok(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(rawOf(docs)).as("tok"))
     val dict = langStopwords
       .flatMap { case (l, ws) => ws.map(w => (l, w, if (wordLangCount(w) == 1) 2 else 1)) }
       .toDF("lang", "word", "weight")
@@ -183,7 +215,7 @@ object TextStats {
     * tokenize once, broadcast dictionary join, no per-language scans. */
   def xLangConfusion(spark: SparkSession, dir: String): DataFrame =
     xLangId(spark, dir)
-      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .join(docsTok(spark, dir).select("doc_id", "lang"), "doc_id")
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
@@ -193,10 +225,11 @@ object TextStats {
        |  count(*) AS n
        |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
 
-  def xQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id") +: qualityCols(col("text")): _*)
+  def xQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTok(spark, dir)
+    docs.select(col("doc_id") +: qualityCols(col("text"), rawOf(docs)): _*)
       .orderBy("doc_id")
+  }
 
   def xQualitySql: String = {
     val toks = Tokenize.rawTokensSql("text")
@@ -213,14 +246,15 @@ object TextStats {
   /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
     * runs / digit runs / single punctuation, the GPT-2-style pre-tokenize
     * shape), distinct tokens. */
-  def xTokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(Tokenize.rawTokens(col("text"))).as("n_ws_tokens"),
+  def xTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTok(spark, dir)
+    docs.select(col("doc_id"),
+        size(rawOf(docs)).as("n_ws_tokens"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
           .as("n_bpe_pieces"),
-        size(array_distinct(Tokenize.rawTokens(col("text")))).as("n_distinct"))
+        size(array_distinct(rawOf(docs))).as("n_distinct"))
       .orderBy("doc_id")
+  }
 
   def xTokenCountSql: String =
     s"""SELECT doc_id,
@@ -234,10 +268,10 @@ object TextStats {
     * rolling hash over the token stream (order-sensitive, integer-exact:
     * acc = (acc*31 + tokhash) mod 2^31, tokhash = 31*len + ascii(first)). */
   def xFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tokenize.rawTokens(col("text"))
+    val docs = docsTok(spark, dir)
+    val toks = rawOf(docs)
     val tokHashes = transform(toks, t => lit(31L) * length(t) + ascii(substring(t, 1, 1)))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    docs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("md5_text"),
         md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary")).as("md5_tokenset"),
         aggregate(tokHashes, lit(0L), (acc, x) => (acc * 31L + x) % 2147483647L).as("rolling"))
@@ -266,7 +300,7 @@ object TextStats {
     * doc_id); docs with <2 tokens have no bigrams and surface 0.0 through
     * the left join. */
   def repetition(docs: DataFrame): DataFrame = {
-    val toksCol = Tokenize.rawTokens(col("text"))
+    val toksCol = rawOf(docs)
     val base = docs.select(col("doc_id"), toksCol.as("toks"))
     val stats = base.select(col("doc_id"),
       size(col("toks")).as("n_tokens"),
@@ -461,7 +495,7 @@ object TextStats {
     * machinery), so the mix is deterministic end to end. */
   def mixWeights(docs: DataFrame, budgetTokens: Long = 100000L): DataFrame =
     docs.select(col("source"),
-        size(Tokenize.rawTokens(col("text"))).cast("long").as("n_tokens"))
+        size(rawOf(docs)).cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -500,7 +534,7 @@ object TextStats {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
     docs.select(col("doc_id"),
-        size(Tokenize.rawTokens(col("text"))).cast("long").as("n_tokens"))
+        size(rawOf(docs)).cast("long").as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("tok_offset", col("cum") - col("n_tokens"))
       .withColumn("chunk_first", floor(col("tok_offset") / lit(seqLen.toDouble)))
@@ -549,7 +583,7 @@ object TextStats {
     * yields a DESCENDING range, not empty (unlike DuckDB's range). */
   def bpeMergeCandidates(docs: DataFrame, topK: Int = 20): DataFrame = {
     val vocab = docs
-      .select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .select(explode(rawOf(docs)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     vocab.filter(length(col("word")) >= 2)
       .select(col("freq"), explode(
@@ -561,7 +595,7 @@ object TextStats {
   }
 
   def xBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergeCandidates(Tables.documents(spark, dir))
+    bpeMergeCandidates(docsTok(spark, dir))
 
   def xBpeMergesSql(topK: Int = 20): String =
     s"""WITH vocab AS (
@@ -603,7 +637,7 @@ object TextStats {
       lit("##"))
 
   private def vocab0(docs: DataFrame): DataFrame =
-    docs.select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+    docs.select(explode(rawOf(docs)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), symInit.as("sym"))
 
@@ -646,7 +680,7 @@ object TextStats {
   def bpeMerges(docs: DataFrame, rounds: Int = 10,
                 recordKey: Option[String] = None): DataFrame =
     bpeMergesFromWordCounts(
-      docs.select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      docs.select(explode(rawOf(docs)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq")),
       rounds, recordKey)
 
@@ -751,7 +785,7 @@ object TextStats {
                        candCap: Int = bpeBatchCap,
                        recordKey: Option[String] = None): DataFrame =
     bpeMergesBatchedFromWordCounts(
-      docs.select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      docs.select(explode(rawOf(docs)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq")),
       batches, batchSize, candCap, recordKey)
 
@@ -812,7 +846,7 @@ object TextStats {
 
   private def cachedBpeBatch(s: SparkSession, dir: String): DataFrame =
     graft.plans.Materialized(s, s"bpe_batch:${Tables.norm(dir)}")(
-      bpeMergesBatched(Tables.documents(s, dir),
+      bpeMergesBatched(docsTok(s, dir),
         recordKey = Some(Tables.norm(dir))))
 
   def xBpeBatch(spark: SparkSession, dir: String): DataFrame =
@@ -837,13 +871,13 @@ object TextStats {
 
   private def cachedBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.plans.Materialized(s, s"bpe_merges:${Tables.norm(dir)}")(
-      bpeMerges(Tables.documents(s, dir), rounds = 10,
+      bpeMerges(docsTok(s, dir), rounds = 10,
         recordKey = Some(Tables.norm(dir))))
 
   private def cachedBpeVocab(s: SparkSession, dir: String): DataFrame =
     graft.plans.Materialized(s, s"bpe_vocab:${Tables.norm(dir)}") {
       val merges = cachedBpeMerges(s, dir) // ensures the round count is recorded
-      bpeApply(Tables.documents(s, dir), merges,
+      bpeApply(docsTok(s, dir), merges,
         bpeRoundsRec.getOrElse(Tables.norm(dir), 0))
     }
 
@@ -857,11 +891,11 @@ object TextStats {
     * the two engines). The corpus-sized stage is one (doc_id, word)
     * count; symbol counts ride a vocab-sized join on word. */
   def xBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsTok(spark, dir)
     val vsz = cachedBpeVocab(spark, dir).select(col("word"),
       expr("size(filter(split(sym, '##'), s -> s <> ''))").cast("long").as("n_sym"),
       length(col("word")).cast("long").as("n_chr"))
-    val tok = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+    val tok = docs.select(col("doc_id"), explode(rawOf(docs)).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val agg = tok.join(vsz, Seq("word"))
       .groupBy("doc_id")
@@ -1066,7 +1100,7 @@ object TextStats {
     * before the standard round→DECIMAL output cast. */
   def unigramLogprob(docs: DataFrame): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .select(col("doc_id"), explode(rawOf(docs)).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .loopCheckpoint(true)
     val vocab = tok.groupBy("word").agg(sum("c").cast("long").as("n_w"))
@@ -1110,7 +1144,7 @@ object TextStats {
     * x15 buckets it — one corpus tokenize+score pass per session. */
   private def cachedLogprob(s: SparkSession, dir: String): DataFrame =
     graft.plans.Materialized(s, s"unigram_logprob:${Tables.norm(dir)}")(
-      unigramLogprob(Tables.documents(s, dir)))
+      unigramLogprob(docsTok(s, dir)))
 
   // ---------------------------------------------------- perplexity buckets
 
@@ -1170,7 +1204,7 @@ object TextStats {
     * NOTES libm rule: ln() rounded to 6 dp into DECIMAL(18,6) per bigram,
     * exact decimal sums per doc, one clean double division at the end. */
   def bigramLogprob(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), Tokenize.rawTokens(col("text")).as("toks"))
+    val base = docs.select(col("doc_id"), rawOf(docs).as("toks"))
     val bigrams = filter(
       zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
         (a, b) => concat(a, lit(" "), b)),
@@ -1236,7 +1270,7 @@ object TextStats {
   def sourceProfile(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), col("n_chars"),
-        size(Tokenize.rawTokens(col("text"))).as("n_toks"),
+        size(rawOf(docs)).as("n_toks"),
         (col("lang") === "en").cast("long").as("is_en"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1273,7 +1307,7 @@ object TextStats {
     * (≪ corpus), and only k rows survive to the output. */
   def vocabCoverage(docs: DataFrame, k: Int = 50): DataFrame = {
     val counts = docs
-      .select(explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .select(explode(rawOf(docs)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").cast("long").as("n_total"))
     val ord = org.apache.spark.sql.expressions.Window
@@ -1335,7 +1369,7 @@ object TextStats {
       floor((col("n") - ChunkSize + ChunkStride - 1) / lit(ChunkStride))
         .cast("int") + 1)
     docs
-      .select(col("doc_id"), Tokenize.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), rawOf(docs).as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
@@ -1389,7 +1423,7 @@ object TextStats {
     * round→DECIMAL output cast. */
   def sourceKl(docs: DataFrame): DataFrame = {
     val tok = docs
-      .select(col("source"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .select(col("source"), explode(rawOf(docs)).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("c"))
       .loopCheckpoint(true) // consumed by both marginals AND the score join
     val vocab = tok.groupBy("word").agg(sum("c").cast("long").as("n_w"))
@@ -1464,7 +1498,7 @@ object TextStats {
   def jsDivergence(docs: DataFrame): DataFrame = {
     val Out6 = DecimalType(18, 6)
     val tok = docs
-      .select(col("source"), explode(Tokenize.rawTokens(col("text"))).as("word"))
+      .select(col("source"), explode(rawOf(docs)).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("c"))
       .loopCheckpoint(true) // self-joined below — never tokenize twice
     val totals = tok.groupBy("source").agg(sum("c").cast("long").as("n"))
@@ -1559,7 +1593,7 @@ object TextStats {
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val toks = docs.select(col("doc_id"),
-      posexplode(Tokenize.rawTokens(col("text"))).as(Seq("pos", "tok")))
+      posexplode(rawOf(docs)).as(Seq("pos", "tok")))
     // boundary AFTER each token whose md5 starts with '0' (p = 1/16)
     val flagged = toks.withColumn("b",
       (substring(md5(col("tok").cast("binary")), 1, 1) === "0").cast("long"))
@@ -1625,7 +1659,7 @@ object TextStats {
     val DecP = DecimalType(38, 12)
     // vocab-sized frame: the unpartitioned rank window is metadata-scale
     val rankW = org.apache.spark.sql.expressions.Window.orderBy(desc("f"), asc("w"))
-    val xy = docs.select(explode(Tokenize.rawTokens(col("text"))).as("w"))
+    val xy = docs.select(explode(rawOf(docs)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= topN)
@@ -1699,7 +1733,7 @@ object TextStats {
     val Out6 = DecimalType(18, 6)
     val DecP = DecimalType(38, 12)
     val maxId = docs.agg(max("doc_id").as("max_id"))
-    val toks = docs.select(col("doc_id"), explode(Tokenize.rawTokens(col("text"))).as("w"))
+    val toks = docs.select(col("doc_id"), explode(rawOf(docs)).as("w"))
       .crossJoin(broadcast(maxId))
       .select(expr(s"(doc_id * $nBuckets) div (max_id + 1)").as("bucket"), col("w"))
       .loopCheckpoint(true) // feeds the token mass AND first-occurrence aggs
@@ -1845,8 +1879,12 @@ object TextStats {
       minMeanTokLen: Double = 4.0,
       maxMeanTokLen: Double = 5.0)
 
-  def funnelRule(cfg: FunnelConfig = FunnelConfig()): Column = {
-    val raw = Tokenize.rawTokens(col("text"))
+  def funnelRule(cfg: FunnelConfig = FunnelConfig()): Column =
+    funnelRule(cfg, Tokenize.rawTokens(col("text")))
+
+  /** [[funnelRule]] with the token array supplied by the caller — the
+    * [[docsTok]] sources pass their memoized column; values identical. */
+  def funnelRule(cfg: FunnelConfig, raw: Column): Column = {
     val nTok = size(raw)
     val nChars = length(col("text"))
     val nStop = size(filter(raw, t => t.isin(Tokenize.stopwords: _*)))
@@ -1874,7 +1912,7 @@ object TextStats {
     * over those 6 metadata rows — nothing corpus-sized shuffles. All
     * outputs are exact integers. */
   def filterFunnel(docs: DataFrame, cfg: FunnelConfig = FunnelConfig()): DataFrame = {
-    val counts = docs.select(funnelRule(cfg).as("rule"))
+    val counts = docs.select(funnelRule(cfg, rawOf(docs)).as("rule"))
       .groupBy("rule").agg(count(lit(1)).as("n_docs"))
     // 6 metadata rows: the single-partition window is deliberate
     val w = Window.orderBy("rule")
@@ -1958,7 +1996,7 @@ object TextStats {
 
   def tokenWaterfill(docs: DataFrame, budget: Long = 26000L): DataFrame = {
     val stats = docs
-      .select(col("source"), size(Tokenize.rawTokens(col("text"))).cast("long").as("t"))
+      .select(col("source"), size(rawOf(docs)).cast("long").as("t"))
       .groupBy("source").agg(sum("t").cast("long").as("avail"))
     val wOrd = Window.orderBy(asc("avail"), asc("source"))
     val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2054,7 +2092,7 @@ object TextStats {
     val nB = 256L
     val tok = docs
       .select(col("doc_id"), (col("lang") === "en").as("is_target"),
-        explode(Tokenize.rawTokens(col("text"))).as("word"))
+        explode(rawOf(docs)).as("word"))
       .select(col("doc_id"), col("is_target"),
         hashBucket(col("word")).cast("long").as("b"))
       .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c"))
@@ -2121,47 +2159,47 @@ object TextStats {
     "x5_fingerprint" -> xFingerprint _,
     "x6_hash_split" -> xHashSplit _,
     "x7_repetition" -> ((s: SparkSession, dir: String) =>
-      repetition(Tables.documents(s, dir))),
+      repetition(docsTok(s, dir))),
     "x8_pii_scrub" -> ((s: SparkSession, dir: String) =>
       piiScrub(Tables.documents(s, dir), plantedText)),
     "x9_stratified_sample" -> ((s: SparkSession, dir: String) =>
       stratifiedSample(Tables.documents(s, dir))),
     "x10_mix_weights" -> ((s: SparkSession, dir: String) =>
-      mixWeights(Tables.documents(s, dir))),
+      mixWeights(docsTok(s, dir))),
     "x11_sequence_pack" -> ((s: SparkSession, dir: String) =>
-      sequencePack(Tables.documents(s, dir))),
+      sequencePack(docsTok(s, dir))),
     "x13_bpe_merges" -> xBpeMerges _,
     "x14_unigram_logprob" -> ((s: SparkSession, dir: String) =>
       cachedLogprob(s, dir).orderBy("doc_id")),
     "x15_ppl_buckets" -> ((s: SparkSession, dir: String) =>
       pplBuckets(cachedLogprob(s, dir))),
     "x16_bigram_logprob" -> ((s: SparkSession, dir: String) =>
-      bigramLogprob(Tables.documents(s, dir))),
+      bigramLogprob(docsTok(s, dir))),
     "x17_source_profile" -> ((s: SparkSession, dir: String) =>
-      sourceProfile(Tables.documents(s, dir))),
+      sourceProfile(docsTok(s, dir))),
     "x18_vocab_coverage" -> ((s: SparkSession, dir: String) =>
-      vocabCoverage(Tables.documents(s, dir))),
+      vocabCoverage(docsTok(s, dir))),
     "x19_rag_chunks" -> ((s: SparkSession, dir: String) =>
-      ragChunks(Tables.documents(s, dir))),
+      ragChunks(docsTok(s, dir))),
     "x20_source_kl" -> ((s: SparkSession, dir: String) =>
-      sourceKl(Tables.documents(s, dir))),
+      sourceKl(docsTok(s, dir))),
     "x21_cdc_chunks" -> ((s: SparkSession, dir: String) =>
-      cdcChunks(Tables.documents(s, dir))),
+      cdcChunks(docsTok(s, dir))),
     "x22_zipf_slope" -> ((s: SparkSession, dir: String) =>
-      zipfSlope(Tables.documents(s, dir))),
+      zipfSlope(docsTok(s, dir))),
     "x23_heaps_law" -> ((s: SparkSession, dir: String) =>
-      heapsLaw(Tables.documents(s, dir))),
+      heapsLaw(docsTok(s, dir))),
     "x24_lang_confusion" -> xLangConfusion _,
     "x27_weighted_sample" -> ((s: SparkSession, dir: String) =>
       xWeightedSample(Tables.documents(s, dir))),
     "x25_js_divergence" -> ((s: SparkSession, dir: String) =>
-      jsDivergence(Tables.documents(s, dir))),
+      jsDivergence(docsTok(s, dir))),
     "x26_filter_funnel" -> ((s: SparkSession, dir: String) =>
-      filterFunnel(Tables.documents(s, dir))),
+      filterFunnel(docsTok(s, dir))),
     "x28_token_waterfill" -> ((s: SparkSession, dir: String) =>
-      tokenWaterfill(Tables.documents(s, dir))),
+      tokenWaterfill(docsTok(s, dir))),
     "x29_dsir_weights" -> ((s: SparkSession, dir: String) =>
-      dsirWeights(Tables.documents(s, dir))),
+      dsirWeights(docsTok(s, dir))),
     "x30_bpe_train" -> xBpeTrain _,
     "x31_bpe_encode" -> xBpeEncode _,
     "x32_bpe_batch" -> xBpeBatch _,

@@ -180,6 +180,27 @@ object LineageStats {
     try df.asInstanceOf[Dataset[Row]].queryExecution.observedMetrics.get(name)
     catch { case _: Throwable => None }
 
+  /** MEASURED-chain size (round 17, the SHJ build-side guard): the
+    * frame's estimated bytes, but only when that estimate derives from
+    * measured checkpoint blocks — i.e. the optimized plan is a
+    * [[LogicalRDD]] or a narrow unary chain (Project/Filter/alias) over
+    * one, whose size the stats visitor scales from the measured leaf.
+    * None for anything containing a join/aggregate/union — those carry
+    * multiplicative estimates no caller should act on. */
+  def measurableBytes(df: org.apache.spark.sql.DataFrame): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    val plan = df.asInstanceOf[Dataset[Row]].queryExecution.optimizedPlan
+    @scala.annotation.tailrec
+    def measured(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRDD => true
+      case pr: Project => measured(pr.child)
+      case f: Filter => measured(f.child)
+      case a: SubqueryAlias => measured(a.child)
+      case _ => false
+    }
+    if (measured(plan)) Some(plan.stats.sizeInBytes) else None
+  }
+
   /** The checkpoint-backing RDD of a localCheckpoint'd frame: the
     * [[LogicalRDD]] root's `rdd` field — exactly the RDD
     * `Dataset.localCheckpoint` persisted (and the id that appears in
